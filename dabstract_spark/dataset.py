@@ -1,0 +1,284 @@
+"""The ``Dataset`` façade: dabstract's table API as sugar over a DataFrame.
+
+Reference: ``Dataset``/``DictSeqAbstract``
+(/root/reference/dabstract/dataset/dataset.py:17-121,
+/root/reference/dabstract/abstract/abstract.py:1530-1774). Every method
+here is a thin wrapper that returns a *new* Dataset over a transformed
+DataFrame — the operator graph is the Catalyst logical plan, not a Python
+object tree, so column pruning / predicate pushdown / join selection are
+automatic.
+
+Semantic translations (documented divergences):
+- integer indexing → ``row_id`` filters / slices (see core.py);
+- ``lazy=False`` eager columns → ``cache()`` (DataFrames are immutable, so
+  ``__setitem__`` on an eager column becomes ``replace_column`` → new Dataset);
+- the per-example ``info`` side-channel → ordinary columns;
+- ``FilterAbstract``'s undefined length → plain relational filter.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from dabstract_spark import core
+from dabstract_spark.core import ROW_ID
+
+# Auto-columns injected on every dataset, mirroring
+# /root/reference/dabstract/dataset/dataset.py:274-285.
+META_COLS = ("test_only", "dataset_id", "dataset_str")
+
+
+class Dataset:
+    """A named table with ordinal row identity and dabstract's management API.
+
+    Wraps an immutable DataFrame; all mutators return a new Dataset.
+    ``active_keys`` is the persistent projection (reference
+    ``set_active_keys``, abstract.py:1681-1706).
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        name: str = "dataset",
+        active_keys: tuple[str, ...] | None = None,
+        nr_datasets: int = 1,
+        test_only: bool = False,
+        _has_meta: bool = False,
+    ):
+        if not _has_meta:
+            df = (
+                df.withColumn("test_only", F.lit(1 if test_only else 0))
+                .withColumn("dataset_id", F.lit(0))
+                .withColumn("dataset_str", F.lit(name))
+            )
+        self._df = df
+        self.name = name
+        self._active_keys = tuple(active_keys) if active_keys else None
+        self.nr_datasets = nr_datasets
+
+    # ------------------------------------------------------------------ #
+    # construction
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def from_parquet(
+        cls,
+        spark,
+        path: str,
+        name: str | None = None,
+        row_key: str | None = None,
+        order_by: str | list[str] | None = None,
+        test_only: bool = False,
+    ) -> "Dataset":
+        """Source a dataset from parquet with row-id discipline.
+
+        ``row_key``: adopt an existing unique int column as row_id (free).
+        ``order_by``: derive a dense ordinal by this total order (2 jobs).
+        Neither: caller promises no ordinal ops will be used.
+        """
+        df = spark.read.parquet(path)
+        if row_key is not None:
+            df = core.row_id_from_key(df, row_key)
+        elif order_by is not None:
+            df = core.with_row_id(df, order_by)
+        return cls(df, name=name or path.rsplit("/", 1)[-1], test_only=test_only)
+
+    # ------------------------------------------------------------------ #
+    # plumbing
+    # ------------------------------------------------------------------ #
+    @property
+    def df(self) -> DataFrame:
+        """The underlying DataFrame with the active-key projection applied."""
+        if self._active_keys is None:
+            return self._df
+        keep = [k for k in self._active_keys]
+        if ROW_ID in self._df.columns and ROW_ID not in keep:
+            keep = [ROW_ID] + keep
+        return self._df.select(*keep)
+
+    @property
+    def full_df(self) -> DataFrame:
+        """All columns, ignoring active keys."""
+        return self._df
+
+    def keys(self) -> list[str]:
+        return [c for c in self._df.columns if c != ROW_ID]
+
+    def __len__(self) -> int:
+        return self._df.count()
+
+    def _evolve(self, df: DataFrame, **kw) -> "Dataset":
+        return Dataset(
+            df,
+            name=kw.get("name", self.name),
+            active_keys=kw.get("active_keys", self._active_keys),
+            nr_datasets=kw.get("nr_datasets", self.nr_datasets),
+            _has_meta=True,
+        )
+
+    # ------------------------------------------------------------------ #
+    # columns (DictSeqAbstract.add / add_alias / remove,
+    # abstract.py:1542-1679)
+    # ------------------------------------------------------------------ #
+    def add(self, key: str, col: Column | DataFrame, lazy: bool = True) -> "Dataset":
+        """Attach a column. A Column expression is a ``withColumn``; a
+        (row_id, value) DataFrame is a 1:1 equi-join on row_id (the
+        relational form of the reference's positional zip-join with its
+        length assert, abstract.py:1560-1561). ``lazy=False`` caches."""
+        if isinstance(col, DataFrame):
+            other_cols = [c for c in col.columns if c != ROW_ID]
+            if len(other_cols) != 1:
+                raise ValueError("add(df) expects exactly (row_id, value)")
+            joined = self._df.join(
+                col.withColumnRenamed(other_cols[0], key), ROW_ID, "inner"
+            )
+            out = joined
+        else:
+            out = self._df.withColumn(key, col)
+        if not lazy:
+            out = out.cache()
+        return self._evolve(out)
+
+    def add_map(self, key: str, fct: Callable[[Column], Column], new_key: str | None = None) -> "Dataset":
+        """Lazy per-row map (reference MapAbstract/add_map,
+        abstract.py:475-691, dataset.py:227-244). ``fct`` maps a Column
+        expression to a Column expression (native where possible; a
+        processing chain compiles to one)."""
+        return self._evolve(self._df.withColumn(new_key or key, fct(F.col(key))))
+
+    def add_alias(self, key: str, new_key: str) -> "Dataset":
+        """Second name for a column (abstract.py:1677-1679)."""
+        return self._evolve(self._df.withColumn(new_key, F.col(key)))
+
+    def remove(self, key: str) -> "Dataset":
+        return self._evolve(self._df.drop(key))
+
+    def replace_column(self, key: str, col: Column) -> "Dataset":
+        """Immutable stand-in for the reference's eager ``__setitem__``."""
+        return self._evolve(self._df.withColumn(key, col))
+
+    # ------------------------------------------------------------------ #
+    # projection (UnpackAbstract / active keys, abstract.py:71-145,1681-1706)
+    # ------------------------------------------------------------------ #
+    def unpack(self, keys: Iterable[str]) -> "Dataset":
+        keys = list(keys)
+        cols = ([ROW_ID] if ROW_ID in self._df.columns else []) + keys
+        return self._evolve(self._df.select(*cols), active_keys=None)
+
+    def set_active_keys(self, keys: str | Iterable[str]) -> "Dataset":
+        keys = (keys,) if isinstance(keys, str) else tuple(keys)
+        missing = set(keys) - set(self._df.columns)
+        if missing:
+            raise KeyError(f"active keys not in dataset: {sorted(missing)}")
+        return self._evolve(self._df, active_keys=keys)
+
+    def reset_active_keys(self) -> "Dataset":
+        return self._evolve(self._df, active_keys=None)
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self._df.select(*([ROW_ID] if ROW_ID in self._df.columns else []), key)
+        if isinstance(key, slice):
+            return self._evolve(core.slice_filter(self._df, key.start, key.stop, key.step))
+        if isinstance(key, (list, tuple)):
+            return self._evolve(core.select_indices(self._df, key))
+        if isinstance(key, int):
+            return self._evolve(self._df.filter(F.col(ROW_ID) == int(key)))
+        raise TypeError(f"unsupported index type: {type(key)}")
+
+    # ------------------------------------------------------------------ #
+    # selection (SelectAbstract / add_select, abstract.py:1124-1310,
+    # dataset.py:430-502; FilterAbstract, abstract.py:1313-1476)
+    # ------------------------------------------------------------------ #
+    def add_select(self, selector, **params) -> "Dataset":
+        """Row subset. Accepts a Column predicate, a string naming a
+        built-in selector (dabstract_spark.operators.select), an index
+        list, or a slice."""
+        from dabstract_spark.operators import select as sel
+
+        if isinstance(selector, Column):
+            return self._evolve(self._df.filter(selector))
+        if isinstance(selector, str):
+            return self._evolve(sel.resolve(selector)(self._df, **params))
+        if isinstance(selector, slice):
+            return self._evolve(
+                core.slice_filter(self._df, selector.start, selector.stop, selector.step)
+            )
+        if isinstance(selector, (list, tuple)) or hasattr(selector, "__array__"):
+            return self._evolve(core.select_indices(self._df, list(selector)))
+        if callable(selector):
+            return self._evolve(sel.apply_callable(self._df, selector, **params))
+        raise TypeError(f"unsupported selector: {type(selector)}")
+
+    def add_filter(self, pred: Column, return_none: bool = False, key: str | None = None) -> "Dataset":
+        """FilterAbstract. ``return_none=True`` keeps cardinality and NULLs
+        the active payload instead of dropping rows
+        (abstract.py:1392-1396 → SQL NULL semantics)."""
+        if not return_none:
+            return self._evolve(self._df.filter(pred))
+        targets = [key] if key else (list(self._active_keys or []) or self.keys())
+        out = self._df
+        for k in targets:
+            if k in META_COLS or k == ROW_ID:
+                continue
+            out = out.withColumn(k, F.when(pred, F.col(k)))
+        return self._evolve(out)
+
+    # ------------------------------------------------------------------ #
+    # concat (SeqAbstract/DictSeqAbstract/Dataset concat,
+    # abstract.py:1580-1637, dataset.py:182-221)
+    # ------------------------------------------------------------------ #
+    def concat(self, other: "Dataset", intersect: bool = False) -> "Dataset":
+        """Union of datasets with dataset_id lineage shift
+        (dataset.py:207). ``intersect=True`` keeps only common columns;
+        otherwise missing columns become NULL (KeyAbstract semantics,
+        abstract.py:1479-1527)."""
+        left, right = self._df, other._df
+        shift = self.nr_datasets
+        right = right.withColumn("dataset_id", F.col("dataset_id") + F.lit(shift))
+        if ROW_ID in left.columns and ROW_ID in right.columns:
+            offset = left.select(F.max(ROW_ID)).first()[0]
+            offset = 0 if offset is None else offset + 1
+            right = right.withColumn(ROW_ID, F.col(ROW_ID) + F.lit(offset))
+        if intersect:
+            common = [c for c in left.columns if c in set(right.columns)]
+            left, right = left.select(*common), right.select(*common)
+            merged = left.unionByName(right)
+        else:
+            merged = left.unionByName(right, allowMissingColumns=True)
+        return self._evolve(merged, nr_datasets=self.nr_datasets + other.nr_datasets)
+
+    def __add__(self, other: "Dataset") -> "Dataset":
+        return self.concat(other)
+
+    # ------------------------------------------------------------------ #
+    # aggregation-ish management (dataset.py:636-701, :260-271)
+    # ------------------------------------------------------------------ #
+    def get_unique(self, key: str, return_idx: bool = False) -> DataFrame:
+        """Distinct values of a column; with ``return_idx`` also the sorted
+        row_id group per value (dataset.py:636-701)."""
+        if not return_idx:
+            return self._df.select(key).distinct().orderBy(key)
+        return (
+            self._df.groupBy(key)
+            .agg(F.sort_array(F.collect_list(ROW_ID)).alias("row_ids"))
+            .orderBy(key)
+        )
+
+    def summary(self) -> DataFrame:
+        """Per-source row counts (dataset.py:260-271)."""
+        return (
+            self._df.groupBy("dataset_id", "dataset_str")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("dataset_id")
+        )
+
+    # ------------------------------------------------------------------ #
+    # materialization (load_memory, dataset.py:555-626)
+    # ------------------------------------------------------------------ #
+    def load_memory(self, key: str | None = None) -> "Dataset":
+        """Materialize (cache) the dataset or one column's projection."""
+        if key is None:
+            return self._evolve(self._df.cache())
+        return self._evolve(self._df, active_keys=(key,))._evolve(self._df.cache())

@@ -1,0 +1,69 @@
+"""Built-in row selectors (reference: /root/reference/dabstract/dataset/select.py).
+
+Selectors are name-resolvable (`Dataset.add_select("subsample_by_str", ...)`)
+mirroring the reference's string-resolution of selector factories
+(dataset.py:481-499), but each one is a pure DataFrame transformation.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from dabstract_spark.functions.hashing import md5_order, md5_unit
+
+
+def random_subsample(df: DataFrame, ratio: float, seed: int = 0, key: str = "row_id") -> DataFrame:
+    """Keep ceil(n*ratio) pseudo-random rows (reference select.py:7-24).
+
+    Exact-count semantics like the reference. Implemented as a rank over a
+    deterministic md5 ordering — distributed sort, no driver collect. For
+    approximate sampling at scale prefer ``df.sample(fraction=ratio, seed)``
+    (no shuffle at all); this exact variant costs one range-shuffle.
+    """
+    n = df.count()
+    k = math.ceil(n * ratio)
+    ranked = df.withColumn("__rk", md5_order(key, seed))
+    out = ranked.orderBy("__rk").limit(k).drop("__rk")
+    return out
+
+
+def random_subsample_approx(df: DataFrame, ratio: float, seed: int = 0) -> DataFrame:
+    """Scale path: Bernoulli sample, no shuffle, not exact-count."""
+    return df.sample(fraction=ratio, seed=seed)
+
+
+def subsample_by_str(df: DataFrame, key: str, keep) -> DataFrame:
+    """Keep rows whose ``key`` value is in ``keep`` (reference select.py:27-40)."""
+    keep = [keep] if isinstance(keep, str) else list(keep)
+    return df.filter(F.col(key).isin(keep))
+
+
+def threshold_subsample(df: DataFrame, ratio: float, seed: int = 0, key: str = "row_id") -> DataFrame:
+    """Approximate deterministic sample without any count/shuffle:
+    keep rows whose md5-derived uniform < ratio. Oracle-expressible."""
+    return df.filter(md5_unit(key, seed) < ratio)
+
+
+_REGISTRY = {
+    "random_subsample": random_subsample,
+    "random_subsample_approx": random_subsample_approx,
+    "subsample_by_str": subsample_by_str,
+    "threshold_subsample": threshold_subsample,
+}
+
+
+def resolve(name: str):
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown selector '{name}'; have {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def apply_callable(df: DataFrame, fct, **params) -> DataFrame:
+    """2-arg callable selector ``f(df, **params) -> DataFrame-or-Column``
+    (reference's eval-at-construction callables, abstract.py:1198-1218)."""
+    out = fct(df, **params)
+    if isinstance(out, DataFrame):
+        return out
+    return df.filter(out)

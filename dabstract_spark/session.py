@@ -1,0 +1,97 @@
+"""SparkSession bootstrap tuned for both local testing and cluster scale.
+
+Local mode is a single JVM; on a real cluster the same settings hold except
+memory sizing. AQE is always on so joins/aggs re-plan at runtime (skew
+splits, broadcast conversion, partition coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dabstract_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with scale-aware defaults.
+
+    - ``spark.sql.shuffle.partitions`` defaults to the local core count
+      (env ``SPARK_GRAFT_CPUS``) for local runs; a cluster deployment
+      overrides via ``extra_conf`` or relies on AQE coalescing.
+    - Arrow is enabled so every pandas-UDF boundary is vectorized.
+    - Session timezone pinned to UTC so timestamps compare bit-exactly
+      against external oracles (DuckDB is UTC-naive).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # fixture events.parquet stores TIMESTAMP(NANOS); read as long and
+        # convert explicitly (load_table) — Spark has no nanos timestamp.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, str(v))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Load one fixture table, normalizing nano-timestamps to Spark
+    TimestampType (microseconds, truncated like DuckDB does on read).
+
+    Sets the nanos-as-long conf on the *caller's* session — the driver
+    runs queries with its own SparkSession, not ours."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # integer div — float division loses precision on int64 nanos
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> dict:
+    """Load the fixture parquet tables from an sf directory as DataFrames."""
+    return {t: load_table(spark, sf_dir, t) for t in tables}
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> None:
+    """Register the fixture tables as temp views for spark.sql queries."""
+    for name, df in load_tables(spark, sf_dir, tables).items():
+        df.createOrReplaceTempView(name)

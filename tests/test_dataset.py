@@ -1,0 +1,107 @@
+"""Dataset façade unit tests — tiny literal inputs with exact expected
+outputs, mirroring the reference's test pattern
+(/root/reference/tests/test_abstract.py, test_dataset.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dabstract_spark.dataset import Dataset
+
+
+def make_ds(spark, n=6, name="t"):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", float(i) * 10) for i in range(n)],
+        "row_id long, subdb string, val double",
+    )
+    return Dataset(df, name=name)
+
+
+def test_auto_meta_columns(spark):
+    ds = make_ds(spark)
+    assert {"test_only", "dataset_id", "dataset_str"} <= set(ds.keys())
+    row = ds.full_df.filter(F.col("row_id") == 0).first()
+    assert row["test_only"] == 0 and row["dataset_id"] == 0 and row["dataset_str"] == "t"
+
+
+def test_add_column_and_alias_and_remove(spark):
+    ds = make_ds(spark)
+    ds = ds.add("doubled", F.col("val") * 2)
+    ds = ds.add_alias("doubled", "alias_col")
+    got = {r["row_id"]: (r["doubled"], r["alias_col"]) for r in ds.full_df.collect()}
+    assert got[3] == (60.0, 60.0)
+    assert "doubled" not in ds.remove("doubled").keys()
+
+
+def test_add_zip_join_column(spark):
+    ds = make_ds(spark, n=4)
+    other = spark.createDataFrame([(i, i * 100) for i in range(4)], "row_id long, extra long")
+    ds = ds.add("extra", other)
+    got = {r["row_id"]: r["extra"] for r in ds.full_df.collect()}
+    assert got == {0: 0, 1: 100, 2: 200, 3: 300}
+
+
+def test_unpack_and_active_keys(spark):
+    ds = make_ds(spark)
+    assert set(ds.unpack(["val"]).df.columns) == {"row_id", "val"}
+    act = ds.set_active_keys("val")
+    assert set(act.df.columns) == {"row_id", "val"}
+    assert set(act.reset_active_keys().df.columns) == set(ds.full_df.columns)
+
+
+def test_getitem_slice_and_indices(spark):
+    ds = make_ds(spark, n=10)
+    assert sorted(r["row_id"] for r in ds[2:8:2].full_df.collect()) == [2, 4, 6]
+    assert sorted(r["row_id"] for r in ds[[1, 5, 9]].full_df.collect()) == [1, 5, 9]
+    assert [r["row_id"] for r in ds[7].full_df.collect()] == [7]
+
+
+def test_add_select_forms(spark):
+    ds = make_ds(spark, n=10)
+    assert ds.add_select(F.col("val") >= 50).full_df.count() == 5
+    assert ds.add_select("subsample_by_str", key="subdb", keep="s0").full_df.count() == 5
+    assert ds.add_select([0, 1, 2]).full_df.count() == 3
+    assert ds.add_select(slice(0, 4)).full_df.count() == 4
+    assert ds.add_select(lambda df: F.col("subdb") == "s1").full_df.count() == 5
+
+
+def test_filter_return_none_keeps_cardinality(spark):
+    ds = make_ds(spark, n=6)
+    out = ds.add_filter(F.col("val") > 20, return_none=True, key="val")
+    rows = {r["row_id"]: r["val"] for r in out.full_df.collect()}
+    assert len(rows) == 6
+    assert rows[1] is None and rows[3] == 30.0
+
+
+def test_concat_shifts_dataset_id_and_row_id(spark):
+    a, b = make_ds(spark, n=3, name="a"), make_ds(spark, n=3, name="b")
+    merged = a + b
+    rows = merged.full_df.select("row_id", "dataset_id").collect()
+    assert sorted(r["row_id"] for r in rows) == [0, 1, 2, 3, 4, 5]
+    assert sorted(r["dataset_id"] for r in rows) == [0, 0, 0, 1, 1, 1]
+    assert merged.nr_datasets == 2
+
+
+def test_concat_intersect_and_missing(spark):
+    a = make_ds(spark, n=2, name="a").add("only_a", F.lit(1))
+    b = make_ds(spark, n=2, name="b")
+    inter = a.concat(b, intersect=True)
+    assert "only_a" not in inter.keys()
+    loose = a.concat(b)
+    vals = [r["only_a"] for r in loose.full_df.orderBy("row_id").collect()]
+    assert vals == [1, 1, None, None]
+
+
+def test_get_unique_and_summary(spark):
+    ds = make_ds(spark, n=6)
+    assert [r["subdb"] for r in ds.get_unique("subdb").collect()] == ["s0", "s1"]
+    idx = {r["subdb"]: r["row_ids"] for r in ds.get_unique("subdb", return_idx=True).collect()}
+    assert idx["s0"] == [0, 2, 4]
+    summ = (make_ds(spark, 2, "a") + make_ds(spark, 3, "b")).summary().collect()
+    assert [(r["dataset_str"], r["n_rows"]) for r in summ] == [("a", 2), ("b", 3)]
+
+
+def test_replace_column(spark):
+    ds = make_ds(spark, n=3)
+    out = ds.replace_column("val", F.lit(0.0))
+    assert {r["val"] for r in out.full_df.collect()} == {0.0}
