@@ -48,15 +48,20 @@ class Dataset:
         _has_meta: bool = False,
     ):
         if not _has_meta:
-            df = (
-                df.withColumn("test_only", F.lit(1 if test_only else 0))
-                .withColumn("dataset_id", F.lit(0))
-                .withColumn("dataset_str", F.lit(name))
-            )
+            # inject only the missing auto-columns (an existing test_only
+            # column is user data, e.g. a predefined eval split — keep it)
+            if "test_only" not in df.columns:
+                df = df.withColumn("test_only", F.lit(1 if test_only else 0))
+            if "dataset_id" not in df.columns:
+                df = df.withColumn("dataset_id", F.lit(0))
+            if "dataset_str" not in df.columns:
+                df = df.withColumn("dataset_str", F.lit(name))
         self._df = df
         self.name = name
         self._active_keys = tuple(active_keys) if active_keys else None
         self.nr_datasets = nr_datasets
+        # xval state: (assignment DataFrame (key, fold), key col, val_frac, seed)
+        self._xval: tuple | None = None
 
     # ------------------------------------------------------------------ #
     # construction
@@ -109,13 +114,15 @@ class Dataset:
         return self._df.count()
 
     def _evolve(self, df: DataFrame, **kw) -> "Dataset":
-        return Dataset(
+        out = Dataset(
             df,
             name=kw.get("name", self.name),
             active_keys=kw.get("active_keys", self._active_keys),
             nr_datasets=kw.get("nr_datasets", self.nr_datasets),
             _has_meta=True,
         )
+        out._xval = kw.get("xval", self._xval)
+        return out
 
     # ------------------------------------------------------------------ #
     # columns (DictSeqAbstract.add / add_alias / remove,
@@ -273,6 +280,90 @@ class Dataset:
             .agg(F.count(F.lit(1)).alias("n_rows"))
             .orderBy("dataset_id")
         )
+
+    # ------------------------------------------------------------------ #
+    # cardinality ops (add_split, dataset.py:287-428; SplitAbstract /
+    # SampleReplicateAbstract, abstract.py:746-1121)
+    # ------------------------------------------------------------------ #
+    def add_split(
+        self,
+        key: str,
+        split_size: int,
+        chunk_col: str = "chunk_id",
+        drop_last_partial: bool = False,
+    ) -> "Dataset":
+        """Chop ``key`` (array or string column) into consecutive chunks;
+        one output row per chunk, all other columns replicated
+        automatically (the reference's Split + SampleReplicate dance is a
+        single explode here)."""
+        from dabstract_spark.operators import split as sp
+
+        dtype = dict(self._df.dtypes)[key]
+        if dtype.startswith("array"):
+            out = sp.split_array(self._df, key, split_size, chunk_col, drop_last_partial)
+        elif dtype == "string":
+            out = sp.split_text(self._df, key, split_size, chunk_col)
+        else:
+            raise TypeError(f"add_split expects array/string column, got {dtype}")
+        return self._evolve(out)
+
+    def sample_replicate(self, factor, rep_col: str = "replica_id") -> "Dataset":
+        from dabstract_spark.operators import split as sp
+
+        return self._evolve(sp.sample_replicate(self._df, factor, rep_col))
+
+    # ------------------------------------------------------------------ #
+    # cross-validation (set_xval/get_xval_set, dataset.py:932-1130)
+    # ------------------------------------------------------------------ #
+    def set_xval(
+        self,
+        fn,
+        key: str = "row_id",
+        val_frac: float = 0.0,
+        seed: int = 0,
+        save_path: str | None = None,
+        overwrite: bool = False,
+        **params,
+    ) -> "Dataset":
+        """Compute a fold assignment over the non-test_only rows.
+
+        ``fn``: builder name (operators/xval.py registry) or callable
+        ``f(df, key=..., **params) -> (key, fold)``. Candidates restricted
+        to test_only==0 (reference dataset.py:981-985); test_only rows are
+        re-attached to every test fold by get_xval_set. ``save_path``
+        persists the assignment as parquet (reference's pickle persist)."""
+        from dabstract_spark.operators import xval as xv
+
+        if isinstance(fn, str):
+            fn = xv.resolve(fn)
+        spark = self._df.sparkSession
+        if save_path and not overwrite:
+            try:
+                assignment = spark.read.parquet(save_path)
+                return self._evolve(self._df, xval=(assignment, key, val_frac, seed))
+            except Exception:
+                pass
+        candidates = self._df.filter(F.col("test_only") == 0)
+        assignment = fn(candidates, key=key, seed=seed, **params)
+        if save_path:
+            assignment.write.mode("overwrite").parquet(save_path)
+            assignment = spark.read.parquet(save_path)
+        return self._evolve(self._df, xval=(assignment, key, val_frac, seed))
+
+    def get_xval_set(
+        self, set_name: str = "train", fold: int = 0, keys=None
+    ) -> "Dataset":
+        """Lazy (set, fold) subset view (reference dataset.py:1066-1130)."""
+        from dabstract_spark.operators import xval as xv
+
+        if self._xval is None:
+            raise RuntimeError("call set_xval first")
+        assignment, key, val_frac, seed = self._xval
+        sub = xv.xval_sets(
+            self._df, assignment, key, fold, set_name, val_frac=val_frac, seed=seed
+        )
+        out = self._evolve(sub)
+        return out.unpack(keys) if keys else out
 
     # ------------------------------------------------------------------ #
     # materialization (load_memory, dataset.py:555-626)
