@@ -1,0 +1,89 @@
+"""Event-table operators: time windows, sessionization, event dedup,
+JSON prop extraction (SURVEY §2.12 / §7-M6 — the reference has no
+streaming surface; these are the batch forms, with the true streaming
+variants in dabstract_spark/streaming/).
+
+All pure built-ins: window functions partitioned by user (parallel), no
+global sorts, JSON parsing JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window aggregate (batch form of the streaming windowed
+    agg). Returns (window_start, *group_cols, n_events, sum_value)."""
+    return (
+        df.groupBy(F.window(ts_col, width).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n_events", "sum_value")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the gap
+    to the previous event of the same user exceeds ``gap_minutes``.
+    Returns one row per event with a per-user ``session_id``. Windows are
+    partitioned by user — shuffle on user_id, parallel across users
+    (skewed power users handled by AQE skew-join settings)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # microsecond integers, not seconds: casting timestamp→long floors to
+    # seconds and misclassifies gaps within 1 s of the threshold
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session stats: event count, duration seconds, total value."""
+    s = sessionize(df, ts_col, user_col, gap_minutes)
+    return s.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(f"(max(unix_micros({ts_col})) - min(unix_micros({ts_col}))) div 1000000").alias(
+            "duration_sec"
+        ),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+def latest_event_dedup(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Keep the latest event per key (batch form of streaming
+    dropDuplicates-keep-last; deterministic tie-break on event_id)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(ts_col), F.desc(tiebreak_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def extract_props(df: DataFrame, props_col: str = "props", field: str = "k") -> DataFrame:
+    """Pull a typed field out of the JSON props column (JVM-side parse)."""
+    return df.withColumn(
+        f"prop_{field}", F.get_json_object(F.col(props_col), f"$.{field}").cast("int")
+    )

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (SURVEY §7-M6).
+
+- ``cosine`` / ``dot`` — pure HOF expressions (zip_with + aggregate),
+  computed in float64 for engine-portable results.
+- ``topk_bruteforce`` — the exactness baseline: broadcast the (small)
+  query set against the corpus, window-topk per query. Scales linearly
+  in corpus size; right answer for recall evaluation.
+- ``lsh_hyperplane_buckets`` / ``topk_lsh`` — the scale path: sign-bit
+  sketches from deterministic md5-derived hyperplanes bucket the corpus;
+  candidates = same bucket (multi-probe = fewer bits). Sub-linear scan at
+  the cost of recall; parameters trade the two.
+- ``embedding_neardup_pairs`` — cosine near-duplicate detection via the
+  same buckets.
+
+Embeddings here are plain ``array<float>`` columns — no vector index
+service, everything relational, so Catalyst handles pruning/AQE and the
+operators compose with the rest of the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Float64 dot product of two array columns (sequential fold — same
+    summation order as DuckDB's list_* functions)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast-join the query set against
+    the corpus (no shuffle of the corpus), rank within query partitions.
+    Returns (query_id, vec_id, sim, rank)."""
+    q = queries.select(
+        F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec")
+    )
+    joined = corpus.join(F.broadcast(q), F.col(query_id) != F.col(id_col))
+    scored = joined.select(
+        query_id,
+        id_col,
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bits(vec_col: Column | str, n_bits: int = 8, dim: int = 64, seed: int = 0) -> Column:
+    """Random-hyperplane sign sketch with md5-derived ±1 hyperplanes —
+    deterministic, engine-portable, pure expressions. bit_i =
+    [ sum_j vec[j] * sign_ij > 0 ] with sign_ij = ±1 from md5 parity."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    # closure factory: zip_with lambdas must have exactly 2 params
+    def signed_term(i):
+        def term(x, j):
+            parity = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(str(seed)), F.lit(str(i)), j)), 1, 1
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+            )
+            sign = F.when(parity == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+            return x.cast("double") * sign
+
+        return term
+
+    acc = F.lit(0).cast("bigint")
+    for i in range(n_bits):
+        proj = F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(0), F.lit(dim - 1)), signed_term(i)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        acc = acc + (proj > 0).cast("bigint") * F.lit(2**i).cast("bigint")
+    return acc
+
+
+def lsh_hyperplane_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """(id, bucket): cosine-LSH bucket assignment."""
+    return df.select(
+        F.col(id_col), hyperplane_bits(vec_col, n_bits, dim, seed).alias("bucket")
+    )
+
+
+def topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows in the query's LSH
+    bucket. Shuffles on the (small-cardinality) bucket key instead of
+    broadcasting every query against every row."""
+    cb = corpus.withColumn("bucket", hyperplane_bits(vec_col, n_bits, dim, seed))
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        hyperplane_bits(vec_col, n_bits, dim, seed).alias("bucket"),
+    )
+    joined = cb.join(qb, "bucket").filter(F.col("query_id") != F.col(id_col))
+    scored = joined.select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 0,
+    exact: bool = False,
+) -> DataFrame:
+    """Cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
+    ``exact=True`` compares all pairs (oracle baseline); default prunes
+    to same-LSH-bucket candidates first (misses some borderline pairs —
+    the standard recall/efficiency trade)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if exact:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        ab = lsh_hyperplane_buckets(df, id_col, vec_col, n_bits, dim, seed)
+        cand = (
+            ab.withColumnRenamed(id_col, "id_a")
+            .join(ab.withColumnRenamed(id_col, "id_b"), "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,136 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(SURVEY §7-M6 extensions; no reference analog — the reference's scalar
+function library is audio DSP, processors.py).
+
+Everything here is built-in-expression only (split / HOFs / regex / md5):
+JVM-side, whole-stage codegen, zero Python in the hot path — the property
+that matters at 100 TB where these run over every document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Marker stopword sets for the n-gram language heuristic. On real corpora
+# these are per-language function words; the fixture documents are
+# synthetic, so the sets are drawn from the fixture vocabulary to make the
+# heuristic exercise real paths deterministically.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow"),
+    "qy": ("query", "table", "scan", "join"),
+    "dt": ("data", "row", "batch", "stream"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(col: Column | str, pattern: str = r"\W+") -> Column:
+    """Lower-cased word tokens with empties removed (portable: Spark
+    split and DuckDB string_split_regex agree after the empty filter)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), pattern), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingle strings — the dedup unit for MinHash/Jaccard.
+    Rows with fewer than k tokens produce an empty array."""
+    t = tokens(col)
+    n = F.size(t)
+    return F.when(n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(F.regexp_replace(c, r"[^.!?,;:]", ""))
+    return F.round(n_punct / F.greatest(F.length(c), F.lit(1)), 6)
+
+
+def stopword_ratio(col: Column | str, stopwords=STOPWORDS) -> Column:
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    return F.round(hits / F.greatest(F.size(t), F.lit(1)), 6)
+
+
+def mean_token_len(col: Column | str) -> Column:
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.round(total / F.greatest(F.size(t), F.lit(1)), 6)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality heuristic in [0,1]: favors mid-length
+    docs with low punctuation density and some stopword structure
+    (the C4/Gopher-rule shape, reduced to fixture-safe signals).
+
+    Computed entirely in integer parts-per-million — float round() at
+    half-boundaries differs between engines, integer division doesn't.
+    quality = (5*len + 3*min(5*sw,1) + 2*(1-min(10*punct,1))) / 10."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(c)
+    n_tok = F.greatest(F.size(t), F.lit(1)).cast("bigint")
+    n_chars = F.greatest(F.length(c), F.lit(1)).cast("bigint")
+    hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("bigint")
+    n_punct = F.length(F.regexp_replace(c, r"[^.!?,;:]", "")).cast("bigint")
+    m = F.lit(1000000).cast("bigint")
+
+    len_ppm = F.least(F.length(c).cast("bigint") * 2500, m)
+    sw_capped = F.least(F.floor(hits * 1000000 / n_tok) * 5, m)
+    punct_capped = F.least(F.floor(n_punct * 1000000 / n_chars) * 10, m)
+    q_ppm = F.floor((5 * len_ppm + 3 * sw_capped + 2 * (m - punct_capped)) / 10)
+    return (q_ppm / F.lit(1000000.0)).alias("quality")
+
+
+def lang_id(col: Column | str, markers: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """N-gram/stopword language heuristic: argmax of marker-hit counts,
+    'und' when no marker hits. Deterministic tie-break by language code."""
+    markers = markers or LANG_MARKERS
+    t = tokens(col)
+
+    # NB: bind via closure factory, not lambda default args — PySpark
+    # counts lambda params, and a 2-param lambda gets (element, index).
+    def hit(m):
+        return lambda x: x.isin(*m)
+
+    scores = {
+        lang: F.size(F.filter(t, hit(m))) for lang, m in sorted(markers.items())
+    }
+    # fold ascending with strict >: alphabetically-first language wins ties,
+    # 'und' when every score is 0
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):
+        s = scores[lang]
+        new_best = F.when(s > best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+        best = new_best
+    return best
+
+
+def fingerprint(col: Column | str) -> Column:
+    """60-bit content fingerprint of the whitespace-normalized lower-cased
+    text (md5 prefix → bigint; portable to any engine with md5)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    return F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint")
+
+
+def add_text_stats(df: DataFrame, key: str = "text") -> DataFrame:
+    """Convenience: attach the full text-analysis column set."""
+    return (
+        df.withColumn("n_tokens", token_count(key))
+        .withColumn("punct_ratio", punct_ratio(key))
+        .withColumn("stopword_ratio", stopword_ratio(key))
+        .withColumn("mean_token_len", mean_token_len(key))
+        .withColumn("quality", quality_score(key))
+        .withColumn("lang_pred", lang_id(key))
+        .withColumn("fingerprint", fingerprint(key))
+    )

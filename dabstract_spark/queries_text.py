@@ -1,7 +1,365 @@
-"""Text / dedup / similarity / events query catalog entries (SURVEY §7-M6).
+"""Text / dedup / similarity / events query catalog entries (SURVEY §7-M6)
+with DuckDB oracles.
 
-Registered into dabstract_spark.queries on import. Filled in as the
-corresponding operators land.
+The oracle SQL for hash-heavy operators (minhash, simhash, LSH) is
+generated programmatically to mirror the Spark expressions term for term —
+both engines share md5 as the hash primitive, so signatures match exactly.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dabstract_spark.operators import dedup as dd, events as ev, similarity as sim, text as tx
+from dabstract_spark.queries import _t, query
+
+# ---- shared DuckDB SQL fragments ------------------------------------- #
+_TOKENS = "list_filter(string_split_regex(lower({c}), '\\W+'), t -> t <> '')"
+_NORM = "regexp_replace(trim(lower({c})), '\\s+', ' ', 'g')"
+
+
+def _shingles(c: str, k: int = 3) -> str:
+    toks = _TOKENS.format(c=c)
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {k - 1}), "
+        f"i -> array_to_string(({toks})[i:i+{k - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def _minhash_list(n_hashes: int) -> str:
+    """[mh_0, ..., mh_n] over a CTE column named sh."""
+    mins = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min')"
+        for i in range(n_hashes)
+    )
+    return f"[{mins}]"
+
+
+# --------------------------------------------------------------------- #
+# Text analysis (token counting, quality scoring, language-ID,
+# fingerprinting)
+# --------------------------------------------------------------------- #
+_T = _TOKENS.format(c="text")
+_SW = "('the','a','of','and','to','in','is','it')"
+
+@query(
+    "q40_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_T}) AS BIGINT) AS n_tokens,
+           ROUND(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           ROUND(len(list_filter({_T}, t -> t IN {_SW}))
+                 / greatest(len({_T}), 1), 6) AS stopword_ratio,
+           ROUND(list_sum(list_transform({_T}, t -> length(t)))
+                 / greatest(len({_T}), 1), 6) AS mean_token_len
+    FROM documents
+    """,
+)
+def q40_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.punct_ratio("text").alias("punct_ratio"),
+        tx.stopword_ratio("text").alias("stopword_ratio"),
+        tx.mean_token_len("text").alias("mean_token_len"),
+    )
+
+
+_MARK_SQL = {
+    lang: "(" + ",".join(f"'{w}'" for w in words) + ")"
+    for lang, words in tx.LANG_MARKERS.items()
+}
+_SCORE = {
+    lang: f"len(list_filter({_T}, t -> t IN {m}))" for lang, m in _MARK_SQL.items()
+}
+
+@query(
+    "q41_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_SCORE['qy']} > greatest({_SCORE['dt']}, {_SCORE['en']}, 0) THEN 'qy'
+                WHEN {_SCORE['en']} > greatest({_SCORE['dt']}, 0) THEN 'en'
+                WHEN {_SCORE['dt']} > 0 THEN 'dt'
+                ELSE 'und' END AS lang_pred
+    FROM documents
+    """,
+)
+def q41_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", tx.lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "q42_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5({_NORM.format(c='text')}), 1, 15)) AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
+def q42_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "q43_quality_score",
+    # integer ppm arithmetic end-to-end — float round() half-boundary
+    # behavior differs between engines, integer division doesn't
+    oracle=f"""
+    SELECT doc_id,
+           ((5 * least(length(text)::BIGINT * 2500, 1000000)
+             + 3 * least((len(list_filter({_T}, t -> t IN {_SW}))::BIGINT * 1000000
+                          // greatest(len({_T}), 1)) * 5, 1000000)
+             + 2 * (1000000 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::BIGINT * 1000000
+                          // greatest(length(text), 1)) * 10, 1000000))) // 10)
+           / 1000000.0::DOUBLE AS quality
+    FROM documents
+    """,
+)
+def q43_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+# --------------------------------------------------------------------- #
+# Deduplication
+# --------------------------------------------------------------------- #
+@query(
+    "q44_exact_dedup",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY md5({_NORM.format(c='text')}) ORDER BY doc_id) = 1
+    """,
+)
+def q44_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, "doc_id", "text").select("doc_id", "source")
+
+
+@query(
+    "q45_minhash_bands",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_shingles('text', 3)} AS sh FROM documents),
+         sig AS (SELECT doc_id, {_minhash_list(16)} AS mh FROM s WHERE len(sh) > 0)
+    SELECT doc_id, CAST(b AS INT) AS band_id,
+           md5(array_to_string(mh[b*4+1 : b*4+4], ',')) AS band_hash
+    FROM sig, UNNEST(generate_series(0, 3)) AS t(b)
+    """,
+)
+def q45_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_bands(docs, "doc_id", "text", n_hashes=16, bands=4, k=3)
+
+
+@query(
+    "q46_minhash_candidate_pairs",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_shingles('text', 3)} AS sh FROM documents),
+         sig AS (SELECT doc_id, {_minhash_list(16)} AS mh FROM s WHERE len(sh) > 0),
+         bands AS (
+           SELECT doc_id, b AS band_id,
+                  md5(array_to_string(mh[b*4+1 : b*4+4], ',')) AS band_hash
+           FROM sig, UNNEST(generate_series(0, 3)) AS t(b))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band_id, band_hash)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def q46_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_candidate_pairs(docs, "doc_id", "text", n_hashes=16, bands=4, k=3)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        ones = (
+            f"len(list_filter({_T}, t -> ('0x' || substr(md5(t), {b + 1}, 1))::INT % 2 = 1))"
+        )
+        terms.append(f"(CASE WHEN {ones} * 2 > len({_T}) THEN {2**b} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "q47_simhash",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN len({_T}) > 0 THEN CAST({_simhash_sql(16)} AS BIGINT) END AS simhash
+    FROM documents
+    """,
+)
+def q47_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", dd.simhash("text", bits=16).alias("simhash"))
+
+
+@query(
+    "q48_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct({_shingles('text', 2)})) AS s
+      FROM documents),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (s) WHERE a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.12
+    """,
+)
+def q48_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.12)
+
+
+# --------------------------------------------------------------------- #
+# Similarity search over embeddings
+# --------------------------------------------------------------------- #
+_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "j -> (a.embedding[j])::DOUBLE * (b.embedding[j])::DOUBLE))"
+)
+_NORM_A = "sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+_NORM_B = "sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+
+
+@query(
+    "q49_ann_topk_bruteforce",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id,
+             ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 5)
+    SELECT query_id, vec_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def q49_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim.topk_bruteforce(emb, queries_df, k=3).select(
+        "query_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@query(
+    "q50_embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DOT} / ({_NORM_A} * {_NORM_B}) >= 0.8
+    """,
+)
+def q50_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_neardup_pairs(emb, threshold=0.8, exact=True)
+
+
+def _lsh_bucket_sql(n_bits: int = 8, seed: int = 0) -> str:
+    terms = []
+    for i in range(n_bits):
+        proj = (
+            f"list_sum(list_transform(generate_series(1, 64), "
+            f"j -> (embedding[j])::DOUBLE * (CASE WHEN ('0x' || substr(md5('{seed}:{i}:' || CAST(j - 1 AS VARCHAR)), 1, 1))::INT % 2 = 1 "
+            f"THEN 1.0 ELSE -1.0 END)))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {2**i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "q51_lsh_buckets",
+    oracle=f"""
+    SELECT vec_id, CAST({_lsh_bucket_sql(8, 0)} AS BIGINT) AS bucket FROM embeddings
+    """,
+)
+def q51_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_hyperplane_buckets(emb, n_bits=8, dim=64, seed=0)
+
+
+# --------------------------------------------------------------------- #
+# Events: windows, sessionization, dedup, JSON props
+# --------------------------------------------------------------------- #
+@query(
+    "q52_events_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q52_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return ev.tumbling_agg(events, width="1 hour")
+
+
+@query(
+    "q53_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS duration_sec,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sessioned GROUP BY user_id, session_id
+    """,
+)
+def q53_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return ev.session_stats(events, gap_minutes=30)
+
+
+@query(
+    "q54_latest_event_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, value FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q54_latest_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return ev.latest_event_dedup(events).select("user_id", "event_type", "event_id", "value")
+
+
+@query(
+    "q55_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q55_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        ev.extract_props(events, field="k")
+        .groupBy("event_type")
+        .agg(F.sum("prop_k").cast("bigint").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
