@@ -9,11 +9,15 @@ fold masks, concat offsets) routes through it.
 Scale notes
 -----------
 ``row_number() over (ORDER BY key)`` with no partitioning collapses to a
-single task — unusable at 100 TB. ``with_row_id`` therefore uses a
-two-pass distributed scheme: range-partition + sort by the ordering key,
-count rows per partition (small driver-side array), then assign
-``partition_offset + local_index`` with a mapInPandas pass. One shuffle,
-no single-task stage, deterministic for a total ordering key.
+single task — unusable at 100 TB. ``with_row_id`` therefore ranks
+distributively and entirely JVM-side with a *pure-function* bucketing
+scheme: a deterministic monotone bucket is computed from the first
+ordering column's VALUE (never from sampled range boundaries, which are
+not reproducible across the two executions that a lazy two-pass rank
+requires), per-bucket counts become cumulative offsets via a window over
+the tiny bucket table, and ``row_id = offset[bucket] + row_number()``
+within each bucket. One data shuffle (hash on the bucket), two small
+jobs, no Python stage, no RDD, no sampling.
 
 When the table already has a unique orderable key (``o_orderkey``,
 ``doc_id``…) prefer ``row_id_from_key`` — zero extra work and stable
@@ -22,9 +26,13 @@ across runs, which positional derivation can never be under re-partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 ROW_ID = "row_id"
+
+# Strictly greater than the largest Unicode code point, so
+# cp(c1)*_CP_BASE + cp(c2) is monotone w.r.t. the 2-char prefix.
+_CP_BASE = 1_114_112
 
 
 def row_id_from_key(df: DataFrame, key: str) -> DataFrame:
@@ -32,41 +40,72 @@ def row_id_from_key(df: DataFrame, key: str) -> DataFrame:
     return df.withColumn(ROW_ID, F.col(key).cast("bigint"))
 
 
+def _string_bucket(c: Column) -> Column:
+    """Deterministic monotone bucket for string keys: the code points of
+    the first two characters. Monotone w.r.t. Spark's string ordering,
+    ties share a bucket, and for uniform keys (md5-hex ordinals — the
+    engine's own pseudo-random orderings) it yields 256 balanced groups.
+    NULLs map below every non-NULL (Spark sorts NULLS FIRST asc)."""
+    g = (
+        F.coalesce(F.ascii(F.substring(c, 1, 1)), F.lit(-1)).cast("bigint") * _CP_BASE
+        + F.coalesce(F.ascii(F.substring(c, 2, 1)), F.lit(-1)).cast("bigint")
+    )
+    return F.when(c.isNull(), F.lit(-(_CP_BASE**2))).otherwise(g)
+
+
+def _numeric_bucket(df: DataFrame, c: Column, buckets: int) -> tuple[DataFrame, Column]:
+    """Uniform-width bucket from a lazily broadcast (min, max) aggregate.
+    The aggregate is deterministic, so every consumer of the plan computes
+    identical buckets — unlike repartitionByRange's sampled boundaries."""
+    mm = df.select(
+        F.min(c).cast("double").alias("__lo"), F.max(c).cast("double").alias("__hi")
+    )
+    with_mm = df.crossJoin(F.broadcast(mm))
+    width = (F.col("__hi") - F.col("__lo")) + F.lit(1e-9)
+    g = F.least(
+        F.greatest(
+            F.floor((c.cast("double") - F.col("__lo")) / width * buckets), F.lit(0)
+        ),
+        F.lit(buckets - 1),
+    ).cast("bigint")
+    g = F.when(c.isNull(), F.lit(-1)).otherwise(g)
+    return with_mm, g
+
+
 def with_row_id(df: DataFrame, order_by: str | list[str]) -> DataFrame:
     """Assign a dense 0-based ``row_id`` following ``order_by``, distributed.
 
-    Two jobs: (1) per-partition counts after a range-partitioned sort,
-    (2) offsetted local enumeration. No global single-partition window.
+    ``order_by`` must be a total order (unique key set) for the result to
+    be deterministic. All-JVM: no RDD, no UDF, no driver-side data motion
+    beyond a #buckets-sized offset table.
     """
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    first = cols[0]
+    dtype = dict(df.dtypes)[first]
     npart = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    sorted_df = df.repartitionByRange(npart, *cols).sortWithinPartitions(*cols)
 
-    # Pass 1: rows per physical partition (tiny result to the driver).
-    counts = (
-        sorted_df.rdd.mapPartitionsWithIndex(
-            lambda pid, it: [(pid, sum(1 for _ in it))]
-        ).collect()
+    drop_extra = ["__g", "__off"]
+    if dtype == "string":
+        bucketed = df.withColumn("__g", _string_bucket(F.col(first)))
+    else:
+        src, g = _numeric_bucket(df, F.col(first), buckets=npart * 4)
+        bucketed = src.withColumn("__g", g)
+        drop_extra += ["__lo", "__hi"]
+
+    # Tiny per-bucket counts → cumulative offsets. The window runs over
+    # ≤ #distinct-buckets rows (256 for hex keys, 4·npart for numeric) —
+    # a single small task, not a data-sized stage.
+    counts = bucketed.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__g", F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off")
     )
-    offsets = {}
-    acc = 0
-    for pid, n in sorted(counts):
-        offsets[pid] = acc
-        acc += n
-    sc = df.sparkSession.sparkContext
-    b_offsets = sc.broadcast(offsets)
 
-    # Pass 2: offset + local index. (RDD zipWithIndex does the same two-job
-    # dance internally; doing it explicitly keeps the DataFrame schema.)
-    schema = sorted_df.schema.add(ROW_ID, "long", False)
-
-    def number(pid, it):
-        base = b_offsets.value.get(pid, 0)
-        for i, row in enumerate(it):
-            yield (*row, base + i)
-
-    return df.sparkSession.createDataFrame(
-        sorted_df.rdd.mapPartitionsWithIndex(number), schema
+    w_local = Window.partitionBy("__g").orderBy(*[F.col(c) for c in cols])
+    return (
+        bucketed.join(F.broadcast(offsets), "__g")
+        .withColumn(ROW_ID, (F.col("__off") + F.row_number().over(w_local) - 1).cast("bigint"))
+        .drop(*drop_extra)
     )
 
 

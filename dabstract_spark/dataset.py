@@ -137,8 +137,12 @@ class Dataset:
             other_cols = [c for c in col.columns if c != ROW_ID]
             if len(other_cols) != 1:
                 raise ValueError("add(df) expects exactly (row_id, value)")
+            # LEFT join: rows with no match keep NULL rather than silently
+            # dropping — the reference's positional zip asserts equal
+            # lengths (abstract.py:1560-1561), so cardinality must never
+            # shrink here.
             joined = self._df.join(
-                col.withColumnRenamed(other_cols[0], key), ROW_ID, "inner"
+                col.withColumnRenamed(other_cols[0], key), ROW_ID, "left"
             )
             out = joined
         else:
@@ -245,9 +249,17 @@ class Dataset:
         shift = self.nr_datasets
         right = right.withColumn("dataset_id", F.col("dataset_id") + F.lit(shift))
         if ROW_ID in left.columns and ROW_ID in right.columns:
-            offset = left.select(F.max(ROW_ID)).first()[0]
-            offset = 0 if offset is None else offset + 1
-            right = right.withColumn(ROW_ID, F.col(ROW_ID) + F.lit(offset))
+            # lazy scalar offset: broadcast cross-join of a 1-row aggregate
+            # instead of an eager .first() scan at plan-BUILD time — k
+            # chained concats used to mean k driver-blocking full scans
+            off = left.select(
+                (F.coalesce(F.max(ROW_ID), F.lit(-1)) + 1).alias("__row_off")
+            )
+            right = (
+                right.crossJoin(F.broadcast(off))
+                .withColumn(ROW_ID, F.col(ROW_ID) + F.col("__row_off"))
+                .drop("__row_off")
+            )
         if intersect:
             common = [c for c in left.columns if c in set(right.columns)]
             left, right = left.select(*common), right.select(*common)
@@ -344,7 +356,19 @@ class Dataset:
             except Exception:
                 pass
         candidates = self._df.filter(F.col("test_only") == 0)
+        import inspect
+
+        # builders that model val membership themselves (random_split's
+        # set_name contract) receive val_frac; fold builders leave the val
+        # carve to get_xval_set
+        if "val_frac" in inspect.signature(fn).parameters:
+            params.setdefault("val_frac", val_frac)
         assignment = fn(candidates, key=key, seed=seed, **params)
+        if "fold" not in assignment.columns and "set_name" not in assignment.columns:
+            raise ValueError(
+                "xval builder must return (key, fold) or (key, set_name); "
+                f"got columns {assignment.columns}"
+            )
         if save_path:
             assignment.write.mode("overwrite").parquet(save_path)
             assignment = spark.read.parquet(save_path)

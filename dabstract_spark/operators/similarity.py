@@ -19,6 +19,8 @@ operators compose with the rest of the engine.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -69,34 +71,33 @@ def topk_bruteforce(
     )
 
 
+def _hyperplane_signs(n_bits: int, dim: int, seed: int) -> list[list[float]]:
+    """±1 hyperplane matrix from md5 parity, computed ONCE driver-side.
+    sign_ij = +1 iff the first hex nibble of md5('seed:i:j') is odd —
+    bit-identical to evaluating the same md5 per row (the oracle still
+    does), but folded to literals so the scan does a plain multiply-add
+    instead of 512 md5 calls per row."""
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 1 else -1.0
+            for j in range(dim)
+        ]
+        for i in range(n_bits)
+    ]
+
+
 def hyperplane_bits(vec_col: Column | str, n_bits: int = 8, dim: int = 64, seed: int = 0) -> Column:
-    """Random-hyperplane sign sketch with md5-derived ±1 hyperplanes —
-    deterministic, engine-portable, pure expressions. bit_i =
-    [ sum_j vec[j] * sign_ij > 0 ] with sign_ij = ±1 from md5 parity."""
+    """Random-hyperplane sign sketch: bit_i = [ sum_j vec[j] * sign_ij > 0 ]
+    with the ±1 sign matrix md5-derived (deterministic, engine-portable)
+    but materialized as literal arrays at plan-build time."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-
-    # closure factory: zip_with lambdas must have exactly 2 params
-    def signed_term(i):
-        def term(x, j):
-            parity = (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(":", F.lit(str(seed)), F.lit(str(i)), j)), 1, 1
-                    ),
-                    16,
-                    10,
-                ).cast("int")
-                % 2
-            )
-            sign = F.when(parity == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
-            return x.cast("double") * sign
-
-        return term
+    signs = _hyperplane_signs(n_bits, dim, seed)
 
     acc = F.lit(0).cast("bigint")
     for i in range(n_bits):
+        plane = F.array(*[F.lit(s) for s in signs[i]])
         proj = F.aggregate(
-            F.zip_with(v, F.sequence(F.lit(0), F.lit(dim - 1)), signed_term(i)),
+            F.zip_with(v, plane, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda a, x: a + x,
         )
@@ -161,19 +162,20 @@ def embedding_neardup_pairs(
     ``exact=True`` compares all pairs (oracle baseline); default prunes
     to same-LSH-bucket candidates first (misses some borderline pairs —
     the standard recall/efficiency trade)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        ab = lsh_hyperplane_buckets(df, id_col, vec_col, n_bits, dim, seed)
-        cand = (
-            ab.withColumnRenamed(id_col, "id_a")
-            .join(ab.withColumnRenamed(id_col, "id_b"), "bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+        # carry the vectors through the bucket join — one shuffle on the
+        # bucket key, no re-join back to the corpus
+        ab = df.select(
+            F.col(id_col), F.col(vec_col),
+            hyperplane_bits(vec_col, n_bits, dim, seed).alias("bucket"),
         )
-        pairs = cand.join(a, "id_a").join(b, "id_b")
+        l = ab.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket")
+        r = ab.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket")
+        pairs = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
             "id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim")

@@ -18,6 +18,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _safe_seq(start: int, stop_col: Column) -> Column:
+    """sequence(start, stop) that yields an EMPTY array when stop < start.
+    Bare F.sequence descends in that case (sequence(0,-1) == [0,-1]), which
+    would emit spurious rows for empty/short inputs instead of none."""
+    return F.when(
+        stop_col >= start, F.sequence(F.lit(start), stop_col)
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def split_array(
     df: DataFrame,
     key: str,
@@ -34,7 +43,7 @@ def split_array(
     n_chunks = (
         F.floor(n / split_size) if drop_last_partial else F.ceil(n / F.lit(split_size))
     ).cast("int")
-    out = df.withColumn(chunk_col, F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    out = df.withColumn(chunk_col, F.explode(_safe_seq(0, n_chunks - 1)))
     return out.withColumn(
         key, F.slice(F.col(key), F.col(chunk_col) * split_size + 1, split_size)
     )
@@ -46,7 +55,7 @@ def split_text(
     """Same semantics over a string column (document chunking)."""
     n = F.length(F.col(key))
     n_chunks = F.ceil(n / F.lit(split_size)).cast("int")
-    out = df.withColumn(chunk_col, F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    out = df.withColumn(chunk_col, F.explode(_safe_seq(0, n_chunks - 1)))
     return out.withColumn(
         key, F.substring(F.col(key), F.col(chunk_col) * split_size + 1, split_size)
     )
@@ -56,8 +65,8 @@ def sample_replicate(df: DataFrame, factor: int | Column, rep_col: str = "replic
     """Repeat each row ``factor`` times (scalar or per-row Column expression)
     — reference SampleReplicateAbstract (abstract.py:746-883). replica_id
     is 1-based like the reference's repetition index."""
-    fcol = F.lit(factor) if isinstance(factor, int) else factor
-    return df.withColumn(rep_col, F.explode(F.sequence(F.lit(1), fcol.cast("int"))))
+    fcol = (F.lit(factor) if isinstance(factor, int) else factor).cast("int")
+    return df.withColumn(rep_col, F.explode(_safe_seq(1, fcol)))
 
 
 def frame_array(
@@ -75,7 +84,7 @@ def frame_array(
     n = F.size(F.col(key))
     n_frames = (F.floor((n - frame_size) / step) + 1).cast("int")
     out = df.filter(n >= frame_size).withColumn(
-        frame_col, F.explode(F.sequence(F.lit(0), n_frames - 1))
+        frame_col, F.explode(_safe_seq(0, n_frames - 1))
     )
     return out.withColumn(
         out_key or key, F.slice(F.col(key), F.col(frame_col) * step + 1, frame_size)

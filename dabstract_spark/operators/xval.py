@@ -123,10 +123,30 @@ def xval_sets(
     """Materialize one (set, fold) view: test = rows with fold==f (plus all
     test_only rows, reference dataset.py:1044-1045); val = val_frac carve
     from the remaining rows (deterministic per-fold hash); train = rest.
+
+    Two assignment contracts are accepted:
+    - ``(key, fold INT)`` — k-fold builders; sets derived per (set, fold);
+    - ``(key, set_name STRING)`` — direct 3-way split (random_split);
+      ``fold``/``val_frac`` are ignored, membership is the assignment's.
     """
-    joined = df.join(assignment.select(key, "fold"), key, "left")
     has_to = test_only_col and test_only_col in df.columns
     to = F.col(test_only_col) == 1 if has_to else F.lit(False)
+
+    if "fold" not in assignment.columns and "set_name" in assignment.columns:
+        joined = df.join(assignment.select(key, "set_name"), key, "left")
+        if set_name == "test":
+            pred = (F.col("set_name") == "test") | to
+        elif set_name in ("val", "train"):
+            pred = (F.col("set_name") == set_name) & ~to
+        else:
+            raise ValueError(f"unknown set '{set_name}'")
+        return joined.filter(pred).drop("set_name")
+
+    if "fold" not in assignment.columns:
+        raise ValueError(
+            f"xval assignment must have a 'fold' or 'set_name' column, got {assignment.columns}"
+        )
+    joined = df.join(assignment.select(key, "fold"), key, "left")
     in_test = (F.col("fold") == fold) | to
     u = md5_unit(key, seed * 7919 + fold)
     if set_name == "test":

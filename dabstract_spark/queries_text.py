@@ -131,9 +131,14 @@ def q43_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 @query(
     "q44_exact_dedup",
+    # NULL-content rows form singleton groups (pass through dedup) — the
+    # partition key is salted with the row's own id when the hash is NULL,
+    # mirroring operators/dedup.py:_min_id_per.
     oracle=f"""
     SELECT doc_id, source FROM documents
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY md5({_NORM.format(c='text')}) ORDER BY doc_id) = 1
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY COALESCE(md5({_NORM.format(c='text')}), 'null:' || CAST(doc_id AS VARCHAR))
+      ORDER BY doc_id) = 1
     """,
 )
 def q44_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,14 +205,19 @@ def q47_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q48_jaccard_pairs",
+    # max_df=100 document-frequency cap (prefix filtering): shingles shared
+    # by >100 docs are excluded from candidate generation AND from
+    # n_common, mirroring operators/dedup.py:jaccard_pairs. Denominators
+    # still count all shingles.
     oracle=f"""
     WITH sh AS (
       SELECT doc_id AS id, unnest(list_distinct({_shingles('text', 2)})) AS s
       FROM documents),
     sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    kept AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
     common AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b USING (s) WHERE a.id < b.id
+      FROM sh a JOIN sh b USING (s) JOIN kept USING (s) WHERE a.id < b.id
       GROUP BY a.id, b.id)
     SELECT id_a, id_b,
            ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
@@ -219,7 +229,7 @@ def q47_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q48_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return dd.jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.12)
+    return dd.jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.12, max_df=100)
 
 
 # --------------------------------------------------------------------- #
@@ -255,30 +265,39 @@ def q49_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_bucket_sql(n_bits: int = 8, seed: int = 0, col: str = "embedding") -> str:
+    terms = []
+    for i in range(n_bits):
+        proj = (
+            f"list_sum(list_transform(generate_series(1, 64), "
+            f"j -> ({col}[j])::DOUBLE * (CASE WHEN ('0x' || substr(md5('{seed}:{i}:' || CAST(j - 1 AS VARCHAR)), 1, 1))::INT % 2 = 1 "
+            f"THEN 1.0 ELSE -1.0 END)))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {2**i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
 @query(
     "q50_embedding_neardup",
+    # the LSH-bucketed scale path IS the checked variant: candidates =
+    # same hyperplane-sketch bucket, verified by exact cosine. The oracle
+    # mirrors the md5-derived hyperplanes (similarity.py:_hyperplane_signs
+    # folds the identical md5 parities to literals at plan-build time).
     oracle=f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, CAST({_lsh_bucket_sql(8, 0)} AS BIGINT) AS bucket
+      FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {_DOT} / ({_NORM_A} * {_NORM_B}) >= 0.8
     """,
 )
 def q50_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.embedding_neardup_pairs(emb, threshold=0.8, exact=True)
-
-
-def _lsh_bucket_sql(n_bits: int = 8, seed: int = 0) -> str:
-    terms = []
-    for i in range(n_bits):
-        proj = (
-            f"list_sum(list_transform(generate_series(1, 64), "
-            f"j -> (embedding[j])::DOUBLE * (CASE WHEN ('0x' || substr(md5('{seed}:{i}:' || CAST(j - 1 AS VARCHAR)), 1, 1))::INT % 2 = 1 "
-            f"THEN 1.0 ELSE -1.0 END)))"
-        )
-        terms.append(f"(CASE WHEN {proj} > 0 THEN {2**i} ELSE 0 END)")
-    return " + ".join(terms)
+    return sim.embedding_neardup_pairs(
+        emb, threshold=0.8, n_bits=8, dim=64, seed=0, exact=False
+    )
 
 
 @query(

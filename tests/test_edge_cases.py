@@ -1,0 +1,117 @@
+"""Edge-case regression tests for ADVICE round-1 findings:
+
+- empty/short arrays and strings through split/framing/replicate must
+  produce ZERO rows, not spurious chunk_id 0/-1 rows (F.sequence descends
+  when start > stop);
+- sample_replicate with factor 0 emits nothing;
+- random_split is usable through set_xval/get_xval_set (set_name
+  contract);
+- NULL/empty-content rows pass through exact/simhash dedup unchanged;
+- Dataset.add with a partial (row_id, value) frame keeps cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from dabstract_spark.dataset import Dataset
+from dabstract_spark.operators import dedup as dd, split as sp
+
+
+def test_split_array_empty_and_short(spark):
+    df = spark.createDataFrame(
+        [(1, [1, 2]), (2, []), (3, [1, 2, 3, 4, 5])], "id int, xs array<int>"
+    )
+    # drop_last_partial: 2-element row has no full window of 4 → no rows
+    out = sp.split_array(df, "xs", 4, drop_last_partial=True)
+    got = {(r.id, r.chunk_id) for r in out.collect()}
+    assert got == {(3, 0)}
+    # keep-partial: empty array still yields no rows
+    out2 = sp.split_array(df, "xs", 4, drop_last_partial=False)
+    got2 = sorted((r.id, r.chunk_id) for r in out2.collect())
+    assert got2 == [(1, 0), (3, 0), (3, 1)]
+
+
+def test_split_text_empty(spark):
+    df = spark.createDataFrame([(1, ""), (2, "abcdef")], "id int, t string")
+    out = sp.split_text(df, "t", 4)
+    got = sorted((r.id, r.chunk_id, r.t) for r in out.collect())
+    assert got == [(2, 0, "abcd"), (2, 1, "ef")]
+
+
+def test_sample_replicate_zero_factor(spark):
+    df = spark.createDataFrame([(0,), (1,), (2,)], "id int")
+    out = sp.sample_replicate(df, F.col("id"))
+    got = sorted((r.id, r.replica_id) for r in out.collect())
+    assert got == [(1, 1), (2, 1), (2, 2)]
+
+
+def test_frame_array_short_rows(spark):
+    df = spark.createDataFrame([(1, [1, 2]), (2, [1, 2, 3, 4])], "id int, xs array<int>")
+    out = sp.frame_array(df, "xs", frame_size=3, step=1)
+    got = sorted((r.id, r.frame_id) for r in out.collect())
+    assert got == [(2, 0), (2, 1)]
+
+
+def test_random_split_via_set_xval(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "k bigint")
+    ds = Dataset(df, name="t")
+    ds = ds.set_xval("random_split", key="k", val_frac=0.2, test_frac=0.2, seed=1)
+    train = ds.get_xval_set("train").full_df
+    val = ds.get_xval_set("val").full_df
+    test = ds.get_xval_set("test").full_df
+    n_tr, n_va, n_te = train.count(), val.count(), test.count()
+    assert n_tr + n_va + n_te == 200
+    assert 0 < n_va < n_tr and 0 < n_te < n_tr
+    # disjoint
+    assert train.join(val, "k", "inner").count() == 0
+    assert train.join(test, "k", "inner").count() == 0
+
+
+def test_set_xval_rejects_bad_builder(spark):
+    df = spark.createDataFrame([(1,)], "k bigint")
+    ds = Dataset(df, name="t")
+
+    def bad(cand, key, seed):
+        return cand.select(key)
+
+    try:
+        ds.set_xval(bad, key="k")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_dedup_null_content_passthrough(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t="same words here"), Row(id=2, t="same words here"),
+         Row(id=3, t=None), Row(id=4, t=None), Row(id=5, t="  ")],
+        "id int, t string",
+    )
+    out = dd.exact_dedup(df, "id", "t")
+    kept = sorted(r.id for r in out.collect())
+    # the two NULLs each pass through; the duplicate text keeps min id.
+    # "  " normalizes to "" (a real, hashable empty string) and is kept.
+    assert kept == [1, 3, 4, 5]
+
+    out2 = dd.simhash_dedup(df, "id", "t")
+    kept2 = sorted(r.id for r in out2.collect())
+    # token-less rows (NULL and whitespace-only) all pass through
+    assert kept2 == [1, 3, 4, 5]
+
+
+def test_minhash_bands_divisibility(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id int, t string")
+    try:
+        dd.minhash_bands(df, "id", "t", n_hashes=16, bands=5)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_add_partial_column_keeps_cardinality(spark):
+    base = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "row_id bigint, v string")
+    extra = spark.createDataFrame([(0, 10), (2, 30)], "row_id bigint, x int")
+    ds = Dataset(base, name="t").add("x", extra)
+    got = {r.row_id: r.x for r in ds.full_df.collect()}
+    assert got == {0: 10, 1: None, 2: 30}
