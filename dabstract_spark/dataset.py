@@ -151,11 +151,20 @@ class Dataset:
             out = out.cache()
         return self._evolve(out)
 
-    def add_map(self, key: str, fct: Callable[[Column], Column], new_key: str | None = None) -> "Dataset":
+    def add_map(self, key: str, fct, new_key: str | None = None, info: dict | None = None) -> "Dataset":
         """Lazy per-row map (reference MapAbstract/add_map,
-        abstract.py:475-691, dataset.py:227-244). ``fct`` maps a Column
-        expression to a Column expression (native where possible; a
-        processing chain compiles to one)."""
+        abstract.py:475-691, dataset.py:227-244). ``fct`` is a
+        ``Column -> Column`` callable, a ProcessingChain (compiles to one
+        fused expression), or a string/list resolved through the
+        processor registry."""
+        from dabstract_spark.processing import ProcessingChain
+
+        if isinstance(fct, (str, list, tuple)):
+            fct = ProcessingChain().add(fct)
+        if isinstance(fct, ProcessingChain):
+            return self._evolve(
+                fct.process_df(self._df, key, new_key=new_key, info=info)
+            )
         return self._evolve(self._df.withColumn(new_key or key, fct(F.col(key))))
 
     def add_alias(self, key: str, new_key: str) -> "Dataset":

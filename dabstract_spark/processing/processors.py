@@ -1,0 +1,800 @@
+"""The scalar/array processor library (reference:
+/root/reference/dabstract/dataprocessor/processors/processors.py:16-611).
+
+Every processor implements::
+
+    expr(col, info) -> (Column, info_updates)     # plan-compile time
+    inv_expr(col, info) -> Column                 # optional inverse
+    fit(df, col, info) -> None                    # optional estimator
+
+``info`` is the static metadata dict (``fs``, ``time_step``, ``nfft``,
+``dtype`` — the reference's per-example info side-channel, resolved at
+chain-compile time; SURVEY §7 "info propagation"). ``dtype`` is the Spark
+simpleString of the input column so elementwise processors dispatch
+between scalar and array form.
+
+Numerics note: the container has numpy but not scipy/librosa, so window
+functions, FIR design (windowed sinc) and FFT resampling are implemented
+from their public textbook definitions in numpy; divergences from scipy
+(e.g. firwin's scaling convention) are documented inline.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _is_array(info: dict) -> bool:
+    return str(info.get("dtype", "")).startswith("array")
+
+
+def _elementwise(col: Column, f, info: dict) -> Column:
+    """Apply a scalar Column function over a scalar or (possibly nested)
+    array column, dispatching on the compile-time dtype."""
+    dt = str(info.get("dtype", ""))
+    if dt.startswith("array<array"):
+        return F.transform(col, lambda row: F.transform(row, f))
+    if dt.startswith("array"):
+        return F.transform(col, f)
+    return f(col)
+
+
+class Processor:
+    """Base class (reference processing_chain.py:14-24). Subclasses are
+    Column-expression factories with optional inverse and fit."""
+
+    #: JSON-able constructor parameters (for chain save/load)
+    def __init__(self, **params):
+        self.params = params
+
+    def expr(self, col: Column, info: dict) -> tuple[Column, dict]:
+        return col, {}
+
+    def inv_expr(self, col: Column, info: dict) -> Column:
+        raise NotImplementedError(
+            f"{type(self).__name__} has no inverse (reference chains assert the same)"
+        )
+
+    # fitted state (JSON-able) — None for stateless processors
+    fitted: dict | None = None
+
+    def to_spec(self) -> dict:
+        spec = {"name": type(self).__name__, "parameters": self.params}
+        if self.fitted is not None:
+            spec["fitted"] = self.fitted
+        return spec
+
+
+class ExternalProcessor(Processor):
+    """Wrap a bare ``Column -> Column`` callable
+    (reference processing_chain.py:27-35)."""
+
+    def __init__(self, fct):
+        super().__init__()
+        self.fct = fct
+
+    def expr(self, col, info):
+        return self.fct(col), {}
+
+    def to_spec(self):
+        raise ValueError("ExternalProcessor (opaque callable) is not serializable")
+
+
+class Dummy(Processor):
+    """Identity (reference processors.py:613)."""
+
+
+class Scaler(Processor):
+    """Static amplitude scaling (reference processors.py:168-195):
+    ``uint16`` → x/2^16, ``int16`` → x/(2^15-1), ``wav_2_01`` → (x+1)/2.
+    Invertible. Pure elementwise expression."""
+
+    def __init__(self, type: str):
+        super().__init__(type=type)
+        if type not in ("uint16", "int16", "wav_2_01"):
+            raise ValueError(f"unknown Scaler type '{type}'")
+        self.type = type
+
+    def _fwd(self, x):
+        if self.type == "uint16":
+            return x / F.lit(float(2**16))
+        if self.type == "int16":
+            return x / F.lit(float(2**15 - 1))
+        return (x + F.lit(1.0)) / F.lit(2.0)
+
+    def _bwd(self, x):
+        if self.type == "uint16":
+            return x * F.lit(float(2**16))
+        if self.type == "int16":
+            return x * F.lit(float(2**15 - 1))
+        return x * F.lit(2.0) - F.lit(1.0)
+
+    def expr(self, col, info):
+        return _elementwise(col, self._fwd, info), {}
+
+    def inv_expr(self, col, info):
+        return _elementwise(col, self._bwd, info)
+
+
+class Logarithm(Processor):
+    """``base10`` → 20*log10(x), ``natural`` → ln(x) (reference
+    processors.py:464-480). The inverse here is the TRUE inverse
+    (10^(x/20) / e^x); the reference's ``(10**x)/20`` (processors.py:475)
+    is a documented upstream bug we do not reproduce."""
+
+    def __init__(self, type: str = "base10"):
+        super().__init__(type=type)
+        if type not in ("base10", "natural"):
+            raise ValueError(f"unknown Logarithm type '{type}'")
+        self.type = type
+
+    def expr(self, col, info):
+        # NB: 1-param lambdas only — HOF transform() counts the callable's
+        # parameters, and F.log's optional base arg would trigger
+        # (element, index) semantics
+        f = (
+            (lambda x: F.lit(20.0) * F.log10(x))
+            if self.type == "base10"
+            else (lambda x: F.log(x))
+        )
+        return _elementwise(col, f, info), {}
+
+    def inv_expr(self, col, info):
+        f = (
+            (lambda x: F.pow(F.lit(10.0), x / F.lit(20.0)))
+            if self.type == "base10"
+            else (lambda x: F.exp(x))
+        )
+        return _elementwise(col, f, info)
+
+
+def window_values(window_func: str, n: int, periodic: bool = True) -> np.ndarray:
+    """Window samples from the public cosine-sum definitions (scipy-free).
+    ``periodic=True`` matches scipy.signal.get_window(..., fftbins=True),
+    the reference Windowing default (symmetry=True → fftbins=True)."""
+    if window_func in (None, "none", "None", "rect", "boxcar"):
+        return np.ones(n)
+    m = float(n if periodic else n - 1) or 1.0
+    i = np.arange(n)
+    if window_func == "hamming":
+        return 0.54 - 0.46 * np.cos(2 * np.pi * i / m)
+    if window_func in ("hann", "hanning"):
+        return 0.5 - 0.5 * np.cos(2 * np.pi * i / m)
+    if window_func == "blackman":
+        return (
+            0.42 - 0.5 * np.cos(2 * np.pi * i / m) + 0.08 * np.cos(4 * np.pi * i / m)
+        )
+    raise ValueError(f"unknown window '{window_func}'")
+
+
+def _window_expr(window_func: str, periodic: bool):
+    """(x, i, n) -> windowed x as a Column expression with DYNAMIC length
+    (handles ragged arrays — no literal window table needed)."""
+    if window_func in (None, "none", "None", "rect", "boxcar"):
+        return lambda x, i, n: x
+    two_pi = F.lit(2.0 * math.pi)
+
+    def w(i, n):
+        m = n.cast("double") if periodic else (n - 1).cast("double")
+        phase = two_pi * i.cast("double") / m
+        if window_func == "hamming":
+            return F.lit(0.54) - F.lit(0.46) * F.cos(phase)
+        if window_func in ("hann", "hanning"):
+            return F.lit(0.5) - F.lit(0.5) * F.cos(phase)
+        if window_func == "blackman":
+            return (
+                F.lit(0.42)
+                - F.lit(0.5) * F.cos(phase)
+                + F.lit(0.08) * F.cos(F.lit(2.0) * phase)
+            )
+        raise ValueError(f"unknown window '{window_func}'")
+
+    return lambda x, i, n: x * w(i, n)
+
+
+class Windowing(Processor):
+    """Multiply an array by a window function (reference
+    processors.py:264-293). Native: transform with (element, index)
+    lambda and the cosine-sum window formula — ragged-safe, codegen'd."""
+
+    def __init__(self, window_func: str = "hamming", symmetry: bool = True, axis: int = -1):
+        super().__init__(window_func=window_func, symmetry=symmetry, axis=axis)
+        self.window_func = window_func
+        # reference passes fftbins=symmetry to scipy.get_window: True → periodic
+        self.periodic = bool(symmetry)
+
+    def expr(self, col, info):
+        wf = _window_expr(self.window_func, self.periodic)
+        n = F.size(col)
+        return F.transform(col, lambda x, i: wf(x, i, n)), {}
+
+
+class ExpandDims(Processor):
+    """np.expand_dims for 1-D arrays (reference processors.py:603-611):
+    axis=0 → [arr] (1×n), axis=-1/1 → column vectors (n×1)."""
+
+    def __init__(self, axis: int = -1):
+        super().__init__(axis=axis)
+        self.axis = axis
+
+    def expr(self, col, info):
+        if self.axis == 0:
+            return F.array(col), {}
+        return F.transform(col, lambda x: F.array(x)), {}
+
+
+def _arr_mean(c: Column) -> Column:
+    return F.aggregate(
+        c, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    ) / F.size(c).cast("double")
+
+
+def _arr_moment(c: Column, mu: Column, p: int) -> Column:
+    return F.aggregate(
+        c, F.lit(0.0), lambda acc, x: acc + F.pow(x.cast("double") - mu, float(p))
+    ) / F.size(c).cast("double")
+
+
+class Aggregation(Processor):
+    """Per-row array statistics (reference processors.py:483-520):
+    mean / std (population, np default) / kurtosis (Fisher, biased —
+    scipy default). 1-D arrays → array of one scalar per method; 2-D
+    arrays with axis=0 → per-column stats (mean/std), combined per
+    ``combine`` ('concat' flattens). Pure HOF expressions."""
+
+    _METHODS = ("mean", "std", "kurtosis")
+
+    def __init__(self, methods=("mean", "std"), axis: int = 0, combine: str | None = None):
+        methods = list(methods)
+        super().__init__(methods=methods, axis=axis, combine=combine)
+        bad = [m for m in methods if m not in self._METHODS]
+        if bad:
+            raise ValueError(f"unsupported Aggregation methods {bad}")
+        self.methods = methods
+        self.axis = axis
+        self.combine = combine
+
+    def _scalar_stats(self, c: Column) -> list[Column]:
+        mu = _arr_mean(c)
+        out = []
+        for m in self.methods:
+            if m == "mean":
+                out.append(mu)
+            elif m == "std":
+                out.append(F.sqrt(_arr_moment(c, mu, 2)))
+            else:  # kurtosis: m4/m2^2 - 3
+                out.append(_arr_moment(c, mu, 4) / F.pow(_arr_moment(c, mu, 2), 2.0) - 3.0)
+        return out
+
+    def expr(self, col, info):
+        dt = str(info.get("dtype", "array<double>"))
+        upd = {"time_step": 0} if self.axis == 0 else {}
+        if not dt.startswith("array<array"):
+            return F.array(*self._scalar_stats(col)), upd
+        # 2-D, axis=0: stats per column j across the rows
+        if any(m == "kurtosis" for m in self.methods):
+            raise NotImplementedError("kurtosis over 2-D arrays: use a pandas UDF stage")
+        n_rows = F.size(col).cast("double")
+        width = F.size(F.element_at(col, 1))
+        js = F.sequence(F.lit(1), width)
+
+        def col_mean(j):
+            return (
+                F.aggregate(col, F.lit(0.0), lambda acc, r: acc + F.element_at(r, j).cast("double"))
+                / n_rows
+            )
+
+        def col_std(j):
+            mu = col_mean(j)
+            return F.sqrt(
+                F.aggregate(
+                    col, F.lit(0.0), lambda acc, r: acc + F.pow(F.element_at(r, j).cast("double") - mu, 2.0)
+                )
+                / n_rows
+            )
+
+        per_method = []
+        for m in self.methods:
+            fn = col_mean if m == "mean" else col_std
+            per_method.append(F.transform(js, fn))
+        if self.combine == "concat":
+            return F.flatten(F.array(*per_method)), upd
+        return F.array(*per_method), upd
+
+
+class Normalizer(Processor):
+    """Fitted minmax/standard normalization (reference
+    processors.py:93-165). ``fit`` is a distributed two-pass aggregate
+    whose result is folded into the transform as literals — the
+    reference's sklearn-scaler state → broadcast constants.
+
+    1-D arrays fit GLOBAL statistics (the reference reshapes 1-D data to
+    a single sklearn feature); 2-D arrays fit per-column statistics."""
+
+    def __init__(self, type: str, feature_range=(0.0, 1.0)):
+        super().__init__(type=type, feature_range=list(feature_range))
+        if type not in ("minmax", "standard"):
+            raise ValueError(f"unknown Normalizer type '{type}'")
+        self.type = type
+        self.feature_range = tuple(feature_range)
+        self.fitted = None
+
+    # -- fitting ------------------------------------------------------- #
+    def fit(self, df: DataFrame, col: Column, info: dict) -> None:
+        dt = str(info.get("dtype", ""))
+        if dt.startswith("array<array"):
+            self._fit_2d(df, col)
+        elif dt.startswith("array"):
+            self._fit_1d(df, col)
+        else:
+            self._fit_scalar(df, col)
+
+    def _fit_scalar(self, df, col):
+        x = col.cast("double")
+        if self.type == "minmax":
+            row = df.select(F.min(x), F.max(x)).first()
+            self.fitted = {"min": [row[0]], "max": [row[1]]}
+        else:
+            row = df.select(F.avg(x), F.stddev_pop(x)).first()
+            self.fitted = {"mean": [row[0]], "std": [row[1] or 1.0]}
+
+    def _fit_1d(self, df, col):
+        if self.type == "minmax":
+            row = df.select(
+                F.min(F.array_min(col)), F.max(F.array_max(col))
+            ).first()
+            self.fitted = {"min": [float(row[0])], "max": [float(row[1])]}
+        else:
+            s = df.select(
+                F.sum(F.aggregate(col, F.lit(0.0), lambda a, x: a + x.cast("double"))).alias("s1"),
+                F.sum(
+                    F.aggregate(col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+                ).alias("s2"),
+                F.sum(F.size(col).cast("bigint")).alias("n"),
+            ).first()
+            mu = s["s1"] / s["n"]
+            var = max(s["s2"] / s["n"] - mu * mu, 0.0)
+            self.fitted = {"mean": [mu], "std": [math.sqrt(var) or 1.0]}
+
+    def _fit_2d(self, df, col):
+        # per-column stats across every row of every example: explode the
+        # outer axis, then aggregate column-vector sums elementwise
+        rows = df.select(F.explode(col).alias("__r"))
+        if self.type == "minmax":
+            agg = rows.select(
+                F.min(F.array_min("__r")).alias("lo"), F.max(F.array_max("__r")).alias("hi"),
+                F.first(F.size("__r")).alias("w"),
+            ).first()
+            w = agg["w"]
+            mins = rows.select(
+                *[F.min(F.element_at("__r", j + 1)).alias(f"m{j}") for j in range(w)]
+            ).first()
+            maxs = rows.select(
+                *[F.max(F.element_at("__r", j + 1)).alias(f"m{j}") for j in range(w)]
+            ).first()
+            self.fitted = {"min": [float(v) for v in mins], "max": [float(v) for v in maxs]}
+        else:
+            w = rows.select(F.first(F.size("__r"))).first()[0]
+            stats = rows.select(
+                *[F.avg(F.element_at("__r", j + 1)).alias(f"a{j}") for j in range(w)],
+                *[F.stddev_pop(F.element_at("__r", j + 1)).alias(f"s{j}") for j in range(w)],
+            ).first()
+            self.fitted = {
+                "mean": [float(stats[j]) for j in range(w)],
+                "std": [float(stats[w + j]) or 1.0 for j in range(w)],
+            }
+
+    # -- transform ----------------------------------------------------- #
+    def _require_fit(self):
+        if self.fitted is None:
+            raise RuntimeError("Normalizer.fit must run before process (reference parity)")
+
+    def _fwd1(self, x, j=0):
+        lo, hi = self.feature_range
+        if self.type == "minmax":
+            mn, mx = self.fitted["min"][j], self.fitted["max"][j]
+            scale = (mx - mn) or 1.0
+            return (x.cast("double") - F.lit(mn)) / F.lit(scale) * F.lit(hi - lo) + F.lit(lo)
+        mu, sd = self.fitted["mean"][j], self.fitted["std"][j]
+        return (x.cast("double") - F.lit(mu)) / F.lit(sd)
+
+    def _bwd1(self, x, j=0):
+        lo, hi = self.feature_range
+        if self.type == "minmax":
+            mn, mx = self.fitted["min"][j], self.fitted["max"][j]
+            scale = (mx - mn) or 1.0
+            return (x.cast("double") - F.lit(lo)) / F.lit(hi - lo) * F.lit(scale) + F.lit(mn)
+        mu, sd = self.fitted["mean"][j], self.fitted["std"][j]
+        return x.cast("double") * F.lit(sd) + F.lit(mu)
+
+    def _apply(self, col, info, f1):
+        self._require_fit()
+        dt = str(info.get("dtype", ""))
+        per_col = len(self.fitted.get("min", self.fitted.get("mean", [0]))) > 1
+        if dt.startswith("array<array"):
+            if per_col:
+                return F.transform(
+                    col,
+                    lambda row: F.transform(row, lambda x, i: _pick(f1, x, i, self.fitted)),
+                )
+            return F.transform(col, lambda row: F.transform(row, lambda x: f1(x, 0)))
+        if dt.startswith("array"):
+            return F.transform(col, lambda x: f1(x, 0))
+        return f1(col, 0)
+
+    def expr(self, col, info):
+        return self._apply(col, info, self._fwd1), {}
+
+    def inv_expr(self, col, info):
+        return self._apply(col, info, self._bwd1)
+
+
+def _pick(f1, x, i, fitted):
+    """Dispatch per-column fitted params on a runtime index: build a CASE
+    over the (small) fitted vector."""
+    n = len(next(iter(fitted.values())))
+    out = f1(x, 0)
+    for j in range(1, n):
+        out = F.when(i == j, f1(x, j)).otherwise(out)
+    return out
+
+
+class Framing(Processor):
+    """Overlapping frames in seconds (reference processors.py:198-261):
+    frame_length = round(windowsize*fs), step = round(stepsize*fs), then
+    the window function per frame. Native explode-free version — output
+    is array<array<double>> (one row stays one row; use
+    operators/split.frame_array for the cardinality-changing form)."""
+
+    def __init__(
+        self,
+        windowsize: float,
+        stepsize: float | None = None,
+        window_func: str = "hamming",
+        fs: float | None = None,
+        axis: int = -1,
+    ):
+        super().__init__(
+            windowsize=windowsize, stepsize=stepsize, window_func=window_func, fs=fs, axis=axis
+        )
+        self.windowsize = windowsize
+        self.stepsize = stepsize
+        self.window_func = window_func
+        self.fs = fs
+
+    def expr(self, col, info):
+        fs = info.get("fs", self.fs)
+        if fs is None and info.get("time_step"):
+            fs = 1.0 / info["time_step"]
+        if fs is None:
+            raise ValueError("fs not provided in Framing (init, info, or chain)")
+        frame_len = int(round(self.windowsize * fs))
+        step = 1 if self.stepsize is None else int(round(self.stepsize * fs))
+        n = F.size(col)
+        n_frames = (F.floor((n - frame_len) / step) + 1).cast("int")
+        idx = F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        wf = _window_expr(self.window_func, periodic=True)
+        frames = F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(col, i * step + 1, frame_len),
+                lambda x, k: wf(x.cast("double"), k, F.lit(frame_len)),
+            ),
+        )
+        return frames, ({"time_step": self.stepsize} if self.stepsize else {})
+
+
+# --------------------------------------------------------------------- #
+# pandas-UDF processors (no native Spark primitive)
+# --------------------------------------------------------------------- #
+class FFT(Processor):
+    """Real/full FFT with nextpow2 padding and magnitude/power/split
+    output (reference processors.py:296-351). Arrow-batched pandas UDF
+    over array<double> — np.fft on the executor, never row-at-a-time."""
+
+    def __init__(
+        self,
+        type: str = "real",
+        nfft: str | int = "nextpow2",
+        format: str = "magnitude",
+        dc_reset: bool = False,
+        norm: str | None = None,
+    ):
+        super().__init__(type=type, nfft=nfft, format=format, dc_reset=dc_reset, norm=norm)
+        if type not in ("real", "full"):
+            raise ValueError(f"unknown FFT type '{type}'")
+        if format not in ("magnitude", "power", "split", "complex"):
+            raise ValueError(f"unknown FFT format '{format}'")
+        self.type = type
+        self.nfft = nfft
+        self.format = format
+        self.dc_reset = dc_reset
+        self.norm = norm
+
+    def _nfft_for(self, n: int) -> int:
+        if self.nfft == "nextpow2":
+            return int(2 ** math.ceil(math.log2(n)))
+        if self.nfft == "original":
+            return n
+        return int(self.nfft)
+
+    def expr(self, col, info):
+        typ, fmt, dc, norm = self.type, self.format, self.dc_reset, self.norm
+        nfft_of = self._nfft_for
+
+        @pandas_udf("array<double>")
+        def fft_udf(s):
+            import pandas as pd
+
+            out = []
+            for x in s:
+                arr = np.asarray(x, dtype=np.float64)
+                nfft = nfft_of(arr.shape[0])
+                spec = (
+                    np.fft.rfft(arr, n=nfft, norm=norm)
+                    if typ == "real"
+                    else np.fft.fft(arr, n=nfft, norm=norm)
+                )
+                if fmt == "magnitude":
+                    y = np.abs(spec)
+                elif fmt == "power":
+                    y = np.abs(spec) ** 2
+                else:  # split
+                    y = np.concatenate([np.real(spec), np.imag(spec)])
+                if dc:
+                    y[0] = 0.0
+                out.append(y)
+            return pd.Series(out)
+
+        upd = {}
+        n_in = info.get("n_samples")
+        if n_in:
+            upd["nfft"] = self._nfft_for(int(n_in))
+            upd["n_samples"] = (
+                upd["nfft"] // 2 + 1 if self.type == "real" else upd["nfft"]
+            )
+        return fft_udf(col), upd
+
+
+def mel_filterbank(
+    n_bands: int,
+    nfft: int,
+    fs: float,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+    scale: str = "mel",
+    norm: str | None = None,
+) -> np.ndarray:
+    """Triangular mel/linear filterbank matrix (n_bands × nfft//2+1) from
+    the public HTK-style construction (reference processors.py:354-461
+    describes the same math). Built once at plan-compile time."""
+    high = min(fs / 2.0, fmax if fmax is not None else np.inf)
+    if scale == "mel":
+        lo_mel = 2595.0 * np.log10(1.0 + fmin / 700.0)
+        hi_mel = 2595.0 * np.log10(1.0 + high / 700.0)
+        start_hz = 700.0 * (10 ** ((lo_mel + np.arange(0, n_bands) / (n_bands + 1) * (hi_mel - lo_mel)) / 2595.0) - 1.0)
+        stop_hz = 700.0 * (10 ** ((lo_mel + np.arange(2, n_bands + 2) / (n_bands + 1) * (hi_mel - lo_mel)) / 2595.0) - 1.0)
+    elif scale == "linear":
+        pts = np.linspace(fmin, high, n_bands + 2)
+        start_hz, stop_hz = pts[:-2], pts[2:]
+    else:
+        raise ValueError(f"unknown filterbank scale '{scale}'")
+    start_bin = np.round(nfft / fs * start_hz)
+    stop_bin = np.round(nfft / fs * stop_hz)
+    middle_bin = np.append(start_bin[1:], stop_bin[-2])
+    low_len = middle_bin - start_bin + 1
+    high_len = (stop_bin - start_bin + 1) - low_len + 1
+    fbank = np.zeros((n_bands, int(nfft // 2 + 1)))
+    for m in range(n_bands):
+        rise = np.arange(1, low_len[m] + 1) / low_len[m]
+        for k in range(int(low_len[m])):
+            fbank[m, int(start_bin[m] + k)] = rise[k]
+        fall = np.arange(high_len[m], 0, -1) / high_len[m]
+        for k in range(int(high_len[m])):
+            fbank[m, int(middle_bin[m] + k)] = fall[k]
+    if norm == "slaney":
+        fbank *= (2.0 / (stop_hz - start_hz))[:, np.newaxis]
+    return fbank
+
+
+class Filterbank(Processor):
+    """Apply a precomputed mel/linear filterbank by matmul (reference
+    processors.py:354-461): the matrix is built ONCE driver-side and
+    closed over by an Arrow pandas UDF; zeros are eps-floored."""
+
+    def __init__(
+        self,
+        n_bands: int,
+        scale: str = "mel",
+        nfft: int | None = None,
+        fmin: float = 0.0,
+        fmax: float | None = None,
+        norm: str | None = None,
+        fs: float | None = None,
+    ):
+        super().__init__(
+            n_bands=n_bands, scale=scale, nfft=nfft, fmin=fmin, fmax=fmax, norm=norm, fs=fs
+        )
+        self.n_bands = n_bands
+        self.scale = scale
+        self.nfft = nfft
+        self.fmin = fmin
+        self.fmax = fmax
+        self.norm = norm
+        self.fs = fs
+
+    def expr(self, col, info):
+        fs = info.get("fs", self.fs)
+        if fs is None:
+            raise ValueError("no fs given in Filterbank (init or chain info)")
+        nfft = info.get("nfft", self.nfft)
+        if nfft is None:
+            raise ValueError("no nfft provided in Filterbank (init or prior FFT stage)")
+        if self.nfft is not None and "nfft" in info and info["nfft"] != self.nfft:
+            raise ValueError(
+                f"nfft mismatch: Filterbank configured {self.nfft}, prior stage emits {info['nfft']}"
+                " (reference processors.py:387-394 asserts the same at process time;"
+                " here it fails at plan-build)"
+            )
+        fb = mel_filterbank(
+            self.n_bands, int(nfft), float(fs), self.fmin, self.fmax, self.scale, self.norm
+        ).T  # (nfft//2+1, n_bands)
+        eps = float(np.finfo(float).eps)
+
+        @pandas_udf("array<double>")
+        def fbank_udf(s):
+            import pandas as pd
+
+            mat = np.stack([np.asarray(x, dtype=np.float64) for x in s]) if len(s) else np.zeros((0, fb.shape[0]))
+            out = mat @ fb
+            out = np.where(out == 0, eps, out)
+            return pd.Series(list(out))
+
+        return fbank_udf(col), {"n_samples": self.n_bands}
+
+
+def firwin(
+    taps: int, f, window: str = "hamming", fs: float = 2.0, pass_zero: bool = True
+) -> np.ndarray:
+    """Windowed-sinc FIR design (public textbook method; scipy-free).
+    ``f``: cutoff Hz (scalar) or [low, high]. Returns ``taps`` coefficients
+    (taps forced odd by callers). Scaling normalizes unit gain at the
+    center of the passband (DC / Nyquist / band center), matching
+    scipy.firwin's convention."""
+    fc = np.atleast_1d(np.asarray(f, dtype=np.float64)) / (fs / 2.0)
+    n = np.arange(taps) - (taps - 1) / 2.0
+    w = window_values(window, taps, periodic=False)
+
+    def lp(c):
+        return c * np.sinc(c * n)
+
+    delta = np.sinc(n)  # allpass (1 at center tap)
+    if pass_zero:
+        h = lp(fc[0]) if len(fc) == 1 else delta - (lp(fc[1]) - lp(fc[0]))
+        gain_freq = 0.0
+    else:
+        h = (delta - lp(fc[0])) if len(fc) == 1 else lp(fc[1]) - lp(fc[0])
+        gain_freq = 1.0 if len(fc) == 1 else (fc[0] + fc[1]) / 2.0
+    h = h * w
+    # normalize gain at gain_freq (in normalized-Nyquist units) to 1
+    resp = np.sum(h * np.cos(np.pi * gain_freq * n))
+    return h / resp
+
+
+class FIRFilter(Processor):
+    """Design-once, apply-per-row FIR filtering (reference
+    processors.py:523-575): coefficients from windowed-sinc design at
+    plan-compile time, application = causal convolution in an Arrow
+    pandas UDF (identical to scipy.signal.lfilter(b, 1, x))."""
+
+    def __init__(
+        self,
+        type: str,
+        f,
+        taps: int,
+        window: str = "hamming",
+        fs: float | None = None,
+        axis: int = -1,
+    ):
+        taps = int(taps) | 1  # odd taps, like the reference
+        super().__init__(type=type, f=f, taps=taps, window=window, fs=fs, axis=axis)
+        if type not in ("lowpass", "highpass", "bandpass", "bandstop"):
+            raise ValueError(f"unknown FIRFilter type '{type}'")
+        self.type = type
+        self.f = f
+        self.taps = taps
+        self.window = window
+        self.fs = fs
+
+    def coefficients(self, fs: float) -> np.ndarray:
+        pass_zero = self.type in ("lowpass", "bandstop")
+        return firwin(self.taps, self.f, self.window, fs=fs, pass_zero=pass_zero)
+
+    def expr(self, col, info):
+        fs = info.get("fs", self.fs)
+        if fs is None:
+            raise ValueError("sampling frequency must reach FIRFilter (init or chain info)")
+        h = self.coefficients(float(fs))
+
+        @pandas_udf("array<double>")
+        def fir_udf(s):
+            import pandas as pd
+
+            out = []
+            for x in s:
+                arr = np.asarray(x, dtype=np.float64)
+                out.append(np.convolve(arr, h, mode="full")[: arr.shape[0]])
+            return pd.Series(out)
+
+        return fir_udf(col), {}
+
+
+class Resample(Processor):
+    """FFT-method resampling (reference processors.py:578-600 uses
+    scipy.signal.resample, which is the same rfft-truncate/pad-irfft
+    construction; implemented directly in numpy)."""
+
+    def __init__(self, target_fs: float, fs: float | None = None, axis: int = 0, window=None):
+        super().__init__(target_fs=target_fs, fs=fs, axis=axis, window=window)
+        self.target_fs = target_fs
+        self.fs = fs
+
+    def expr(self, col, info):
+        fs = info.get("fs", self.fs)
+        if fs is None:
+            raise ValueError("fs must reach Resample (init or chain info)")
+        ratio = self.target_fs / float(fs)
+
+        @pandas_udf("array<double>")
+        def resample_udf(s):
+            import pandas as pd
+
+            out = []
+            for x in s:
+                arr = np.asarray(x, dtype=np.float64)
+                n = arr.shape[0]
+                num = int(round(ratio * n))
+                spec = np.fft.rfft(arr)
+                target = np.zeros(num // 2 + 1, dtype=complex)
+                ncopy = min(len(spec), len(target))
+                target[:ncopy] = spec[:ncopy]
+                out.append(np.fft.irfft(target, num) * (num / n))
+            return pd.Series(out)
+
+        return resample_udf(col), {
+            "fs": self.target_fs,
+            "time_step": 1.0 / self.target_fs,
+        }
+
+
+PROCESSORS = {
+    p.__name__: p
+    for p in (
+        Dummy,
+        Scaler,
+        Normalizer,
+        Logarithm,
+        Windowing,
+        ExpandDims,
+        Aggregation,
+        Framing,
+        FFT,
+        Filterbank,
+        FIRFilter,
+        Resample,
+    )
+}
+
+
+def resolve(name: str):
+    """Name → processor class (reference processing_chain.py:69-80's
+    string resolution, without the dynamic custom-module import)."""
+    if name not in PROCESSORS:
+        raise KeyError(f"unknown processor '{name}'; have {sorted(PROCESSORS)}")
+    return PROCESSORS[name]

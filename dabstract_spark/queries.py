@@ -36,18 +36,20 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _load_catalogs() -> None:
     # Import registers the extension catalogs on first use.
+    import dabstract_spark.queries_processing  # noqa: F401
     import dabstract_spark.queries_text  # noqa: F401
     import dabstract_spark.queries_xval  # noqa: F401
 
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_catalogs()
     return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    import dabstract_spark.queries_text  # noqa: F401
-    import dabstract_spark.queries_xval  # noqa: F401
-
+    _load_catalogs()
     return dict(_ORACLES)
 
 

@@ -1,0 +1,256 @@
+"""Processor / ProcessingChain query catalog entries (SURVEY §2.8–§2.9)
+with DuckDB oracles.
+
+The embeddings fixture (array<float>, 64-dim) serves as the per-example
+"signal" column. Oracles mirror the processor math term for term; where
+libm rounding can differ in the last ulp (cos/log10) or summation order
+differs (FFT, convolution), outputs are rounded so both engines land on
+the same decimals. The FFT oracle is a literal O(n²) DFT — numerically
+within ~1e-13 of numpy's rfft, compared at 4 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dabstract_spark.processing import (
+    FIRFilter,
+    Framing,
+    ProcessingChain,
+)
+from dabstract_spark.queries import _t, query
+
+_DIM = 64
+
+
+def _round_arr(col, nd=6):
+    return F.transform(col, lambda x: F.round(x, nd))
+
+
+# --------------------------------------------------------------------- #
+# Scaler (§2.8) — pure elementwise expression, bit-exact across engines
+# --------------------------------------------------------------------- #
+@query(
+    "q60_scaler",
+    oracle="""
+    SELECT vec_id,
+           list_transform(embedding, x -> x::DOUBLE / 32767.0) AS scaled
+    FROM embeddings
+    """,
+)
+def q60_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    ds_chain = ProcessingChain().add("Scaler", {"type": "int16"})
+    out = ds_chain.process_df(emb, "embedding", new_key="scaled")
+    return out.select("vec_id", "scaled")
+
+
+# --------------------------------------------------------------------- #
+# Logarithm after an external |x| stage (§2.8 + §2.9 ExternalProcessor)
+# --------------------------------------------------------------------- #
+@query(
+    "q61_logarithm_chain",
+    oracle="""
+    SELECT vec_id,
+           list_transform(embedding, x -> round(20.0 * log10(abs(x::DOUBLE) + 1.0), 6)) AS db
+    FROM embeddings
+    """,
+)
+def q61_logarithm_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    chain = (
+        ProcessingChain()
+        .add(lambda c: F.transform(c, lambda x: F.abs(x.cast("double")) + F.lit(1.0)))
+        .add("Logarithm", {"type": "base10"})
+    )
+    out = chain.process_df(emb, "embedding", new_key="db")
+    return out.select("vec_id", _round_arr(F.col("db")).alias("db"))
+
+
+# --------------------------------------------------------------------- #
+# Aggregation: per-row mean/std/kurtosis (§2.4/§2.8)
+# --------------------------------------------------------------------- #
+@query(
+    "q62_aggregation",
+    oracle=f"""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_sum(list_transform(embedding, x -> x::DOUBLE)) / {_DIM} AS mu
+      FROM embeddings),
+    mo AS (
+      SELECT vec_id, mu,
+             list_sum(list_transform(embedding, x -> (x::DOUBLE - mu) * (x::DOUBLE - mu))) / {_DIM} AS m2,
+             list_sum(list_transform(embedding, x -> pow(x::DOUBLE - mu, 4))) / {_DIM} AS m4
+      FROM m)
+    SELECT vec_id, ROUND(mu, 6) AS mean, ROUND(sqrt(m2), 6) AS std,
+           ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+    FROM mo
+    """,
+)
+def q62_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    chain = ProcessingChain().add(
+        "Aggregation", {"methods": ["mean", "std", "kurtosis"]}
+    )
+    out = chain.process_df(emb, "embedding", new_key="agg")
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("agg", 1), 6).alias("mean"),
+        F.round(F.element_at("agg", 2), 6).alias("std"),
+        F.round(F.element_at("agg", 3), 6).alias("kurtosis"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Normalizer.fit → transform (§2.4/§2.8): a fitted-state aggregation —
+# the whole-dataset min/max folds into the transform as literals
+# --------------------------------------------------------------------- #
+@query(
+    "q63_normalizer_minmax",
+    oracle="""
+    WITH mm AS (
+      SELECT MIN(list_min(embedding))::DOUBLE AS mn,
+             MAX(list_max(embedding))::DOUBLE AS mx
+      FROM embeddings)
+    SELECT vec_id,
+           list_transform(embedding, x -> round((x::DOUBLE - mn) / (mx - mn), 6)) AS normed
+    FROM embeddings, mm
+    """,
+)
+def q63_normalizer_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    chain = ProcessingChain().add("Normalizer", {"type": "minmax"})
+    chain.fit(emb, "embedding")
+    out = chain.process_df(emb, "embedding", new_key="normed")
+    return out.select("vec_id", _round_arr(F.col("normed")).alias("normed"))
+
+
+# --------------------------------------------------------------------- #
+# Windowing (§2.5/§2.8): periodic hamming, dynamic length
+# --------------------------------------------------------------------- #
+@query(
+    "q64_windowing",
+    oracle=f"""
+    SELECT vec_id,
+           list_transform(generate_series(1, {_DIM}),
+                          j -> round(embedding[j]::DOUBLE
+                                     * (0.54 - 0.46 * cos(2 * pi() * (j - 1) / {_DIM})), 6)) AS windowed
+    FROM embeddings
+    """,
+)
+def q64_windowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    chain = ProcessingChain().add("Windowing", {"window_func": "hamming"})
+    out = chain.process_df(emb, "embedding", new_key="windowed")
+    return out.select("vec_id", _round_arr(F.col("windowed")).alias("windowed"))
+
+
+# --------------------------------------------------------------------- #
+# FFT (§2.8): numpy rfft (Arrow pandas UDF) vs a literal DFT in SQL.
+# |rfft - naive DFT| ~ 1e-13 relative → compared at 4 decimals.
+# --------------------------------------------------------------------- #
+def _dft_mag_sql(dim: int) -> str:
+    re = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"j -> embedding[j]::DOUBLE * cos(2 * pi() * k * (j - 1) / {dim})))"
+    )
+    im = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"j -> embedding[j]::DOUBLE * sin(2 * pi() * k * (j - 1) / {dim})))"
+    )
+    return f"round(sqrt(({re}) * ({re}) + ({im}) * ({im})), 4)"
+
+
+@query(
+    "q65_fft_magnitude",
+    oracle=f"""
+    SELECT vec_id, CAST(k AS INT) AS bin, {_dft_mag_sql(_DIM)} AS mag
+    FROM embeddings, UNNEST(generate_series(0, {_DIM // 2})) AS t(k)
+    """,
+)
+def q65_fft_magnitude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    chain = ProcessingChain().add("FFT", {"type": "real", "nfft": "original"})
+    out = chain.process_df(emb, "embedding", new_key="spec")
+    return out.select(
+        "vec_id", F.posexplode("spec").alias("bin", "mag")
+    ).select("vec_id", "bin", F.round("mag", 4).alias("mag"))
+
+
+# --------------------------------------------------------------------- #
+# FIRFilter (§2.8): windowed-sinc design at plan-build → literal taps in
+# the oracle; causal convolution either side, 6-decimal compare.
+# --------------------------------------------------------------------- #
+_FIR = FIRFilter(type="lowpass", f=1000.0, taps=9, fs=8000.0)
+_TAPS = [repr(float(v)) for v in _FIR.coefficients(8000.0)]
+
+
+@query(
+    "q66_fir_filter",
+    # the trailing "+ 0.0" normalizes IEEE -0.0 to +0.0 (near-zero taps
+    # make y[0] a tiny signed value whose repr differs across engines)
+    oracle=f"""
+    SELECT vec_id,
+           list_transform(generate_series(1, {_DIM}),
+             n -> round(list_sum(list_transform(generate_series(1, {len(_TAPS)}),
+                    k -> CASE WHEN n - k + 1 >= 1
+                              THEN ([{", ".join(_TAPS)}])[k] * embedding[n - k + 1]::DOUBLE
+                              ELSE 0.0 END)), 6) + 0.0) AS filtered
+    FROM embeddings
+    """,
+)
+def q66_fir_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    chain = ProcessingChain().add(_FIR)
+    out = chain.process_df(emb, "embedding", new_key="filtered")
+    return out.select(
+        "vec_id",
+        F.transform(F.col("filtered"), lambda x: F.round(x, 6) + F.lit(0.0)).alias("filtered"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Framing processor (§2.5): seconds-sized overlapping frames + window,
+# per-row nested array (the non-cardinality-changing form)
+# --------------------------------------------------------------------- #
+@query(
+    "q67_framing_chain",
+    oracle=f"""
+    SELECT vec_id,
+           list_transform(generate_series(0, {(_DIM - 8) // 4}),
+             f -> list_transform(generate_series(1, 8),
+                    k -> round(embedding[f * 4 + k]::DOUBLE
+                               * (0.54 - 0.46 * cos(2 * pi() * (k - 1) / 8)), 6))) AS frames
+    FROM embeddings
+    """,
+)
+def q67_framing_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    chain = ProcessingChain().add(
+        Framing(windowsize=8.0, stepsize=4.0, window_func="hamming", fs=1.0)
+    )
+    out = chain.process_df(emb, "embedding", new_key="frames")
+    return out.select(
+        "vec_id",
+        F.transform(F.col("frames"), lambda fr: _round_arr(fr)).alias("frames"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Chain inverse (§2.9 inv_process): wav_2_01 roundtrips bit-exactly
+# (multiply/divide by 2 and ±1 are exact in IEEE)
+# --------------------------------------------------------------------- #
+@query(
+    "q68_chain_inverse",
+    oracle="""
+    SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE, 6)) AS roundtrip
+    FROM embeddings
+    """,
+)
+def q68_chain_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    chain = ProcessingChain().add("Scaler", {"type": "wav_2_01"})
+    info = {"dtype": "array<double>"}
+    fwd = chain.expr(F.col("embedding").cast("array<double>"), info)
+    rt = chain.inv_expr(fwd, info)
+    return emb.select("vec_id", _round_arr(rt).alias("roundtrip"))

@@ -1,0 +1,256 @@
+"""Processor / ProcessingChain unit tests, mirroring the reference's
+operator-level strategy (tests/test_abstract.py:36-101: tiny literal
+inputs, exact expected outputs, chain composition + info propagation)
+with numpy as the semantic oracle for the DSP stages.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dabstract_spark.dataset import Dataset
+from dabstract_spark.processing import (
+    FFT,
+    Aggregation,
+    ExpandDims,
+    Filterbank,
+    FIRFilter,
+    Framing,
+    Logarithm,
+    Normalizer,
+    ProcessingChain,
+    Resample,
+    Scaler,
+    Windowing,
+)
+from dabstract_spark.processing.processors import firwin, mel_filterbank, window_values
+
+
+def _pylist(x):
+    """np array -> plain python floats (createDataFrame rejects np.float64)."""
+    return [float(v) for v in x]
+
+
+def _one_col(spark, values, dtype="array<double>"):
+    return spark.createDataFrame([(v,) for v in values], f"x {dtype}")
+
+
+def _apply(spark, proc_or_chain, values, dtype="array<double>", info=None):
+    chain = (
+        proc_or_chain
+        if isinstance(proc_or_chain, ProcessingChain)
+        else ProcessingChain().add(proc_or_chain)
+    )
+    df = _one_col(spark, values, dtype)
+    out = chain.process_df(df, "x", info=info)
+    return [r.x for r in out.collect()]
+
+
+def test_scaler_roundtrip(spark):
+    vals = [[1024.0, -2048.0, 0.0]]
+    got = _apply(spark, Scaler(type="int16"), vals)
+    np.testing.assert_allclose(got[0], np.array(vals[0]) / (2**15 - 1))
+    # inverse recovers input
+    chain = ProcessingChain().add(Scaler(type="int16"))
+    df = _one_col(spark, vals)
+    inv = df.withColumn("x", chain.inv_expr(chain.expr("x", {"dtype": "array<double>"}), {"dtype": "array<double>"}))
+    np.testing.assert_allclose(inv.collect()[0].x, vals[0], rtol=1e-12)
+
+
+def test_logarithm_base10_and_inverse(spark):
+    vals = [[1.0, 10.0, 100.0]]
+    got = _apply(spark, Logarithm(type="base10"), vals)
+    np.testing.assert_allclose(got[0], 20 * np.log10(vals[0]))
+    chain = ProcessingChain().add(Logarithm(type="base10"))
+    info = {"dtype": "array<double>"}
+    df = _one_col(spark, vals)
+    rt = df.withColumn("x", chain.inv_expr(chain.expr("x", info), info))
+    np.testing.assert_allclose(rt.collect()[0].x, vals[0], rtol=1e-12)
+
+
+def test_windowing_matches_numpy(spark):
+    x = np.arange(1.0, 9.0)
+    got = _apply(spark, Windowing(window_func="hamming"), [_pylist(x)])
+    np.testing.assert_allclose(got[0], x * window_values("hamming", 8, periodic=True), rtol=1e-12)
+
+
+def test_expand_dims(spark):
+    got0 = _apply(spark, ExpandDims(axis=0), [[1.0, 2.0]])
+    assert got0[0] == [[1.0, 2.0]]
+    got1 = _apply(spark, ExpandDims(axis=-1), [[1.0, 2.0]])
+    assert got1[0] == [[1.0], [2.0]]
+
+
+def test_aggregation_mean_std_kurtosis(spark):
+    x = np.array([1.0, 2.0, 3.0, 4.0, 10.0])
+    got = _apply(spark, Aggregation(methods=["mean", "std", "kurtosis"]), [_pylist(x)])
+    mu, sd = x.mean(), x.std()
+    kurt = ((x - mu) ** 4).mean() / ((x - mu) ** 2).mean() ** 2 - 3
+    np.testing.assert_allclose(got[0], [mu, sd, kurt], rtol=1e-10)
+
+
+def test_aggregation_2d_axis0(spark):
+    m = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 9.0]])
+    got = _apply(
+        spark,
+        Aggregation(methods=["mean", "std"], combine="concat"),
+        [[_pylist(r) for r in m]],
+        dtype="array<array<double>>",
+    )
+    expect = np.concatenate([m.mean(axis=0), m.std(axis=0)])
+    np.testing.assert_allclose(got[0], expect, rtol=1e-10)
+
+
+def test_normalizer_minmax_fit_transform_inverse(spark):
+    vals = [[0.0, 5.0], [10.0, 2.5]]
+    df = _one_col(spark, vals)
+    proc = Normalizer(type="minmax", feature_range=(0.0, 1.0))
+    chain = ProcessingChain().add(proc)
+    chain.fit(df, "x")
+    assert proc.fitted == {"min": [0.0], "max": [10.0]}
+    got = [r.x for r in chain.process_df(df, "x").collect()]
+    np.testing.assert_allclose(got, [[0.0, 0.5], [1.0, 0.25]])
+    info = {"dtype": "array<double>"}
+    rt = df.withColumn("x", chain.inv_expr(chain.expr("x", info), info))
+    np.testing.assert_allclose([r.x for r in rt.collect()], vals, rtol=1e-12)
+
+
+def test_normalizer_standard_global(spark):
+    data = np.array([[1.0, 2.0], [3.0, 6.0]])
+    df = _one_col(spark, [_pylist(r) for r in data])
+    proc = Normalizer(type="standard")
+    proc.fit(df, F.col("x"), {"dtype": "array<double>"})
+    flat = data.ravel()
+    np.testing.assert_allclose(proc.fitted["mean"], [flat.mean()], rtol=1e-12)
+    np.testing.assert_allclose(proc.fitted["std"], [flat.std()], rtol=1e-12)
+
+
+def test_normalizer_2d_per_feature(spark):
+    rows = [[[1.0, 10.0], [3.0, 20.0]], [[5.0, 30.0], [7.0, 40.0]]]
+    df = _one_col(spark, rows, dtype="array<array<double>>")
+    proc = Normalizer(type="minmax")
+    proc.fit(df, F.col("x"), {"dtype": "array<array<double>>"})
+    assert proc.fitted == {"min": [1.0, 10.0], "max": [7.0, 40.0]}
+    out = proc.expr(F.col("x"), {"dtype": "array<array<double>>"})[0]
+    got = df.withColumn("x", out).collect()[0].x
+    np.testing.assert_allclose(got[0], [0.0, 0.0])
+    np.testing.assert_allclose(got[1], [1 / 3, 1 / 3])
+
+
+def test_fft_magnitude_matches_numpy(spark):
+    x = np.sin(np.arange(16) * 0.7) + 0.3
+    got = _apply(spark, FFT(type="real", nfft="nextpow2"), [_pylist(x)])
+    np.testing.assert_allclose(got[0], np.abs(np.fft.rfft(x, 16)), rtol=1e-10)
+
+
+def test_fft_nextpow2_padding_and_dc_reset(spark):
+    x = np.ones(12)  # nextpow2 -> 16
+    got = _apply(spark, FFT(type="real", format="power", dc_reset=True), [_pylist(x)])
+    expect = np.abs(np.fft.rfft(x, 16)) ** 2
+    expect[0] = 0.0
+    assert len(got[0]) == 9
+    np.testing.assert_allclose(got[0], expect, rtol=1e-10)
+
+
+def test_chain_fft_filterbank_log_info_propagation(spark):
+    """The canonical audio chain (reference tests/test_abstract.py:36-101
+    shape): FFT → Filterbank (nfft flows via chain info) → Logarithm."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(64)
+    chain = (
+        ProcessingChain()
+        .add(FFT(type="real", format="power"))
+        .add(Filterbank(n_bands=4, scale="mel", fs=16000))
+        .add(Logarithm(type="base10"))
+    )
+    got = _apply(spark, chain, [_pylist(x)], info={"fs": 16000, "n_samples": 64})
+    spec = np.abs(np.fft.rfft(x, 64)) ** 2
+    fb = mel_filterbank(4, 64, 16000, scale="mel")
+    expect = spec @ fb.T
+    expect = np.where(expect == 0, np.finfo(float).eps, expect)
+    expect = 20 * np.log10(expect)
+    np.testing.assert_allclose(got[0], expect, rtol=1e-8)
+
+
+def test_filterbank_nfft_mismatch_fails_at_build(spark):
+    chain = (
+        ProcessingChain()
+        .add(FFT(type="real"))
+        .add(Filterbank(n_bands=4, nfft=128, fs=8000))
+    )
+    df = _one_col(spark, [[1.0] * 64])
+    with pytest.raises(ValueError, match="nfft mismatch"):
+        chain.process_df(df, "x", info={"fs": 8000, "n_samples": 64})
+
+
+def test_firwin_lowpass_properties():
+    h = firwin(21, 1000.0, fs=8000.0, pass_zero=True)
+    # unity DC gain, symmetric (linear phase)
+    assert abs(h.sum() - 1.0) < 1e-12
+    np.testing.assert_allclose(h, h[::-1], rtol=1e-12)
+    # attenuates at Nyquist
+    assert abs(np.sum(h * np.cos(np.pi * np.arange(-10, 11)))) < 1e-2
+
+
+def test_fir_filter_is_causal_convolution(spark):
+    x = np.sin(np.arange(32) * 0.3)
+    proc = FIRFilter(type="lowpass", f=1000.0, taps=9, fs=8000.0)
+    got = _apply(spark, proc, [_pylist(x)])
+    h = proc.coefficients(8000.0)
+    expect = np.convolve(x, h, mode="full")[:32]
+    np.testing.assert_allclose(got[0], expect, rtol=1e-10)
+
+
+def test_resample_halves_length(spark):
+    x = np.sin(2 * np.pi * np.arange(32) / 32)
+    got = _apply(spark, Resample(target_fs=4000, fs=8000), [_pylist(x)])
+    assert len(got[0]) == 16
+    # a pure low-frequency tone survives FFT resampling almost exactly
+    expect = np.sin(2 * np.pi * np.arange(16) / 16)
+    np.testing.assert_allclose(got[0], expect, atol=1e-10)
+
+
+def test_framing_processor_matches_reference_shape(spark):
+    x = np.arange(1.0, 11.0)
+    proc = Framing(windowsize=4.0, stepsize=2.0, window_func="none", fs=1.0)
+    got = _apply(spark, proc, [_pylist(x)])
+    # frame_len 4, step 2, n 10 -> 4 frames
+    assert [list(fr) for fr in got[0]] == [
+        [1, 2, 3, 4], [3, 4, 5, 6], [5, 6, 7, 8], [7, 8, 9, 10]
+    ]
+
+
+def test_chain_save_load_roundtrip(spark, tmp_path):
+    df = _one_col(spark, [[0.0, 4.0], [2.0, 8.0]])
+    chain = ProcessingChain().add(Scaler(type="wav_2_01")).add(
+        Normalizer(type="minmax")
+    )
+    chain.fit(df, "x")
+    path = str(tmp_path / "chain")
+    chain.save(path)
+    assert ProcessingChain.exists(path)
+    loaded = ProcessingChain.load(path)
+    a = [r.x for r in chain.process_df(df, "x").collect()]
+    b = [r.x for r in loaded.process_df(df, "x").collect()]
+    np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_chain_with_external_callable_and_registry_name(spark):
+    chain = ProcessingChain().add(lambda c: F.transform(c, lambda x: F.abs(x))).add(
+        "Logarithm", {"type": "natural"}
+    )
+    got = _apply(spark, chain, [[-math.e, math.e]])
+    np.testing.assert_allclose(got[0], [1.0, 1.0], rtol=1e-12)
+
+
+def test_add_map_accepts_chain_and_name(spark):
+    df = _one_col(spark, [[2.0, -4.0]]).withColumn("row_id", F.lit(0))
+    ds = Dataset(df, name="t")
+    out = ds.add_map("x", ProcessingChain().add(Scaler(type="wav_2_01")), new_key="y")
+    assert out.full_df.select("y").collect()[0].y == [1.5, -1.5]
+    out2 = ds.add_map("x", [{"name": "Scaler", "parameters": {"type": "wav_2_01"}}], new_key="z")
+    assert out2.full_df.select("z").collect()[0].z == [1.5, -1.5]
