@@ -40,15 +40,18 @@ def row_id_from_key(df: DataFrame, key: str) -> DataFrame:
     return df.withColumn(ROW_ID, F.col(key).cast("bigint"))
 
 
-def _string_bucket(c: Column) -> Column:
+def _string_bucket(c: Column, prefix_skip: int = 0) -> Column:
     """Deterministic monotone bucket for string keys: the code points of
-    the first two characters. Monotone w.r.t. Spark's string ordering,
-    ties share a bucket, and for uniform keys (md5-hex ordinals — the
-    engine's own pseudo-random orderings) it yields 256 balanced groups.
+    the first two characters after ``prefix_skip``. Monotone w.r.t.
+    Spark's string ordering (valid when every key shares an identical
+    prefix of that length — e.g. filepaths under one base dir), ties
+    share a bucket, and for uniform keys (md5-hex ordinals — the engine's
+    own pseudo-random orderings) it yields 256 balanced groups.
     NULLs map below every non-NULL (Spark sorts NULLS FIRST asc)."""
     g = (
-        F.coalesce(F.ascii(F.substring(c, 1, 1)), F.lit(-1)).cast("bigint") * _CP_BASE
-        + F.coalesce(F.ascii(F.substring(c, 2, 1)), F.lit(-1)).cast("bigint")
+        F.coalesce(F.ascii(F.substring(c, prefix_skip + 1, 1)), F.lit(-1)).cast("bigint")
+        * _CP_BASE
+        + F.coalesce(F.ascii(F.substring(c, prefix_skip + 2, 1)), F.lit(-1)).cast("bigint")
     )
     return F.when(c.isNull(), F.lit(-(_CP_BASE**2))).otherwise(g)
 
@@ -72,12 +75,15 @@ def _numeric_bucket(df: DataFrame, c: Column, buckets: int) -> tuple[DataFrame, 
     return with_mm, g
 
 
-def with_row_id(df: DataFrame, order_by: str | list[str]) -> DataFrame:
+def with_row_id(df: DataFrame, order_by: str | list[str], prefix_skip: int = 0) -> DataFrame:
     """Assign a dense 0-based ``row_id`` following ``order_by``, distributed.
 
     ``order_by`` must be a total order (unique key set) for the result to
     be deterministic. All-JVM: no RDD, no UDF, no driver-side data motion
-    beyond a #buckets-sized offset table.
+    beyond a #buckets-sized offset table. ``prefix_skip``: for string
+    keys sharing an identical common prefix (filepaths under a base dir),
+    bucket on the characters after it — otherwise everything lands in one
+    bucket (still correct, but a single window task).
     """
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
     first = cols[0]
@@ -86,7 +92,7 @@ def with_row_id(df: DataFrame, order_by: str | list[str]) -> DataFrame:
 
     drop_extra = ["__g", "__off"]
     if dtype == "string":
-        bucketed = df.withColumn("__g", _string_bucket(F.col(first)))
+        bucketed = df.withColumn("__g", _string_bucket(F.col(first), prefix_skip))
     else:
         src, g = _numeric_bucket(df, F.col(first), buckets=npart * 4)
         bucketed = src.withColumn("__g", g)

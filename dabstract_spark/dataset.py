@@ -399,8 +399,71 @@ class Dataset:
         return out.unpack(keys) if keys else out
 
     # ------------------------------------------------------------------ #
-    # materialization (load_memory, dataset.py:555-626)
+    # materialization (prepare_feat, dataset.py:703-928; load_memory,
+    # dataset.py:555-626)
     # ------------------------------------------------------------------ #
+    def prepare_feat(
+        self,
+        key: str,
+        fe_name: str,
+        chain,
+        new_key: str | None = None,
+        feat_base_dir: str | None = None,
+        overwrite: bool = False,
+        partition_by: str | None = None,
+        info: dict | None = None,
+    ) -> "Dataset":
+        """Materialize a processing chain over a column: compute → write
+        partitioned parquet keyed by row_id → lazily re-read and re-attach.
+
+        Reference parity (dataset.py:703-928) with two structural
+        simplifications the relational model makes free:
+        - no "pop diving" (dataset.py:757-769): features are keyed by
+          row_id, so any select/split applied before OR after re-attaches
+          through the join instead of replaying recorded ops;
+        - one distributed write instead of the per-example .npy loop
+          (dataset.py:843-863); skip-if-exists/overwrite is a _SUCCESS
+          check on the parquet dir, and the chain spec persists as JSON
+          next to it (chain-config persist, dataset.py:891-899).
+        """
+        import os
+
+        from dabstract_spark.processing import ProcessingChain
+
+        if ROW_ID not in self._df.columns:
+            raise RuntimeError("prepare_feat requires row_id discipline on the dataset")
+        if not isinstance(chain, ProcessingChain):
+            chain = ProcessingChain().add(chain)
+        base = feat_base_dir or os.environ.get(
+            "SPARK_GRAFT_FEAT_DIR", "/root/repo/.scratch/feat"
+        )
+        path = os.path.join(base, self.name, key, fe_name)
+        spark = self._df.sparkSession
+        done = os.path.exists(os.path.join(path, "_SUCCESS"))
+        target = new_key or key
+        if overwrite or not done:
+            cinfo = dict(info or {})
+            cinfo.setdefault("dtype", dict(self._df.dtypes).get(key))
+            feat = chain.expr(F.col(key), cinfo)
+            cols = [F.col(ROW_ID), feat.alias("__feat")]
+            writer_cols = [ROW_ID]
+            if partition_by and partition_by in self._df.columns:
+                cols.append(F.col(partition_by))
+            out = self._df.select(*cols)
+            w = out.write.mode("overwrite")
+            if partition_by and partition_by in self._df.columns:
+                w = w.partitionBy(partition_by)
+            w.parquet(path)
+            try:
+                # NEXT TO the parquet dir — a stray .json inside it would
+                # break the parquet re-read
+                chain.save(path + "_chain_spec")
+            except ValueError:
+                pass  # chains with opaque callables aren't serializable
+        feat_df = spark.read.parquet(path).select(ROW_ID, F.col("__feat").alias(target))
+        merged = self._df.drop(target).join(feat_df, ROW_ID, "left")
+        return self._evolve(merged)
+
     def load_memory(self, key: str | None = None) -> "Dataset":
         """Materialize (cache) the dataset or one column's projection."""
         if key is None:

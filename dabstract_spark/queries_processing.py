@@ -24,7 +24,9 @@ _DIM = 64
 
 
 def _round_arr(col, nd=6):
-    return F.transform(col, lambda x: F.round(x, nd))
+    # "+ 0.0" folds IEEE -0.0 to +0.0 — engines disagree on the sign of
+    # zero after rounding tiny negatives, and the compare is repr-based
+    return F.transform(col, lambda x: F.round(x, nd) + F.lit(0.0))
 
 
 # --------------------------------------------------------------------- #
@@ -52,7 +54,7 @@ def q60_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q61_logarithm_chain",
     oracle="""
     SELECT vec_id,
-           list_transform(embedding, x -> round(20.0 * log10(abs(x::DOUBLE) + 1.0), 6)) AS db
+           list_transform(embedding, x -> round(20.0 * log10(abs(x::DOUBLE) + 1.0), 6) + 0.0) AS db
     FROM embeddings
     """,
 )
@@ -82,8 +84,8 @@ def q61_logarithm_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_sum(list_transform(embedding, x -> (x::DOUBLE - mu) * (x::DOUBLE - mu))) / {_DIM} AS m2,
              list_sum(list_transform(embedding, x -> pow(x::DOUBLE - mu, 4))) / {_DIM} AS m4
       FROM m)
-    SELECT vec_id, ROUND(mu, 6) AS mean, ROUND(sqrt(m2), 6) AS std,
-           ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+    SELECT vec_id, ROUND(mu, 6) + 0.0 AS mean, ROUND(sqrt(m2), 6) + 0.0 AS std,
+           ROUND(m4 / (m2 * m2) - 3.0, 6) + 0.0 AS kurtosis
     FROM mo
     """,
 )
@@ -95,9 +97,9 @@ def q62_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = chain.process_df(emb, "embedding", new_key="agg")
     return out.select(
         "vec_id",
-        F.round(F.element_at("agg", 1), 6).alias("mean"),
-        F.round(F.element_at("agg", 2), 6).alias("std"),
-        F.round(F.element_at("agg", 3), 6).alias("kurtosis"),
+        (F.round(F.element_at("agg", 1), 6) + F.lit(0.0)).alias("mean"),
+        (F.round(F.element_at("agg", 2), 6) + F.lit(0.0)).alias("std"),
+        (F.round(F.element_at("agg", 3), 6) + F.lit(0.0)).alias("kurtosis"),
     )
 
 
@@ -113,7 +115,7 @@ def q62_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(list_max(embedding))::DOUBLE AS mx
       FROM embeddings)
     SELECT vec_id,
-           list_transform(embedding, x -> round((x::DOUBLE - mn) / (mx - mn), 6)) AS normed
+           list_transform(embedding, x -> round((x::DOUBLE - mn) / (mx - mn), 6) + 0.0) AS normed
     FROM embeddings, mm
     """,
 )
@@ -134,7 +136,7 @@ def q63_normalizer_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            list_transform(generate_series(1, {_DIM}),
                           j -> round(embedding[j]::DOUBLE
-                                     * (0.54 - 0.46 * cos(2 * pi() * (j - 1) / {_DIM})), 6)) AS windowed
+                                     * (0.54 - 0.46 * cos(2 * pi() * (j - 1) / {_DIM})), 6) + 0.0) AS windowed
     FROM embeddings
     """,
 )
@@ -164,7 +166,7 @@ def _dft_mag_sql(dim: int) -> str:
 @query(
     "q65_fft_magnitude",
     oracle=f"""
-    SELECT vec_id, CAST(k AS INT) AS bin, {_dft_mag_sql(_DIM)} AS mag
+    SELECT vec_id, CAST(k AS INT) AS bin, {_dft_mag_sql(_DIM)} + 0.0 AS mag
     FROM embeddings, UNNEST(generate_series(0, {_DIM // 2})) AS t(k)
     """,
 )
@@ -174,7 +176,7 @@ def q65_fft_magnitude(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = chain.process_df(emb, "embedding", new_key="spec")
     return out.select(
         "vec_id", F.posexplode("spec").alias("bin", "mag")
-    ).select("vec_id", "bin", F.round("mag", 4).alias("mag"))
+    ).select("vec_id", "bin", (F.round("mag", 4) + F.lit(0.0)).alias("mag"))
 
 
 # --------------------------------------------------------------------- #
@@ -220,7 +222,7 @@ def q66_fir_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_transform(generate_series(0, {(_DIM - 8) // 4}),
              f -> list_transform(generate_series(1, 8),
                     k -> round(embedding[f * 4 + k]::DOUBLE
-                               * (0.54 - 0.46 * cos(2 * pi() * (k - 1) / 8)), 6))) AS frames
+                               * (0.54 - 0.46 * cos(2 * pi() * (k - 1) / 8)), 6) + 0.0)) AS frames
     FROM embeddings
     """,
 )
@@ -243,7 +245,7 @@ def q67_framing_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q68_chain_inverse",
     oracle="""
-    SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE, 6)) AS roundtrip
+    SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE, 6) + 0.0) AS roundtrip
     FROM embeddings
     """,
 )

@@ -1,0 +1,92 @@
+"""Source / materialization query catalog entries (SURVEY §2.1) with
+DuckDB oracles.
+
+The folder-scan oracles run DuckDB's read_blob/glob over the committed
+fixture tree at tests/fixtures/audiodb — a genuinely independent listing
+of the same directory the Spark binaryFile source scans. Content-level
+decode checks live in tests/test_sources.py (DuckDB's blob→varchar cast
+escapes bytes, so content hashes can't cross engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dabstract_spark.processing import ProcessingChain
+from dabstract_spark.queries import _t, query
+from dabstract_spark.sources import attach_csv_metadata, folder_dataset, get_dir_info
+
+FIXTURE_DIR = "/root/repo/tests/fixtures/audiodb"
+FIXTURE_CSV = f"{FIXTURE_DIR}/meta/labels.csv"
+
+
+# --------------------------------------------------------------------- #
+# prepare_feat (§2.1 sink + re-source): materialized == directly-computed
+# --------------------------------------------------------------------- #
+@query(
+    "q69_prepare_feat_roundtrip",
+    oracle="""
+    SELECT vec_id,
+           list_transform(embedding, x -> round(x::DOUBLE / 32767.0, 6) + 0.0) AS feat
+    FROM embeddings
+    """,
+)
+def q69_prepare_feat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.dataset import Dataset
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ds = Dataset(emb.withColumn("row_id", F.col("vec_id").cast("bigint")), name="emb_feat")
+    chain = ProcessingChain().add("Scaler", {"type": "int16"})
+    # overwrite=True: the roundtrip must prove THIS run's write+re-read
+    ds = ds.prepare_feat("embedding", "scaled_v1", chain, new_key="feat", overwrite=True)
+    return ds.full_df.select(
+        F.col("vec_id"),
+        F.transform(F.col("feat"), lambda x: F.round(x, 6) + F.lit(0.0)).alias("feat"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Folder/binary scan source (§2.1 get_dir_info): filepath/filename/
+# example/subdb derivation + ordinal row_id vs an independent DuckDB glob
+# --------------------------------------------------------------------- #
+@query(
+    "q70_folder_scan",
+    oracle=f"""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY filename) - 1 AS BIGINT) AS row_id,
+           regexp_extract(filename, '([^/]+)$', 1) AS fname,
+           regexp_extract(filename, '([^/]+)/[^/]+$', 1) AS subdb,
+           regexp_replace(regexp_extract(filename, '([^/]+)$', 1), '\\.wav$', '') AS example,
+           size AS n_bytes
+    FROM read_blob('{FIXTURE_DIR}/*/*.wav')
+    """,
+)
+def q70_folder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    info = get_dir_info(spark, FIXTURE_DIR, extension=".wav")
+    return info.select(
+        "row_id",
+        F.col("filename").alias("fname"),
+        "subdb",
+        "example",
+        "n_bytes",
+    )
+
+
+# --------------------------------------------------------------------- #
+# Connector (§2.1 dbs/*): folder scan + CSV metadata alignment join
+# --------------------------------------------------------------------- #
+@query(
+    "q71_csv_connector",
+    oracle=f"""
+    SELECT regexp_extract(b.filename, '([^/]+)/[^/]+$', 1) AS subdb,
+           regexp_extract(b.filename, '([^/]+)$', 1) AS fname,
+           m.anomaly
+    FROM read_blob('{FIXTURE_DIR}/*/*.wav') b
+    LEFT JOIN read_csv_auto('{FIXTURE_CSV}') m
+      ON m.filepath = regexp_extract(b.filename, '([^/]+/[^/]+)$', 1)
+    """,
+)
+def q71_csv_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = folder_dataset(spark, FIXTURE_DIR, extension=".wav").reset_active_keys()
+    ds = ds.add("relpath", F.concat_ws("/", F.col("subdb"), F.col("filename")))
+    ds = attach_csv_metadata(ds, FIXTURE_CSV, on=("relpath", "filepath"))
+    return ds.full_df.select("subdb", F.col("filename").alias("fname"), "anomaly")

@@ -1,0 +1,154 @@
+"""Folder/binary source + decoder + prepare_feat tests (reference:
+tests/test_dataset.py:77-109 construction/access and :401-415
+prepare_feat equivalence, against the committed audiodb fixture)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dabstract_spark.dataset import Dataset
+from dabstract_spark.processing import ProcessingChain
+from dabstract_spark.sources import (
+    attach_csv_metadata,
+    decode_image,
+    decode_npy,
+    decode_wav,
+    folder_dataset,
+    get_dir_info,
+    sample_video_frames,
+    wav_info,
+)
+
+FIXTURES = "/root/repo/tests/fixtures/audiodb"
+FS, N = 800, 160
+
+
+def test_get_dir_info_listing(spark):
+    info = get_dir_info(spark, FIXTURES, extension=".wav")
+    rows = sorted(info.collect(), key=lambda r: r.row_id)
+    assert len(rows) == 8
+    # sorted-walk ordinal: abnormal/* sorts before normal/*
+    assert rows[0].subdb == "abnormal" and rows[0].filename == "ex_000.wav"
+    assert rows[3].subdb == "normal"
+    assert rows[0].example == "ex_000"
+    assert all(r.n_bytes == 364 for r in rows)
+    assert [r.row_id for r in rows] == list(range(8))
+
+
+def test_get_dir_info_cache_roundtrip(spark, tmp_path):
+    cache = str(tmp_path / "file_info.parquet")
+    a = get_dir_info(spark, FIXTURES, file_info_save_path=cache)
+    assert os.path.exists(os.path.join(cache, "_SUCCESS"))
+    b = get_dir_info(spark, FIXTURES, file_info_save_path=cache)
+    assert sorted(r.filepath for r in a.collect()) == sorted(
+        r.filepath for r in b.collect()
+    )
+
+
+def test_get_dir_info_audio_probe(spark):
+    info = get_dir_info(spark, FIXTURES, audio_info=True)
+    r = info.collect()[0]
+    assert r.fs == FS and r.n_samples == N
+    assert abs(r.time_step - 1.0 / FS) < 1e-12
+
+
+def test_folder_dataset_decode_matches_generated_tone(spark):
+    ds = folder_dataset(spark, FIXTURES, map_fct=lambda c: decode_wav(c))
+    full = ds.reset_active_keys().full_df
+    row = full.filter("subdb = 'normal' AND example = 'ex_001'").collect()[0]
+    # tools/gen_fixtures.py: normal ex_001 is a 47 Hz tone at amp 0.5
+    expect = [
+        round(0.5 * math.sin(2 * math.pi * 47.0 * i / FS) * 32767) / 32768.0
+        for i in range(N)
+    ]
+    np.testing.assert_allclose(row.data, expect, atol=1e-12)
+
+
+def test_wav_info_struct(spark):
+    ds = folder_dataset(spark, FIXTURES)
+    df = ds.full_df.withColumn("wi", wav_info("data"))
+    r = df.select("wi.fs", "wi.n_samples").collect()[0]
+    assert (r.fs, r.n_samples) == (FS, N)
+
+
+def test_decode_npy_roundtrip(spark, tmp_path):
+    import io
+
+    arr = np.arange(10, dtype=np.float64) * 1.5
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    df = spark.createDataFrame([(bytearray(buf.getvalue()),)], "payload binary")
+    got = df.select(decode_npy("payload").alias("x")).collect()[0].x
+    np.testing.assert_allclose(got, arr)
+
+
+def test_multimodal_stubs(spark):
+    df = spark.createDataFrame([(bytearray(b"fake-image-bytes"),)], "payload binary")
+    # real mode is an explicit, documented stub
+    with pytest.raises(NotImplementedError):
+        decode_image("payload", mode="real")
+    with pytest.raises(NotImplementedError):
+        sample_video_frames("payload", mode="real")
+    img = df.select(decode_image("payload", 4, 6, mode="fake").alias("m")).collect()[0].m
+    assert len(img) == 4 and len(img[0]) == 6
+    # deterministic: same bytes -> same fake pixels
+    img2 = df.select(decode_image("payload", 4, 6, mode="fake").alias("m")).collect()[0].m
+    assert img == img2
+    vid = df.select(
+        sample_video_frames("payload", n_frames=3, height=2, width=2, mode="fake").alias("v")
+    ).collect()[0].v
+    assert len(vid) == 3 and len(vid[0]) == 2
+
+
+def test_csv_connector_alignment(spark):
+    ds = folder_dataset(spark, FIXTURES).reset_active_keys()
+    ds = ds.add("relpath", F.concat_ws("/", F.col("subdb"), F.col("filename")))
+    out = attach_csv_metadata(ds, f"{FIXTURES}/meta/labels.csv", on=("relpath", "filepath"))
+    got = {(r.subdb, r.anomaly) for r in out.full_df.select("subdb", "anomaly").collect()}
+    assert got == {("normal", 0), ("abnormal", 1)}
+
+
+def test_prepare_feat_skip_if_exists_and_overwrite(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(4)], "row_id bigint, x array<double>"
+    )
+    ds = Dataset(df, name="t")
+    chain = ProcessingChain().add("Scaler", {"type": "wav_2_01"})
+    base = str(tmp_path / "feat")
+    out1 = ds.prepare_feat("x", "v1", chain, feat_base_dir=base)
+    path = os.path.join(base, "t", "x", "v1")
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert os.path.exists(path + "_chain_spec.json")
+    mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    # second call skips the write (same _SUCCESS mtime), still correct
+    out2 = ds.prepare_feat("x", "v1", chain, feat_base_dir=base)
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
+    a = sorted((r.row_id, tuple(r.x)) for r in out1.full_df.collect())
+    b = sorted((r.row_id, tuple(r.x)) for r in out2.full_df.collect())
+    assert a == b
+    assert a[1][1] == (1.0, 1.5)
+    # overwrite=True rewrites
+    ds.prepare_feat("x", "v1", chain, feat_base_dir=base, overwrite=True)
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) >= mtime
+
+
+def test_prepare_feat_materialized_equals_direct(spark, tmp_path):
+    """Reference tests/test_dataset.py:401-415: materialized features
+    equal direct chain application."""
+    df = spark.createDataFrame(
+        [(i, [float(i) * 3, 1.0]) for i in range(5)], "row_id bigint, x array<double>"
+    )
+    ds = Dataset(df, name="eq")
+    chain = ProcessingChain().add("Logarithm", {"type": "natural"}).add(
+        lambda c: F.transform(c, lambda v: v + F.lit(1.0))
+    )
+    direct = ds.add_map("x", chain, new_key="feat")
+    mat = ds.prepare_feat("x", "v1", chain, new_key="feat", feat_base_dir=str(tmp_path))
+    a = sorted((r.row_id, tuple(r.feat)) for r in direct.full_df.collect())
+    b = sorted((r.row_id, tuple(r.feat)) for r in mat.full_df.collect())
+    assert a == b
