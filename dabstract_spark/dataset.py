@@ -308,25 +308,62 @@ class Dataset:
     # ------------------------------------------------------------------ #
     def add_split(
         self,
-        key: str,
-        split_size: int,
+        key: str | list[str],
+        split_size: float,
+        type: str = "samples",
+        constraint: str | None = None,
+        rate=None,
         chunk_col: str = "chunk_id",
         drop_last_partial: bool = False,
     ) -> "Dataset":
-        """Chop ``key`` (array or string column) into consecutive chunks;
-        one output row per chunk, all other columns replicated
-        automatically (the reference's Split + SampleReplicate dance is a
-        single explode here)."""
+        """Chop array/string column(s) into consecutive chunks; one output
+        row per chunk, all other columns replicated automatically (the
+        reference's Split + SampleReplicate dance, dataset.py:287-428, is
+        a single explode here).
+
+        - ``type='samples'``: ``split_size`` is an element count.
+        - ``type='seconds'``: window = round(split_size * rate) per key;
+          ``rate`` is a number, a rate-column name, or a per-key dict of
+          either (the reference derives it from each key's info fs).
+        - ``constraint='power2'``: window rounded up to the next power of
+          two (reference abstract.py:955-987).
+        - multiple keys: each key chunked by its own window, chunk count
+          normalized to the minimum across keys (min-duration
+          normalization, dataset.py:379-393).
+        """
         from dabstract_spark.operators import split as sp
 
-        dtype = dict(self._df.dtypes)[key]
-        if dtype.startswith("array"):
-            out = sp.split_array(self._df, key, split_size, chunk_col, drop_last_partial)
-        elif dtype == "string":
-            out = sp.split_text(self._df, key, split_size, chunk_col)
-        else:
-            raise TypeError(f"add_split expects array/string column, got {dtype}")
-        return self._evolve(out)
+        keys = [key] if isinstance(key, str) else list(key)
+        dtypes = dict(self._df.dtypes)
+
+        if len(keys) == 1 and type == "samples" and constraint is None and dtypes[keys[0]] == "string":
+            out = sp.split_text(self._df, keys[0], int(split_size), chunk_col)
+            return self._evolve(out)
+
+        def rate_for(k) -> Column:
+            r = rate[k] if isinstance(rate, dict) else rate
+            if r is None:
+                raise ValueError(f"type='seconds' needs a rate for key '{k}'")
+            return F.col(r) if isinstance(r, str) else F.lit(float(r))
+
+        windows: dict[str, Column] = {}
+        for k in keys:
+            if not dtypes[k].startswith("array"):
+                raise TypeError(f"add_split expects array columns, got {dtypes[k]} for '{k}'")
+            if type == "seconds":
+                w = F.round(F.lit(float(split_size)) * rate_for(k)).cast("int")
+            elif type == "samples":
+                w = F.lit(int(split_size))
+            else:
+                raise ValueError(f"unknown split type '{type}'")
+            if constraint == "power2":
+                w = sp.next_pow2(w)
+            elif constraint is not None:
+                raise ValueError(f"unknown constraint '{constraint}'")
+            windows[k] = w
+        return self._evolve(
+            sp.split_multi(self._df, windows, chunk_col, drop_last_partial)
+        )
 
     def sample_replicate(self, factor, rep_col: str = "replica_id") -> "Dataset":
         from dabstract_spark.operators import split as sp

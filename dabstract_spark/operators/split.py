@@ -61,6 +61,52 @@ def split_text(
     )
 
 
+def next_pow2(n: Column) -> Column:
+    """Smallest power of two ≥ n (the reference's 'power2' constraint,
+    dataset.py:287-428 via abstract.py:955-987)."""
+    return F.pow(F.lit(2.0), F.ceil(F.log2(n.cast("double")))).cast("int")
+
+
+def split_multi(
+    df: DataFrame,
+    windows: dict[str, Column],
+    chunk_col: str = "chunk_id",
+    drop_last_partial: bool = False,
+) -> DataFrame:
+    """Chunk SEVERAL array columns in one explode, each by its own
+    (possibly per-row) window size, with the chunk count normalized to
+    the minimum across keys — the reference add_split's min-duration
+    normalization (dataset.py:379-393) and equal-length assert
+    (dataset.py:412-417), which the relational form makes structural:
+    one chunk_id drives every key, so alignment cannot drift.
+
+    ``windows``: key -> window length in ELEMENTS (Column; callers
+    convert seconds→samples with their rate columns first).
+    """
+    if not windows:
+        raise ValueError("split_multi needs at least one key")
+    staged = df
+    n_chunk_cols = []
+    for i, (key, w) in enumerate(windows.items()):
+        wc, nc = f"__w{i}", f"__n{i}"
+        n = F.size(F.col(key))
+        w_int = w.cast("int")
+        n_chunks = (
+            F.floor(n / w_int) if drop_last_partial else F.ceil(n / w_int.cast("double"))
+        ).cast("int")
+        staged = staged.withColumn(wc, w_int).withColumn(nc, n_chunks)
+        n_chunk_cols.append(nc)
+    total = F.least(*[F.col(c) for c in n_chunk_cols]) if len(n_chunk_cols) > 1 else F.col(n_chunk_cols[0])
+    out = staged.withColumn(chunk_col, F.explode(_safe_seq(0, total - 1)))
+    for i, key in enumerate(windows):
+        wc = f"__w{i}"
+        out = out.withColumn(
+            key, F.slice(F.col(key), F.col(chunk_col) * F.col(wc) + 1, F.col(wc))
+        )
+    drop = [c for i in range(len(windows)) for c in (f"__w{i}", f"__n{i}")]
+    return out.drop(*drop)
+
+
 def sample_replicate(df: DataFrame, factor: int | Column, rep_col: str = "replica_id") -> DataFrame:
     """Repeat each row ``factor`` times (scalar or per-row Column expression)
     — reference SampleReplicateAbstract (abstract.py:746-883). replica_id

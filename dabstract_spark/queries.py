@@ -38,6 +38,7 @@ def query(name: str, oracle: str | None = None):
 
 def _load_catalogs() -> None:
     # Import registers the extension catalogs on first use.
+    import dabstract_spark.queries_api  # noqa: F401
     import dabstract_spark.queries_processing  # noqa: F401
     import dabstract_spark.queries_sources  # noqa: F401
     import dabstract_spark.queries_text  # noqa: F401

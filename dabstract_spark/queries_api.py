@@ -1,0 +1,157 @@
+"""Catalog entries for Dataset-API operators that round 1 left
+unit-tested but without oracle coverage (VERDICT r1 "What's missing" #9)
+plus the full add_split orchestration (seconds / power2 / multi-key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dabstract_spark.dataset import Dataset
+from dabstract_spark.functions.hashing import md5_order
+from dabstract_spark.queries import _t, query
+
+
+# --------------------------------------------------------------------- #
+# add_split type='seconds' with a per-row rate column (§2.5 full
+# orchestration): window = round(0.9 s * rate), chunks = ceil(64 / w)
+# --------------------------------------------------------------------- #
+@query(
+    "q72_add_split_seconds",
+    oracle="""
+    WITH r AS (
+      SELECT vec_id, embedding, (vec_id % 3 + 1) * 8 AS rate,
+             CAST(round(0.9 * ((vec_id % 3 + 1) * 8)) AS INT) AS w
+      FROM embeddings)
+    SELECT vec_id, CAST(c AS INT) AS chunk_id,
+           list_transform(embedding[CAST(c AS INT) * w + 1 : CAST(c AS INT) * w + w],
+                          x -> x::DOUBLE) AS chunk
+    FROM r, UNNEST(generate_series(0, CAST(ceil(64.0 / w) AS INT) - 1)) AS t(c)
+    """,
+)
+def q72_add_split_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "rate", (F.col("vec_id") % 3 + 1) * 8
+    )
+    ds = Dataset(emb, name="emb")
+    ds = ds.add_split("embedding", split_size=0.9, type="seconds", rate="rate")
+    return ds.full_df.select(
+        "vec_id",
+        "chunk_id",
+        F.col("embedding").cast("array<double>").alias("chunk"),
+    )
+
+
+# power2 constraint: window = next_pow2(round(0.3 * 20)) = 8
+@query(
+    "q73_add_split_power2",
+    oracle="""
+    SELECT vec_id, CAST(c AS INT) AS chunk_id,
+           list_transform(embedding[CAST(c AS INT) * 8 + 1 : CAST(c AS INT) * 8 + 8],
+                          x -> x::DOUBLE) AS chunk
+    FROM embeddings, UNNEST(generate_series(0, 7)) AS t(c)
+    """,
+)
+def q73_add_split_power2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = Dataset(_t(spark, sf_dir, "embeddings"), name="emb")
+    ds = ds.add_split("embedding", split_size=0.3, type="seconds", rate=20, constraint="power2")
+    return ds.full_df.select(
+        "vec_id", "chunk_id", F.col("embedding").cast("array<double>").alias("chunk")
+    )
+
+
+# --------------------------------------------------------------------- #
+# Dataset.add positional zip-join (§2.3): partial (row_id, value) frame
+# NULL-fills — the relational form of the reference's length-checked zip
+# --------------------------------------------------------------------- #
+@query(
+    "q74_zip_join_add",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey < 15 THEN upper(n_name) END AS uname
+    FROM nation
+    """,
+)
+def q74_zip_join_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    ds = Dataset(nation.withColumn("row_id", F.col("n_nationkey").cast("bigint")), name="nation")
+    vals = (
+        nation.filter(F.col("n_nationkey") < 15)
+        .select(F.col("n_nationkey").cast("bigint").alias("row_id"), F.upper("n_name").alias("v"))
+    )
+    ds = ds.add("uname", vals)
+    return ds.full_df.select("n_nationkey", "n_name", "uname")
+
+
+# --------------------------------------------------------------------- #
+# add_map + add_alias + remove (§2.2/§2.9)
+# --------------------------------------------------------------------- #
+@query(
+    "q75_map_alias_remove",
+    oracle="""
+    SELECT c_custkey, round(c_acctbal::DOUBLE / 100.0, 6) + 0.0 AS bal_pct,
+           c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def q75_map_alias_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    ds = Dataset(cust, name="customer")
+    ds = ds.add_map(
+        "c_acctbal",
+        lambda c: F.round(c.cast("double") / 100.0, 6) + F.lit(0.0),
+        new_key="bal_pct",
+    )
+    ds = ds.add_alias("c_mktsegment", "segment").remove("c_mktsegment")
+    return ds.full_df.select("c_custkey", "bal_pct", "segment")
+
+
+# --------------------------------------------------------------------- #
+# set_active_keys persistent projection (§2.2)
+# --------------------------------------------------------------------- #
+@query(
+    "q76_active_keys",
+    oracle="SELECT c_name, c_nationkey FROM customer",
+)
+def q76_active_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = Dataset(_t(spark, sf_dir, "customer"), name="customer")
+    return ds.set_active_keys(["c_name", "c_nationkey"]).df
+
+
+# --------------------------------------------------------------------- #
+# load_memory: cache is semantically transparent (§2.11)
+# --------------------------------------------------------------------- #
+@query(
+    "q77_load_memory",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q77_load_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = Dataset(_t(spark, sf_dir, "customer"), name="customer").load_memory()
+    return (
+        ds.full_df.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# exact-count random_subsample (§2.2, reference select.py:7-24): rank by
+# the md5 ordering, keep ceil(n * ratio)
+# --------------------------------------------------------------------- #
+@query(
+    "q78_random_subsample_exact",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    QUALIFY ROW_NUMBER() OVER (ORDER BY md5('11:' || CAST(s_suppkey AS VARCHAR)))
+            <= (SELECT CEIL(COUNT(*) * 0.25) FROM supplier)
+    """,
+)
+def q78_random_subsample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = Dataset(_t(spark, sf_dir, "supplier"), name="supplier")
+    out = ds.add_select("random_subsample", ratio=0.25, seed=11, key="s_suppkey")
+    return out.full_df.select("s_suppkey", "s_name")

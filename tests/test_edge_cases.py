@@ -115,3 +115,41 @@ def test_add_partial_column_keeps_cardinality(spark):
     ds = Dataset(base, name="t").add("x", extra)
     got = {r.row_id: r.x for r in ds.full_df.collect()}
     assert got == {0: 10, 1: None, 2: 30}
+
+
+def test_split_multi_min_normalization(spark):
+    """Two keys with different windows: chunk count normalizes to the
+    minimum across keys and both stay aligned on one chunk_id
+    (reference add_split's min-duration normalization + equal-length
+    assert, dataset.py:379-417)."""
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(12)], [float(i) * 10 for i in range(6)])],
+        "id int, a array<double>, b array<double>",
+    )
+    ds = Dataset(df, name="t")
+    # a: w=4 -> 3 chunks; b: w=4 -> 2 chunks (ceil 6/4) -> normalized to 2
+    out = ds.add_split(["a", "b"], split_size=4).full_df.collect()
+    assert len(out) == 2
+    got = sorted((r.chunk_id, tuple(r.a), tuple(r.b)) for r in out)
+    assert got[0] == (0, (0.0, 1.0, 2.0, 3.0), (0.0, 10.0, 20.0, 30.0))
+    assert got[1] == (1, (4.0, 5.0, 6.0, 7.0), (40.0, 50.0))
+
+
+def test_add_split_seconds_per_key_rates(spark):
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(8)], 4.0)], "id int, a array<double>, fs double"
+    )
+    ds = Dataset(df, name="t")
+    # 0.5 s at fs=4 -> window 2 -> 4 chunks
+    out = ds.add_split("a", split_size=0.5, type="seconds", rate="fs").full_df.collect()
+    assert len(out) == 4
+    assert sorted(tuple(r.a) for r in out)[0] == (0.0, 1.0)
+
+
+def test_add_split_power2_rounding(spark):
+    df = spark.createDataFrame([(1, [float(i) for i in range(10)])], "id int, a array<double>")
+    ds = Dataset(df, name="t")
+    # round(0.6 * 5) = 3 -> next pow2 = 4 -> ceil(10/4) = 3 chunks
+    out = ds.add_split("a", split_size=0.6, type="seconds", rate=5, constraint="power2").full_df.collect()
+    assert len(out) == 3
+    assert sorted(len(r.a) for r in out) == [2, 4, 4]
