@@ -155,3 +155,33 @@ def q78_random_subsample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = Dataset(_t(spark, sf_dir, "supplier"), name="supplier")
     out = ds.add_select("random_subsample", ratio=0.25, seed=11, key="s_suppkey")
     return out.full_df.select("s_suppkey", "s_name")
+
+
+# --------------------------------------------------------------------- #
+# YAML/dict config compiler (§2.1 dataset_from_config): a config-built
+# pipeline reproduces the direct-API query
+# --------------------------------------------------------------------- #
+@query(
+    "q79_config_pipeline",
+    oracle="SELECT doc_id, lang FROM documents WHERE lang IN ('en', 'qy')",
+)
+def q79_config_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.config import dataset_from_config
+
+    cfg = {
+        "datasets": [
+            {
+                "name": "parquet_table",
+                "parameters": {
+                    "paths": {"data": f"{sf_dir}/documents.parquet"},
+                    "row_key": "doc_id",
+                    "name": "docs",
+                },
+            }
+        ],
+        "select": [
+            {"name": "subsample_by_str", "parameters": {"key": "lang", "keep": ["en", "qy"]}}
+        ],
+    }
+    ds = dataset_from_config(spark, cfg)
+    return ds.full_df.select("doc_id", "lang")

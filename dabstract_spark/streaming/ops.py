@@ -1,0 +1,132 @@
+"""Streaming event operators (SURVEY §2.12 extension; no reference
+analog — pure Spark Structured Streaming).
+
+Scale notes: every stateful op carries a watermark so state is bounded
+(late data beyond the watermark is dropped — the documented trade vs the
+batch forms, which see everything). Aggregations shuffle on their group
+keys exactly like the batch plans; ``availableNow`` triggers process a
+backlog with the same bounded-state guarantees.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    ts_col: str = "ts",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream over an events parquet path. The schema is probed with
+    a one-off batch read (file sources require an explicit schema), and
+    nano-second int64 timestamps are normalized exactly like
+    session.load_table (integer div — float division loses precision)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # the file-stream source needs a DIRECTORY basePath; a single-file
+    # fixture streams via its parent dir + a name filter
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.parquet(path)
+    for field in schema.fields:
+        if field.name == ts_col and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    return df
+
+
+def tumbling_agg_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Streaming twin of events.tumbling_agg: watermarked tumbling-window
+    aggregate. State per (window, group) is dropped once the watermark
+    passes the window end."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, width).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n_events", "sum_value")
+    )
+
+
+def session_agg_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization via the native ``session_window`` (gap
+    semantics identical to the batch gaps-and-islands form: a session
+    extends while consecutive events are within the gap). Emits one row
+    per closed session with the same stats as events.session_stats
+    (session identity is the window itself rather than an ordinal id —
+    the streaming-native formulation)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(ts_col, f"{gap_minutes} minutes").alias("sw"),
+            user_col,
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(f"(max(unix_micros({ts_col})) - min(unix_micros({ts_col}))) div 1000000").alias(
+                "duration_sec"
+            ),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(user_col, "n_events", "duration_sec", "sum_value")
+    )
+
+
+def latest_dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming dedup: first occurrence per key within the watermark
+    (``dropDuplicatesWithinWatermark``). NB: streaming keeps the FIRST
+    arrival while the batch latest_event_dedup keeps the LATEST — the
+    inherent difference between online and offline dedup; use event_id
+    keys (exactly-once delivery) where first==latest."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str | None = None, timeout_sec: int = 120) -> DataFrame:
+    """Drain a (bounded) stream with trigger=availableNow into a memory
+    sink and return the result as a batch DataFrame — the test harness
+    for stream==batch metamorphic checks."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming and _has_agg(stream_df) else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return stream_df.sparkSession.table(name)
+
+
+def _has_agg(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan

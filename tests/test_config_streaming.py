@@ -1,0 +1,152 @@
+"""Config-compiler and streaming tests.
+
+- dataset_from_config builds the same plan as direct API calls
+  (reference helpers.py:14-93 parity), YAML custom tags resolve
+  (utils.py:13-146).
+- Streaming twins reproduce the batch operators' results on the same
+  fixture (metamorphic stream==batch check; trigger=availableNow).
+"""
+
+from __future__ import annotations
+
+import textwrap
+
+from pyspark.sql import functions as F
+
+from dabstract_spark.config import dataset_from_config, load_yaml_config
+from dabstract_spark.operators import events as ev
+from dabstract_spark.session import load_table
+from dabstract_spark.streaming import (
+    latest_dedup_stream,
+    run_to_memory,
+    session_agg_stream,
+    stream_events,
+    tumbling_agg_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_config_dict_pipeline_matches_direct(spark):
+    cfg = {
+        "datasets": [
+            {
+                "name": "parquet_table",
+                "parameters": {
+                    "paths": {"data": f"{SF}/documents.parquet"},
+                    "row_key": "doc_id",
+                    "name": "docs",
+                },
+            }
+        ],
+        "select": [
+            {"name": "subsample_by_str", "parameters": {"key": "lang", "keep": ["en", "qy"]}}
+        ],
+    }
+    ds = dataset_from_config(spark, cfg)
+    got = sorted(r.doc_id for r in ds.full_df.select("doc_id").collect())
+    direct = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("lang").isin("en", "qy"))
+        .select("doc_id")
+        .collect()
+    )
+    assert got == direct and len(got) > 0
+
+
+def test_config_concat_and_xval(spark):
+    base = {
+        "name": "parquet_table",
+        "parameters": {
+            "paths": {"data": f"{SF}/documents.parquet"},
+            "row_key": "doc_id",
+        },
+    }
+    cfg = {
+        "datasets": [base, base],
+        "xval": {"name": "random_kfold", "parameters": {"key": "row_id", "folds": 3}},
+    }
+    ds = dataset_from_config(spark, cfg)
+    n_single = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(ds) == 2 * n_single
+    assert ds.full_df.select("dataset_id").distinct().count() == 2
+    test0 = ds.get_xval_set("test", fold=0)
+    assert 0 < len(test0) < 2 * n_single
+
+
+def test_yaml_tags(spark, tmp_path):
+    (tmp_path / "cfg.yaml").write_text(
+        textwrap.dedent(
+            """
+            base: !join [ab, cd]
+            us: !usjoin [a, b, c]
+            p: !pathjoin [/root, testdata]
+            injected: !kwarg [paths, data]
+            """
+        )
+    )
+    cfg = load_yaml_config("cfg", str(tmp_path), paths={"data": "/x/y"})
+    assert cfg == {"base": "abcd", "us": "a_b_c", "p": "/root/testdata", "injected": "/x/y"}
+
+
+def test_yaml_config_to_dataset(spark, tmp_path):
+    (tmp_path / "db.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            datasets:
+              - name: parquet_table
+                parameters:
+                  paths:
+                    data: !pathjoin [{SF}, documents.parquet]
+                  row_key: doc_id
+            select:
+              - name: threshold_subsample
+                parameters: {{ratio: 0.5, key: doc_id}}
+            """
+        )
+    )
+    ds = load_yaml_config(
+        "db", str(tmp_path), post_process=lambda cfg: dataset_from_config(spark, cfg)
+    )
+    n_all = spark.read.parquet(f"{SF}/documents.parquet").count()
+    n = len(ds)
+    assert 0 < n < n_all
+
+
+# ------------------------------------------------------------------ #
+# streaming == batch metamorphic checks
+# ------------------------------------------------------------------ #
+def _events_stream(spark):
+    return stream_events(spark, f"{SF}/events.parquet")
+
+
+def test_stream_tumbling_equals_batch(spark):
+    batch = ev.tumbling_agg(load_table(spark, SF, "events"), width="1 hour")
+    stream = tumbling_agg_stream(_events_stream(spark), width="1 hour")
+    got = run_to_memory(stream)
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_stream_session_equals_batch(spark):
+    batch = ev.session_stats(load_table(spark, SF, "events"), gap_minutes=30)
+    b_stats = sorted(
+        (r.user_id, r.n_events, r.duration_sec, r.sum_value) for r in batch.collect()
+    )
+    stream = session_agg_stream(_events_stream(spark), gap_minutes=30)
+    got = run_to_memory(stream)
+    s_stats = sorted(
+        (r.user_id, r.n_events, r.duration_sec, r.sum_value) for r in got.collect()
+    )
+    assert s_stats == b_stats and len(s_stats) > 0
+
+
+def test_stream_dedup_bounded(spark):
+    stream = latest_dedup_stream(_events_stream(spark), key_cols=("event_id",))
+    got = run_to_memory(stream)
+    batch = load_table(spark, SF, "events")
+    # event_id is unique in the fixture: dedup is the identity on counts
+    assert got.count() == batch.count()
+    assert got.select("event_id").distinct().count() == batch.count()
