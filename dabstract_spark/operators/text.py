@@ -35,10 +35,11 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("bigint")
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Word k-gram shingle strings — the dedup unit for MinHash/Jaccard.
-    Rows with fewer than k tokens produce an empty array."""
-    t = tokens(col)
+def shingles_from_tokens(t: Column, k: int = 3) -> Column:
+    """k-gram shingles over an ALREADY-STAGED token array column. Callers
+    that stage tokens as a real column avoid re-tokenizing per reference
+    (this expression references its input 3×; a raw tokens() expression
+    would run the regex split 3× per row)."""
     n = F.size(t)
     return F.when(n >= k,
         F.transform(
@@ -46,6 +47,13 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
             lambda i: F.array_join(F.slice(t, i, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingle strings — the dedup unit for MinHash/Jaccard.
+    Rows with fewer than k tokens produce an empty array. Prefer staging
+    tokens as a column + shingles_from_tokens in hot paths."""
+    return shingles_from_tokens(tokens(col), k)
 
 
 def punct_ratio(col: Column | str) -> Column:

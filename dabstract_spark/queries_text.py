@@ -28,10 +28,15 @@ def _shingles(c: str, k: int = 3) -> str:
     )
 
 
+# mirrors operators/dedup.py's universal-hash MinHash family: one md5
+# per shingle folded to bigint mod p, then (a_i*h + b_i) mod p per fn
+_HS = "list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)"
+
+
 def _minhash_list(n_hashes: int) -> str:
-    """[mh_0, ..., mh_n] over a CTE column named sh."""
+    """[mh_0, ..., mh_n] over a CTE column named hs (staged base hashes)."""
     mins = ", ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min')"
+        f"list_aggregate(list_transform(hs, h -> (h * {2 * i + 1} + {7919 * i}) % 2147483647), 'min')"
         for i in range(n_hashes)
     )
     return f"[{mins}]"
@@ -150,7 +155,8 @@ def q44_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q45_minhash_bands",
     oracle=f"""
     WITH s AS (SELECT doc_id, {_shingles('text', 3)} AS sh FROM documents),
-         sig AS (SELECT doc_id, {_minhash_list(16)} AS mh FROM s WHERE len(sh) > 0)
+         sh2 AS (SELECT doc_id, {_HS} AS hs FROM s WHERE len(sh) > 0),
+         sig AS (SELECT doc_id, {_minhash_list(16)} AS mh FROM sh2)
     SELECT doc_id, CAST(b AS INT) AS band_id,
            md5(array_to_string(mh[b*4+1 : b*4+4], ',')) AS band_hash
     FROM sig, UNNEST(generate_series(0, 3)) AS t(b)
@@ -165,7 +171,8 @@ def q45_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q46_minhash_candidate_pairs",
     oracle=f"""
     WITH s AS (SELECT doc_id, {_shingles('text', 3)} AS sh FROM documents),
-         sig AS (SELECT doc_id, {_minhash_list(16)} AS mh FROM s WHERE len(sh) > 0),
+         sh2 AS (SELECT doc_id, {_HS} AS hs FROM s WHERE len(sh) > 0),
+         sig AS (SELECT doc_id, {_minhash_list(16)} AS mh FROM sh2),
          bands AS (
            SELECT doc_id, b AS band_id,
                   md5(array_to_string(mh[b*4+1 : b*4+4], ',')) AS band_hash
