@@ -148,6 +148,100 @@ def topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _centroid_rank_exprs(
+    vec_col: Column, centroids: list[tuple[int, list[float]]]
+) -> list[tuple[int, Column]]:
+    """(centroid_id, cosine-sim Column) per centroid, with the centroid
+    vectors folded in as literal arrays — the whole assignment is
+    map-side expression work, no join, no shuffle."""
+    out = []
+    for cid, cvec in centroids:
+        lit_vec = F.array(*[F.lit(float(v)) for v in cvec])
+        out.append((cid, cosine(vec_col, lit_vec)))
+    return out
+
+
+def _argmax_centroid(sims: list[tuple[int, Column]]) -> Column:
+    """Fold argmax with strict > — ties break to the LOWEST centroid id
+    (mirrors ORDER BY sim DESC, cid ASC in the oracle)."""
+    best_id, best_sim = F.lit(sims[0][0]), sims[0][1]
+    for cid, s in sims[1:]:
+        new_best = F.when(s > best_sim, F.lit(cid)).otherwise(best_id)
+        best_sim = F.when(s > best_sim, s).otherwise(best_sim)
+        best_id = new_best
+    return best_id
+
+
+def ivf_centroids(
+    df: DataFrame, n_centroids: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seed centroids: the n lowest-id vectors, collected
+    driver-side (tiny). A k-means refinement can replace this seeding
+    without touching assignment/probe code (each iteration = one
+    groupBy(cid) average over the corpus)."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(id_col) < n_centroids)
+        .collect()
+    )
+    return sorted((int(r[0]), [float(v) for v in r[1]]) for r in rows)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cluster assignment: argmax cosine over the (broadcast-as-
+    literals) centroid set. Pure map-side — at 100 TB this is a scan
+    with K fused dot products per row, no shuffle at all."""
+    sims = _centroid_rank_exprs(F.col(vec_col), centroids)
+    return df.withColumn("centroid_id", _argmax_centroid(sims))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    clusters and exact-ranks only the corpus rows assigned there — the
+    inverted-file pruning that makes ANN sub-linear. The query side is
+    small and broadcast; the corpus is scanned once with its map-side
+    cluster assignment."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    qsims = _centroid_rank_exprs(F.col(vec_col), centroids)
+    # nprobe nearest centroids per query as a literal-sized sorted array
+    probe_structs = F.array(
+        *[F.struct(s.alias("sim"), F.lit(cid).alias("cid")) for cid, s in qsims]
+    )
+    probes = F.slice(
+        F.reverse(F.array_sort(probe_structs)), 1, nprobe
+    )  # sort asc (sim, cid) -> reverse = sim desc, cid desc; ties rare with real sims
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.transform(probes, lambda p: p["cid"]).alias("__probes"),
+    )
+    joined = assigned.join(
+        F.broadcast(q),
+        F.array_contains(F.col("__probes"), F.col("centroid_id"))
+        & (F.col("query_id") != F.col(id_col)),
+    )
+    scored = joined.select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -307,6 +307,83 @@ def q50_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"j -> ({a}[j])::DOUBLE * ({b}[j])::DOUBLE))"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"{_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)})"
+
+
+@query(
+    "q80_ivf_assign",
+    # IVF cluster assignment with deterministic seed centroids (the 8
+    # lowest-id vectors). Spark folds the centroids in as literal arrays
+    # (zero-shuffle map-side argmax); the oracle derives the identical
+    # centroids relationally. Ties break to the lowest centroid id.
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.cvec')} AS sim
+      FROM embeddings e CROSS JOIN cent c)
+    SELECT vec_id, CAST(cid AS INT) AS centroid_id
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+    """,
+)
+def q80_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(emb, n_centroids=8)
+    return sim.ivf_assign(emb, cents).select("vec_id", "centroid_id")
+
+
+@query(
+    "q81_ivf_topk",
+    # IVF top-k with nprobe=2: per query, rank only the corpus rows
+    # assigned to its 2 nearest clusters. Probe ties break to the HIGHER
+    # centroid id (array_sort-then-reverse on the Spark side).
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.cvec')} AS sim
+        FROM embeddings e CROSS JOIN cent c)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1),
+    qp AS (
+      SELECT q.vec_id AS query_id, c.cid FROM (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+      CROSS JOIN cent c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cid DESC) <= 2),
+    scored AS (
+      SELECT qp.query_id, a.vec_id,
+             ROUND({_cos_sql('qe.embedding', 'e.embedding')}, 6) AS sim
+      FROM qp
+      JOIN assign a ON a.cid = qp.cid AND a.vec_id <> qp.query_id
+      JOIN embeddings qe ON qe.vec_id = qp.query_id
+      JOIN embeddings e ON e.vec_id = a.vec_id)
+    SELECT query_id, vec_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def q81_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(emb, n_centroids=8)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(emb, queries_df, cents, k=3, nprobe=2).select(
+        "query_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
 @query(
     "q51_lsh_buckets",
     oracle=f"""
