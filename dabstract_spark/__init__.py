@@ -12,8 +12,16 @@ Catalyst owns optimization, and Python touches data only through
 Arrow-vectorized pandas UDFs.
 """
 
-from dabstract_spark.session import get_spark
+from dabstract_spark.config import dataset_from_config, load_yaml_config
 from dabstract_spark.dataset import Dataset
+from dabstract_spark.processing import ProcessingChain
+from dabstract_spark.session import get_spark
 
-__all__ = ["get_spark", "Dataset"]
-__version__ = "0.1.0"
+__all__ = [
+    "get_spark",
+    "Dataset",
+    "ProcessingChain",
+    "dataset_from_config",
+    "load_yaml_config",
+]
+__version__ = "0.2.0"

@@ -283,13 +283,23 @@ class Dataset:
     # ------------------------------------------------------------------ #
     # aggregation-ish management (dataset.py:636-701, :260-271)
     # ------------------------------------------------------------------ #
-    def get_unique(self, key: str, return_idx: bool = False) -> DataFrame:
+    def get_unique(
+        self,
+        key: str,
+        return_idx: bool = False,
+        set_name: str | None = None,
+        fold: int = 0,
+    ) -> DataFrame:
         """Distinct values of a column; with ``return_idx`` also the sorted
-        row_id group per value (dataset.py:636-701)."""
+        row_id group per value. ``set_name``/``fold`` restrict to one xval
+        view first (reference dataset.py:636-701's fold/set arguments)."""
+        src = (
+            self if set_name is None else self.get_xval_set(set_name, fold)
+        )._df
         if not return_idx:
-            return self._df.select(key).distinct().orderBy(key)
+            return src.select(key).distinct().orderBy(key)
         return (
-            self._df.groupBy(key)
+            src.groupBy(key)
             .agg(F.sort_array(F.collect_list(ROW_ID)).alias("row_ids"))
             .orderBy(key)
         )

@@ -30,6 +30,26 @@ def tumbling_agg(
     )
 
 
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Sliding-window aggregate: each event lands in width/slide
+    overlapping windows (batch form of the streaming sliding agg).
+    Returns (window_start, *group_cols, n_events, sum_value)."""
+    return (
+        df.groupBy(F.window(ts_col, width, slide).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n_events", "sum_value")
+    )
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str = "ts",

@@ -413,6 +413,23 @@ def q52_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q56_events_sliding",
+    # 1-hour windows sliding by 30 min: every event belongs to exactly 2
+    # windows (width/slide), whose starts are (floor(epoch/1800) - k)*1800
+    oracle="""
+    SELECT CAST(to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k) * 1800) AS TIMESTAMP) AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events, UNNEST(generate_series(0, 1)) AS t(k)
+    GROUP BY 1, 2
+    """,
+)
+def q56_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return ev.sliding_agg(events, width="1 hour", slide="30 minutes")
+
+
+@query(
     "q53_sessionization",
     oracle="""
     WITH flagged AS (

@@ -16,6 +16,7 @@ from dabstract_spark.streaming.ops import (
     latest_dedup_stream,
     run_to_memory,
     session_agg_stream,
+    sliding_agg_stream,
     stream_events,
     tumbling_agg_stream,
 )
@@ -23,6 +24,7 @@ from dabstract_spark.streaming.ops import (
 __all__ = [
     "stream_events",
     "tumbling_agg_stream",
+    "sliding_agg_stream",
     "session_agg_stream",
     "latest_dedup_stream",
     "run_to_memory",

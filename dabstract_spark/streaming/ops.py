@@ -65,6 +65,28 @@ def tumbling_agg_stream(
     )
 
 
+def sliding_agg_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Streaming twin of events.sliding_agg: watermarked overlapping
+    windows (width/slide open aggregates per event; state bounded by the
+    watermark)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, width, slide).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n_events", "sum_value")
+    )
+
+
 def session_agg_stream(
     events: DataFrame,
     ts_col: str = "ts",

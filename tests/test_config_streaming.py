@@ -150,3 +150,13 @@ def test_stream_dedup_bounded(spark):
     # event_id is unique in the fixture: dedup is the identity on counts
     assert got.count() == batch.count()
     assert got.select("event_id").distinct().count() == batch.count()
+
+
+def test_stream_sliding_equals_batch(spark):
+    from dabstract_spark.streaming import sliding_agg_stream
+
+    batch = ev.sliding_agg(load_table(spark, SF, "events"))
+    got = run_to_memory(sliding_agg_stream(_events_stream(spark)))
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b and len(a) > 0

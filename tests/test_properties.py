@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for operator invariants — a layer
+the reference's test suite lacks (SURVEY §5): instead of fixed literal
+expectations, these assert structural laws over arbitrary inputs.
+
+One shared Spark action per example keeps runtime sane: max_examples is
+deliberately small and deadlines are disabled (Spark jobs are not
+microsecond-scale).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from dabstract_spark.dataset import Dataset
+from dabstract_spark.operators import dedup as dd, split as sp
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+arrays = st.lists(
+    st.lists(st.integers(-100, 100), min_size=0, max_size=17), min_size=1, max_size=6
+)
+
+
+@given(rows=arrays, size=st.integers(1, 7))
+@settings(**_SETTINGS)
+def test_split_conserves_elements(spark, rows, size):
+    """Splitting then flattening chunks reproduces every array exactly
+    (order preserved, nothing lost/duplicated), and chunk counts are
+    ceil(len/size)."""
+    df = spark.createDataFrame(list(enumerate(rows)), "id long, xs array<int>")
+    out = sp.split_array(df, "xs", size).collect()
+    by_id = {}
+    for r in sorted(out, key=lambda r: (r.id, r.chunk_id)):
+        by_id.setdefault(r.id, []).extend(r.xs)
+    for i, xs in enumerate(rows):
+        assert by_id.get(i, []) == xs
+        n_chunks = sum(1 for r in out if r.id == i)
+        assert n_chunks == -(-len(xs) // size) if xs else n_chunks == 0
+
+
+@given(rows=arrays, size=st.integers(1, 7))
+@settings(**_SETTINGS)
+def test_split_drop_partial_only_full_windows(spark, rows, size):
+    df = spark.createDataFrame(list(enumerate(rows)), "id long, xs array<int>")
+    out = sp.split_array(df, "xs", size, drop_last_partial=True).collect()
+    for r in out:
+        assert len(r.xs) == size
+    for i, xs in enumerate(rows):
+        assert sum(1 for r in out if r.id == i) == len(xs) // size
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c.", min_size=0, max_size=40), min_size=1, max_size=8
+    )
+)
+@settings(**_SETTINGS)
+def test_exact_dedup_laws(spark, texts):
+    """Dedup is idempotent, never increases cardinality, keeps ≥1 row per
+    distinct normalized content, and keeps the MIN id of each group."""
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, t string")
+    once = dd.exact_dedup(df, "id", "t")
+    rows1 = sorted(r.id for r in once.collect())
+    rows2 = sorted(r.id for r in dd.exact_dedup(once, "id", "t").collect())
+    assert rows1 == rows2  # idempotent
+    norm = [" ".join(t.lower().strip().split()) for t in texts]
+    groups = {}
+    for i, n in enumerate(norm):
+        groups.setdefault(n, []).append(i)
+    expect = sorted(min(g) for g in groups.values())
+    assert rows1 == expect
+
+
+@given(n=st.integers(2, 40), folds=st.integers(2, 5))
+@settings(**_SETTINGS)
+def test_kfold_partition_laws(spark, n, folds):
+    """Folds partition the rows; sizes balanced within ±1."""
+    from dabstract_spark.operators import xval as xv
+
+    df = spark.createDataFrame([(i,) for i in range(n)], "k long")
+    a = xv.random_kfold(df, folds=folds, key="k")
+    rows = a.collect()
+    assert len(rows) == n and len({r.k for r in rows}) == n
+    sizes = {}
+    for r in rows:
+        sizes[r.fold] = sizes.get(r.fold, 0) + 1
+    assert set(sizes) <= set(range(folds))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc def", min_size=0, max_size=30), min_size=1, max_size=6
+    )
+)
+@settings(**_SETTINGS)
+def test_minhash_identical_docs_always_candidates(spark, texts):
+    """Any two documents with identical ≥k-token content must appear as a
+    candidate pair (LSH banding can miss near-dups, never exact dups)."""
+    rows = list(enumerate(texts)) + [(100 + i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_candidate_pairs(df, "id", "t", 16, 4, k=2).collect()
+    }
+    for i, t in enumerate(texts):
+        if len([w for w in t.split() if w]) >= 2:  # has at least one 2-shingle
+            assert (i, 100 + i) in pairs
