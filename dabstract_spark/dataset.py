@@ -516,3 +516,17 @@ class Dataset:
         if key is None:
             return self._evolve(self._df.cache())
         return self._evolve(self._df, active_keys=(key,))._evolve(self._df.cache())
+
+    # ------------------------------------------------------------------ #
+    # driver-side access (DataAbstract, abstract.py:252-472: multi-index
+    # fetch / np-stacking / prefetching generator — Spark-native forms)
+    # ------------------------------------------------------------------ #
+    def to_pandas(self):
+        """Arrow-batched collect of the active projection (the reference's
+        DataAbstract[:] auto-stacking)."""
+        return self.df.toPandas()
+
+    def iter_rows(self, prefetch: bool = True):
+        """Row generator with partition prefetch — the reference's
+        parallel_op bounded-buffer iteration (abstract.py:148-249)."""
+        return self.df.toLocalIterator(prefetchPartitions=prefetch)

@@ -185,3 +185,43 @@ def q79_config_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     ds = dataset_from_config(spark, cfg)
     return ds.full_df.select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------- #
+# Skew-salted aggregation (100 TB posture): the two-phase (key, salt)
+# partial -> merge plan is semantically identical to the single-phase
+# aggregate — the oracle computes the plain aggregate
+# --------------------------------------------------------------------- #
+@query(
+    "q82_salted_agg",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q82_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.skew import salted_count_sum
+
+    orders = _t(spark, sf_dir, "orders")
+    return salted_count_sum(
+        orders, ["o_orderpriority"], "o_totalprice", n_salts=16, salt_on=["o_orderkey"]
+    )
+
+
+# --------------------------------------------------------------------- #
+# Resample (§2.8): FFT-method resampling has no SQL analog — registered
+# WITHOUT an oracle so the driver records the (weaker) rows-only check;
+# numeric semantics are unit-tested against numpy in tests/test_processing.py
+# --------------------------------------------------------------------- #
+@query("q83_resample")
+def q83_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.processing import ProcessingChain
+
+    emb = _t(spark, sf_dir, "embeddings")
+    chain = ProcessingChain().add("Resample", {"target_fs": 4, "fs": 8})
+    out = chain.process_df(emb, "embedding", new_key="resampled", info={"dtype": "array<double>"})
+    return out.select(
+        "vec_id",
+        F.transform(F.col("resampled"), lambda x: F.round(x, 6) + F.lit(0.0)).alias("resampled"),
+    )
