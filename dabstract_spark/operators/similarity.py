@@ -149,27 +149,40 @@ def topk_lsh(
 
 
 def _centroid_rank_exprs(
-    vec_col: Column, centroids: list[tuple[int, list[float]]]
+    vec_col: Column,
+    centroids: list[tuple[int, list[float]]],
+    vec_norm: Column | None = None,
 ) -> list[tuple[int, Column]]:
     """(centroid_id, cosine-sim Column) per centroid, with the centroid
-    vectors folded in as literal arrays — the whole assignment is
-    map-side expression work, no join, no shuffle."""
+    vectors folded in as literal arrays AND their norms folded to Python
+    scalars (same sequential sum both engines compute) — the whole
+    assignment is map-side expression work, no join, no shuffle.
+    ``vec_norm``: pass a staged ||vec|| column so it is evaluated once
+    rather than once per centroid."""
+    import math
+
+    vn = vec_norm if vec_norm is not None else norm(vec_col)
     out = []
     for cid, cvec in centroids:
         lit_vec = F.array(*[F.lit(float(v)) for v in cvec])
-        out.append((cid, cosine(vec_col, lit_vec)))
+        acc = 0.0
+        for v in cvec:
+            acc += float(v) * float(v)
+        out.append((cid, dot(vec_col, lit_vec) / (vn * F.lit(math.sqrt(acc)))))
     return out
 
 
 def _argmax_centroid(sims: list[tuple[int, Column]]) -> Column:
-    """Fold argmax with strict > — ties break to the LOWEST centroid id
-    (mirrors ORDER BY sim DESC, cid ASC in the oracle)."""
-    best_id, best_sim = F.lit(sims[0][0]), sims[0][1]
-    for cid, s in sims[1:]:
-        new_best = F.when(s > best_sim, F.lit(cid)).otherwise(best_id)
-        best_sim = F.when(s > best_sim, s).otherwise(best_sim)
-        best_id = new_best
-    return best_id
+    """Argmax via array_max over (sim, -cid) structs — each similarity
+    expression appears exactly ONCE in the plan (a WHEN-fold would
+    re-reference the running best per level and blow the expression tree
+    up exponentially in the number of centroids). Struct comparison is
+    lexicographic, so ties break to the LOWEST centroid id (mirrors
+    ORDER BY sim DESC, cid ASC in the oracle)."""
+    best = F.array_max(
+        F.array(*[F.struct(s.alias("s"), F.lit(-cid).alias("nc")) for cid, s in sims])
+    )
+    return -best["nc"]
 
 
 def ivf_centroids(
@@ -196,8 +209,9 @@ def ivf_assign(
     """IVF cluster assignment: argmax cosine over the (broadcast-as-
     literals) centroid set. Pure map-side — at 100 TB this is a scan
     with K fused dot products per row, no shuffle at all."""
-    sims = _centroid_rank_exprs(F.col(vec_col), centroids)
-    return df.withColumn("centroid_id", _argmax_centroid(sims))
+    staged = df.withColumn("__vn", norm(F.col(vec_col)))
+    sims = _centroid_rank_exprs(F.col(vec_col), centroids, vec_norm=F.col("__vn"))
+    return staged.withColumn("centroid_id", _argmax_centroid(sims)).drop("__vn")
 
 
 def ivf_topk(
