@@ -200,6 +200,31 @@ def ivf_centroids(
     return sorted((int(r[0]), [float(v) for v in r[1]]) for r in rows)
 
 
+def ivf_refine(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of the IVF centroids: assign (map-side argmax),
+    then new centroid = per-dimension mean of its members — ONE shuffle
+    per iteration on the K-ary centroid key, with map-side partial
+    averages (the aggregate is dim avg() columns, not an explode).
+    Clusters that lose all members keep their previous centroid."""
+    dim = len(centroids[0][1])
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
+        rows = (
+            assigned.groupBy("centroid_id")
+            .agg(*[F.avg(F.element_at(F.col(vec_col), j + 1)).alias(f"c{j}") for j in range(dim)])
+            .collect()
+        )
+        new = {int(r[0]): [float(r[j + 1]) for j in range(dim)] for r in rows}
+        centroids = sorted((cid, new.get(cid, vec)) for cid, vec in centroids)
+    return centroids
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -17,6 +17,7 @@ from dabstract_spark.streaming.ops import (
     run_to_memory,
     session_agg_stream,
     sliding_agg_stream,
+    stateful_sessionizer,
     stream_events,
     tumbling_agg_stream,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "tumbling_agg_stream",
     "sliding_agg_stream",
     "session_agg_stream",
+    "stateful_sessionizer",
     "latest_dedup_stream",
     "run_to_memory",
 ]

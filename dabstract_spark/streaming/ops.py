@@ -133,6 +133,76 @@ def latest_dedup_stream(
     )
 
 
+def stateful_sessionizer(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY §2.12's custom-stateful path): per-user session tracking
+    where each user's open session lives in group state across
+    micro-batches; a session CLOSES (and is emitted) when a later event
+    arrives more than ``gap_minutes`` after it.
+
+    Semantics vs the declarative twins: session_agg_stream/session_window
+    only emit after the watermark passes; this operator emits a closed
+    session the moment the closing event is seen, and the still-open
+    session per user remains in state (never emitted) — the exact
+    trade a hand-written stateful operator buys.
+
+    Arrow-batched: state is a compact numeric tuple, per-group data
+    arrives as pandas frames, no row-at-a-time Python.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        f"{user_col} long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "start long, end long, n long, s double"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            start, end, n, s = state.get
+        else:
+            start = end = None
+            n, s = 0, 0.0
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                t = int(ts.value) // 1000  # pandas ns -> us
+                v = float(v)
+                if start is None:
+                    start, end, n, s = t, t, 1, v
+                elif t - end > gap_us:
+                    closed.append((key[0], start, end, n, s))
+                    start, end, n, s = t, t, 1, v
+                else:
+                    end, n, s = t, n + 1, s + v
+        if start is not None:
+            state.update((int(start), int(end), int(n), float(s)))
+        out = pd.DataFrame(
+            closed, columns=[user_col, "session_start", "session_end", "n_events", "sum_value"]
+        )
+        for c in ("session_start", "session_end"):
+            out[c] = pd.to_datetime(out[c], unit="us")
+        yield out
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str | None = None, timeout_sec: int = 120) -> DataFrame:
     """Drain a (bounded) stream with trigger=availableNow into a memory
     sink and return the result as a batch DataFrame — the test harness

@@ -160,3 +160,25 @@ def test_stream_sliding_equals_batch(spark):
     a = sorted(map(tuple, batch.collect()))
     b = sorted(map(tuple, got.collect()))
     assert a == b and len(a) > 0
+
+
+def test_stateful_sessionizer_emits_closed_sessions(spark):
+    """applyInPandasWithState custom operator: the emitted (closed)
+    sessions are exactly the batch sessionization MINUS each user's
+    final (still-open-in-state) session."""
+    from pyspark.sql import Window
+    from dabstract_spark.streaming import stateful_sessionizer
+
+    got = run_to_memory(stateful_sessionizer(_events_stream(spark), gap_minutes=30))
+    stream_set = sorted(
+        (r.user_id, r.n_events, round(r.sum_value, 6)) for r in got.collect()
+    )
+    batch = ev.session_stats(load_table(spark, SF, "events"), gap_minutes=30)
+    w = Window.partitionBy("user_id")
+    closed_batch = batch.withColumn("__max", F.max("session_id").over(w)).filter(
+        F.col("session_id") < F.col("__max")
+    )
+    batch_set = sorted(
+        (r.user_id, r.n_events, round(r.sum_value, 6)) for r in closed_batch.collect()
+    )
+    assert stream_set == batch_set and len(stream_set) > 0

@@ -254,3 +254,21 @@ def test_add_map_accepts_chain_and_name(spark):
     assert out.full_df.select("y").collect()[0].y == [1.5, -1.5]
     out2 = ds.add_map("x", [{"name": "Scaler", "parameters": {"type": "wav_2_01"}}], new_key="z")
     assert out2.full_df.select("z").collect()[0].z == [1.5, -1.5]
+
+
+def test_ivf_refine_improves_objective(spark):
+    """One Lloyd iteration on the fixture must not worsen the summed
+    best-centroid similarity (deterministic fixture -> stable check)."""
+    from dabstract_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c0 = sim.ivf_centroids(emb, n_centroids=4)
+    c1 = sim.ivf_refine(emb, c0, iters=1)
+    assert len(c1) == 4 and all(len(v) == 64 for _, v in c1)
+
+    def objective(cents):
+        sims = sim._centroid_rank_exprs(F.col("embedding"), cents)
+        best = F.array_max(F.array(*[s for _, s in sims]))
+        return emb.select(F.sum(best)).first()[0]
+
+    assert objective(c1) >= objective(c0) - 1e-9

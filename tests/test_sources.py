@@ -152,3 +152,20 @@ def test_prepare_feat_materialized_equals_direct(spark, tmp_path):
     a = sorted((r.row_id, tuple(r.feat)) for r in direct.full_df.collect())
     b = sorted((r.row_id, tuple(r.feat)) for r in mat.full_df.collect())
     assert a == b
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Same-bucketed tables join without any shuffle — the co-located
+    join discipline for recurring big-big equi-joins at scale."""
+    from dabstract_spark.sources.bucketed import colocated_join, write_bucketed
+
+    a = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("x", F.col("k") * 2)
+    b = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("y", F.col("k") + 7)
+    write_bucketed(a, "t_bucket_a", "k", 4, sort_col="k", path=str(tmp_path / "a"))
+    write_bucketed(b, "t_bucket_b", "k", 4, sort_col="k", path=str(tmp_path / "b"))
+    joined = colocated_join(spark, "t_bucket_a", "t_bucket_b", on="k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == 1000
+    row = joined.filter("k = 10").collect()[0]
+    assert (row.x, row.y) == (20, 17)
