@@ -29,12 +29,22 @@ def _shingles(c: str, k: int = 3) -> str:
 
 
 # mirrors operators/dedup.py's universal-hash MinHash family: one md5
-# per shingle folded to bigint mod p, then (a_i*h + b_i) mod p per fn
-_HS = "list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)"
+# per TOKEN folded to bigint mod p, per-shingle polynomial fold
+# acc = (acc*131 + th) mod p over the k token hashes, then
+# (a_i*h + b_i) mod p per hash function
+_TH = "list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)"
+_POLY3 = (
+    "(((th[i] * 131 + th[i+1]) % 2147483647) * 131 + th[i+2]) % 2147483647"
+)
+_HS3 = (
+    f"CASE WHEN len(th) >= 3 THEN "
+    f"list_transform(generate_series(1, len(th) - 2), i -> {_POLY3}) "
+    f"ELSE [] END"
+)
 
 
 def _minhash_list(n_hashes: int) -> str:
-    """[mh_0, ..., mh_n] over a CTE column named hs (staged base hashes)."""
+    """[mh_0, ..., mh_n] over a CTE column named hs (staged shingle hashes)."""
     mins = ", ".join(
         f"list_aggregate(list_transform(hs, h -> (h * {2 * i + 1} + {7919 * i}) % 2147483647), 'min')"
         for i in range(n_hashes)
@@ -154,9 +164,10 @@ def q44_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q45_minhash_bands",
     oracle=f"""
-    WITH s AS (SELECT doc_id, {_shingles('text', 3)} AS sh FROM documents),
-         sh2 AS (SELECT doc_id, {_HS} AS hs FROM s WHERE len(sh) > 0),
-         sig AS (SELECT doc_id, {_minhash_list(16)} AS mh FROM sh2)
+    WITH tk AS (SELECT doc_id, {_TOKENS.format(c='text')} AS t FROM documents),
+         ths AS (SELECT doc_id, {_TH} AS th FROM tk),
+         hs2 AS (SELECT doc_id, {_HS3} AS hs FROM ths),
+         sig AS (SELECT doc_id, {_minhash_list(16)} AS mh FROM hs2 WHERE len(hs) > 0)
     SELECT doc_id, CAST(b AS INT) AS band_id,
            md5(array_to_string(mh[b*4+1 : b*4+4], ',')) AS band_hash
     FROM sig, UNNEST(generate_series(0, 3)) AS t(b)
@@ -170,9 +181,10 @@ def q45_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q46_minhash_candidate_pairs",
     oracle=f"""
-    WITH s AS (SELECT doc_id, {_shingles('text', 3)} AS sh FROM documents),
-         sh2 AS (SELECT doc_id, {_HS} AS hs FROM s WHERE len(sh) > 0),
-         sig AS (SELECT doc_id, {_minhash_list(16)} AS mh FROM sh2),
+    WITH tk AS (SELECT doc_id, {_TOKENS.format(c='text')} AS t FROM documents),
+         ths AS (SELECT doc_id, {_TH} AS th FROM tk),
+         hs2 AS (SELECT doc_id, {_HS3} AS hs FROM ths),
+         sig AS (SELECT doc_id, {_minhash_list(16)} AS mh FROM hs2 WHERE len(hs) > 0),
          bands AS (
            SELECT doc_id, b AS band_id,
                   md5(array_to_string(mh[b*4+1 : b*4+4], ',')) AS band_hash
