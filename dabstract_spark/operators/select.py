@@ -46,11 +46,29 @@ def threshold_subsample(df: DataFrame, ratio: float, seed: int = 0, key: str = "
     return df.filter(md5_unit(key, seed) < ratio)
 
 
+def sample_per_group(
+    df: DataFrame, group_key: str, n: int, seed: int = 0, key: str = "row_id"
+) -> DataFrame:
+    """Keep at most ``n`` pseudo-random rows per ``group_key`` value —
+    balanced class sampling for training sets. Deterministic (md5-ranked
+    within each group) so it is oracle-expressible; one shuffle on the
+    group key. Groups smaller than n pass through whole."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_key).orderBy(md5_order(key, seed))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 _REGISTRY = {
     "random_subsample": random_subsample,
     "random_subsample_approx": random_subsample_approx,
     "subsample_by_str": subsample_by_str,
     "threshold_subsample": threshold_subsample,
+    "sample_per_group": sample_per_group,
 }
 
 

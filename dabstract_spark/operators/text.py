@@ -35,6 +35,29 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("bigint")
 
 
+#: GPT-2-shaped pre-tokenizer, reduced to engine-portable ASCII classes:
+#: letter runs (with common English contraction suffixes split off the
+#: way BPE vocabularies expect), digit runs, and single non-space
+#: symbols. Identical semantics in Java regex and RE2/DuckDB.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(col: Column | str, pattern: str = BPE_PATTERN) -> Column:
+    """BPE-style pre-tokenization (the unit LLM tokenizers count):
+    extract-all on a GPT-2-shaped pattern instead of splitting on
+    whitespace, so punctuation and contractions count as their own
+    tokens. Pure JVM regexp — no tokenizer library in the hot path."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(pattern), 0)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Approximate LLM token count: the number of BPE pre-tokens. Real
+    BPE merges split rare words further, so this undercounts slightly;
+    it is the standard cheap budget estimator for corpus sizing."""
+    return F.size(bpe_tokens(col)).cast("bigint")
+
+
 def shingles_from_tokens(t: Column, k: int = 3) -> Column:
     """k-gram shingles over an ALREADY-STAGED token array column. Callers
     that stage tokens as a real column avoid re-tokenizing per reference

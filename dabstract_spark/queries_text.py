@@ -495,3 +495,83 @@ def q55_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("prop_k").cast("bigint").alias("sum_k"), F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------- #
+# Dedup completion: candidate pairs -> duplicate clusters
+# --------------------------------------------------------------------- #
+@query(
+    "q84_dedup_clusters",
+    # connected components over the q46 candidate-pair graph: Spark runs
+    # iterative min-label propagation (one shuffle join per round,
+    # localCheckpoint-truncated lineage); the oracle computes the same
+    # fixpoint as a recursive CTE (min reachable id per node). Singleton
+    # docs keep their own id as cluster_id.
+    oracle=f"""
+    WITH RECURSIVE
+         tk AS (SELECT doc_id, {_TOKENS.format(c='text')} AS t FROM documents),
+         ths AS (SELECT doc_id, {_TH} AS th FROM tk),
+         hs2 AS (SELECT doc_id, {_HS3} AS hs FROM ths),
+         sig AS (SELECT doc_id, {_minhash_list(16)} AS mh FROM hs2 WHERE len(hs) > 0),
+         bands AS (
+           SELECT doc_id, b AS band_id,
+                  md5(array_to_string(mh[b*4+1 : b*4+4], ',')) AS band_hash
+           FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING (band_id, band_hash)
+           WHERE a.doc_id < b.doc_id),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS comp FROM documents
+           UNION
+           SELECT e.dst AS id, r.comp
+           FROM reach r JOIN edges e ON e.src = r.id)
+    SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def q84_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_dedup_clusters(docs, "doc_id", "text", n_hashes=16, bands=4, k=3)
+
+
+@query(
+    "q85_sample_per_group",
+    # balanced per-class sampling: at most 50 pseudo-random docs per lang,
+    # ranked by the shared md5 ordering so both engines pick identical rows
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY md5('0:' || CAST(doc_id AS VARCHAR))) <= 50
+    """,
+)
+def q85_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import sample_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_per_group(docs, "lang", n=50, seed=0, key="doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "q86_bpe_token_count",
+    # LLM-budget token counting: whitespace tokens vs BPE-style pre-tokens
+    # (GPT-2-shaped regex — contractions, letter runs, digit runs, single
+    # symbols). '' escapes the quote inside the SQL literal.
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q86_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").alias("n_ws_tokens"),
+        tx.bpe_token_count("text").alias("n_bpe_tokens"),
+    )

@@ -1,0 +1,93 @@
+"""Unit tests for connected-components clustering, balanced per-group
+sampling, and BPE-style token counting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dabstract_spark.operators.dedup import connected_components, minhash_dedup_clusters
+from dabstract_spark.operators.select import sample_per_group
+from dabstract_spark.operators.text import bpe_token_count, bpe_tokens
+
+
+def _cc(spark, node_ids, pair_list):
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id bigint")
+    edges = spark.createDataFrame(
+        pair_list or [(None, None)], "id_a bigint, id_b bigint"
+    )
+    if not pair_list:
+        edges = edges.filter(F.col("id_a").isNotNull())
+    out = connected_components(nodes, edges)
+    return {r.id: r.cluster_id for r in out.collect()}
+
+
+def test_cc_chain_triangle_singleton(spark):
+    # chain 1-2-3, triangle 10-11-12 (as 3 pairs), singleton 99
+    got = _cc(
+        spark,
+        [1, 2, 3, 10, 11, 12, 99],
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12)],
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_cc_no_edges_all_singletons(spark):
+    got = _cc(spark, [5, 6, 7], [])
+    assert got == {5: 5, 6: 6, 7: 7}
+
+
+def test_cc_long_chain_converges(spark):
+    # diameter 9: propagation needs several rounds but must converge
+    got = _cc(spark, list(range(10)), [(i, i + 1) for i in range(9)])
+    assert set(got.values()) == {0}
+
+
+def test_minhash_clusters_cover_all_rows(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text about spark engines here"),
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = minhash_dedup_clusters(df, "doc_id", "text").collect()
+    got = {r.doc_id: r.cluster_id for r in out}
+    assert set(got) == {1, 2, 3, 4}  # every row appears exactly once
+    assert got[3] == 3 and got[4] == 4  # non-dups are singletons
+    assert got[1] == got[2] == 1  # near-dups share the min id
+
+
+def test_sample_per_group_counts_and_determinism(spark):
+    rows = [(i, "a" if i < 40 else "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "row_id bigint, grp string")
+    out1 = sample_per_group(df, "grp", n=5).collect()
+    out2 = sample_per_group(df, "grp", n=5).collect()
+    by_grp = {}
+    for r in out1:
+        by_grp.setdefault(r.grp, set()).add(r.row_id)
+    assert len(by_grp["a"]) == 5
+    assert len(by_grp["b"]) == 5  # group b has 10 rows -> capped at 5
+    assert sorted((r.grp, r.row_id) for r in out1) == sorted(
+        (r.grp, r.row_id) for r in out2
+    )
+
+
+def test_sample_per_group_small_group_passes_through(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "x")], "row_id bigint, grp string")
+    assert sample_per_group(df, "grp", n=10).count() == 2
+
+
+def test_bpe_tokens_contractions_punct_digits(spark):
+    df = spark.createDataFrame([("Don't count 123 tokens, twice!",)], "text string")
+    toks = df.select(bpe_tokens("text").alias("t")).first().t
+    assert toks == ["don", "'t", "count", "123", "tokens", ",", "twice", "!"]
+    n = df.select(bpe_token_count("text").alias("n")).first().n
+    assert n == 8
+
+
+def test_bpe_tokens_empty_and_ws_only(spark):
+    df = spark.createDataFrame([("",), ("   ",)], "text string")
+    counts = [r.n for r in df.select(bpe_token_count("text").alias("n")).collect()]
+    assert counts == [0, 0]
