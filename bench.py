@@ -35,13 +35,23 @@ def main():
         n for n in sorted(qs) if n not in HEADLINE
     ]
 
+    def run(df):
+        # noop sink: computes EVERY output column. count() would let
+        # Catalyst prune the projections and under-measure any query
+        # whose cost lives in the select list.
+        df.write.format("noop").mode("overwrite").save()
+
+    # one untimed flagship execution so one-time session costs (executor
+    # deploy, codegen/JIT warmup, parquet footer reads) don't land on the
+    # first timed query; every timed run below still reads data cold
+    # through the same scan paths.
+    run(qs[names[0]](spark, sf_dir))
+
     timings = {}
     for name in names:
         fn = qs[name]
-        # warm plan, cold data on first query; measure end-to-end action
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        run(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 4)
 
     total = round(sum(timings.values()), 4)

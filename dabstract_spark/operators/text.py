@@ -154,6 +154,26 @@ def fingerprint(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint")
 
 
+def text_stats_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, punct_ratio, stopword_ratio, mean_token_len) with
+    the token array staged ONCE — the single-expression helpers each
+    re-run the regex split when inlined side by side in one select."""
+    staged = df.select(
+        F.col(id_col), F.col(text_col).alias("__txt"), tokens(text_col).alias("__t")
+    )
+    t = F.col("__t")
+    n = F.greatest(F.size(t), F.lit(1))
+    sw_hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    tok_chars = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return staged.select(
+        id_col,
+        F.size(t).cast("bigint").alias("n_tokens"),
+        punct_ratio(F.col("__txt")).alias("punct_ratio"),
+        F.round(sw_hits / n, 6).alias("stopword_ratio"),
+        F.round(tok_chars / n, 6).alias("mean_token_len"),
+    )
+
+
 def add_text_stats(df: DataFrame, key: str = "text") -> DataFrame:
     """Convenience: attach the full text-analysis column set."""
     return (

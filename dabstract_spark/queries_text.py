@@ -75,13 +75,7 @@ _SW = "('the','a','of','and','to','in','is','it')"
 )
 def q40_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        tx.token_count("text").alias("n_tokens"),
-        tx.punct_ratio("text").alias("punct_ratio"),
-        tx.stopword_ratio("text").alias("stopword_ratio"),
-        tx.mean_token_len("text").alias("mean_token_len"),
-    )
+    return tx.text_stats_df(docs, "doc_id", "text")
 
 
 _MARK_SQL = {
@@ -219,7 +213,7 @@ def _simhash_sql(bits: int = 16) -> str:
 )
 def q47_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", dd.simhash("text", bits=16).alias("simhash"))
+    return dd.simhash_df(docs, "doc_id", "text", bits=16)
 
 
 @query(
