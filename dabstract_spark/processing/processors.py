@@ -690,8 +690,15 @@ def firwin(
 class FIRFilter(Processor):
     """Design-once, apply-per-row FIR filtering (reference
     processors.py:523-575): coefficients from windowed-sinc design at
-    plan-compile time, application = causal convolution in an Arrow
-    pandas UDF (identical to scipy.signal.lfilter(b, 1, x))."""
+    plan-compile time. Short filters (taps <= 33, the common audio case)
+    apply as a fully JVM-side unrolled causal convolution — the tap
+    constants fold into the plan as literals and the input array is
+    bound once through a lambda variable, so no Python stage and no
+    re-evaluation of upstream chain stages. Longer filters fall back to
+    an Arrow pandas UDF (identical to scipy.signal.lfilter(b, 1, x))."""
+
+    #: above this tap count the unrolled expression outgrows its benefit
+    MAX_NATIVE_TAPS = 33
 
     def __init__(
         self,
@@ -721,6 +728,28 @@ class FIRFilter(Processor):
         if fs is None:
             raise ValueError("sampling frequency must reach FIRFilter (init or chain info)")
         h = self.coefficients(float(fs))
+
+        if self.taps <= self.MAX_NATIVE_TAPS:
+            taps = [float(v) for v in h]
+
+            def conv(x):
+                # y[i] = sum_k h[k] * x[i-k], accumulated in ascending-k
+                # order (matches DuckDB list_sum fold order bit for bit)
+                def y(i):
+                    acc = F.lit(0.0)
+                    for k, hk in enumerate(taps, start=1):
+                        acc = acc + F.when(
+                            i - k + 1 >= 1, F.lit(hk) * F.element_at(x, i - k + 1)
+                        ).otherwise(F.lit(0.0))
+                    return acc
+
+                return F.transform(F.sequence(F.lit(1), F.size(x)), y)
+
+            # bind the (possibly composed) input expression ONCE via a
+            # lambda variable: element_at over a lambda var is O(1), while
+            # element_at over an inlined expression re-evaluates it per
+            # (i, k) term — the pushdown/inline O(n^2) trap
+            return F.element_at(F.transform(F.array(col), conv), 1), {}
 
         @pandas_udf("array<double>")
         def fir_udf(s):

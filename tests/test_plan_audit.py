@@ -1,0 +1,82 @@
+"""Physical-plan audits over the whole query catalog.
+
+Backs the scale-posture claims in README.md: every catalog query must
+stay JVM-side (no row-at-a-time Python anywhere; Arrow pandas UDFs only
+in the operators that genuinely need numpy/scipy), and predicate
+pushdown must reach the parquet scan where a query filters a source
+column.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+# Queries whose plans legitimately contain an Arrow-vectorized Python
+# stage (numpy/scipy DSP with no Spark primitive). Everything else must
+# be pure JVM.
+ARROW_OK = {
+    "q65_fft_magnitude",  # np.fft.rfft pandas UDF
+    "q83_resample",  # scipy.signal.resample pandas UDF
+}
+
+# Row-at-a-time Python (BatchEvalPython / PythonUDF in a non-Arrow
+# stage) is never acceptable.
+FORBIDDEN = ("BatchEvalPython",)
+ARROW_MARKERS = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+
+# Eager catalog entries execute jobs at DataFrame-build time (writes,
+# checkpointed loops, exact-count sampling); their *final* plan is still
+# audited, the intermediate jobs just make them slower to build.
+# None are excluded — the audit runs the full catalog.
+
+
+def _plans(spark):
+    from __spark_entry__ import queries
+
+    for name, fn in sorted(queries().items()):
+        df = fn(spark, SF_SMOKE)
+        yield name, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_python_row_stage_anywhere(spark):
+    """No catalog query may route rows through non-Arrow Python."""
+    bad = []
+    for name, plan in _plans(spark):
+        if any(m in plan for m in FORBIDDEN):
+            bad.append(name)
+    assert bad == [], f"row-at-a-time Python stages in: {bad}"
+
+
+def test_arrow_stages_only_where_declared(spark):
+    """Arrow pandas-UDF stages appear only in the DSP queries that need
+    numpy/scipy, and each declared query really has one (no stale
+    allowlist)."""
+    seen = set()
+    for name, plan in _plans(spark):
+        if any(m in plan for m in ARROW_MARKERS):
+            seen.add(name)
+    undeclared = seen - ARROW_OK
+    stale = ARROW_OK - seen
+    assert not undeclared, f"unexpected Python stages in: {sorted(undeclared)}"
+    assert not stale, f"declared-but-absent Arrow stages: {sorted(stale)}"
+
+
+@pytest.mark.parametrize(
+    "qname,expect",
+    [
+        ("q11_select_isin", "PushedFilters: ["),  # isin pushes to the scan
+        ("q22_threshold_subsample", "Scan parquet"),
+    ],
+)
+def test_filters_reach_the_scan(spark, qname, expect):
+    from __spark_entry__ import queries
+
+    df = queries()[qname](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert expect in plan
+    if qname == "q11_select_isin":
+        # the In() predicate must be in the pushed list, not only post-scan
+        scan = plan[plan.index("PushedFilters: [") :]
+        assert "In(" in scan.split("]")[0]
