@@ -154,6 +154,60 @@ def fingerprint(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint")
 
 
+def repetition_score_df(
+    df: DataFrame, id_col: str, text_col: str, k: int = 2
+) -> DataFrame:
+    """(id, rep_score): fraction of within-document duplicate k-grams —
+    the Gopher-style repetition filter signal (high = the doc repeats
+    itself). NULL when the doc has no k-gram. Staged token/shingle
+    columns; pure array expressions, one pass, no shuffle."""
+    staged = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    sh = staged.select(
+        F.col(id_col), shingles_from_tokens(F.col("__t"), k).alias("__sh")
+    )
+    n = F.size("__sh")
+    return sh.select(
+        F.col(id_col),
+        F.when(
+            n > 0,
+            F.round(F.lit(1.0) - F.size(F.array_distinct("__sh")) / n, 6) + F.lit(0.0),
+        ).alias("rep_score"),
+    )
+
+
+def tfdf_keywords(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 3
+) -> DataFrame:
+    """(id, token, score_ppm, rank): top-k keywords per document by the
+    tf/df ratio — term frequency in the doc over corpus document
+    frequency, in integer parts-per-million so the ranking is identical
+    in any engine (float idf logs differ across libms at the last bit).
+
+    Scale shape: one explode, two aggregations, one equi-join on token.
+    The document-frequency table is vocabulary-sized; Zipf skew on hot
+    tokens is bounded because df arrives pre-aggregated (one row per
+    token), never as an exploded join side."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = (
+        tok.select(id_col, "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    from pyspark.sql import Window
+
+    scored = tf.join(docfreq, "token").withColumn(
+        "score_ppm", F.floor(F.col("tf") * 1000000 / F.col("df")).cast("bigint")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_ppm"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "token", "score_ppm", "rank")
+    )
+
+
 def text_stats_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_tokens, punct_ratio, stopword_ratio, mean_token_len) with
     the token array staged ONCE — the single-expression helpers each

@@ -569,3 +569,45 @@ def q86_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.token_count("text").alias("n_ws_tokens"),
         tx.bpe_token_count("text").alias("n_bpe_tokens"),
     )
+
+
+@query(
+    "q87_repetition_score",
+    # Gopher-style repetition signal: fraction of within-doc duplicate
+    # 2-grams; NULL when no 2-gram exists. +0.0 normalizes IEEE -0.0.
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_shingles('text', 2)} AS s FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(s) > 0
+                THEN round(1.0 - len(list_distinct(s)) / len(s), 6) + 0.0
+           END AS rep_score
+    FROM sh
+    """,
+)
+def q87_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return tx.repetition_score_df(docs, "doc_id", "text", k=2)
+
+
+@query(
+    "q88_tfdf_keywords",
+    # top-3 keywords per doc by integer tf/df ppm ratio (floats would
+    # rank differently across libm log implementations); ties break
+    # alphabetically
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKENS.format(c='text')}) AS token FROM documents),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+         docfreq AS (
+           SELECT token, COUNT(*) AS df
+           FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token)
+    SELECT doc_id, token,
+           CAST(floor(tf * 1000000 / df) AS BIGINT) AS score_ppm,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY floor(tf * 1000000 / df) DESC, token) AS INT) AS rank
+    FROM tf JOIN docfreq USING (token)
+    QUALIFY rank <= 3
+    """,
+)
+def q88_tfdf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return tx.tfdf_keywords(docs, "doc_id", "text", top_k=3)

@@ -91,3 +91,39 @@ def test_bpe_tokens_empty_and_ws_only(spark):
     df = spark.createDataFrame([("",), ("   ",)], "text string")
     counts = [r.n for r in df.select(bpe_token_count("text").alias("n")).collect()]
     assert counts == [0, 0]
+
+
+def test_repetition_score(spark):
+    from dabstract_spark.operators.text import repetition_score_df
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # 2-grams: ab ba ab ba ab -> 2 distinct of 5
+            (2, "all words here differ totally"),  # all 2-grams distinct
+            (3, "one"),  # no 2-gram -> NULL
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.rep_score for r in repetition_score_df(df, "doc_id", "text").collect()}
+    assert got[1] == 0.6
+    assert got[2] == 0.0
+    assert got[3] is None
+
+
+def test_tfdf_keywords_ranking(spark):
+    from dabstract_spark.operators.text import tfdf_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare rare rare common"),
+            (2, "common other"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tfdf_keywords(df, "doc_id", "text", top_k=2).collect()
+    top = {(r.doc_id, r.rank): (r.token, r.score_ppm) for r in out}
+    # doc 1: rare tf=3 df=1 -> 3M ppm beats common tf=1 df=2 -> 500k
+    assert top[(1, 1)] == ("rare", 3_000_000)
+    assert top[(1, 2)] == ("common", 500_000)
+    # doc 2: common and other both 500k/1M -> other (df=1) wins
+    assert top[(2, 1)] == ("other", 1_000_000)
