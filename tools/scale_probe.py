@@ -1,0 +1,115 @@
+"""Empirical scaling probe: run the heavy operators at 1x/4x/16x input
+size (self-union of the sf0.1 fixtures with id offsets — duplicated text
+models a near-dup-heavy web corpus) and report wall time per scale.
+
+Near-linear growth here is the local[32] proxy for the 1000-executor
+question: no quadratic pair blowup, no driver bottleneck, no
+plan-size explosion. Results are summarized in SCALE.md.
+
+Usage: python tools/scale_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+
+def scaled(df, id_col: str, copies: int, uniquify=None):
+    """copies x the table, ids offset per copy so they stay unique.
+    uniquify(df, c) optionally perturbs a column per copy."""
+    n = 10_000_000
+    parts = []
+    for c in range(copies):
+        p = df.withColumn(id_col, F.col(id_col) + F.lit(c * n))
+        if uniquify is not None:
+            p = uniquify(p, c)
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from dabstract_spark.session import get_spark
+    from dabstract_spark.operators import dedup as dd, text as tx
+    from dabstract_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    spark = get_spark("scale_probe")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # warmup
+    noop(lineitem.groupBy("l_returnflag").count())
+
+    probes = {
+        "minhash_pairs": lambda d: dd.minhash_candidate_pairs(d, "doc_id", "text"),
+        "dedup_clusters": lambda d: dd.minhash_dedup_clusters(d, "doc_id", "text"),
+        "simhash": lambda d: dd.simhash_df(d, "doc_id", "text"),
+        "exact_dedup": lambda d: dd.exact_dedup(d, "doc_id", "text").select("doc_id"),
+        "jaccard_pairs": lambda d: dd.jaccard_pairs(
+            d, "doc_id", "text", k=2, threshold=0.12, max_df=100
+        ),
+        "tfdf_keywords": lambda d: tx.tfdf_keywords(d, "doc_id", "text"),
+    }
+    emb_probes = {
+        "embedding_neardup": lambda e: embedding_neardup_pairs(
+            e, threshold=0.8, n_bits=8, dim=64, seed=0, exact=False
+        ),
+        "ivf_assign": lambda e: ivf_assign(e, ivf_centroids(e, n_centroids=8)).select(
+            "vec_id", "centroid_id"
+        ),
+    }
+    rel_probes = {
+        "pricing_summary": lambda li: li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity").alias("sq"),
+            F.avg("l_extendedprice").alias("ap"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+    }
+
+    print(f"{'probe':<20} {'1x':>8} {'4x':>8} {'16x':>8}  (sec; input rows scale 1:4:16)")
+    for name, fn in probes.items():
+        row = []
+        for copies in (1, 4, 16):
+            d = scaled(docs, "doc_id", copies)
+            t0 = time.time()
+            noop(fn(d))
+            row.append(time.time() - t0)
+        print(f"{name:<20} {row[0]:>8.2f} {row[1]:>8.2f} {row[2]:>8.2f}")
+    for name, fn in emb_probes.items():
+        row = []
+        for copies in (1, 4, 16):
+            e = scaled(emb, "vec_id", copies)
+            t0 = time.time()
+            noop(fn(e))
+            row.append(time.time() - t0)
+        print(f"{name:<20} {row[0]:>8.2f} {row[1]:>8.2f} {row[2]:>8.2f}")
+    for name, fn in rel_probes.items():
+        row = []
+        for copies in (1, 4, 16):
+            li = scaled(lineitem, "l_orderkey", copies)
+            t0 = time.time()
+            noop(fn(li))
+            row.append(time.time() - t0)
+        print(f"{name:<20} {row[0]:>8.2f} {row[1]:>8.2f} {row[2]:>8.2f}")
+
+
+if __name__ == "__main__":
+    main()
