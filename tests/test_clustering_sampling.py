@@ -59,6 +59,50 @@ def test_minhash_clusters_cover_all_rows(spark):
     assert got[1] == got[2] == 1  # near-dups share the min id
 
 
+def test_starcontract_matches_propagation_on_random_graphs(spark):
+    import random
+
+    from dabstract_spark.operators.dedup import connected_components_starcontract
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = 24
+        node_ids = list(range(n))
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(node_ids, 2)))
+                for _ in range(rng.randint(0, 20))
+            }
+        )
+        nodes = spark.createDataFrame([(i,) for i in node_ids], "id bigint")
+        if pairs:
+            edges = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+        else:
+            edges = spark.createDataFrame([], "id_a bigint, id_b bigint")
+        a = {
+            r.id: r.cluster_id
+            for r in connected_components(nodes, edges).collect()
+        }
+        b = {
+            r.id: r.cluster_id
+            for r in connected_components_starcontract(nodes, edges).collect()
+        }
+        assert a == b, f"seed {seed}: {a} != {b}"
+
+
+def test_starcontract_deep_chain(spark):
+    from dabstract_spark.operators.dedup import connected_components_starcontract
+
+    n = 64  # diameter 63: propagation would need ~63 rounds, stars ~log n
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    )
+    out = connected_components_starcontract(nodes, edges).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == n
+
+
 def test_sample_per_group_counts_and_determinism(spark):
     rows = [(i, "a" if i < 40 else "b") for i in range(50)]
     df = spark.createDataFrame(rows, "row_id bigint, grp string")
