@@ -491,6 +491,30 @@ def q55_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q89_stream_tumbling",
+    # the STREAMING twin of q52, drained with trigger=availableNow into a
+    # memory sink: the single-file fixture arrives in one micro-batch, so
+    # the watermark drops nothing and the streaming result equals the
+    # batch aggregate exactly — checked against the identical oracle.
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q89_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.streaming.ops import (
+        run_to_memory,
+        stream_events,
+        tumbling_agg_stream,
+    )
+
+    src = stream_events(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(tumbling_agg_stream(src, width="1 hour"))
+
+
 # --------------------------------------------------------------------- #
 # Dedup completion: candidate pairs -> duplicate clusters
 # --------------------------------------------------------------------- #
