@@ -290,11 +290,20 @@ def embedding_neardup_pairs(
     dim: int = 64,
     seed: int = 0,
     exact: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
     ``exact=True`` compares all pairs (oracle baseline); default prunes
     to same-LSH-bucket candidates first (misses some borderline pairs —
-    the standard recall/efficiency trade)."""
+    the standard recall/efficiency trade).
+
+    ``max_bucket`` caps candidate generation per LSH bucket: a bucket of
+    b rows yields b² compare rows, so one hot bucket (mass-duplicated
+    boilerplate, zero vectors) dominates the stage at corpus scale — the
+    same skew bomb jaccard_pairs caps with max_df. Rows beyond the cap
+    in an over-full bucket are excluded from candidate generation
+    (documented recall trade; keep-set is the deterministic md5-min
+    prefix so the choice is reproducible)."""
     if exact:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
@@ -306,6 +315,17 @@ def embedding_neardup_pairs(
             F.col(id_col), F.col(vec_col),
             hyperplane_bits(vec_col, n_bits, dim, seed).alias("bucket"),
         )
+        if max_bucket is not None:
+            from pyspark.sql import Window
+
+            from dabstract_spark.functions.hashing import md5_order
+
+            w = Window.partitionBy("bucket").orderBy(md5_order(id_col, seed))
+            ab = (
+                ab.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= max_bucket)
+                .drop("__rn")
+            )
         l = ab.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket")
         r = ab.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket")
         pairs = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))

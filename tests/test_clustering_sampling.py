@@ -103,6 +103,21 @@ def test_starcontract_deep_chain(spark):
     assert len(out) == n
 
 
+def test_embedding_neardup_max_bucket_cap(spark):
+    from dabstract_spark.operators.similarity import embedding_neardup_pairs
+
+    # 12 identical vectors: one bucket, C(12,2)=66 pairs uncapped;
+    # with max_bucket=4 only C(4,2)=6 pairs survive
+    rows = [(i, [1.0] * 8) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    full = embedding_neardup_pairs(df, threshold=0.9, n_bits=4, dim=8).count()
+    capped = embedding_neardup_pairs(
+        df, threshold=0.9, n_bits=4, dim=8, max_bucket=4
+    ).count()
+    assert full == 66
+    assert capped == 6
+
+
 def test_sample_per_group_counts_and_determinism(spark):
     rows = [(i, "a" if i < 40 else "b") for i in range(50)]
     df = spark.createDataFrame(rows, "row_id bigint, grp string")
