@@ -518,6 +518,40 @@ class Dataset:
         return self._evolve(self._df, active_keys=(key,))._evolve(self._df.cache())
 
     # ------------------------------------------------------------------ #
+    # training-data-pipeline extensions (no reference analog): dedup /
+    # clustering / balanced sampling at the facade, so a pipeline stays
+    # one fluent plan from source to sample
+    # ------------------------------------------------------------------ #
+    def dedup(self, key: str, method: str = "exact", id_col: str = ROW_ID, **kw) -> "Dataset":
+        """Drop duplicate rows by content of ``key``: 'exact'
+        (normalized-hash groups), 'simhash' (near-dup fingerprint), or
+        'minhash' (LSH clusters, one survivor per cluster)."""
+        from dabstract_spark.operators import dedup as dd
+
+        if method == "exact":
+            return self._evolve(dd.exact_dedup(self._df, id_col, key))
+        if method == "simhash":
+            return self._evolve(dd.simhash_dedup(self._df, id_col, key, **kw))
+        if method == "minhash":
+            clusters = dd.minhash_dedup_clusters(self._df, id_col, key, **kw)
+            survivors = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+            return self._evolve(self._df.join(survivors, id_col, "left_semi"))
+        raise ValueError(f"unknown dedup method '{method}'")
+
+    def dedup_clusters(self, key: str, id_col: str = ROW_ID, **kw):
+        """(id, cluster_id) near-duplicate cluster assignment over
+        ``key`` (MinHash/LSH candidate pairs + connected components)."""
+        from dabstract_spark.operators import dedup as dd
+
+        return dd.minhash_dedup_clusters(self._df, id_col, key, **kw)
+
+    def sample_per_group(self, group_key: str, n: int, seed: int = 0) -> "Dataset":
+        """Balanced per-group subsample (at most n rows per group)."""
+        from dabstract_spark.operators.select import sample_per_group
+
+        return self._evolve(sample_per_group(self._df, group_key, n, seed, key=ROW_ID))
+
+    # ------------------------------------------------------------------ #
     # driver-side access (DataAbstract, abstract.py:252-472: multi-index
     # fetch / np-stacking / prefetching generator — Spark-native forms)
     # ------------------------------------------------------------------ #

@@ -217,6 +217,26 @@ def q47_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q90_simhash_dedup",
+    # the dedup ACTION over simhash groups (q47 checks the fingerprint
+    # values): min-id survivor per identical simhash; token-less docs
+    # (NULL fingerprint) pass through via the per-row NULL salt,
+    # mirroring _min_id_per
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY COALESCE(
+        CAST((CASE WHEN len({_T}) > 0 THEN CAST({_simhash_sql(16)} AS BIGINT) END) AS VARCHAR),
+        'null:' || CAST(doc_id AS VARCHAR))
+      ORDER BY doc_id) = 1
+    """,
+)
+def q90_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_dedup(docs, "doc_id", "text", bits=16).select("doc_id", "source")
+
+
+@query(
     "q48_jaccard_pairs",
     # max_df=100 document-frequency cap (prefix filtering): shingles shared
     # by >100 docs are excluded from candidate generation AND from

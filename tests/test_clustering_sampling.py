@@ -138,6 +138,29 @@ def test_sample_per_group_small_group_passes_through(spark):
     assert sample_per_group(df, "grp", n=10).count() == 2
 
 
+def test_dataset_facade_dedup_and_sampling(spark):
+    from dabstract_spark.dataset import Dataset
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox", "a"),
+            (1, "the  QUICK  brown fox ", "a"),  # exact dup after normalize
+            (2, "something else entirely", "b"),
+            (3, "third distinct doc here", "b"),
+        ],
+        "row_id bigint, text string, grp string",
+    )
+    ds = Dataset(df, name="t")
+    exact = ds.dedup("text", method="exact")
+    assert sorted(r.row_id for r in exact.full_df.collect()) == [0, 2, 3]
+    mh = ds.dedup("text", method="minhash", k=2)
+    assert 0 in {r.row_id for r in mh.full_df.collect()}  # min-id survivor kept
+    cl = ds.dedup_clusters("text", k=2)
+    assert cl.count() == 4  # every row assigned a cluster
+    samp = ds.sample_per_group("grp", n=1)
+    assert samp.full_df.count() == 2
+
+
 def test_bpe_tokens_contractions_punct_digits(spark):
     df = spark.createDataFrame([("Don't count 123 tokens, twice!",)], "text string")
     toks = df.select(bpe_tokens("text").alias("t")).first().t
