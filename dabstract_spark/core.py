@@ -40,6 +40,16 @@ def row_id_from_key(df: DataFrame, key: str) -> DataFrame:
     return df.withColumn(ROW_ID, F.col(key).cast("bigint"))
 
 
+def bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and pass it to ``fn`` as a lambda
+    variable. Referencing a non-trivial array expression from inside HOF
+    lambdas (element_at, repeated size()) re-evaluates it per reference —
+    and per ELEMENT when the reference sits in a lambda body. Binding
+    through a single-element array forces one evaluation regardless of
+    how many times ``fn`` uses its argument."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def _string_bucket(c: Column, prefix_skip: int = 0) -> Column:
     """Deterministic monotone bucket for string keys: the code points of
     the first two characters after ``prefix_skip``. Monotone w.r.t.

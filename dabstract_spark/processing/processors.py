@@ -605,8 +605,18 @@ def mel_filterbank(
 
 class Filterbank(Processor):
     """Apply a precomputed mel/linear filterbank by matmul (reference
-    processors.py:354-461): the matrix is built ONCE driver-side and
-    closed over by an Arrow pandas UDF; zeros are eps-floored."""
+    processors.py:354-461): the matrix is built ONCE driver-side.
+
+    Triangular mel/linear filters are sparse — each frequency bin feeds
+    at most two overlapping bands — so when the matrix has few nonzeros
+    the matmul unrolls into pure JVM expressions (one literal-weighted
+    sum per band over the lambda-bound input; zeros skipped). Dense /
+    very large banks fall back to an Arrow pandas UDF. Zero outputs are
+    eps-floored like the reference."""
+
+    #: beyond this many nonzero coefficients the unrolled expression
+    #: tree stops being worth it; fall back to the Arrow UDF matmul
+    MAX_NATIVE_NNZ = 2048
 
     def __init__(
         self,
@@ -646,6 +656,25 @@ class Filterbank(Processor):
             self.n_bands, int(nfft), float(fs), self.fmin, self.fmax, self.scale, self.norm
         ).T  # (nfft//2+1, n_bands)
         eps = float(np.finfo(float).eps)
+
+        if int(np.count_nonzero(fb)) <= self.MAX_NATIVE_NNZ:
+            from dabstract_spark.core import bind_once
+
+            band_terms = [
+                [(j, float(fb[j, b])) for j in range(fb.shape[0]) if fb[j, b] != 0.0]
+                for b in range(self.n_bands)
+            ]
+
+            def apply(x):
+                outs = []
+                for terms in band_terms:
+                    acc = F.lit(0.0)
+                    for j, c in terms:  # ascending j: left-assoc fold, same
+                        acc = acc + F.lit(c) * F.element_at(x, j + 1)  # order as SQL
+                    outs.append(F.when(acc == 0.0, F.lit(eps)).otherwise(acc))
+                return F.array(*outs)
+
+            return bind_once(col, apply), {"n_samples": self.n_bands}
 
         @pandas_udf("array<double>")
         def fbank_udf(s):

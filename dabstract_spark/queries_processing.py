@@ -211,6 +211,44 @@ def q66_fir_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fbank_sql() -> str:
+    """Per-band SQL mirroring Filterbank's unrolled JVM path exactly:
+    same nonzero coefficients (repr round-trips the double), same
+    ascending-bin left-associated additions, same eps floor."""
+    from dabstract_spark.processing.processors import mel_filterbank
+
+    fb = mel_filterbank(8, 126, 8000.0, 0.0, None, "mel", None).T  # (64, 8)
+    eps = repr(float(__import__("numpy").finfo(float).eps))
+    bands = []
+    for b in range(fb.shape[1]):
+        terms = [
+            f"({float(fb[j, b])!r}) * (embedding[{j + 1}]::DOUBLE)"
+            for j in range(fb.shape[0])
+            if fb[j, b] != 0.0
+        ]
+        s = " + ".join(["0.0"] + terms)
+        bands.append(f"round(CASE WHEN ({s}) = 0.0 THEN {eps} ELSE ({s}) END, 6) + 0.0")
+    return "[" + ", ".join(bands) + "]"
+
+
+@query(
+    "q91_filterbank",
+    # 8-band mel filterbank over the embedding "spectrum" (64 bins ->
+    # nfft 126): the sparse-unrolled JVM matmul vs the same literal
+    # weighted sums in SQL
+    oracle=f"""
+    SELECT vec_id, {_fbank_sql()} AS fbank FROM embeddings
+    """,
+)
+def q91_filterbank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.processing import Filterbank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    chain = ProcessingChain().add(Filterbank(n_bands=8, scale="mel", nfft=126, fs=8000.0))
+    out = chain.process_df(emb, "embedding", new_key="fbank")
+    return out.select("vec_id", _round_arr(F.col("fbank")).alias("fbank"))
+
+
 # --------------------------------------------------------------------- #
 # Framing processor (§2.5): seconds-sized overlapping frames + window,
 # per-row nested array (the non-cardinality-changing form)

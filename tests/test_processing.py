@@ -272,3 +272,24 @@ def test_ivf_refine_improves_objective(spark):
         return emb.select(F.sum(best)).first()[0]
 
     assert objective(c1) >= objective(c0) - 1e-9
+
+
+def test_filterbank_native_matches_udf_fallback(spark, monkeypatch):
+    """The sparse-unrolled JVM path and the Arrow-UDF matmul fallback
+    must agree (up to float summation order)."""
+    rng = np.random.default_rng(3)
+    vals = [_pylist(rng.standard_normal(33))]
+    native = _apply(
+        spark,
+        Filterbank(n_bands=4, scale="mel", nfft=64, fs=8000),
+        vals,
+        info={"fs": 8000, "nfft": 64},
+    )
+    monkeypatch.setattr(Filterbank, "MAX_NATIVE_NNZ", 0)
+    udf = _apply(
+        spark,
+        Filterbank(n_bands=4, scale="mel", nfft=64, fs=8000),
+        vals,
+        info={"fs": 8000, "nfft": 64},
+    )
+    np.testing.assert_allclose(native[0], udf[0], rtol=1e-10)
