@@ -411,6 +411,33 @@ def q81_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q92_ann_topk_lsh",
+    # LSH-bucketed approximate top-k (the scale path q49 is the exact
+    # baseline for): candidates = same hyperplane-sketch bucket only
+    oracle=f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, CAST({_lsh_bucket_sql(8, 0)} AS BIGINT) AS bucket
+      FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id,
+             ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS sim
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 5)
+    SELECT query_id, vec_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def q92_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim.topk_lsh(emb, queries_df, k=3, n_bits=8, dim=64, seed=0).select(
+        "query_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@query(
     "q51_lsh_buckets",
     oracle=f"""
     SELECT vec_id, CAST({_lsh_bucket_sql(8, 0)} AS BIGINT) AS bucket FROM embeddings

@@ -138,6 +138,41 @@ def test_sample_per_group_small_group_passes_through(spark):
     assert sample_per_group(df, "grp", n=10).count() == 2
 
 
+def test_single_expression_variants_match_staged(spark):
+    """minhash_signature / simhash (expression forms) must equal the
+    staged pipelines used in the hot paths."""
+    from dabstract_spark.operators.dedup import minhash_signature, simhash
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the dog"), (2, "hi"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    got = df.select(
+        "doc_id",
+        minhash_signature("text", n_hashes=16, k=3).alias("sig"),
+        simhash("text", bits=16).alias("sh"),
+    ).collect()
+    by_id = {r.doc_id: r for r in got}
+    from dabstract_spark.operators.dedup import simhash_df
+
+    staged = {r.doc_id: r.simhash for r in simhash_df(df, "doc_id", "text").collect()}
+    assert [by_id[i].sh for i in (1, 2, 3)] == [staged[i] for i in (1, 2, 3)]
+    assert len(by_id[1].sig) == 16 and all(v is not None for v in by_id[1].sig)
+    assert by_id[2].sig is None  # < k tokens
+    assert by_id[3].sig is None and by_id[3].sh is None
+
+
+def test_driver_side_accessors(spark):
+    from dabstract_spark.dataset import Dataset
+
+    df = spark.createDataFrame([(0, "a"), (1, "b")], "row_id bigint, v string")
+    ds = Dataset(df, name="t")
+    pdf = ds.unpack(["v"]).to_pandas()
+    assert sorted(pdf["v"]) == ["a", "b"]
+    rows = list(ds.unpack(["row_id", "v"]).iter_rows())
+    assert sorted((r.row_id, r.v) for r in rows) == [(0, "a"), (1, "b")]
+
+
 def test_dataset_facade_dedup_and_sampling(spark):
     from dabstract_spark.dataset import Dataset
 
