@@ -16,6 +16,7 @@ from dabstract_spark.config import dataset_from_config, load_yaml_config
 from dabstract_spark.dataset import Dataset
 from dabstract_spark.processing import ProcessingChain
 from dabstract_spark.session import get_spark
+from dabstract_spark.sources.folder import folder_dataset, get_dir_info
 
 __all__ = [
     "get_spark",
@@ -23,5 +24,7 @@ __all__ = [
     "ProcessingChain",
     "dataset_from_config",
     "load_yaml_config",
+    "get_dir_info",
+    "folder_dataset",
 ]
-__version__ = "0.2.0"
+__version__ = "0.3.0"
