@@ -97,16 +97,18 @@ def mean_token_len(col: Column | str) -> Column:
     return F.round(total / F.greatest(F.size(t), F.lit(1)), 6)
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(col: Column | str, token_col: Column | None = None) -> Column:
     """Composite document-quality heuristic in [0,1]: favors mid-length
     docs with low punctuation density and some stopword structure
     (the C4/Gopher-rule shape, reduced to fixture-safe signals).
 
     Computed entirely in integer parts-per-million — float round() at
     half-boundaries differs between engines, integer division doesn't.
-    quality = (5*len + 3*min(5*sw,1) + 2*(1-min(10*punct,1))) / 10."""
+    quality = (5*len + 3*min(5*sw,1) + 2*(1-min(10*punct,1))) / 10.
+    ``token_col``: pass an already-staged token array to avoid
+    re-tokenizing when several stats share one select."""
     c = F.col(col) if isinstance(col, str) else col
-    t = tokens(c)
+    t = token_col if token_col is not None else tokens(c)
     n_tok = F.greatest(F.size(t), F.lit(1)).cast("bigint")
     n_chars = F.greatest(F.length(c), F.lit(1)).cast("bigint")
     hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("bigint")
@@ -120,11 +122,16 @@ def quality_score(col: Column | str) -> Column:
     return (q_ppm / F.lit(1000000.0)).alias("quality")
 
 
-def lang_id(col: Column | str, markers: dict[str, tuple[str, ...]] | None = None) -> Column:
+def lang_id(
+    col: Column | str,
+    markers: dict[str, tuple[str, ...]] | None = None,
+    token_col: Column | None = None,
+) -> Column:
     """N-gram/stopword language heuristic: argmax of marker-hit counts,
-    'und' when no marker hits. Deterministic tie-break by language code."""
+    'und' when no marker hits. Deterministic tie-break by language code.
+    ``token_col``: optional staged token array (see quality_score)."""
     markers = markers or LANG_MARKERS
-    t = tokens(col)
+    t = token_col if token_col is not None else tokens(col)
 
     # NB: bind via closure factory, not lambda default args — PySpark
     # counts lambda params, and a 2-param lambda gets (element, index).
@@ -229,13 +236,21 @@ def text_stats_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def add_text_stats(df: DataFrame, key: str = "text") -> DataFrame:
-    """Convenience: attach the full text-analysis column set."""
+    """Convenience: attach the full text-analysis column set. Tokens are
+    staged ONCE and shared by every token-derived stat (the inline
+    helpers would each re-run the regex split)."""
+    staged = df.withColumn("__t", tokens(key))
+    t = F.col("__t")
+    n = F.greatest(F.size(t), F.lit(1))
+    sw_hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    tok_chars = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
     return (
-        df.withColumn("n_tokens", token_count(key))
+        staged.withColumn("n_tokens", F.size(t).cast("bigint"))
         .withColumn("punct_ratio", punct_ratio(key))
-        .withColumn("stopword_ratio", stopword_ratio(key))
-        .withColumn("mean_token_len", mean_token_len(key))
-        .withColumn("quality", quality_score(key))
-        .withColumn("lang_pred", lang_id(key))
+        .withColumn("stopword_ratio", F.round(sw_hits / n, 6))
+        .withColumn("mean_token_len", F.round(tok_chars / n, 6))
+        .withColumn("quality", quality_score(key, token_col=t))
+        .withColumn("lang_pred", lang_id(key, token_col=t))
         .withColumn("fingerprint", fingerprint(key))
+        .drop("__t")
     )

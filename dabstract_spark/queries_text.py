@@ -562,6 +562,30 @@ def q89_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(tumbling_agg_stream(src, width="1 hour"))
 
 
+@query(
+    "q93_stream_sliding",
+    # streaming twin of q56 (1-hour windows sliding by 30 min), drained
+    # with availableNow — single micro-batch, watermark drops nothing,
+    # equals the batch sliding aggregate exactly
+    oracle="""
+    SELECT CAST(to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k) * 1800) AS TIMESTAMP) AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events, UNNEST(generate_series(0, 1)) AS t(k)
+    GROUP BY 1, 2
+    """,
+)
+def q93_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.streaming.ops import (
+        run_to_memory,
+        sliding_agg_stream,
+        stream_events,
+    )
+
+    src = stream_events(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(sliding_agg_stream(src, width="1 hour", slide="30 minutes"))
+
+
 # --------------------------------------------------------------------- #
 # Dedup completion: candidate pairs -> duplicate clusters
 # --------------------------------------------------------------------- #
