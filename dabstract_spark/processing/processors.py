@@ -772,7 +772,12 @@ class FIRFilter(Processor):
                         ).otherwise(F.lit(0.0))
                     return acc
 
-                return F.transform(F.sequence(F.lit(1), F.size(x)), y)
+                # sequence(1, 0) DESCENDS to [1, 0] — empty inputs must
+                # map to empty outputs (like np.convolve), not two
+                # spurious rows / an out-of-bounds element_at
+                return F.when(
+                    F.size(x) > 0, F.transform(F.sequence(F.lit(1), F.size(x)), y)
+                ).otherwise(F.array().cast("array<double>"))
 
             # bind the (possibly composed) input expression ONCE via a
             # lambda variable: element_at over a lambda var is O(1), while

@@ -293,3 +293,15 @@ def test_filterbank_native_matches_udf_fallback(spark, monkeypatch):
         info={"fs": 8000, "nfft": 64},
     )
     np.testing.assert_allclose(native[0], udf[0], rtol=1e-10)
+
+
+def test_fir_empty_and_short_arrays(spark):
+    """Empty input -> empty output (np.convolve parity), short input ->
+    same length out; the sequence(1, 0) descending trap must not emit
+    spurious elements."""
+    fir = FIRFilter(type="lowpass", f=1000.0, taps=9, fs=8000.0)
+    got = _apply(spark, fir, [[], [1.0, 2.0]], info={"fs": 8000.0})
+    assert got[0] == []
+    assert len(got[1]) == 2
+    h = fir.coefficients(8000.0)
+    np.testing.assert_allclose(got[1], np.convolve([1.0, 2.0], h)[:2], rtol=1e-12)
