@@ -249,6 +249,28 @@ def q91_filterbank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", _round_arr(F.col("fbank")).alias("fbank"))
 
 
+@query(
+    "q94_expand_dims",
+    # ExpandDims both axes as pure reshapes: axis=0 wraps the whole array
+    # (1×n), axis=-1 wraps each element (n×1)
+    oracle="""
+    SELECT vec_id,
+           [embedding] AS row_vec,
+           list_transform(embedding, x -> [x]) AS col_vec
+    FROM embeddings
+    """,
+)
+def q94_expand_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.processing import ExpandDims
+
+    emb = _t(spark, sf_dir, "embeddings")
+    row_chain = ProcessingChain().add(ExpandDims(axis=0))
+    col_chain = ProcessingChain().add(ExpandDims(axis=-1))
+    out = row_chain.process_df(emb, "embedding", new_key="row_vec")
+    out = col_chain.process_df(out, "embedding", new_key="col_vec")
+    return out.select("vec_id", "row_vec", "col_vec")
+
+
 # --------------------------------------------------------------------- #
 # Framing processor (§2.5): seconds-sized overlapping frames + window,
 # per-row nested array (the non-cardinality-changing form)
