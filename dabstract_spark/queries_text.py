@@ -586,6 +586,24 @@ def q93_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(sliding_agg_stream(src, width="1 hour", slide="30 minutes"))
 
 
+@query("q95_stream_stateful_sessions")
+def q95_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming op (applyInPandasWithState): per-user
+    open-session state across micro-batches, emitting a session the
+    moment its closing event arrives. Registered rows-only — the emitted
+    set depends on which sessions close before the stream drains (the
+    still-open tail per user stays in state), which no batch SQL oracle
+    can mirror."""
+    from dabstract_spark.streaming.ops import (
+        run_to_memory,
+        stateful_sessionizer,
+        stream_events,
+    )
+
+    src = stream_events(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(stateful_sessionizer(src, gap_minutes=30))
+
+
 # --------------------------------------------------------------------- #
 # Dedup completion: candidate pairs -> duplicate clusters
 # --------------------------------------------------------------------- #
