@@ -1,0 +1,66 @@
+"""Spark-vs-DuckDB wall-time comparison over the oracle-checked catalog.
+
+The reference publishes no benchmark numbers (BASELINE.md), so DuckDB —
+a state-of-the-art single-node engine running the exact oracle SQL the
+correctness gate uses — serves as the measurable single-node yardstick
+at the same scale factor. Prints per-query and total wall seconds for
+both engines; summarized in SCALE.md.
+
+Usage: python tools/bench_oracle.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from dabstract_spark.session import get_spark
+    from __spark_entry__ import oracle_sql, queries
+
+    spark = get_spark("bench_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = queries(), oracle_sql()
+
+    def spark_run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm both engines once
+    spark_run(qs["q01_pricing_summary"](spark, sf_dir))
+    con.execute(oracles["q01_pricing_summary"]).fetchall()
+
+    rows = []
+    for name in sorted(oracles):
+        t0 = time.time()
+        spark_run(qs[name](spark, sf_dir))
+        t_spark = time.time() - t0
+        t0 = time.time()
+        con.execute(oracles[name]).fetchall()
+        t_duck = time.time() - t0
+        rows.append((name, t_spark, t_duck))
+
+    print(f"{'query':<32} {'spark':>8} {'duckdb':>8}")
+    for name, ts, td in rows:
+        print(f"{name:<32} {ts:>8.2f} {td:>8.2f}")
+    total_s = sum(r[1] for r in rows)
+    total_d = sum(r[2] for r in rows)
+    print(f"{'TOTAL':<32} {total_s:>8.2f} {total_d:>8.2f}")
+
+
+if __name__ == "__main__":
+    main()
