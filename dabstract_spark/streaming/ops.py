@@ -165,6 +165,7 @@ def stateful_sessionizer(
     state_schema = "start long, end long, n long, s double"
 
     def fn(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         if state.exists:
@@ -172,19 +173,29 @@ def stateful_sessionizer(
         else:
             start = end = None
             n, s = 0, 0.0
+        frames = list(pdfs)
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        pdf = pdf.sort_values(ts_col)
+        ts = pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                t = int(ts.value) // 1000  # pandas ns -> us
-                v = float(v)
-                if start is None:
-                    start, end, n, s = t, t, 1, v
-                elif t - end > gap_us:
-                    closed.append((key[0], start, end, n, s))
-                    start, end, n, s = t, t, 1, v
+        if len(ts):
+            # vectorized gaps-and-islands: the only Python loop is over
+            # SEGMENTS (sessions in this batch), never rows
+            brk = np.nonzero(np.diff(ts) > gap_us)[0]
+            seg_a = np.concatenate(([0], brk + 1))
+            seg_b = np.concatenate((brk, [len(ts) - 1]))
+            cum = np.concatenate(([0.0], np.cumsum(vals)))
+            for a, b in zip(seg_a, seg_b):
+                t0, t1 = int(ts[a]), int(ts[b])
+                cnt, tot = int(b - a + 1), float(cum[b + 1] - cum[a])
+                if start is not None and t0 - end <= gap_us:
+                    # first segment continues the open session
+                    end, n, s = t1, n + cnt, s + tot
                 else:
-                    end, n, s = t, n + 1, s + v
+                    if start is not None:
+                        closed.append((key[0], start, end, n, s))
+                    start, end, n, s = t0, t1, cnt, tot
         if start is not None:
             state.update((int(start), int(end), int(n), float(s)))
         out = pd.DataFrame(
