@@ -586,6 +586,40 @@ def q93_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(sliding_agg_stream(src, width="1 hour", slide="30 minutes"))
 
 
+@query(
+    "q96_stream_session_window",
+    # native session_window streaming sessionization vs a gaps-and-islands
+    # batch oracle. Boundary semantics differ from batch q53: an event at
+    # EXACTLY start+gap does not overlap the open window, so the oracle
+    # breaks sessions on diff >= gap (q53's ordinal form uses > gap).
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id, COUNT(*) AS n_events,
+           (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS duration_sec,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sessioned GROUP BY user_id, sid
+    """,
+)
+def q96_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.streaming.ops import (
+        run_to_memory,
+        session_agg_stream,
+        stream_events,
+    )
+
+    src = stream_events(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(session_agg_stream(src, gap_minutes=30))
+
+
 @query("q95_stream_stateful_sessions")
 def q95_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM stateful streaming op (applyInPandasWithState): per-user
