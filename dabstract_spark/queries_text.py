@@ -620,6 +620,26 @@ def q96_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(session_agg_stream(src, gap_minutes=30))
 
 
+@query(
+    "q97_stream_dedup",
+    # streaming dedup by (user_id, event_type): WHICH row survives
+    # depends on arrival order (nondeterministic across partitions), but
+    # the surviving KEY SET is exactly the distinct keys — project only
+    # the keys so the check is deterministic
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q97_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.streaming.ops import (
+        latest_dedup_stream,
+        run_to_memory,
+        stream_events,
+    )
+
+    src = stream_events(spark, f"{sf_dir}/events.parquet")
+    out = run_to_memory(latest_dedup_stream(src, key_cols=("user_id", "event_type")))
+    return out.select("user_id", "event_type")
+
+
 @query("q95_stream_stateful_sessions")
 def q95_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM stateful streaming op (applyInPandasWithState): per-user
