@@ -551,6 +551,13 @@ class Dataset:
 
         return self._evolve(sample_per_group(self._df, group_key, n, seed, key=ROW_ID))
 
+    def add_text_stats(self, key: str = "text") -> "Dataset":
+        """Attach the full text-analysis column set (token counts,
+        ratios, quality, lang-id, fingerprint) with tokens staged once."""
+        from dabstract_spark.operators.text import add_text_stats
+
+        return self._evolve(add_text_stats(self._df, key))
+
     # ------------------------------------------------------------------ #
     # driver-side access (DataAbstract, abstract.py:252-472: multi-index
     # fetch / np-stacking / prefetching generator — Spark-native forms)

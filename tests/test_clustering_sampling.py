@@ -196,6 +196,20 @@ def test_dataset_facade_dedup_and_sampling(spark):
     assert samp.full_df.count() == 2
 
 
+def test_dataset_add_text_stats(spark):
+    from dabstract_spark.dataset import Dataset
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox. it is fast!")], "row_id bigint, text string"
+    )
+    out = Dataset(df, name="t").add_text_stats().full_df.collect()[0]
+    assert out.n_tokens == 7
+    assert out.lang_pred == "en"
+    assert 0.0 < out.quality <= 1.0
+    assert out.fingerprint is not None
+    assert "__t" not in out.asDict()
+
+
 def test_bpe_tokens_contractions_punct_digits(spark):
     df = spark.createDataFrame([("Don't count 123 tokens, twice!",)], "text string")
     toks = df.select(bpe_tokens("text").alias("t")).first().t
