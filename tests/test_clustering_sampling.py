@@ -138,6 +138,31 @@ def test_sample_per_group_small_group_passes_through(spark):
     assert sample_per_group(df, "grp", n=10).count() == 2
 
 
+def test_minhash_exact_duplicate_always_pairs(spark):
+    """Identical text ⇒ identical signature ⇒ identical bands ⇒ the pair
+    MUST surface (LSH has false positives but never false negatives for
+    exact duplicates) and cluster together, whatever the corpus."""
+    from dabstract_spark.operators.dedup import minhash_candidate_pairs
+
+    base = [
+        (i, f"doc number {i} talks about topic {i % 7} in some way {i * 3}")
+        for i in range(30)
+    ]
+    dup_of = 13
+    rows = base + [(100, base[dup_of][1])]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(df, "doc_id", "text").collect()
+    }
+    assert (dup_of, 100) in pairs
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in minhash_dedup_clusters(df, "doc_id", "text").collect()
+    }
+    assert clusters[100] == clusters[dup_of] == dup_of
+
+
 def test_single_expression_variants_match_staged(spark):
     """minhash_signature / simhash (expression forms) must equal the
     staged pipelines used in the hot paths."""
