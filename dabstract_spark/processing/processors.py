@@ -258,8 +258,10 @@ class Aggregation(Processor):
         self.axis = axis
         self.combine = combine
 
-    def _scalar_stats(self, c: Column) -> list[Column]:
-        mu = _arr_mean(c)
+    def _scalar_stats(self, c: Column, mu: Column) -> list[Column]:
+        """Stats given an already-BOUND mean (a lambda variable, not the
+        mean aggregate expression — capturing the aggregate inside the
+        moment lambdas would re-evaluate it per array element, O(n²))."""
         out = []
         for m in self.methods:
             if m == "mean":
@@ -271,13 +273,18 @@ class Aggregation(Processor):
         return out
 
     def expr(self, col, info):
+        from dabstract_spark.core import bind_once
+
         dt = str(info.get("dtype", "array<double>"))
         upd = {"time_step": 0} if self.axis == 0 else {}
         if not dt.startswith("array<array"):
-            return F.array(*self._scalar_stats(col)), upd
+            return (
+                bind_once(
+                    _arr_mean(col), lambda mu: F.array(*self._scalar_stats(col, mu))
+                ),
+                upd,
+            )
         # 2-D, axis=0: stats per column j across the rows
-        if any(m == "kurtosis" for m in self.methods):
-            raise NotImplementedError("kurtosis over 2-D arrays: use a pandas UDF stage")
         n_rows = F.size(col).cast("double")
         width = F.size(F.element_at(col, 1))
         js = F.sequence(F.lit(1), width)
@@ -288,18 +295,28 @@ class Aggregation(Processor):
                 / n_rows
             )
 
-        def col_std(j):
-            mu = col_mean(j)
-            return F.sqrt(
+        def col_moment(j, mu, p):
+            return (
                 F.aggregate(
-                    col, F.lit(0.0), lambda acc, r: acc + F.pow(F.element_at(r, j).cast("double") - mu, 2.0)
+                    col,
+                    F.lit(0.0),
+                    lambda acc, r: acc + F.pow(F.element_at(r, j).cast("double") - mu, float(p)),
                 )
                 / n_rows
             )
 
+        def col_std(j):
+            return bind_once(col_mean(j), lambda mu: F.sqrt(col_moment(j, mu, 2)))
+
+        def col_kurt(j):
+            return bind_once(
+                col_mean(j),
+                lambda mu: col_moment(j, mu, 4) / F.pow(col_moment(j, mu, 2), 2.0) - 3.0,
+            )
+
         per_method = []
         for m in self.methods:
-            fn = col_mean if m == "mean" else col_std
+            fn = {"mean": col_mean, "std": col_std, "kurtosis": col_kurt}[m]
             per_method.append(F.transform(js, fn))
         if self.combine == "concat":
             return F.flatten(F.array(*per_method)), upd

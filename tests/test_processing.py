@@ -305,3 +305,22 @@ def test_fir_empty_and_short_arrays(spark):
     assert len(got[1]) == 2
     h = fir.coefficients(8000.0)
     np.testing.assert_allclose(got[1], np.convolve([1.0, 2.0], h)[:2], rtol=1e-12)
+
+
+def test_aggregation_2d_kurtosis_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((12, 5))
+    agg = Aggregation(methods=["mean", "std", "kurtosis"], axis=0)
+    got = _apply(
+        spark,
+        agg,
+        [[list(map(float, row)) for row in mat]],
+        dtype="array<array<double>>",
+        info={"dtype": "array<array<double>>"},
+    )[0]
+    mu = mat.mean(axis=0)
+    m2 = ((mat - mu) ** 2).mean(axis=0)
+    m4 = ((mat - mu) ** 4).mean(axis=0)
+    np.testing.assert_allclose(got[0], mu, rtol=1e-12)
+    np.testing.assert_allclose(got[1], np.sqrt(m2), rtol=1e-12)
+    np.testing.assert_allclose(got[2], m4 / m2**2 - 3.0, rtol=1e-12)
