@@ -284,6 +284,19 @@ class Aggregation(Processor):
                 ),
                 upd,
             )
+        if self.axis in (1, -1):
+            # 2-D, axis=-1: stats per ROW (over each inner array), like
+            # np.mean(data, axis=-1) — one stats array per frame
+            per_row = F.transform(
+                col,
+                lambda inner: bind_once(
+                    _arr_mean(inner),
+                    lambda mu: F.array(*self._scalar_stats(inner, mu)),
+                ),
+            )
+            if self.combine == "concat":
+                return F.flatten(per_row), upd
+            return per_row, upd
         # 2-D, axis=0: stats per column j across the rows
         n_rows = F.size(col).cast("double")
         width = F.size(F.element_at(col, 1))

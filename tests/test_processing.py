@@ -324,3 +324,20 @@ def test_aggregation_2d_kurtosis_matches_numpy(spark):
     np.testing.assert_allclose(got[0], mu, rtol=1e-12)
     np.testing.assert_allclose(got[1], np.sqrt(m2), rtol=1e-12)
     np.testing.assert_allclose(got[2], m4 / m2**2 - 3.0, rtol=1e-12)
+
+
+def test_aggregation_2d_axis_minus1_per_row(spark):
+    rng = np.random.default_rng(12)
+    mat = rng.standard_normal((4, 6))
+    agg = Aggregation(methods=["mean", "std"], axis=-1)
+    got = _apply(
+        spark,
+        agg,
+        [[list(map(float, row)) for row in mat]],
+        dtype="array<array<double>>",
+        info={"dtype": "array<array<double>>"},
+    )[0]
+    assert len(got) == 4
+    np.testing.assert_allclose(
+        got, np.stack([mat.mean(axis=1), mat.std(axis=1)], axis=1), rtol=1e-12
+    )
