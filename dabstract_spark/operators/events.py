@@ -12,6 +12,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _epoch_us(col) -> F.Column:
+    """Microseconds-since-epoch for TIMESTAMP *or* TIMESTAMP_NTZ input.
+
+    Parquet files whose timestamps are not UTC-adjusted (timestamp[us]
+    with isAdjustedToUTC=false) load as TIMESTAMP_NTZ in Spark 4, and
+    ``unix_micros`` rejects that type outright. Casting NTZ→TIMESTAMP
+    reinterprets the wall-clock in the session zone — a uniform shift
+    that cancels in every gap/duration computation below (and is exact
+    under the UTC session zone the engine standardizes on).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def _epoch_us_sql(col: str) -> str:
+    """SQL-string form of :func:`_epoch_us` for F.expr aggregates."""
+    return f"unix_micros(cast({col} as timestamp))"
+
+
 def tumbling_agg(
     df: DataFrame,
     ts_col: str = "ts",
@@ -64,7 +83,7 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(ts_col)
     # microsecond integers, not seconds: casting timestamp→long floors to
     # seconds and misclassifies gaps within 1 s of the threshold
-    us = F.unix_micros(F.col(ts_col))
+    us = _epoch_us(ts_col)
     gap = us - F.lag(us).over(w)
     new_session = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
     return df.withColumn(
@@ -83,9 +102,9 @@ def session_stats(
     s = sessionize(df, ts_col, user_col, gap_minutes)
     return s.groupBy(user_col, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.expr(f"(max(unix_micros({ts_col})) - min(unix_micros({ts_col}))) div 1000000").alias(
-            "duration_sec"
-        ),
+        F.expr(
+            f"(max({_epoch_us_sql(ts_col)}) - min({_epoch_us_sql(ts_col)})) div 1000000"
+        ).alias("duration_sec"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
 

@@ -23,10 +23,12 @@ from dabstract_spark.queries import _t, query
       SELECT vec_id, embedding, (vec_id % 3 + 1) * 8 AS rate,
              CAST(round(0.9 * ((vec_id % 3 + 1) * 8)) AS INT) AS w
       FROM embeddings)
-    SELECT vec_id, CAST(c AS INT) AS chunk_id,
-           list_transform(embedding[CAST(c AS INT) * w + 1 : CAST(c AS INT) * w + w],
-                          x -> x::DOUBLE) AS chunk
-    FROM r, UNNEST(generate_series(0, CAST(ceil(64.0 / w) AS INT) - 1)) AS t(c)
+    SELECT vec_id, CAST(c AS INT) AS chunk_id, CAST(k - 1 AS INT) AS pos,
+           embedding[CAST(c AS INT) * w + k]::DOUBLE AS x
+    FROM r,
+         UNNEST(generate_series(0, CAST(ceil(64.0 / w) AS INT) - 1)) AS t(c),
+         UNNEST(generate_series(1, w)) AS t2(k)
+    WHERE CAST(c AS INT) * w + k <= 64
     """,
 )
 def q72_add_split_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,7 +40,7 @@ def q72_add_split_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ds.full_df.select(
         "vec_id",
         "chunk_id",
-        F.col("embedding").cast("array<double>").alias("chunk"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
     )
 
 
@@ -46,17 +48,20 @@ def q72_add_split_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q73_add_split_power2",
     oracle="""
-    SELECT vec_id, CAST(c AS INT) AS chunk_id,
-           list_transform(embedding[CAST(c AS INT) * 8 + 1 : CAST(c AS INT) * 8 + 8],
-                          x -> x::DOUBLE) AS chunk
-    FROM embeddings, UNNEST(generate_series(0, 7)) AS t(c)
+    SELECT vec_id, CAST(c AS INT) AS chunk_id, CAST(k - 1 AS INT) AS pos,
+           embedding[CAST(c AS INT) * 8 + k]::DOUBLE AS x
+    FROM embeddings,
+         UNNEST(generate_series(0, 7)) AS t(c),
+         UNNEST(generate_series(1, 8)) AS t2(k)
     """,
 )
 def q73_add_split_power2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = Dataset(_t(spark, sf_dir, "embeddings"), name="emb")
     ds = ds.add_split("embedding", split_size=0.3, type="seconds", rate=20, constraint="power2")
     return ds.full_df.select(
-        "vec_id", "chunk_id", F.col("embedding").cast("array<double>").alias("chunk")
+        "vec_id",
+        "chunk_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
     )
 
 
@@ -221,7 +226,6 @@ def q83_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     chain = ProcessingChain().add("Resample", {"target_fs": 4, "fs": 8})
     out = chain.process_df(emb, "embedding", new_key="resampled", info={"dtype": "array<double>"})
-    return out.select(
-        "vec_id",
-        F.transform(F.col("resampled"), lambda x: F.round(x, 6) + F.lit(0.0)).alias("resampled"),
+    return out.select("vec_id", F.posexplode("resampled").alias("pos", "resampled")).select(
+        "vec_id", "pos", (F.round("resampled", 6) + F.lit(0.0)).alias("resampled")
     )

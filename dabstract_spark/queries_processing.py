@@ -34,17 +34,20 @@ def _round_arr(col, nd=6):
 # --------------------------------------------------------------------- #
 @query(
     "q60_scaler",
-    oracle="""
-    SELECT vec_id,
-           list_transform(embedding, x -> x::DOUBLE / 32767.0) AS scaled
-    FROM embeddings
+    # scalar (vec_id, pos, scaled) rows — the driver's canonicalizer
+    # sorts with pandas and cannot hash array cells, so every processor
+    # query posexplodes its array output (the q65 pattern)
+    oracle=f"""
+    SELECT vec_id, CAST(j - 1 AS INT) AS pos,
+           embedding[j]::DOUBLE / 32767.0 AS scaled
+    FROM embeddings, UNNEST(generate_series(1, {_DIM})) AS t(j)
     """,
 )
 def q60_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     ds_chain = ProcessingChain().add("Scaler", {"type": "int16"})
     out = ds_chain.process_df(emb, "embedding", new_key="scaled")
-    return out.select("vec_id", "scaled")
+    return out.select("vec_id", F.posexplode("scaled").alias("pos", "scaled"))
 
 
 # --------------------------------------------------------------------- #
@@ -52,10 +55,10 @@ def q60_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 @query(
     "q61_logarithm_chain",
-    oracle="""
-    SELECT vec_id,
-           list_transform(embedding, x -> round(20.0 * log10(abs(x::DOUBLE) + 1.0), 6) + 0.0) AS db
-    FROM embeddings
+    oracle=f"""
+    SELECT vec_id, CAST(j - 1 AS INT) AS pos,
+           round(20.0 * log10(abs(embedding[j]::DOUBLE) + 1.0), 6) + 0.0 AS db
+    FROM embeddings, UNNEST(generate_series(1, {_DIM})) AS t(j)
     """,
 )
 def q61_logarithm_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +69,9 @@ def q61_logarithm_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .add("Logarithm", {"type": "base10"})
     )
     out = chain.process_df(emb, "embedding", new_key="db")
-    return out.select("vec_id", _round_arr(F.col("db")).alias("db"))
+    return out.select("vec_id", F.posexplode("db").alias("pos", "db")).select(
+        "vec_id", "pos", (F.round("db", 6) + F.lit(0.0)).alias("db")
+    )
 
 
 # --------------------------------------------------------------------- #
@@ -109,14 +114,14 @@ def q62_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 @query(
     "q63_normalizer_minmax",
-    oracle="""
+    oracle=f"""
     WITH mm AS (
       SELECT MIN(list_min(embedding))::DOUBLE AS mn,
              MAX(list_max(embedding))::DOUBLE AS mx
       FROM embeddings)
-    SELECT vec_id,
-           list_transform(embedding, x -> round((x::DOUBLE - mn) / (mx - mn), 6) + 0.0) AS normed
-    FROM embeddings, mm
+    SELECT vec_id, CAST(j - 1 AS INT) AS pos,
+           round((embedding[j]::DOUBLE - mn) / (mx - mn), 6) + 0.0 AS normed
+    FROM embeddings, mm, UNNEST(generate_series(1, {_DIM})) AS t(j)
     """,
 )
 def q63_normalizer_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,7 +129,9 @@ def q63_normalizer_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain = ProcessingChain().add("Normalizer", {"type": "minmax"})
     chain.fit(emb, "embedding")
     out = chain.process_df(emb, "embedding", new_key="normed")
-    return out.select("vec_id", _round_arr(F.col("normed")).alias("normed"))
+    return out.select("vec_id", F.posexplode("normed").alias("pos", "normed")).select(
+        "vec_id", "pos", (F.round("normed", 6) + F.lit(0.0)).alias("normed")
+    )
 
 
 # --------------------------------------------------------------------- #
@@ -133,18 +140,19 @@ def q63_normalizer_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q64_windowing",
     oracle=f"""
-    SELECT vec_id,
-           list_transform(generate_series(1, {_DIM}),
-                          j -> round(embedding[j]::DOUBLE
-                                     * (0.54 - 0.46 * cos(2 * pi() * (j - 1) / {_DIM})), 6) + 0.0) AS windowed
-    FROM embeddings
+    SELECT vec_id, CAST(j - 1 AS INT) AS pos,
+           round(embedding[j]::DOUBLE
+                 * (0.54 - 0.46 * cos(2 * pi() * (j - 1) / {_DIM})), 6) + 0.0 AS windowed
+    FROM embeddings, UNNEST(generate_series(1, {_DIM})) AS t(j)
     """,
 )
 def q64_windowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     chain = ProcessingChain().add("Windowing", {"window_func": "hamming"})
     out = chain.process_df(emb, "embedding", new_key="windowed")
-    return out.select("vec_id", _round_arr(F.col("windowed")).alias("windowed"))
+    return out.select("vec_id", F.posexplode("windowed").alias("pos", "windowed")).select(
+        "vec_id", "pos", (F.round("windowed", 6) + F.lit(0.0)).alias("windowed")
+    )
 
 
 # --------------------------------------------------------------------- #
@@ -192,22 +200,20 @@ _TAPS = [repr(float(v)) for v in _FIR.coefficients(8000.0)]
     # the trailing "+ 0.0" normalizes IEEE -0.0 to +0.0 (near-zero taps
     # make y[0] a tiny signed value whose repr differs across engines)
     oracle=f"""
-    SELECT vec_id,
-           list_transform(generate_series(1, {_DIM}),
-             n -> round(list_sum(list_transform(generate_series(1, {len(_TAPS)}),
-                    k -> CASE WHEN n - k + 1 >= 1
-                              THEN ([{", ".join(_TAPS)}])[k] * embedding[n - k + 1]::DOUBLE
-                              ELSE 0.0 END)), 6) + 0.0) AS filtered
-    FROM embeddings
+    SELECT vec_id, CAST(n - 1 AS INT) AS pos,
+           round(list_sum(list_transform(generate_series(1, {len(_TAPS)}),
+                  k -> CASE WHEN n - k + 1 >= 1
+                            THEN ([{", ".join(_TAPS)}])[k] * embedding[n - k + 1]::DOUBLE
+                            ELSE 0.0 END)), 6) + 0.0 AS filtered
+    FROM embeddings, UNNEST(generate_series(1, {_DIM})) AS t(n)
     """,
 )
 def q66_fir_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     chain = ProcessingChain().add(_FIR)
     out = chain.process_df(emb, "embedding", new_key="filtered")
-    return out.select(
-        "vec_id",
-        F.transform(F.col("filtered"), lambda x: F.round(x, 6) + F.lit(0.0)).alias("filtered"),
+    return out.select("vec_id", F.posexplode("filtered").alias("pos", "filtered")).select(
+        "vec_id", "pos", (F.round("filtered", 6) + F.lit(0.0)).alias("filtered")
     )
 
 
@@ -237,7 +243,9 @@ def _fbank_sql() -> str:
     # nfft 126): the sparse-unrolled JVM matmul vs the same literal
     # weighted sums in SQL
     oracle=f"""
-    SELECT vec_id, {_fbank_sql()} AS fbank FROM embeddings
+    SELECT vec_id, CAST(b - 1 AS INT) AS band,
+           ({_fbank_sql()})[b] AS fbank
+    FROM embeddings, UNNEST(generate_series(1, 8)) AS t(b)
     """,
 )
 def q91_filterbank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,18 +254,25 @@ def q91_filterbank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     chain = ProcessingChain().add(Filterbank(n_bands=8, scale="mel", nfft=126, fs=8000.0))
     out = chain.process_df(emb, "embedding", new_key="fbank")
-    return out.select("vec_id", _round_arr(F.col("fbank")).alias("fbank"))
+    return out.select("vec_id", F.posexplode("fbank").alias("band", "fbank")).select(
+        "vec_id", "band", (F.round("fbank", 6) + F.lit(0.0)).alias("fbank")
+    )
 
 
 @query(
     "q94_expand_dims",
     # ExpandDims both axes as pure reshapes: axis=0 wraps the whole array
     # (1×n), axis=-1 wraps each element (n×1)
-    oracle="""
-    SELECT vec_id,
-           [embedding] AS row_vec,
-           list_transform(embedding, x -> [x]) AS col_vec
-    FROM embeddings
+    # scalarized: each expanded matrix emits (axis, i, j, val) coordinate
+    # rows — axis=0 is the 1×n wrap, axis=-1 the n×1 wrap
+    oracle=f"""
+    SELECT vec_id, 0 AS axis, 0 AS i, CAST(j - 1 AS INT) AS j,
+           embedding[j]::DOUBLE AS val
+    FROM embeddings, UNNEST(generate_series(1, {_DIM})) AS t(j)
+    UNION ALL
+    SELECT vec_id, -1 AS axis, CAST(j - 1 AS INT) AS i, 0 AS j,
+           embedding[j]::DOUBLE AS val
+    FROM embeddings, UNNEST(generate_series(1, {_DIM})) AS t(j)
     """,
 )
 def q94_expand_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,7 +283,21 @@ def q94_expand_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     col_chain = ProcessingChain().add(ExpandDims(axis=-1))
     out = row_chain.process_df(emb, "embedding", new_key="row_vec")
     out = col_chain.process_df(out, "embedding", new_key="col_vec")
-    return out.select("vec_id", "row_vec", "col_vec")
+
+    def coords(col: str, axis: int) -> DataFrame:
+        return (
+            out.select("vec_id", F.posexplode(col).alias("i", "inner"))
+            .select("vec_id", "i", F.posexplode("inner").alias("j", "val"))
+            .select(
+                "vec_id",
+                F.lit(axis).alias("axis"),
+                "i",
+                "j",
+                F.col("val").cast("double").alias("val"),
+            )
+        )
+
+    return coords("row_vec", 0).unionByName(coords("col_vec", -1))
 
 
 # --------------------------------------------------------------------- #
@@ -278,12 +307,12 @@ def q94_expand_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q67_framing_chain",
     oracle=f"""
-    SELECT vec_id,
-           list_transform(generate_series(0, {(_DIM - 8) // 4}),
-             f -> list_transform(generate_series(1, 8),
-                    k -> round(embedding[f * 4 + k]::DOUBLE
-                               * (0.54 - 0.46 * cos(2 * pi() * (k - 1) / 8)), 6) + 0.0)) AS frames
-    FROM embeddings
+    SELECT vec_id, CAST(f AS INT) AS frame, CAST(k - 1 AS INT) AS pos,
+           round(embedding[f * 4 + k]::DOUBLE
+                 * (0.54 - 0.46 * cos(2 * pi() * (k - 1) / 8)), 6) + 0.0 AS v
+    FROM embeddings,
+         UNNEST(generate_series(0, {(_DIM - 8) // 4})) AS t(f),
+         UNNEST(generate_series(1, 8)) AS t2(k)
     """,
 )
 def q67_framing_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,9 +321,10 @@ def q67_framing_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         Framing(windowsize=8.0, stepsize=4.0, window_func="hamming", fs=1.0)
     )
     out = chain.process_df(emb, "embedding", new_key="frames")
-    return out.select(
-        "vec_id",
-        F.transform(F.col("frames"), lambda fr: _round_arr(fr)).alias("frames"),
+    return (
+        out.select("vec_id", F.posexplode("frames").alias("frame", "fr"))
+        .select("vec_id", "frame", F.posexplode("fr").alias("pos", "v"))
+        .select("vec_id", "frame", "pos", (F.round("v", 6) + F.lit(0.0)).alias("v"))
     )
 
 
@@ -304,9 +334,10 @@ def q67_framing_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 @query(
     "q68_chain_inverse",
-    oracle="""
-    SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE, 6) + 0.0) AS roundtrip
-    FROM embeddings
+    oracle=f"""
+    SELECT vec_id, CAST(j - 1 AS INT) AS pos,
+           round(embedding[j]::DOUBLE, 6) + 0.0 AS roundtrip
+    FROM embeddings, UNNEST(generate_series(1, {_DIM})) AS t(j)
     """,
 )
 def q68_chain_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,4 +346,6 @@ def q68_chain_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     info = {"dtype": "array<double>"}
     fwd = chain.expr(F.col("embedding").cast("array<double>"), info)
     rt = chain.inv_expr(fwd, info)
-    return emb.select("vec_id", _round_arr(rt).alias("roundtrip"))
+    return emb.select("vec_id", F.posexplode(rt).alias("pos", "roundtrip")).select(
+        "vec_id", "pos", (F.round("roundtrip", 6) + F.lit(0.0)).alias("roundtrip")
+    )

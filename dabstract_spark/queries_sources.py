@@ -25,10 +25,12 @@ FIXTURE_CSV = f"{FIXTURE_DIR}/meta/labels.csv"
 # --------------------------------------------------------------------- #
 @query(
     "q69_prepare_feat_roundtrip",
+    # scalar (vec_id, pos, feat) rows — the driver canonicalizer can't
+    # sort array cells, so the materialized column is posexploded
     oracle="""
-    SELECT vec_id,
-           list_transform(embedding, x -> round(x::DOUBLE / 32767.0, 6) + 0.0) AS feat
-    FROM embeddings
+    SELECT vec_id, CAST(j - 1 AS INT) AS pos,
+           round(embedding[j]::DOUBLE / 32767.0, 6) + 0.0 AS feat
+    FROM embeddings, UNNEST(generate_series(1, 64)) AS t(j)
     """,
 )
 def q69_prepare_feat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,9 +42,8 @@ def q69_prepare_feat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overwrite=True: the roundtrip must prove THIS run's write+re-read
     ds = ds.prepare_feat("embedding", "scaled_v1", chain, new_key="feat", overwrite=True)
     return ds.full_df.select(
-        F.col("vec_id"),
-        F.transform(F.col("feat"), lambda x: F.round(x, 6) + F.lit(0.0)).alias("feat"),
-    )
+        "vec_id", F.posexplode("feat").alias("pos", "feat")
+    ).select("vec_id", "pos", (F.round("feat", 6) + F.lit(0.0)).alias("feat"))
 
 
 # --------------------------------------------------------------------- #

@@ -41,6 +41,11 @@ def stream_events(
     for field in schema.fields:
         if field.name == ts_col and field.dataType.simpleString() == "bigint":
             df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+        elif field.name == ts_col and field.dataType.simpleString() == "timestamp_ntz":
+            # withWatermark requires TIMESTAMP; naive parquet timestamps
+            # load as NTZ. The cast reinterprets the wall-clock in the
+            # (UTC) session zone — value-preserving for event-time math.
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 
@@ -108,9 +113,12 @@ def session_agg_stream(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.expr(f"(max(unix_micros({ts_col})) - min(unix_micros({ts_col}))) div 1000000").alias(
-                "duration_sec"
-            ),
+            # unix_micros rejects TIMESTAMP_NTZ (naive parquet timestamps);
+            # the cast is a uniform shift that cancels in the difference
+            F.expr(
+                f"(max(unix_micros(cast({ts_col} as timestamp)))"
+                f" - min(unix_micros(cast({ts_col} as timestamp)))) div 1000000"
+            ).alias("duration_sec"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(user_col, "n_events", "duration_sec", "sum_value")

@@ -80,6 +80,19 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        # Replicate the driver's canonicalizer: it pandas-sort_values over
+        # ALL columns, which raises "unhashable type" on array cells. Any
+        # query whose output would crash that gate must fail HERE first.
+        try:
+            import pandas as pd
+
+            pdf = pd.DataFrame(srows, columns=scols)
+            if len(pdf):
+                pdf.sort_values(by=list(pdf.columns), inplace=True, kind="mergesort")
+        except TypeError as e:
+            print(f"FAIL  {name}: driver-canonicalizer hazard (unsortable output): {e}")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle — rows-only check)")
             n_rowsonly += 1
