@@ -62,9 +62,16 @@ def _folder_binary(spark, paths, test_only=False, extension=".bin", name=None, *
     )
 
 
+def _anomaly_audio(spark, paths, test_only=False, name=None, **kw):
+    from dabstract_spark.sources.dbs import _anomaly_audio_db
+
+    return _anomaly_audio_db(spark, paths, test_only=test_only, name=name, **kw)
+
+
 register_dataset("parquet_table", _parquet_table)
 register_dataset("folder_wav", _folder_wav)
 register_dataset("folder_binary", _folder_binary)
+register_dataset("AnomalyAudioDB", _anomaly_audio)
 
 
 def dataset_factory(spark, builder, paths=None, select=None, split=None, xval=None, test_only=False, **kwargs) -> Dataset:

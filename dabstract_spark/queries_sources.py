@@ -91,3 +91,47 @@ def q71_csv_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = ds.add("relpath", F.concat_ws("/", F.col("subdb"), F.col("filename")))
     ds = attach_csv_metadata(ds, FIXTURE_CSV, on=("relpath", "filepath"))
     return ds.full_df.select("subdb", F.col("filename").alias("fname"), "anomaly")
+
+
+# --------------------------------------------------------------------- #
+# Named connector class (§2.1 dbs/*, reference DCASE2020Task1A.py:42-80):
+# the full worked example — registry name -> folder scan + CSV label
+# join + dense label codes + group ids, driven from a config dict
+# --------------------------------------------------------------------- #
+@query(
+    "q98_named_connector",
+    oracle=f"""
+    WITH scan AS (
+      SELECT regexp_extract(filename, '([^/]+)/[^/]+$', 1) AS subdb,
+             regexp_extract(filename, '([^/]+)$', 1) AS fname,
+             regexp_extract(filename, '([^/]+/[^/]+)$', 1) AS relpath
+      FROM read_blob('{FIXTURE_DIR}/*/*.wav')),
+    labeled AS (
+      SELECT s.subdb, s.fname, m.anomaly
+      FROM scan s LEFT JOIN read_csv_auto('{FIXTURE_CSV}') m ON m.filepath = s.relpath),
+    codes AS (
+      SELECT v, CAST(DENSE_RANK() OVER (ORDER BY v) - 1 AS INT) AS scene_id
+      FROM (SELECT DISTINCT subdb AS v FROM labeled))
+    SELECT l.subdb, l.fname, l.anomaly, c.scene_id, c.scene_id AS grp
+    FROM labeled l JOIN codes c ON c.v = l.subdb
+    """,
+)
+def q98_named_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.config import dataset_from_config
+
+    cfg = {
+        "datasets": [
+            {
+                "name": "AnomalyAudioDB",
+                "parameters": {"paths": {"data": FIXTURE_DIR, "meta": FIXTURE_CSV}},
+            }
+        ]
+    }
+    ds = dataset_from_config(spark, cfg)
+    return ds.full_df.select(
+        "subdb",
+        F.col("filename").alias("fname"),
+        "anomaly",
+        "scene_id",
+        F.col("group").alias("grp"),
+    )

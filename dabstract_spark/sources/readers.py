@@ -7,16 +7,18 @@ over those bytes (one Python roundtrip per batch, never per row).
 - WAV (PCM) and NPY decode are REAL (stdlib wave / numpy against bytes —
   reference ``WavDatareader``/``NumpyDatareader``,
   /root/reference/dabstract/dataprocessor/processors/processors.py:16-90).
-- Image decode / video frame-sampling are STUBS behind ``mode=``: the
-  container has no PIL/cv2, so ``mode='real'`` raises NotImplementedError
-  and ``mode='fake'`` produces a deterministic md5-seeded array with the
+- Image decode / video frame-sampling dispatch on library availability:
+  ``mode='real'`` runs PIL / cv2 when importable and raises a clearly
+  marked NotImplementedError otherwise (this container ships neither);
+  ``mode='fake'`` produces a deterministic md5-seeded array with the
   real schema/partitioning/batch shape, so the Spark-side plumbing is
-  fully exercised and tested.
+  fully exercised and tested either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import importlib.util
 import io
 import struct
 import wave
@@ -24,6 +26,14 @@ import wave
 import numpy as np
 from pyspark.sql import Column, functions as F
 from pyspark.sql.functions import pandas_udf
+
+
+def _has_pil() -> bool:
+    return importlib.util.find_spec("PIL") is not None
+
+
+def _has_cv2() -> bool:
+    return importlib.util.find_spec("cv2") is not None
 
 
 def _wav_arrays(raw: bytes) -> tuple[np.ndarray, int]:
@@ -120,12 +130,12 @@ def decode_image(col: Column | str, height: int = 8, width: int = 8, mode: str =
     stub). ``mode='fake'`` yields a deterministic md5-seeded matrix of
     the declared shape: schema, Arrow batch shape and partitioning are
     the real plumbing, only the codec is substituted."""
-    if mode == "real":
+    if mode == "real" and not _has_pil():
         raise NotImplementedError(
-            "image decoding requires PIL/cv2 (not in this container); "
+            "image decoding requires PIL (not in this container); "
             "use mode='fake' for deterministic plumbing tests"
         )
-    if mode != "fake":
+    if mode not in ("real", "fake"):
         raise ValueError(f"unknown decode_image mode '{mode}'")
     c = F.col(col) if isinstance(col, str) else col
 
@@ -135,9 +145,15 @@ def decode_image(col: Column | str, height: int = 8, width: int = 8, mode: str =
 
         out = []
         for raw in s:
-            seed = int.from_bytes(hashlib.md5(bytes(raw)).digest()[:8], "big")
-            rng = np.random.default_rng(seed)
-            out.append(rng.random((height, width)))
+            if mode == "real":
+                from PIL import Image
+
+                img = Image.open(io.BytesIO(bytes(raw))).convert("L").resize((width, height))
+                out.append(np.asarray(img, dtype=np.float64) / 255.0)
+            else:
+                seed = int.from_bytes(hashlib.md5(bytes(raw)).digest()[:8], "big")
+                rng = np.random.default_rng(seed)
+                out.append(rng.random((height, width)))
         return pd.Series(out)
 
     return img_udf(c)
@@ -146,12 +162,12 @@ def decode_image(col: Column | str, height: int = 8, width: int = 8, mode: str =
 def sample_video_frames(col: Column | str, n_frames: int = 4, height: int = 8, width: int = 8, mode: str = "real") -> Column:
     """binary video -> n_frames grayscale frames (uniform temporal
     sampling). Same stub contract as decode_image."""
-    if mode == "real":
+    if mode == "real" and not _has_cv2():
         raise NotImplementedError(
-            "video decoding requires ffmpeg/cv2 (not in this container); "
+            "video decoding requires cv2/ffmpeg (not in this container); "
             "use mode='fake' for deterministic plumbing tests"
         )
-    if mode != "fake":
+    if mode not in ("real", "fake"):
         raise ValueError(f"unknown sample_video_frames mode '{mode}'")
     c = F.col(col) if isinstance(col, str) else col
 
@@ -161,9 +177,40 @@ def sample_video_frames(col: Column | str, n_frames: int = 4, height: int = 8, w
 
         out = []
         for raw in s:
-            seed = int.from_bytes(hashlib.md5(bytes(raw)).digest()[:8], "big")
-            rng = np.random.default_rng(seed)
-            out.append(rng.random((n_frames, height, width)))
+            if mode == "real":
+                import os
+                import tempfile
+
+                import cv2
+
+                # cv2 has no from-memory demuxer — spill to a worker-local
+                # temp file (bytes are already on the executor; no shuffle)
+                fd, tmp = tempfile.mkstemp(suffix=".bin")
+                try:
+                    with os.fdopen(fd, "wb") as fh:
+                        fh.write(bytes(raw))
+                    cap = cv2.VideoCapture(tmp)
+                    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) or 1
+                    idxs = np.linspace(0, total - 1, n_frames).astype(int)
+                    frames = []
+                    for i in idxs:
+                        cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
+                        ok, frame = cap.read()
+                        if not ok:
+                            frames.append(np.zeros((height, width)))
+                            continue
+                        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+                        frames.append(
+                            cv2.resize(gray, (width, height)).astype(np.float64) / 255.0
+                        )
+                    cap.release()
+                    out.append(np.stack(frames))
+                finally:
+                    os.unlink(tmp)
+            else:
+                seed = int.from_bytes(hashlib.md5(bytes(raw)).digest()[:8], "big")
+                rng = np.random.default_rng(seed)
+                out.append(rng.random((n_frames, height, width)))
         return pd.Series(out)
 
     return vid_udf(c)

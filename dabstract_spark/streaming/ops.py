@@ -14,6 +14,10 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# schema-probe results per (session, path): file sources need an explicit
+# schema, and re-probing with a batch read costs ~1 s per streaming query
+_SCHEMA_CACHE: dict = {}
+
 
 def stream_events(
     spark: SparkSession,
@@ -28,7 +32,11 @@ def stream_events(
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    cache_key = (id(spark), path)
+    schema = _SCHEMA_CACHE.get(cache_key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[cache_key] = schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -111,3 +111,49 @@ def test_minhash_identical_docs_always_candidates(spark, texts):
     for i, t in enumerate(texts):
         if len([w for w in t.split() if w]) >= 2:  # has at least one 2-shingle
             assert (i, 100 + i) in pairs
+
+
+# --------------------------------------------------------------------- #
+# with_row_id is the keystone of every ordinal semantic (selects, folds,
+# zip-joins): its assignment must be a function of the ORDER KEY only —
+# never of physical partitioning or arrival order.
+# --------------------------------------------------------------------- #
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcdef0123456789", min_size=1, max_size=12),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    npart=st.integers(1, 7),
+)
+@settings(**_SETTINGS)
+def test_with_row_id_deterministic_under_repartition(spark, keys, npart):
+    from dabstract_spark.core import with_row_id
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    base = {r.k: r.row_id for r in with_row_id(df, "k").collect()}
+    shuffled = {
+        r.k: r.row_id for r in with_row_id(df.repartition(npart), "k").collect()
+    }
+    assert base == shuffled
+    # dense 0-based ids in sorted-key order
+    expect = {k: i for i, k in enumerate(sorted(keys))}
+    assert base == expect
+
+
+@given(
+    vals=st.lists(st.integers(-(10**9), 10**9), min_size=1, max_size=40, unique=True),
+    npart=st.integers(1, 7),
+)
+@settings(**_SETTINGS)
+def test_with_row_id_numeric_keys_deterministic(spark, vals, npart):
+    from dabstract_spark.core import with_row_id
+
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    base = {r.k: r.row_id for r in with_row_id(df, "k").collect()}
+    shuffled = {
+        r.k: r.row_id for r in with_row_id(df.repartition(npart), "k").collect()
+    }
+    assert base == shuffled
+    assert base == {v: i for i, v in enumerate(sorted(vals))}

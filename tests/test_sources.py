@@ -88,12 +88,32 @@ def test_decode_npy_roundtrip(spark, tmp_path):
 
 
 def test_multimodal_stubs(spark):
+    import dabstract_spark.sources.readers as readers
+
     df = spark.createDataFrame([(bytearray(b"fake-image-bytes"),)], "payload binary")
-    # real mode is an explicit, documented stub
-    with pytest.raises(NotImplementedError):
-        decode_image("payload", mode="real")
-    with pytest.raises(NotImplementedError):
+    # real mode dispatches on library availability: raises only when the
+    # decoder library is missing (an env WITH PIL/cv2 builds the real UDF
+    # with no code change)
+    if not readers._has_pil():
+        with pytest.raises(NotImplementedError):
+            decode_image("payload", mode="real")
+    else:
+        decode_image("payload", mode="real")  # plan-build must succeed
+    if not readers._has_cv2():
+        with pytest.raises(NotImplementedError):
+            sample_video_frames("payload", mode="real")
+    else:
         sample_video_frames("payload", mode="real")
+    # dispatch is exercised both ways regardless of the env: a monkeyed
+    # "available" probe must let plan-build through
+    orig = readers._has_pil
+    readers._has_pil = lambda: True
+    try:
+        decode_image("payload", mode="real")
+    finally:
+        readers._has_pil = orig
+    with pytest.raises(ValueError):
+        decode_image("payload", mode="nope")
     img = df.select(decode_image("payload", 4, 6, mode="fake").alias("m")).collect()[0].m
     assert len(img) == 4 and len(img[0]) == 6
     # deterministic: same bytes -> same fake pixels
