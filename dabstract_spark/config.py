@@ -84,9 +84,14 @@ def dataset_factory(spark, builder, paths=None, select=None, split=None, xval=No
     elif callable(builder) and not isinstance(builder, str):
         db = builder(spark, paths=paths, test_only=test_only, **kwargs)
     elif isinstance(builder, str):
-        if builder not in _DATASETS:
+        fn = _DATASETS.get(builder)
+        if fn is None:
+            from dabstract_spark.custom import resolve_custom
+
+            fn = resolve_custom("dbs", builder)
+        if fn is None:
             raise KeyError(f"unknown dataset builder '{builder}'; have {sorted(_DATASETS)}")
-        db = _DATASETS[builder](spark, paths=paths or {}, test_only=test_only, **kwargs)
+        db = fn(spark, paths=paths or {}, test_only=test_only, **kwargs)
     else:
         raise TypeError(f"cannot build dataset from {type(builder)}")
     if split is not None:

@@ -73,9 +73,14 @@ _REGISTRY = {
 
 
 def resolve(name: str):
-    if name not in _REGISTRY:
-        raise KeyError(f"unknown selector '{name}'; have {sorted(_REGISTRY)}")
-    return _REGISTRY[name]
+    if name in _REGISTRY:
+        return _REGISTRY[name]
+    from dabstract_spark.custom import resolve_custom
+
+    hit = resolve_custom("selectors", name)
+    if hit is not None:
+        return hit
+    raise KeyError(f"unknown selector '{name}'; have {sorted(_REGISTRY)}")
 
 
 def apply_callable(df: DataFrame, fct, **params) -> DataFrame:

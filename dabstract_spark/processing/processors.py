@@ -887,7 +887,13 @@ PROCESSORS = {
 
 def resolve(name: str):
     """Name → processor class (reference processing_chain.py:69-80's
-    string resolution, without the dynamic custom-module import)."""
-    if name not in PROCESSORS:
-        raise KeyError(f"unknown processor '{name}'; have {sorted(PROCESSORS)}")
-    return PROCESSORS[name]
+    string resolution, including the dynamic custom-module import:
+    unknown names fall back to <DABSTRACT_SPARK_CUSTOM_DIR>/processors.py)."""
+    if name in PROCESSORS:
+        return PROCESSORS[name]
+    from dabstract_spark.custom import resolve_custom
+
+    hit = resolve_custom("processors", name)
+    if hit is not None:
+        return hit
+    raise KeyError(f"unknown processor '{name}'; have {sorted(PROCESSORS)}")

@@ -36,16 +36,29 @@ def _has_cv2() -> bool:
     return importlib.util.find_spec("cv2") is not None
 
 
-def _wav_arrays(raw: bytes) -> tuple[np.ndarray, int]:
+def _wav_arrays(
+    raw: bytes, start: int | None = None, length: int | None = None
+) -> tuple[np.ndarray, int]:
     """bytes -> (float64 samples in [-1, 1), fs). PCM16/8/32 mono or
     multi-channel (channels interleaved -> first channel, matching the
-    reference's select_channel=0 common case)."""
+    reference's select_channel=0 common case).
+
+    ``start``/``length`` are a RANGED read (reference
+    ``WavDatareader(read_range)``, processors.py:23-47): only the
+    requested frames are decoded — setpos + readframes(count), not
+    decode-all-then-slice."""
     with wave.open(io.BytesIO(raw), "rb") as w:
         fs = w.getframerate()
         n = w.getnframes()
         width = w.getsampwidth()
         ch = w.getnchannels()
-        frames = w.readframes(n)
+        if start is not None or length is not None:
+            lo = min(start or 0, n)
+            count = n - lo if length is None else max(0, min(length, n - lo))
+            w.setpos(lo)
+            frames = w.readframes(count)
+        else:
+            frames = w.readframes(n)
     if width == 2:
         arr = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 4:
@@ -61,9 +74,10 @@ def _wav_arrays(raw: bytes) -> tuple[np.ndarray, int]:
 
 def decode_wav(col: Column | str, read_start: int | None = None, read_length: int | None = None) -> Column:
     """binary WAV -> array<double> samples (reference WavDatareader,
-    processors.py:16-68). ``read_start``/``read_length`` give the
-    reference's read_range slice pushdown (slice after header decode —
-    raw-byte-range pushdown would need a custom data source)."""
+    processors.py:16-68). ``read_start``/``read_length`` are the
+    reference's read_range PUSHED INTO the decode: only the requested
+    frames are parsed (setpos + readframes), so a short window over a
+    long recording costs O(window), not O(file)."""
     c = F.col(col) if isinstance(col, str) else col
 
     @pandas_udf("array<double>")
@@ -72,11 +86,7 @@ def decode_wav(col: Column | str, read_start: int | None = None, read_length: in
 
         out = []
         for raw in s:
-            arr, _ = _wav_arrays(bytes(raw))
-            if read_start is not None or read_length is not None:
-                lo = read_start or 0
-                hi = lo + read_length if read_length is not None else None
-                arr = arr[lo:hi]
+            arr, _ = _wav_arrays(bytes(raw), start=read_start, length=read_length)
             out.append(arr)
         return pd.Series(out)
 

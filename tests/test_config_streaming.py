@@ -182,3 +182,41 @@ def test_stateful_sessionizer_emits_closed_sessions(spark):
         (r.user_id, r.n_events, round(r.sum_value, 6)) for r in closed_batch.collect()
     )
     assert stream_set == batch_set and len(stream_set) > 0
+
+
+def test_custom_dir_dynamic_resolution(spark, tmp_path, monkeypatch):
+    """DABSTRACT_SPARK_CUSTOM_DIR (reference dabstract_CUSTOM_DIR,
+    helpers.py:96-184): unknown registry names resolve from plain .py
+    files in a user directory — processors for ProcessingChain, dataset
+    builders for dataset_factory — without import-side registration."""
+    (tmp_path / "processors.py").write_text(
+        "from pyspark.sql import functions as F\n"
+        "from dabstract_spark.processing.processors import Processor\n\n"
+        "class Doubler(Processor):\n"
+        "    def expr(self, col, info):\n"
+        "        return F.transform(col, lambda x: x * F.lit(2.0)), {}\n"
+    )
+    (tmp_path / "dbs.py").write_text(
+        "from dabstract_spark.dataset import Dataset\n\n"
+        "def tiny_table(spark, paths, test_only=False, **kw):\n"
+        "    df = spark.range(3).withColumnRenamed('id', 'k')\n"
+        "    return Dataset(df, name='tiny', test_only=test_only)\n"
+    )
+    monkeypatch.setenv("DABSTRACT_SPARK_CUSTOM_DIR", str(tmp_path))
+
+    from dabstract_spark.config import dataset_factory
+    from dabstract_spark.processing import ProcessingChain
+
+    df = spark.createDataFrame([([1.0, 2.0],)], "x array<double>")
+    out = ProcessingChain().add("Doubler").process_df(df, "x", new_key="y")
+    assert out.select("y").collect()[0].y == [2.0, 4.0]
+
+    ds = dataset_factory(spark, "tiny_table")
+    assert sorted(r.k for r in ds.full_df.select("k").collect()) == [0, 1, 2]
+
+    # unset -> unknown names still raise cleanly
+    monkeypatch.delenv("DABSTRACT_SPARK_CUSTOM_DIR")
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        ProcessingChain().add("DefinitelyMissingProc")

@@ -189,3 +189,18 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert joined.count() == 1000
     row = joined.filter("k = 10").collect()[0]
     assert (row.x, row.y) == (20, 17)
+
+
+def test_decode_wav_read_range(spark):
+    """Ranged read (reference WavDatareader read_range): decoding frames
+    [start, start+length) equals the slice of the full decode, and
+    out-of-range starts yield empty arrays rather than errors."""
+    ds = folder_dataset(spark, FIXTURES).reset_active_keys()
+    df = ds.full_df.limit(1)
+    full = df.select(decode_wav("data").alias("x")).collect()[0].x
+    ranged = df.select(decode_wav("data", read_start=3, read_length=5).alias("x")).collect()[0].x
+    assert ranged == full[3:8]
+    tail = df.select(decode_wav("data", read_start=len(full) - 2).alias("x")).collect()[0].x
+    assert tail == full[-2:]
+    empty = df.select(decode_wav("data", read_start=10**9).alias("x")).collect()[0].x
+    assert empty == []
