@@ -254,3 +254,48 @@ def add_text_stats(df: DataFrame, key: str = "text") -> DataFrame:
         .withColumn("fingerprint", fingerprint(key))
         .drop("__t")
     )
+
+
+# --------------------------------------------------------------------- #
+# PII detection / redaction (training-data compliance pass). Patterns are
+# the portable intersection of Java regex (Spark, whole-stage codegen)
+# and RE2 (DuckDB oracle): no lookaround, no backrefs. At 100 TB this is
+# a pure map stage — no shuffle, scan-fused, zero Python.
+# --------------------------------------------------------------------- #
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrences of one PII kind (JVM regexp_extract_all + size)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), 0)).cast("bigint")
+
+
+def redact_pii(col: Column | str, kinds: tuple[str, ...] | None = None, token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token`` (chained JVM
+    regexp_replace — replaces ALL occurrences per kind).
+
+    NB ordering: ``ssn`` runs before ``phone`` (their surface syntax
+    overlaps; the more specific pattern must win), and ``ipv4`` before
+    ``phone`` for dotted numerics."""
+    c = F.col(col) if isinstance(col, str) else col
+    order = kinds if kinds is not None else ("email", "ssn", "ipv4", "phone")
+    for kind in order:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], token)
+    return c
+
+
+def pii_stats_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII counts + redacted-text fingerprint: the audit
+    table a compliance pass materializes before filtering/redaction."""
+    counts = [pii_count(text_col, k).alias(f"n_{k}") for k in PII_PATTERNS]
+    return df.select(
+        F.col(id_col),
+        *counts,
+        F.md5(redact_pii(text_col)).alias("redacted_md5"),
+    )

@@ -778,3 +778,53 @@ def q87_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q88_tfdf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return tx.tfdf_keywords(docs, "doc_id", "text", top_k=3)
+
+
+# --------------------------------------------------------------------- #
+# PII audit pass (training-data compliance): deterministic PII is salted
+# into each document, then detected + redacted with portable regexes.
+# Counts and the redacted-text md5 are both oracle-checked.
+# --------------------------------------------------------------------- #
+@query(
+    "q99_pii_redaction",
+    oracle=r"""
+    WITH salted AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com'
+                  || ' from 10.0.' || (doc_id % 256) || '.7'
+                  || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+           md5(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+                   '\b\d{3}-\d{2}-\d{4}\b', '[PII]', 'g'),
+                 '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII]', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PII]', 'g')
+           ) AS redacted_md5
+    FROM salted
+    """,
+)
+def q99_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return tx.pii_stats_df(salted, "doc_id", "text")
