@@ -299,3 +299,50 @@ def pii_stats_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         *counts,
         F.md5(redact_pii(text_col)).alias("redacted_md5"),
     )
+
+
+# --------------------------------------------------------------------- #
+# C4-style line-level cleanup (the boilerplate pass training pipelines
+# run before dedup): keep a LINE only if it ends in terminal punctuation
+# and has >= min_words words; keep the DOC only if >= min_lines lines
+# survive. Pure HOF/filter expressions — scan-fused map stage, the line
+# loop stays inside the JVM.
+# --------------------------------------------------------------------- #
+def c4_clean_lines(
+    col: Column | str,
+    min_words: int = 3,
+    terminal: str = ".!?\"'",
+) -> Column:
+    """text -> surviving lines (C4 rule: terminal punctuation + word
+    minimum per line)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, r"\n")
+    kept = F.filter(
+        lines,
+        lambda ln: (
+            (F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != "")) >= min_words)
+            & F.substring(F.rtrim(ln), -1, 1).isin(*list(terminal))
+        ),
+    )
+    return kept
+
+
+def c4_filter_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 3,
+    min_lines: int = 1,
+) -> DataFrame:
+    """Per-document C4 cleanup audit: surviving line count, total line
+    count, the cleaned text (surviving lines re-joined), and the keep
+    decision. Filtering is `.filter(kept)` downstream — kept as a column
+    so the audit table shows what the pass would drop."""
+    kept = c4_clean_lines(text_col, min_words=min_words)
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), r"\n")).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.md5(F.array_join(kept, "\n")).alias("cleaned_md5"),
+        (F.size(kept) >= min_lines).alias("keep"),
+    )

@@ -828,3 +828,46 @@ def q99_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return tx.pii_stats_df(salted, "doc_id", "text")
+
+
+# --------------------------------------------------------------------- #
+# C4-style line-level cleanup: documents are reshaped into deterministic
+# multi-line form (kept line / too-short line / no-terminal line / kept
+# line) so every rule fires, then the audit table is oracle-checked.
+# --------------------------------------------------------------------- #
+@query(
+    "q100_c4_line_filter",
+    oracle=r"""
+    WITH lined AS (
+      SELECT doc_id,
+             substr(text, 1, 50) || '.' || chr(10) ||
+             'too short.' || chr(10) ||
+             substr(text, 51, 40) || chr(10) ||
+             'keep this line too!' AS text
+      FROM documents),
+    kept AS (
+      SELECT doc_id,
+             len(string_split(text, chr(10))) AS n_lines,
+             list_filter(string_split(text, chr(10)),
+               ln -> len(list_filter(string_split_regex(trim(ln), '\s+'), w -> w != '')) >= 3
+                     AND right(rtrim(ln), 1) IN ('.', '!', '?', '"', '''')) AS k
+      FROM lined)
+    SELECT doc_id, CAST(n_lines AS INT) AS n_lines, CAST(len(k) AS INT) AS n_kept,
+           md5(array_to_string(k, chr(10))) AS cleaned_md5,
+           len(k) >= 1 AS keep
+    FROM kept
+    """,
+)
+def q100_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.substring("text", 1, 50), F.lit(".")),
+            F.lit("too short."),
+            F.substring("text", 51, 40),
+            F.lit("keep this line too!"),
+        ).alias("text"),
+    )
+    return tx.c4_filter_df(lined, "doc_id", "text", min_words=3, min_lines=1)
