@@ -126,3 +126,105 @@ def extract_props(df: DataFrame, props_col: str = "props", field: str = "k") -> 
     return df.withColumn(
         f"prop_{field}", F.get_json_object(F.col(props_col), f"$.{field}").cast("int")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: tuple[str, ...] = ("value",),
+    suffix: str = "_asof",
+    strict: bool = False,
+) -> DataFrame:
+    """AS-OF join: for each left row, attach the LATEST right row with
+    the same key whose timestamp is <= (or < when ``strict``) the left
+    timestamp. Spark has no native as-of join; this is the union-tag
+    formulation — one shuffle on (key), a per-key window scan, no range
+    explosion:
+
+      union(left tagged 0, right tagged 1)
+        -> window last_value(right payload ignorenulls)
+           over (partition by key order by ts, tag) rows unbounded preceding
+        -> keep left rows
+
+    Ties: a right row AT the same timestamp is visible to the left row
+    unless ``strict`` (right sorts before left at equal ts via the tag).
+    At scale this is the plan you want — both sides shuffle once on the
+    join key, the window runs per key, skew handled by AQE. DuckDB's
+    native ASOF JOIN is the oracle (q101).
+    """
+    lcols = left.columns
+    # left rows always carry tag 0; right rows sort BEFORE left at equal
+    # ts for the <= (non-strict) semantics and AFTER for the strict <.
+    l_tagged = left.select(
+        *lcols,
+        F.lit(0).alias("__tag"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        *[
+            F.col(c) if c in (on, ts_col) else F.lit(None).cast(t).alias(c)
+            for c, t in ((c, dict(left.dtypes).get(c)) for c in lcols)
+        ],
+        F.lit(1 if strict else -1).alias("__tag"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(_epoch_us(ts_col), F.col("__tag"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = u.select(
+        *lcols,
+        "__tag",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    return out.filter(F.col("__tag") == 0).drop("__tag")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    before_sec: int = 0,
+    after_sec: int = 60,
+    right_cols: tuple[str, ...] = ("event_id", "value"),
+    suffix: str = "_r",
+) -> DataFrame:
+    """Range (interval) join: all right rows with the same key whose
+    timestamp falls in [left.ts - before_sec, left.ts + after_sec].
+
+    A naive key-equi + range predicate makes Spark evaluate the range
+    against every same-key pair (quadratic per hot key). This is the
+    time-binned formulation: both sides bucket time into windows of
+    width >= before+after, the left row lands in every bin its interval
+    touches (<= 2 bins by construction), and the join key is (key, bin)
+    — an ordinary hash join whose per-bucket fan-out is bounded by data
+    density, refined by the exact predicate afterwards.
+    """
+    w_us = max(before_sec + after_sec, 1) * 1_000_000
+    l_us = _epoch_us(ts_col)
+    l2 = (
+        left.withColumn("__lo", l_us - F.lit(before_sec * 1_000_000))
+        .withColumn("__hi", l_us + F.lit(after_sec * 1_000_000))
+        .withColumn(
+            "__lbin",
+            F.explode(F.sequence(F.expr(f"__lo div {w_us}"), F.expr(f"__hi div {w_us}"))),
+        )
+    )
+    r2 = right.select(
+        F.col(on).alias("__ron"),
+        _epoch_us(ts_col).alias("__rus"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    ).withColumn("__rbin", F.expr(f"__rus div {w_us}"))
+    joined = l2.join(
+        r2, (F.col(on) == F.col("__ron")) & (F.col("__lbin") == F.col("__rbin"))
+    )
+    out = joined.filter((F.col("__rus") >= F.col("__lo")) & (F.col("__rus") <= F.col("__hi")))
+    return out.drop("__lo", "__hi", "__lbin", "__rbin", "__ron", "__rus")

@@ -871,3 +871,51 @@ def q100_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return tx.c4_filter_df(lined, "doc_id", "text", min_words=3, min_lines=1)
+
+
+# --------------------------------------------------------------------- #
+# AS-OF join (custom operator Spark lacks; union-tag window formulation
+# in events.asof_join) vs DuckDB's NATIVE ASOF JOIN as the oracle: each
+# click is joined to the user's latest view at-or-before it.
+# --------------------------------------------------------------------- #
+@query(
+    "q101_asof_join",
+    oracle="""
+    SELECT l.event_id, l.user_id, r.value AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q101_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    views = events.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = ev.asof_join(clicks, views, on="user_id", ts_col="ts", right_cols=("value",))
+    return out.select("event_id", "user_id", "value_asof")
+
+
+# --------------------------------------------------------------------- #
+# Range join (time-binned formulation in events.range_join) vs a plain
+# inequality join in DuckDB: view events within ±30 min of each click.
+# --------------------------------------------------------------------- #
+@query(
+    "q102_range_join",
+    oracle="""
+    SELECT l.event_id, r.event_id AS event_id_r, r.value AS value_r
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 30 MINUTE
+     AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q102_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    views = events.filter(F.col("event_type") == "view")
+    out = ev.range_join(
+        clicks, views, on="user_id", ts_col="ts",
+        before_sec=1800, after_sec=1800, right_cols=("event_id", "value"),
+    )
+    return out.select("event_id", "event_id_r", "value_r")

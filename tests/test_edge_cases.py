@@ -153,3 +153,30 @@ def test_add_split_power2_rounding(spark):
     out = ds.add_split("a", split_size=0.6, type="seconds", rate=5, constraint="power2").full_df.collect()
     assert len(out) == 3
     assert sorted(len(r.a) for r in out) == [2, 4, 4]
+
+
+def test_asof_join_tie_and_strict_semantics(spark):
+    """asof_join: equal-ts right row is visible non-strict, invisible
+    strict; earlier rights win over nothing; no-match yields NULL."""
+    from datetime import datetime as DT
+
+    from dabstract_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, DT(2024, 1, 1, 0, 0, 10)), (2, 10, DT(2024, 1, 1, 0, 0, 20)), (3, 99, DT(2024, 1, 1, 0, 0, 5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, DT(2024, 1, 1, 0, 0, 10), 1.5), (10, DT(2024, 1, 1, 0, 0, 15), 2.5)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r.event_id: r.value_asof
+        for r in asof_join(left, right, right_cols=("value",)).collect()
+    }
+    assert got == {1: 1.5, 2: 2.5, 3: None}
+    strict = {
+        r.event_id: r.value_asof
+        for r in asof_join(left, right, right_cols=("value",), strict=True).collect()
+    }
+    assert strict == {1: None, 2: 2.5, 3: None}
