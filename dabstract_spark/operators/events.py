@@ -228,3 +228,45 @@ def range_join(
     )
     out = joined.filter((F.col("__rus") >= F.col("__lo")) & (F.col("__rus") <= F.col("__hi")))
     return out.drop("__lo", "__hi", "__lbin", "__rbin", "__ron", "__rus")
+
+
+def multires_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = ("event_type",),
+    widths_sec: tuple[int, ...] = (900, 3600, 86400),
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: one pass emits the
+    continuous aggregate at every resolution. Each event is exploded
+    into (resolution_sec, bucket_start) pairs — len(widths_sec) rows —
+    and ONE shuffle on (resolution, bucket, *group) produces all levels;
+    at scale this beats len(widths_sec) separate scans of a 100 TB fact
+    table, and coarse levels could equally be re-aggregated from the
+    finest (the cascade trade: re-aggregation saves input volume but
+    serializes levels; the explode form is one parallel pass).
+
+    Returns (resolution_sec, bucket_start, *group_cols, n_events,
+    sum_value); buckets are epoch-aligned (floor(epoch / width) * width).
+    """
+    us = _epoch_us(ts_col)
+    res = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(w).cast("int").alias("resolution_sec"),
+                F.timestamp_seconds(
+                    (us / 1_000_000).cast("bigint") - (us / 1_000_000).cast("bigint") % w
+                ).alias("bucket_start"),
+            )
+            for w in widths_sec
+        ])
+    ).alias("r")
+    return (
+        df.select(*group_cols, F.col(value_col).alias("__v"), res)
+        .select("r.resolution_sec", "r.bucket_start", *group_cols, "__v")
+        .groupBy("resolution_sec", "bucket_start", *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("__v").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )

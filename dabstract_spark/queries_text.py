@@ -919,3 +919,28 @@ def q102_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         before_sec=1800, after_sec=1800, right_cols=("event_id", "value"),
     )
     return out.select("event_id", "event_id_r", "value_r")
+
+
+# --------------------------------------------------------------------- #
+# Hypertable-style multi-resolution rollup (events.multires_rollup):
+# one explode + one shuffle emits the continuous aggregate at 15 min /
+# 1 h / 1 d simultaneously.
+# --------------------------------------------------------------------- #
+@query(
+    "q103_multires_rollup",
+    oracle="""
+    SELECT CAST(w AS INT) AS resolution_sec,
+           CAST(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // w) * w) AS TIMESTAMP) AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events, UNNEST([900, 3600, 86400]) AS t(w)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q103_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return ev.multires_rollup(
+        events, ts_col="ts", value_col="value", group_cols=("event_type",),
+        widths_sec=(900, 3600, 86400),
+    )
