@@ -39,8 +39,8 @@ def scaled(df, id_col: str, copies: int, uniquify=None):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
-    from dabstract_spark.session import get_spark
-    from dabstract_spark.operators import dedup as dd, text as tx
+    from dabstract_spark.session import get_spark, load_table
+    from dabstract_spark.operators import dedup as dd, events as ev, text as tx
     from dabstract_spark.operators.similarity import (
         embedding_neardup_pairs,
         ivf_assign,
@@ -51,6 +51,7 @@ def main():
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    events = load_table(spark, sf_dir, "events")
 
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
@@ -67,10 +68,18 @@ def main():
             d, "doc_id", "text", k=2, threshold=0.12, max_df=100
         ),
         "tfdf_keywords": lambda d: tx.tfdf_keywords(d, "doc_id", "text"),
+        "pii_stats": lambda d: tx.pii_stats_df(d, "doc_id", "text"),
+        "c4_filter": lambda d: tx.c4_filter_df(d, "doc_id", "text"),
     }
     emb_probes = {
+        # uncapped: the duplicate bomb is quadratic BY OUTPUT (16 copies
+        # of every vector share a bucket -> 256x true pairs)...
         "embedding_neardup": lambda e: embedding_neardup_pairs(
             e, threshold=0.8, n_bits=8, dim=64, seed=0, exact=False
+        ),
+        # ...and max_bucket is the production guard that bounds it
+        "embedding_neardup_cap": lambda e: embedding_neardup_pairs(
+            e, threshold=0.8, n_bits=8, dim=64, seed=0, exact=False, max_bucket=64
         ),
         "ivf_assign": lambda e: ivf_assign(e, ivf_centroids(e, n_centroids=8)).select(
             "vec_id", "centroid_id"
@@ -82,6 +91,21 @@ def main():
             F.avg("l_extendedprice").alias("ap"),
             F.count(F.lit(1)).alias("n"),
         ),
+    }
+
+    def _clicks_views(e):
+        return (
+            e.filter(F.col("event_type") == "click"),
+            e.filter(F.col("event_type") == "view").select("user_id", "ts", "value"),
+        )
+
+    ev_probes = {
+        "sessionize": lambda e: ev.session_stats(e),
+        "asof_join": lambda e: ev.asof_join(*_clicks_views(e), right_cols=("value",)),
+        "range_join": lambda e: ev.range_join(
+            *_clicks_views(e), before_sec=1800, after_sec=1800, right_cols=("value",)
+        ),
+        "multires_rollup": lambda e: ev.multires_rollup(e),
     }
 
     print(f"{'probe':<20} {'1x':>8} {'4x':>8} {'16x':>8}  (sec; input rows scale 1:4:16)")
@@ -107,6 +131,24 @@ def main():
             li = scaled(lineitem, "l_orderkey", copies)
             t0 = time.time()
             noop(fn(li))
+            row.append(time.time() - t0)
+        print(f"{name:<20} {row[0]:>8.2f} {row[1]:>8.2f} {row[2]:>8.2f}")
+    # events scale with GROWING user cardinality (each copy is a fresh
+    # user population) — the realistic 100 TB shape: more users, not
+    # deeper per-user history
+    for name, fn in ev_probes.items():
+        row = []
+        for copies in (1, 4, 16):
+            e = scaled(
+                events,
+                "event_id",
+                copies,
+                uniquify=lambda p, c: p.withColumn(
+                    "user_id", F.col("user_id") + F.lit(c * 1_000_000)
+                ),
+            )
+            t0 = time.time()
+            noop(fn(e))
             row.append(time.time() - t0)
         print(f"{name:<20} {row[0]:>8.2f} {row[1]:>8.2f} {row[2]:>8.2f}")
 
