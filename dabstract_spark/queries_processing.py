@@ -349,3 +349,43 @@ def q68_chain_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", F.posexplode(rt).alias("pos", "roundtrip")).select(
         "vec_id", "pos", (F.round("roundtrip", 6) + F.lit(0.0)).alias("roundtrip")
     )
+
+
+# --------------------------------------------------------------------- #
+# ProcessingChain save/load roundtrip (§2.1, reference
+# processing_chain.py save/load): a FITTED chain serialized to JSON and
+# reloaded must produce the exact same result as the original — the
+# reloaded chain carries the fitted state as literals.
+# --------------------------------------------------------------------- #
+@query(
+    "q104_chain_save_load",
+    oracle=f"""
+    WITH mm AS (
+      SELECT MIN(list_min(embedding))::DOUBLE AS mn,
+             MAX(list_max(embedding))::DOUBLE AS mx
+      FROM embeddings)
+    SELECT vec_id, CAST(j - 1 AS INT) AS pos,
+           round(20.0 * log10(((embedding[j]::DOUBLE - mn) / (mx - mn)) + 1.0), 6) + 0.0 AS out
+    FROM embeddings, mm, UNNEST(generate_series(1, {_DIM})) AS t(j)
+    """,
+)
+def q104_chain_save_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    fitted = ProcessingChain().add("Normalizer", {"type": "minmax"})
+    fitted.fit(emb, "embedding")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "chain_v1")
+        fitted.save(path)
+        chain = ProcessingChain.load(path)
+    # extend the RELOADED chain: +1 then dB — proves the reloaded object
+    # is a full chain, not a frozen expression
+    chain = chain.add(lambda c: F.transform(c, lambda x: x + F.lit(1.0))).add(
+        "Logarithm", {"type": "base10"}
+    )
+    out = chain.process_df(emb, "embedding", new_key="out")
+    return out.select("vec_id", F.posexplode("out").alias("pos", "out")).select(
+        "vec_id", "pos", (F.round("out", 6) + F.lit(0.0)).alias("out")
+    )
