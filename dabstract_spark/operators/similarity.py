@@ -352,3 +352,58 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Covariance matrix of the embedding dimensions — the whitening /
+    PCA-input statistic — in the RELATIONAL formulation that scales:
+    posexplode both sides, self-join on the row id, one groupBy on
+    (i, j). Work is rows × dim² but strictly linear in rows, partial
+    aggregation is map-side, and no driver-side matrix appears until
+    the dim×dim result (which IS the output).
+
+    Determinism across engines: values are rounded to 6 decimals then
+    summed as DECIMAL — float sums depend on accumulation order, exact
+    decimal sums do not.
+    """
+    x = df.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("i", "__xi"),
+    ).select(
+        id_col, "i", F.round(F.col("__xi").cast("double"), 6).cast("decimal(18,6)").alias("xi")
+    )
+    y = df.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("j", "__xj"),
+    ).select(
+        id_col, "j", F.round(F.col("__xj").cast("double"), 6).cast("decimal(18,6)").alias("xj")
+    )
+    pairs = x.join(y, id_col)
+    return (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("xi") * F.col("xj")).alias("__sxy"),
+            F.sum("xi").alias("__sx"),
+            F.sum("xj").alias("__sy"),
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    (
+                        F.col("__sxy").cast("double")
+                        - F.col("__sx").cast("double") * F.col("__sy").cast("double") / F.col("__n")
+                    )
+                    / F.col("__n"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )

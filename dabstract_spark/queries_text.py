@@ -944,3 +944,29 @@ def q103_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, ts_col="ts", value_col="value", group_cols=("event_type",),
         widths_sec=(900, 3600, 86400),
     )
+
+
+# --------------------------------------------------------------------- #
+# Embedding covariance matrix (whitening/PCA input) in the relational
+# formulation: posexplode x self-join x groupBy(i, j) — linear in rows.
+# Decimal sums of 6-decimal-rounded values make the cross-row float
+# reduction order-independent, so both engines agree exactly.
+# --------------------------------------------------------------------- #
+@query(
+    "q105_embedding_covariance",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, CAST(j - 1 AS INT) AS i,
+             CAST(round(embedding[j]::DOUBLE, 6) AS DECIMAL(18,6)) AS xi
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(j))
+    SELECT a.i, b.i AS j,
+           round((CAST(SUM(a.xi * b.xi) AS DOUBLE)
+                  - CAST(SUM(a.xi) AS DOUBLE) * CAST(SUM(b.xi) AS DOUBLE) / COUNT(*))
+                 / COUNT(*), 6) + 0.0 AS cov
+    FROM x a JOIN x b ON a.vec_id = b.vec_id
+    GROUP BY a.i, b.i
+    """,
+)
+def q105_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_covariance(emb)
