@@ -407,3 +407,54 @@ def embedding_covariance(
             ).alias("cov"),
         )
     )
+
+
+def topk_lsh_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 0,
+    n_probes: int | None = None,
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query additionally probes the buckets
+    at Hamming distance 1 from its own sketch (flip one sign bit), the
+    standard recall recovery for sign-LSH — a vector near a hyperplane
+    lands on either side, and its true neighbors sit one flipped bit
+    away. Candidates grow ×(1+n_probes) per query (explode on the SMALL
+    query side only); the corpus is still scanned once and shuffled once
+    on the bucket key. ``n_probes`` defaults to n_bits (all distance-1
+    buckets).
+    """
+    probes = n_bits if n_probes is None else min(n_probes, n_bits)
+    cb = corpus.withColumn("bucket", hyperplane_bits(vec_col, n_bits, dim, seed))
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        hyperplane_bits(vec_col, n_bits, dim, seed).alias("__b0"),
+    )
+    # probe set = own bucket + n_probes single-bit flips (XOR with 2^b)
+    qb = qb.select(
+        "query_id",
+        "__qvec",
+        F.explode(
+            F.array(
+                F.col("__b0"),
+                *[
+                    F.expr(f"__b0 ^ {1 << b}").cast("bigint")
+                    for b in range(probes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    joined = cb.join(qb, "bucket").filter(F.col("query_id") != F.col(id_col))
+    scored = joined.select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("sim"),
+    ).dropDuplicates(["query_id", id_col])
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -970,3 +970,42 @@ def q103_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q105_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return sim.embedding_covariance(emb)
+
+
+# --------------------------------------------------------------------- #
+# Multi-probe LSH top-k: own bucket + all Hamming-distance-1 buckets
+# (the standard sign-LSH recall recovery). The probe expansion happens
+# on the tiny query side only.
+# --------------------------------------------------------------------- #
+@query(
+    "q106_ann_topk_multiprobe",
+    oracle=f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, CAST({_lsh_bucket_sql(8, 0)} AS BIGINT) AS b0
+      FROM embeddings),
+    qp AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             CASE WHEN p = 0 THEN b0 ELSE xor(b0, CAST(1 << (p - 1) AS BIGINT)) END AS bucket
+      FROM bk, UNNEST(generate_series(0, 8)) AS t(p)
+      WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id, q.qe, c.embedding AS ce
+      FROM qp q JOIN bk c ON c.b0 = q.bucket AND q.query_id <> c.vec_id),
+    scored AS (
+      SELECT query_id, vec_id,
+             ROUND(list_sum(list_transform(generate_series(1, 64), j -> (qe[j])::DOUBLE * (ce[j])::DOUBLE))
+                   / (sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))
+                      * sqrt(list_sum(list_transform(ce, x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim
+      FROM cand)
+    SELECT query_id, vec_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def q106_ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim.topk_lsh_multiprobe(emb, queries_df, k=3, n_bits=8, dim=64, seed=0).select(
+        "query_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank")
+    )
