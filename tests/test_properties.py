@@ -157,3 +157,53 @@ def test_with_row_id_numeric_keys_deterministic(spark, vals, npart):
     }
     assert base == shuffled
     assert base == {v: i for i, v in enumerate(sorted(vals))}
+
+
+# --------------------------------------------------------------------- #
+# asof_join vs a direct python reference model: for arbitrary per-user
+# event sets, every left row gets the max right ts <= (or < when
+# strict) its own ts — including duplicates of the key across users and
+# equal-timestamp collisions.
+# --------------------------------------------------------------------- #
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=25
+    ),
+    strict=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_reference_model(spark, lefts, rights, strict):
+    from datetime import datetime, timedelta
+
+    from dabstract_spark.operators.events import asof_join
+
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, u, base + timedelta(seconds=s)) for i, (u, s) in enumerate(lefts)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    # unique (user, ts) on the right so the expected value is well-defined
+    rset = {(u, s) for u, s in rights}
+    rrows = [(u, base + timedelta(seconds=s), float(u * 1000 + s)) for u, s in sorted(rset)]
+    right = spark.createDataFrame(
+        rrows or [(99, base, 0.0)], "user_id long, ts timestamp, value double"
+    )
+    if not rrows:
+        right = right.filter("user_id < 0")
+
+    def expect(u, s):
+        cands = [
+            (rs, u * 1000 + rs)
+            for (ru, rs) in rset
+            if ru == u and (rs < s if strict else rs <= s)
+        ]
+        return float(max(cands)[1]) if cands else None
+
+    got = {
+        r.event_id: r.value_asof
+        for r in asof_join(left, right, right_cols=("value",), strict=strict).collect()
+    }
+    assert got == {i: expect(u, s) for i, (u, s) in enumerate(lefts)}
