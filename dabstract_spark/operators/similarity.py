@@ -358,6 +358,7 @@ def embedding_covariance(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sum_mode: str = "int",
 ) -> DataFrame:
     """Covariance matrix of the embedding dimensions — the whitening /
     PCA-input statistic — in the RELATIONAL formulation that scales:
@@ -366,46 +367,57 @@ def embedding_covariance(
     aggregation is map-side, and no driver-side matrix appears until
     the dim×dim result (which IS the output).
 
-    Determinism across engines: values are rounded to 6 decimals then
-    summed as DECIMAL — float sums depend on accumulation order, exact
-    decimal sums do not.
+    Determinism across engines: float sums depend on accumulation
+    order, so values are rounded to 6 decimals and summed EXACTLY —
+    ``sum_mode='int'`` (default) as micro-unit int64 (value × 1e6; fast
+    JVM longs, ~5× quicker than decimal; product sums overflow int64
+    past ~5e5 rows for |x|≈4, where Spark's ANSI mode raises loudly),
+    ``sum_mode='decimal'`` as DECIMAL(18,6) sums for corpora beyond the
+    int64 bound. Both yield bit-identical cross-engine results: the
+    integer sums are exact, and the final covariance is the same IEEE
+    double expression on both sides.
     """
-    x = df.select(
-        F.col(id_col),
-        F.posexplode(vec_col).alias("i", "__xi"),
-    ).select(
-        id_col, "i", F.round(F.col("__xi").cast("double"), 6).cast("decimal(18,6)").alias("xi")
+    if sum_mode not in ("int", "decimal"):
+        raise ValueError(f"unknown sum_mode '{sum_mode}'")
+    if sum_mode == "int":
+        # through DECIMAL so the ×1e6 is exact and the bigint cast is of
+        # an integral value — double→bigint cast semantics (truncate vs
+        # round) differ across engines, integral-decimal→bigint does not
+        enc = lambda c: (  # noqa: E731
+            F.round(c.cast("double"), 6).cast("decimal(18,6)") * F.lit(1000000)
+        ).cast("bigint")
+    else:
+        enc = lambda c: F.round(c.cast("double"), 6).cast("decimal(18,6)")  # noqa: E731
+    x = df.select(F.col(id_col), F.posexplode(vec_col).alias("i", "__xi")).select(
+        id_col, "i", enc(F.col("__xi")).alias("xi")
     )
-    y = df.select(
-        F.col(id_col),
-        F.posexplode(vec_col).alias("j", "__xj"),
-    ).select(
-        id_col, "j", F.round(F.col("__xj").cast("double"), 6).cast("decimal(18,6)").alias("xj")
+    y = df.select(F.col(id_col), F.posexplode(vec_col).alias("j", "__xj")).select(
+        id_col, "j", enc(F.col("__xj")).alias("xj")
     )
     pairs = x.join(y, id_col)
-    return (
-        pairs.groupBy("i", "j")
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum(F.col("xi") * F.col("xj")).alias("__sxy"),
-            F.sum("xi").alias("__sx"),
-            F.sum("xj").alias("__sy"),
-        )
-        .select(
-            "i",
-            "j",
-            (
-                F.round(
-                    (
-                        F.col("__sxy").cast("double")
-                        - F.col("__sx").cast("double") * F.col("__sy").cast("double") / F.col("__n")
-                    )
-                    / F.col("__n"),
-                    6,
+    agg = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("xi") * F.col("xj")).alias("__sxy"),
+        F.sum("xi").alias("__sx"),
+        F.sum("xj").alias("__sy"),
+    )
+    unit = 1e12 if sum_mode == "int" else 1.0
+    return agg.select(
+        "i",
+        "j",
+        (
+            F.round(
+                (
+                    F.col("__sxy").cast("double") / F.lit(unit)
+                    - (F.col("__sx").cast("double") / F.lit(1e6 if sum_mode == "int" else 1.0))
+                    * (F.col("__sy").cast("double") / F.lit(1e6 if sum_mode == "int" else 1.0))
+                    / F.col("__n")
                 )
-                + F.lit(0.0)
-            ).alias("cov"),
-        )
+                / F.col("__n"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cov"),
     )
 
 

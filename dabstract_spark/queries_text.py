@@ -957,11 +957,11 @@ def q103_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH x AS (
       SELECT vec_id, CAST(j - 1 AS INT) AS i,
-             CAST(round(embedding[j]::DOUBLE, 6) AS DECIMAL(18,6)) AS xi
+             CAST(CAST(round(embedding[j]::DOUBLE, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xi
       FROM embeddings, UNNEST(generate_series(1, 64)) AS t(j))
     SELECT a.i, b.i AS j,
-           round((CAST(SUM(a.xi * b.xi) AS DOUBLE)
-                  - CAST(SUM(a.xi) AS DOUBLE) * CAST(SUM(b.xi) AS DOUBLE) / COUNT(*))
+           round((CAST(SUM(a.xi * b.xi) AS DOUBLE) / 1e12
+                  - (CAST(SUM(a.xi) AS DOUBLE) / 1e6) * (CAST(SUM(b.xi) AS DOUBLE) / 1e6) / COUNT(*))
                  / COUNT(*), 6) + 0.0 AS cov
     FROM x a JOIN x b ON a.vec_id = b.vec_id
     GROUP BY a.i, b.i
