@@ -1009,3 +1009,28 @@ def q106_ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.topk_lsh_multiprobe(emb, queries_df, k=3, n_bits=8, dim=64, seed=0).select(
         "query_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank")
     )
+
+
+# --------------------------------------------------------------------- #
+# Exact grouped percentiles (§2.4 depth): Spark `percentile` and DuckDB
+# `quantile_cont` both use linear interpolation on the sorted set.
+# --------------------------------------------------------------------- #
+@query(
+    "q107_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q107_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
