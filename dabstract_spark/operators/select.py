@@ -90,3 +90,37 @@ def apply_callable(df: DataFrame, fct, **params) -> DataFrame:
     if isinstance(out, DataFrame):
         return out
     return df.filter(out)
+
+
+def weighted_mix(
+    sources: dict,
+    rates: dict,
+    key: str = "row_id",
+    seed: int = 0,
+    source_col: str = "source_name",
+) -> DataFrame:
+    """Deterministic corpus mixture: downsample each named source to its
+    rate (md5-uniform Bernoulli per row, reproducible and
+    oracle-expressible) and union with a source tag — how training
+    pipelines reweight domains (e.g. 100% wiki, 30% web, 5% logs).
+
+    Scale shape: pure per-source filter + unionByName — scan-fused, no
+    shuffle at all; the mixture of 100 TB is a single pass. Sources must
+    share a schema (use intersect projections upstream otherwise).
+    """
+    from dabstract_spark.functions.hashing import md5_unit
+
+    out = None
+    for name, df in sources.items():
+        rate = float(rates.get(name, 1.0))
+        part = df.withColumn(source_col, F.lit(name))
+        if rate < 1.0:
+            # salt the seed with the source name so identical keys in
+            # different sources draw independent uniforms
+            part = part.filter(
+                md5_unit(F.concat(F.lit(name + "/"), F.col(key).cast("string")), seed) < rate
+            )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("weighted_mix needs at least one source")
+    return out

@@ -1034,3 +1034,43 @@ def q107_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Deterministic corpus mixture (select.weighted_mix): three sub-corpora
+# carved from documents by source prefix, mixed at 100% / 30% / 5% —
+# the domain-reweighting pass of a training-data pipeline. No shuffle:
+# per-source Bernoulli filters + union, scan-fused.
+# --------------------------------------------------------------------- #
+@query(
+    "q108_weighted_mix",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, source,
+             CASE WHEN source IN ('src0','src1','src2') THEN 'head'
+                  WHEN source IN ('src3','src4','src5') THEN 'mid'
+                  ELSE 'tail' END AS corpus
+      FROM documents)
+    SELECT doc_id, source, corpus AS source_name FROM tagged
+    WHERE corpus = 'head'
+       OR (corpus = 'mid'
+           AND CAST(('0x' || substr(md5('9:mid/' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 < 0.3)
+       OR (corpus = 'tail'
+           AND CAST(('0x' || substr(md5('9:tail/' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 < 0.05)
+    """,
+)
+def q108_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import weighted_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    head = docs.filter(F.col("source").isin("src0", "src1", "src2"))
+    mid = docs.filter(F.col("source").isin("src3", "src4", "src5"))
+    tail = docs.filter(~F.col("source").isin("src0", "src1", "src2", "src3", "src4", "src5"))
+    return weighted_mix(
+        {"head": head, "mid": mid, "tail": tail},
+        {"head": 1.0, "mid": 0.3, "tail": 0.05},
+        key="doc_id",
+        seed=9,
+    )
