@@ -1074,3 +1074,71 @@ def q108_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="doc_id",
         seed=9,
     )
+
+
+# --------------------------------------------------------------------- #
+# Streaming -> parquet sink (exactly-once file sink + checkpoint WAL),
+# re-read and oracle-checked against the same batch SQL as q89: proves
+# the production sink path end-to-end, not just the memory test sink.
+# --------------------------------------------------------------------- #
+@query(
+    "q109_stream_parquet_sink",
+    # append mode emits only CLOSED windows: a window [h, h+1) closes
+    # when the final watermark (= max event time at drain end) passes
+    # h+1 — so the trailing partial hour stays open and is absent from
+    # the sink. The oracle mirrors that boundary exactly.
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+    """,
+)
+def q109_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.streaming.ops import (
+        run_to_parquet,
+        stream_events,
+        tumbling_agg_stream,
+    )
+
+    src = stream_events(spark, f"{sf_dir}/events.parquet")
+    # short watermark so every window is closed (and therefore APPENDED
+    # to the file sink) once the backlog drains
+    agg = tumbling_agg_stream(src, width="1 hour", watermark="0 seconds")
+    tmp = tempfile.mkdtemp(prefix="sparkdab_sink_")
+    return run_to_parquet(agg, f"{tmp}/out", f"{tmp}/ckpt")
+
+
+# --------------------------------------------------------------------- #
+# Incremental dedup against an existing corpus (dedup.dedup_against):
+# a "new crawl" of exact duplicates + genuinely fresh docs anti-joined
+# against the seen corpus — only the fresh docs survive.
+# --------------------------------------------------------------------- #
+@query(
+    "q110_dedup_against_corpus",
+    oracle=f"""
+    WITH new_batch AS (
+      SELECT doc_id + 10000 AS doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 20000 AS doc_id,
+             text || ' uniq' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents),
+    seen AS (
+      SELECT DISTINCT md5({_NORM.format(c='text')}) AS h FROM documents)
+    SELECT n.doc_id, md5(n.text) AS content_md5
+    FROM new_batch n
+    WHERE md5({_NORM.format(c='text').replace('text', 'n.text')}) NOT IN (SELECT h FROM seen)
+    """,
+)
+def q110_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    fresh = docs.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" uniq"), F.col("doc_id").cast("string")).alias("text"),
+    )
+    out = dd.dedup_against(dup.unionByName(fresh), docs, "doc_id", "text")
+    return out.select("doc_id", F.md5("text").alias("content_md5"))

@@ -15,6 +15,7 @@ the metamorphic check that streaming never changes semantics.
 from dabstract_spark.streaming.ops import (
     latest_dedup_stream,
     run_to_memory,
+    run_to_parquet,
     session_agg_stream,
     sliding_agg_stream,
     stateful_sessionizer,
@@ -30,4 +31,5 @@ __all__ = [
     "stateful_sessionizer",
     "latest_dedup_stream",
     "run_to_memory",
+    "run_to_parquet",
 ]

@@ -249,3 +249,27 @@ def run_to_memory(stream_df: DataFrame, name: str | None = None, timeout_sec: in
 def _has_agg(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+def run_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Drain a (bounded) stream into a parquet SINK with a checkpoint —
+    the production exactly-once path (file sink + WAL: restarted jobs
+    resume from the checkpoint and never duplicate committed files),
+    where run_to_memory is the test harness. Append output mode — the
+    sink receives only FINALIZED results (watermark-closed windows), so
+    an aggregate must be watermarked. Returns the re-read DataFrame."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return stream_df.sparkSession.read.parquet(path)

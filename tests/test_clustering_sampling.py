@@ -283,3 +283,81 @@ def test_tfdf_keywords_ranking(spark):
     assert top[(1, 2)] == ("common", 500_000)
     # doc 2: common and other both 500k/1M -> other (df=1) wins
     assert top[(2, 1)] == ("other", 1_000_000)
+
+
+def test_dedup_against_near_mode(spark):
+    """dedup_against near_bits: drops new rows whose simhash is within k
+    of a seen row (via the half-band pigeonhole buckets) — validated
+    against a direct python recomputation from the same simhash values."""
+    from dabstract_spark.operators import dedup as dd
+    from pyspark.sql import functions as F
+
+    seen_texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "completely different content about spark query engines at scale",
+    ]
+    new_texts = [
+        ("exact", seen_texts[0]),
+        ("near", seen_texts[0].replace("dog", "cat")),
+        ("fresh", "unrelated words entirely novel payload zebra quantum"),
+        ("ws", "  " + seen_texts[1] + "  "),  # normalizes to an exact dup
+    ]
+    seen = spark.createDataFrame([(i, t) for i, t in enumerate(seen_texts)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(new_texts)], "doc_id long, text string"
+    )
+    out = dd.dedup_against(new, seen, "doc_id", "text", near_bits=3)
+    got = sorted(r.doc_id for r in out.select("doc_id").collect())
+
+    # python reference from the SAME simhash/md5 expressions
+    sh = {
+        r.doc_id: r.sh
+        for r in new.withColumn("sh", dd.simhash("text")).collect()
+    }
+    seen_sh = [r.sh for r in seen.withColumn("sh", dd.simhash("text")).collect()]
+    seen_md5 = {
+        r.h for r in seen.select(F.md5(dd.normalize_text("text")).alias("h")).collect()
+    }
+    new_md5 = {
+        r.doc_id: r.h
+        for r in new.select("doc_id", F.md5(dd.normalize_text("text")).alias("h")).collect()
+    }
+    expect = [
+        i
+        for i, _ in enumerate(new_texts)
+        if new_md5[i] not in seen_md5
+        and all(bin(sh[i] ^ s).count("1") > 3 for s in seen_sh)
+    ]
+    assert got == sorted(expect)
+    # and the obvious cases behave: exact + whitespace dups gone, fresh kept
+    assert 0 not in got and 3 not in got and 2 in got
+
+
+def test_multires_rollup_cascade_consistency(spark):
+    """Metamorphic: re-aggregating the 15-min level into 1-h buckets
+    must equal the 1-h level computed directly (counts exactly, sums to
+    1e-6) — the correctness condition that makes the continuous-
+    aggregate cascade legal."""
+    from dabstract_spark.operators import events as ev
+    from dabstract_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    roll = ev.multires_rollup(events, widths_sec=(900, 3600)).cache()
+    fine = roll.filter("resolution_sec = 900")
+    coarse = {
+        (r.bucket_start, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in roll.filter("resolution_sec = 3600").collect()
+    }
+    readd = {
+        (r.b, r.event_type): (r.n, round(r.s, 4))
+        for r in fine.groupBy(
+            F.timestamp_seconds(
+                (F.unix_timestamp("bucket_start") - F.unix_timestamp("bucket_start") % 3600)
+            ).alias("b"),
+            "event_type",
+        )
+        .agg(F.sum("n_events").alias("n"), F.sum("sum_value").alias("s"))
+        .collect()
+    }
+    assert coarse == readd and len(coarse) > 0
