@@ -1028,11 +1028,21 @@ def q106_ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q107_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
-        F.count(F.lit(1)).alias("n"),
+    # one percentile(col, array(...)) call: a single sort buffer per
+    # group instead of three
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("__p"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("__p", 1), 4).alias("p50"),
+            F.round(F.element_at("__p", 2), 4).alias("p95"),
+            F.round(F.element_at("__p", 3), 4).alias("p99"),
+            "n",
+        )
     )
 
 
