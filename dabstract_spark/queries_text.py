@@ -1152,3 +1152,53 @@ def q110_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = dd.dedup_against(dup.unionByName(fresh), docs, "doc_id", "text")
     return out.select("doc_id", F.md5("text").alias("content_md5"))
+
+
+# --------------------------------------------------------------------- #
+# END-TO-END training-data pipeline in ONE Catalyst plan: language
+# filter -> exact dedup -> deterministic downmix -> token accounting.
+# Every stage is an operator the catalog checks in isolation; this
+# query proves they COMPOSE (one plan, no materialization barriers).
+# --------------------------------------------------------------------- #
+@query(
+    "q111_training_pipeline",
+    oracle=f"""
+    WITH langed AS (
+      SELECT doc_id, text,
+             CASE WHEN {_SCORE['qy']} > greatest({_SCORE['dt']}, {_SCORE['en']}, 0) THEN 'qy'
+                  WHEN {_SCORE['en']} > greatest({_SCORE['dt']}, 0) THEN 'en'
+                  WHEN {_SCORE['dt']} > 0 THEN 'dt'
+                  ELSE 'und' END AS lang_pred
+      FROM documents),
+    kept AS (SELECT * FROM langed WHERE lang_pred IN ('qy', 'en')),
+    deduped AS (
+      SELECT * FROM kept
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY COALESCE(md5({_NORM.format(c='text')}), 'null:' || CAST(doc_id AS VARCHAR))
+        ORDER BY doc_id) = 1),
+    mixed AS (
+      SELECT * FROM deduped
+      WHERE CAST(('0x' || substr(md5('5:mix/' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            / 4294967296.0 < 0.6)
+    SELECT doc_id, lang_pred,
+           CAST(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+           CAST(('0x' || substr(md5({_NORM.format(c='text')}), 1, 15)) AS BIGINT) AS fingerprint
+    FROM mixed
+    """,
+)
+def q111_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.functions.hashing import md5_unit
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    langed = docs.withColumn("lang_pred", tx.lang_id("text"))
+    kept = langed.filter(F.col("lang_pred").isin("qy", "en"))
+    deduped = dd.exact_dedup(kept, "doc_id", "text")
+    mixed = deduped.filter(
+        md5_unit(F.concat(F.lit("mix/"), F.col("doc_id").cast("string")), 5) < 0.6
+    )
+    return mixed.select(
+        "doc_id",
+        "lang_pred",
+        tx.bpe_token_count("text").alias("n_tokens"),
+        tx.fingerprint("text").alias("fingerprint"),
+    )
