@@ -220,3 +220,23 @@ def test_custom_dir_dynamic_resolution(spark, tmp_path, monkeypatch):
 
     with _pytest.raises(KeyError):
         ProcessingChain().add("DefinitelyMissingProc")
+
+
+def test_run_to_parquet_restart_no_duplicates(spark, tmp_path):
+    """Exactly-once file sink: draining the same bounded stream twice
+    with the SAME checkpoint must not duplicate committed windows — the
+    second run finds no new data and appends nothing."""
+    from dabstract_spark.streaming.ops import (
+        run_to_parquet,
+        stream_events,
+        tumbling_agg_stream,
+    )
+
+    path, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    src = stream_events(spark, f"{SF}/events.parquet")
+    agg = tumbling_agg_stream(src, width="1 hour", watermark="0 seconds")
+    first = run_to_parquet(agg, path, ckpt).count()
+    src2 = stream_events(spark, f"{SF}/events.parquet")
+    agg2 = tumbling_agg_stream(src2, width="1 hour", watermark="0 seconds")
+    second = run_to_parquet(agg2, path, ckpt).count()
+    assert first == second and first > 0
