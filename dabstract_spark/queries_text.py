@@ -1202,3 +1202,36 @@ def q111_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.bpe_token_count("text").alias("n_tokens"),
         tx.fingerprint("text").alias("fingerprint"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Fixed-width histogram (§2.4 depth): width_bucket on both engines;
+# per-bucket count + sum — the profiling pass before partition-range
+# planning at scale.
+# --------------------------------------------------------------------- #
+@query(
+    "q112_histogram",
+    # identical explicit bucket arithmetic on BOTH engines (DuckDB has
+    # no width_bucket; same IEEE expression -> same bucket edges)
+    oracle="""
+    SELECT CASE WHEN l_extendedprice < 900.0 THEN 0
+                WHEN l_extendedprice >= 105000.0 THEN 21
+                ELSE CAST(floor((l_extendedprice - 900.0) * 20 / (105000.0 - 900.0)) AS BIGINT) + 1
+           END AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q112_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.expr(
+            "CASE WHEN l_extendedprice < 900.0 THEN 0 "
+            "WHEN l_extendedprice >= 105000.0 THEN 21 "
+            "ELSE CAST(floor((l_extendedprice - 900.0) * 20 / (105000.0 - 900.0)) AS BIGINT) + 1 END"
+        ).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
