@@ -1235,3 +1235,89 @@ def q112_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Train/test contamination audit (dedup.contamination_check): shingle
+# overlap between a deterministic 80/20 split of the corpus. The train
+# side collapses to its distinct shingle set; the test side left-joins
+# it — hash join on the shingle key, never doc x doc.
+# --------------------------------------------------------------------- #
+@query(
+    "q113_contamination",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 < 0.8 AS is_train
+      FROM documents),
+    test_sh AS (
+      SELECT doc_id AS id, unnest(list_distinct({_shingles('text', 3)})) AS sh
+      FROM split WHERE NOT is_train),
+    train_set AS (
+      SELECT DISTINCT unnest(list_distinct({_shingles('text', 3)})) AS sh
+      FROM split WHERE is_train)
+    SELECT t.id AS doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           ROUND(SUM(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 6)
+             AS overlap_frac
+    FROM test_sh t LEFT JOIN train_set tr USING (sh)
+    GROUP BY t.id
+    """,
+)
+def q113_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.functions.hashing import md5_unit
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    is_train = md5_unit(F.col("doc_id"), 7) < 0.8
+    out = dd.contamination_check(
+        docs.filter(is_train), docs.filter(~is_train), "doc_id", "text", k=3
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_shingles", "n_overlap", "overlap_frac"
+    )
+
+
+# --------------------------------------------------------------------- #
+# Sequence packing (packing.sequence_pack): concat-and-chunk documents
+# into 2048-token context windows. The global prefix sum underneath is
+# the block-wise distributed one (operators/packing.py) — the oracle's
+# single ORDER BY window is exactly the plan shape the operator exists
+# to avoid at scale.
+# --------------------------------------------------------------------- #
+@query(
+    "q114_sequence_pack",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cend
+      FROM toks)
+    SELECT doc_id, n_tokens, cend - n_tokens AS start_offset,
+           CAST(floor((cend - n_tokens) / 2048.0) AS BIGINT) AS first_chunk,
+           CASE WHEN n_tokens > 0 THEN CAST(floor((cend - 1) / 2048.0) AS BIGINT)
+                ELSE CAST(floor((cend - n_tokens) / 2048.0) AS BIGINT) END AS last_chunk,
+           CASE WHEN n_tokens > 0 THEN CAST(floor((cend - 1) / 2048.0) AS BIGINT)
+                ELSE CAST(floor((cend - n_tokens) / 2048.0) AS BIGINT) END
+             - CAST(floor((cend - n_tokens) / 2048.0) AS BIGINT) + 1 AS n_chunks
+    FROM c
+    """,
+)
+def q114_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.packing import sequence_pack
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # small block_size so even sf0.001 exercises the multi-block path
+    out = sequence_pack(
+        docs.withColumn("__tok", tx.bpe_token_count("text")),
+        "doc_id",
+        "__tok",
+        capacity=2048,
+        block_size=64,
+    )
+    return out.select(
+        "doc_id", "n_tokens", "start_offset", "first_chunk", "last_chunk", "n_chunks"
+    )

@@ -361,3 +361,72 @@ def test_multires_rollup_cascade_consistency(spark):
         .collect()
     }
     assert coarse == readd and len(coarse) > 0
+
+
+# ---------------------------------------------------------------- #
+# packing: distributed prefix sum + sequence packing
+# ---------------------------------------------------------------- #
+
+
+def test_block_prefix_sum_matches_serial(spark):
+    from dabstract_spark.operators.packing import block_prefix_sum
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(0, 50)) for i in range(0, 400, 3)]  # gappy ids
+    df = spark.createDataFrame(rows, "oid bigint, v int").repartition(7)
+    out = {
+        r["oid"]: r["cum"]
+        for r in block_prefix_sum(df, "oid", "v", block_size=16).collect()
+    }
+    acc = 0
+    for oid, v in rows:
+        acc += v
+        assert out[oid] == acc, (oid, out[oid], acc)
+
+
+def test_sequence_pack_boundaries(spark):
+    from dabstract_spark.operators.packing import sequence_pack
+
+    # capacity 10: doc sizes chosen to hit exact-fit, spanning, and
+    # zero-token boundary cases
+    rows = [(0, 10), (1, 5), (2, 0), (3, 7), (4, 25)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n int")
+    got = {
+        r["doc_id"]: (
+            r["start_offset"], r["first_chunk"], r["last_chunk"], r["n_chunks"]
+        )
+        for r in sequence_pack(df, "doc_id", "n", capacity=10, block_size=2).collect()
+    }
+    assert got[0] == (0, 0, 0, 1)      # exact fill of chunk 0
+    assert got[1] == (10, 1, 1, 1)     # starts fresh chunk
+    assert got[2] == (15, 1, 1, 1)     # zero tokens: occupies no space
+    assert got[3] == (15, 1, 2, 2)     # spans 15..21 -> chunks 1-2
+    assert got[4] == (22, 2, 4, 3)     # spans 22..46 -> chunks 2-4
+
+
+def test_contamination_max_df_cap(spark):
+    from dabstract_spark.operators.dedup import contamination_check
+
+    boiler = "alpha beta gamma"
+    train = spark.createDataFrame(
+        [(i, f"{boiler} train{i}") for i in range(5)], "doc_id bigint, text string"
+    )
+    test = spark.createDataFrame(
+        [(100, f"{boiler} fresh words"), (101, "totally novel content here")],
+        "doc_id bigint, text string",
+    )
+    full = {
+        r["id"]: r["n_overlap"]
+        for r in contamination_check(train, test, "doc_id", "text", k=3).collect()
+    }
+    assert full[100] >= 1 and full[101] == 0
+    # the boilerplate shingle appears in 5 train docs; cap at 4 removes it
+    capped = {
+        r["id"]: r["n_overlap"]
+        for r in contamination_check(
+            train, test, "doc_id", "text", k=3, max_df=4
+        ).collect()
+    }
+    assert capped[100] == 0 and capped[101] == 0
