@@ -124,3 +124,21 @@ def weighted_mix(
     if out is None:
         raise ValueError("weighted_mix needs at least one source")
     return out
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list, k: int
+) -> DataFrame:
+    """Top-k rows per group (curriculum/quality selection: "best k docs
+    per domain"). One shuffle on the group key; rank state is per-group
+    and map-local after the exchange. ``order_cols`` should end with a
+    unique tiebreaker so the result is deterministic and replayable.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

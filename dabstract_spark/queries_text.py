@@ -1321,3 +1321,80 @@ def q114_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_tokens", "start_offset", "first_chunk", "last_chunk", "n_chunks"
     )
+
+
+# --------------------------------------------------------------------- #
+# Stream-stream interval join (streaming/ops.interval_join_stream):
+# click -> purchase attribution within 5 minutes, same user. The batch
+# oracle is the identical self-join; with an availableNow drain the
+# single-file fixture arrives in one micro-batch so no state is evicted
+# early and the streaming result equals the batch join exactly.
+# --------------------------------------------------------------------- #
+@query(
+    "q115_stream_interval_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+      AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+)
+def q115_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.streaming.ops import (
+        interval_join_stream,
+        run_to_memory,
+        stream_events,
+    )
+
+    src = stream_events(spark, f"{sf_dir}/events.parquet")
+    clicks = src.filter(F.col("event_type") == "click")
+    purchases = src.filter(F.col("event_type") == "purchase")
+    joined = interval_join_stream(
+        clicks, purchases, key="user_id", ts_col="ts", within="5 minutes"
+    )
+    return run_to_memory(
+        joined.select(
+            F.col("__l_event_id").alias("click_id"),
+            F.col("__r_event_id").alias("purchase_id"),
+            F.col("__l_user_id").alias("user_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Grouped top-k (select.top_k_per_group): best-5 documents per predicted
+# language by quality score — the per-domain curriculum/selection pass.
+# --------------------------------------------------------------------- #
+@query(
+    "q116_grouped_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN {_SCORE['qy']} > greatest({_SCORE['dt']}, {_SCORE['en']}, 0) THEN 'qy'
+                  WHEN {_SCORE['en']} > greatest({_SCORE['dt']}, 0) THEN 'en'
+                  WHEN {_SCORE['dt']} > 0 THEN 'dt'
+                  ELSE 'und' END AS lang_pred,
+             ((5 * least(length(text)::BIGINT * 2500, 1000000)
+               + 3 * least((len(list_filter({_T}, t -> t IN {_SW}))::BIGINT * 1000000
+                            // greatest(len({_T}), 1)) * 5, 1000000)
+               + 2 * (1000000 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::BIGINT * 1000000
+                            // greatest(length(text), 1)) * 10, 1000000))) // 10)
+             / 1000000.0::DOUBLE AS quality
+      FROM documents)
+    SELECT doc_id, lang_pred, quality FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY lang_pred ORDER BY quality DESC, doc_id) <= 5
+    """,
+)
+def q116_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import top_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        tx.lang_id("text").alias("lang_pred"),
+        tx.quality_score("text").alias("quality"),
+    )
+    return top_k_per_group(
+        scored, ["lang_pred"], [F.desc("quality"), F.asc("doc_id")], k=5
+    )

@@ -273,3 +273,38 @@ def run_to_parquet(
     )
     q.awaitTermination(timeout_sec)
     return stream_df.sparkSession.read.parquet(path)
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    within: str = "5 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Stream-stream inner join: pair each left event with right events
+    for the same ``key`` that follow it within ``within`` (click →
+    purchase attribution, the canonical funnel join).
+
+    Both sides carry a watermark and the join condition bounds
+    right.ts ∈ (left.ts, left.ts + within] — the time-range constraint
+    is what lets Spark's symmetric hash join EVICT state (unbounded
+    stream-stream joins grow state forever; this one holds at most
+    ``within`` + watermark per key). State scales with the event rate ×
+    window, not history — the 100 TB posture.
+    """
+    lt, rt = f"__l_{ts_col}", f"__r_{ts_col}"
+    lk = f"__l_{key}"
+    l = left.withWatermark(ts_col, watermark).select(
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns]
+    )
+    r = right.withWatermark(ts_col, watermark).select(
+        *[F.col(c).alias(f"__r_{c}") for c in right.columns]
+    )
+    cond = (
+        (F.col(lk) == F.col(f"__r_{key}"))
+        & (F.col(rt) > F.col(lt))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")
