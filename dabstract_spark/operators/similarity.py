@@ -362,10 +362,14 @@ def embedding_covariance(
 ) -> DataFrame:
     """Covariance matrix of the embedding dimensions — the whitening /
     PCA-input statistic — in the RELATIONAL formulation that scales:
-    posexplode both sides, self-join on the row id, one groupBy on
-    (i, j). Work is rows × dim² but strictly linear in rows, partial
-    aggregation is map-side, and no driver-side matrix appears until
-    the dim×dim result (which IS the output).
+    posexplode the i dimension while KEEPING the vector column, then
+    posexplode the transformed vector for j — the row's full outer
+    product emitted map-side with NO self-join (an earlier join-on-id
+    variant shuffled the whole exploded table; this shape's only
+    shuffle is the final (i, j) groupBy, ≤ dim² rows per partition
+    after map-side combine). Work is rows × dim² but strictly linear
+    in rows, and no driver-side matrix appears until the dim×dim
+    result (which IS the output).
 
     Determinism across engines: float sums depend on accumulation
     order, so values are rounded to 6 decimals and summed EXACTLY —
@@ -388,13 +392,12 @@ def embedding_covariance(
         ).cast("bigint")
     else:
         enc = lambda c: F.round(c.cast("double"), 6).cast("decimal(18,6)")  # noqa: E731
-    x = df.select(F.col(id_col), F.posexplode(vec_col).alias("i", "__xi")).select(
-        id_col, "i", enc(F.col("__xi")).alias("xi")
-    )
-    y = df.select(F.col(id_col), F.posexplode(vec_col).alias("j", "__xj")).select(
-        id_col, "j", enc(F.col("__xj")).alias("xj")
-    )
-    pairs = x.join(y, id_col)
+    # encode ONCE per element in its own projection below the explodes;
+    # the explodes then carry the materialized bigint array, instead of
+    # re-running the decimal encode per (row, i) pair
+    encoded = df.select(F.transform(vec_col, enc).alias("__e"))
+    e = encoded.select(F.col("__e"), F.posexplode("__e").alias("i", "xi"))
+    pairs = e.select("i", "xi", F.posexplode("__e").alias("j", "xj"))
     agg = pairs.groupBy("i", "j").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.col("xi") * F.col("xj")).alias("__sxy"),

@@ -562,24 +562,34 @@ class FFT(Processor):
         def fft_udf(s):
             import pandas as pd
 
-            out = []
-            for x in s:
-                arr = np.asarray(x, dtype=np.float64)
-                nfft = nfft_of(arr.shape[0])
+            # batched by signal length: one 2-D rfft per distinct length
+            # in the Arrow batch instead of a Python-loop rfft per row —
+            # for the common fixed-length case this is a single
+            # vectorized transform over the whole batch.
+            vals = s.to_numpy()
+            lengths = np.fromiter((len(x) for x in vals), dtype=np.int64, count=len(vals))
+            out = np.empty(len(vals), dtype=object)
+            for n in np.unique(lengths):
+                idx = np.nonzero(lengths == n)[0]
+                mat = np.empty((len(idx), n), dtype=np.float64)
+                for row, i in enumerate(idx):
+                    mat[row] = vals[i]
+                nfft = nfft_of(int(n))
                 spec = (
-                    np.fft.rfft(arr, n=nfft, norm=norm)
+                    np.fft.rfft(mat, n=nfft, axis=1, norm=norm)
                     if typ == "real"
-                    else np.fft.fft(arr, n=nfft, norm=norm)
+                    else np.fft.fft(mat, n=nfft, axis=1, norm=norm)
                 )
                 if fmt == "magnitude":
                     y = np.abs(spec)
                 elif fmt == "power":
                     y = np.abs(spec) ** 2
                 else:  # split
-                    y = np.concatenate([np.real(spec), np.imag(spec)])
+                    y = np.concatenate([np.real(spec), np.imag(spec)], axis=1)
                 if dc:
-                    y[0] = 0.0
-                out.append(y)
+                    y[:, 0] = 0.0
+                for row, i in enumerate(idx):
+                    out[i] = y[row]
             return pd.Series(out)
 
         upd = {}

@@ -430,3 +430,24 @@ def test_contamination_max_df_cap(spark):
         ).collect()
     }
     assert capped[100] == 0 and capped[101] == 0
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from dabstract_spark.operators.similarity import embedding_covariance
+
+    rng = np.random.default_rng(3)
+    mat = np.round(rng.normal(size=(40, 6)), 6)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(mat)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(df, "vec_id", "embedding").collect()
+    }
+    ref = np.cov(mat, rowvar=False, bias=True)
+    assert len(got) == 36
+    for (i, j), v in got.items():
+        assert abs(v - ref[i, j]) < 5e-6, (i, j, v, ref[i, j])
