@@ -47,6 +47,17 @@ def main():
     # through the same scan paths.
     try:
         run(qs[names[0]](spark, sf_dir))
+        # spawn the Python worker pool too (first Arrow UDF in a session
+        # pays ~32 interpreter startups — session infrastructure, same
+        # class as executor deploy/JIT, not any query's own cost)
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _warm(s):
+            return s
+
+        run(spark.range(256).select(_warm(F.col("id").cast("double"))))
     except Exception:
         pass
 

@@ -858,16 +858,25 @@ class Resample(Processor):
         def resample_udf(s):
             import pandas as pd
 
-            out = []
-            for x in s:
-                arr = np.asarray(x, dtype=np.float64)
-                n = arr.shape[0]
+            # batched by input length (same pattern as FFT): one 2-D
+            # rfft/irfft per distinct length instead of per row
+            vals = s.to_numpy()
+            lengths = np.fromiter((len(x) for x in vals), dtype=np.int64, count=len(vals))
+            out = np.empty(len(vals), dtype=object)
+            for n in np.unique(lengths):
+                idx = np.nonzero(lengths == n)[0]
+                n = int(n)
+                mat = np.empty((len(idx), n), dtype=np.float64)
+                for row, i in enumerate(idx):
+                    mat[row] = vals[i]
                 num = int(round(ratio * n))
-                spec = np.fft.rfft(arr)
-                target = np.zeros(num // 2 + 1, dtype=complex)
-                ncopy = min(len(spec), len(target))
-                target[:ncopy] = spec[:ncopy]
-                out.append(np.fft.irfft(target, num) * (num / n))
+                spec = np.fft.rfft(mat, axis=1)
+                target = np.zeros((len(idx), num // 2 + 1), dtype=complex)
+                ncopy = min(spec.shape[1], target.shape[1])
+                target[:, :ncopy] = spec[:, :ncopy]
+                y = np.fft.irfft(target, num, axis=1) * (num / n)
+                for row, i in enumerate(idx):
+                    out[i] = y[row]
             return pd.Series(out)
 
         return resample_udf(col), {

@@ -230,20 +230,40 @@ def stateful_sessionizer(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str | None = None, timeout_sec: int = 120) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str | None = None,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
     """Drain a (bounded) stream with trigger=availableNow into a memory
     sink and return the result as a batch DataFrame — the test harness
-    for stream==batch metamorphic checks."""
+    for stream==batch metamorphic checks.
+
+    ``drain_partitions`` right-sizes the state-store count for the
+    bounded drain: every stateful operator spins one state store PER
+    shuffle partition PER micro-batch, which is pure overhead on a
+    fixture-sized backlog (a long-lived production stream sizes
+    partitions to its rate instead). The conf binds at query start, so
+    it is set for the drain and restored right after."""
+    spark = stream_df.sparkSession
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete" if stream_df.isStreaming and _has_agg(stream_df) else "append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
-    return stream_df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(
+                "complete" if stream_df.isStreaming and _has_agg(stream_df) else "append"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def _has_agg(df: DataFrame) -> bool:
@@ -256,23 +276,31 @@ def run_to_parquet(
     path: str,
     checkpoint: str,
     timeout_sec: int = 120,
+    drain_partitions: int = 8,
 ) -> DataFrame:
     """Drain a (bounded) stream into a parquet SINK with a checkpoint —
     the production exactly-once path (file sink + WAL: restarted jobs
     resume from the checkpoint and never duplicate committed files),
     where run_to_memory is the test harness. Append output mode — the
     sink receives only FINALIZED results (watermark-closed windows), so
-    an aggregate must be watermarked. Returns the re-read DataFrame."""
-    q = (
-        stream_df.writeStream.format("parquet")
-        .option("path", path)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
-    return stream_df.sparkSession.read.parquet(path)
+    an aggregate must be watermarked. Returns the re-read DataFrame.
+    ``drain_partitions``: see run_to_memory."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(path)
 
 
 def interval_join_stream(

@@ -68,6 +68,24 @@ def main():
             d, "doc_id", "text", k=2, threshold=0.12, max_df=100
         ),
         "tfdf_keywords": lambda d: tx.tfdf_keywords(d, "doc_id", "text"),
+        # 80/20 split inside the probe: contamination vs a train side
+        # that grows with the corpus
+        "contamination": lambda d: dd.contamination_check(
+            d.filter(F.col("doc_id") % 5 != 0),
+            d.filter(F.col("doc_id") % 5 == 0),
+            "doc_id",
+            "text",
+            k=3,
+            max_df=100,
+        ),
+        "sequence_pack": lambda d: __import__(
+            "dabstract_spark.operators.packing", fromlist=["sequence_pack"]
+        ).sequence_pack(
+            d.withColumn("__tok", tx.bpe_token_count("text")),
+            "doc_id",
+            "__tok",
+            capacity=2048,
+        ),
         "pii_stats": lambda d: tx.pii_stats_df(d, "doc_id", "text"),
         "c4_filter": lambda d: tx.c4_filter_df(d, "doc_id", "text"),
     }
@@ -84,6 +102,9 @@ def main():
         "ivf_assign": lambda e: ivf_assign(e, ivf_centroids(e, n_centroids=8)).select(
             "vec_id", "centroid_id"
         ),
+        "embedding_cov": lambda e: __import__(
+            "dabstract_spark.operators.similarity", fromlist=["embedding_covariance"]
+        ).embedding_covariance(e, "vec_id", "embedding"),
     }
     rel_probes = {
         "pricing_summary": lambda li: li.groupBy("l_returnflag", "l_linestatus").agg(
