@@ -1398,3 +1398,59 @@ def q116_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_per_group(
         scored, ["lang_pred"], [F.desc("quality"), F.asc("doc_id")], k=5
     )
+
+
+# --------------------------------------------------------------------- #
+# Canonical-document selection: near-dup clusters (q84's pipeline) x
+# quality scoring (q43's) x grouped top-1 (q116's operator) composed in
+# ONE plan — dedup that KEEPS the best-quality copy instead of the
+# lowest id, i.e. the production dedup policy for a training corpus.
+# --------------------------------------------------------------------- #
+@query(
+    "q117_canonical_docs",
+    oracle=f"""
+    WITH RECURSIVE
+         tk AS (SELECT doc_id, {_TOKENS.format(c='text')} AS t FROM documents),
+         ths AS (SELECT doc_id, {_TH} AS th FROM tk),
+         hs2 AS (SELECT doc_id, {_HS3} AS hs FROM ths),
+         sig AS (SELECT doc_id, {_minhash_list(16)} AS mh FROM hs2 WHERE len(hs) > 0),
+         bands AS (
+           SELECT doc_id, b AS band_id,
+                  md5(array_to_string(mh[b*4+1 : b*4+4], ',')) AS band_hash
+           FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING (band_id, band_hash)
+           WHERE a.doc_id < b.doc_id),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS comp FROM documents
+           UNION
+           SELECT e.dst AS id, r.comp
+           FROM reach r JOIN edges e ON e.src = r.id),
+         clusters AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+         scored AS (
+           SELECT c.cluster_id, d.doc_id,
+                  ((5 * least(length(text)::BIGINT * 2500, 1000000)
+                    + 3 * least((len(list_filter({_T}, t -> t IN {_SW}))::BIGINT * 1000000
+                                 // greatest(len({_T}), 1)) * 5, 1000000)
+                    + 2 * (1000000 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::BIGINT * 1000000
+                                 // greatest(length(text), 1)) * 10, 1000000))) // 10)
+                  / 1000000.0::DOUBLE AS quality
+           FROM documents d JOIN clusters c USING (doc_id))
+    SELECT cluster_id, doc_id AS canonical_id, quality FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1
+    """,
+)
+def q117_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import top_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dd.minhash_dedup_clusters(docs, "doc_id", "text", n_hashes=16, bands=4, k=3)
+    scored = clusters.join(
+        docs.select("doc_id", tx.quality_score("text").alias("quality")), "doc_id"
+    )
+    top = top_k_per_group(scored, ["cluster_id"], [F.desc("quality"), F.asc("doc_id")], 1)
+    return top.select("cluster_id", F.col("doc_id").alias("canonical_id"), "quality")

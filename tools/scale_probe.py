@@ -11,6 +11,8 @@ Usage: python tools/scale_probe.py [sf_dir]
 
 from __future__ import annotations
 
+import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -129,49 +131,44 @@ def main():
         "multires_rollup": lambda e: ev.multires_rollup(e),
     }
 
-    print(f"{'probe':<20} {'1x':>8} {'4x':>8} {'16x':>8}  (sec; input rows scale 1:4:16)")
-    for name, fn in probes.items():
-        row = []
-        for copies in (1, 4, 16):
-            d = scaled(docs, "doc_id", copies)
-            t0 = time.time()
-            noop(fn(d))
-            row.append(time.time() - t0)
-        print(f"{name:<20} {row[0]:>8.2f} {row[1]:>8.2f} {row[2]:>8.2f}")
-    for name, fn in emb_probes.items():
-        row = []
-        for copies in (1, 4, 16):
-            e = scaled(emb, "vec_id", copies)
-            t0 = time.time()
-            noop(fn(e))
-            row.append(time.time() - t0)
-        print(f"{name:<20} {row[0]:>8.2f} {row[1]:>8.2f} {row[2]:>8.2f}")
-    for name, fn in rel_probes.items():
-        row = []
-        for copies in (1, 4, 16):
-            li = scaled(lineitem, "l_orderkey", copies)
-            t0 = time.time()
-            noop(fn(li))
-            row.append(time.time() - t0)
-        print(f"{name:<20} {row[0]:>8.2f} {row[1]:>8.2f} {row[2]:>8.2f}")
+    # median-of-REPS per cell: single-run numbers in a long sequential
+    # session are polluted by whatever ran just before (GC pressure from
+    # a heavy neighbor once inflated asof_join 16x from 2.3s to 13.4s)
+    reps = int(os.environ.get("SCALE_PROBE_REPS", "3"))
+
+    def probe_block(block, base, id_col, uniquify=None):
+        for name, fn in block.items():
+            row = []
+            for copies in (1, 4, 16):
+                d = scaled(base, id_col, copies, uniquify=uniquify)
+                ts = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    noop(fn(d))
+                    ts.append(time.time() - t0)
+                row.append(statistics.median(ts))
+            print(
+                f"{name:<20} {row[0]:>8.2f} {row[1]:>8.2f} {row[2]:>8.2f}", flush=True
+            )
+
+    print(
+        f"{'probe':<20} {'1x':>8} {'4x':>8} {'16x':>8}"
+        f"  (sec, median of {reps}; input rows scale 1:4:16)"
+    )
+    probe_block(probes, docs, "doc_id")
+    probe_block(emb_probes, emb, "vec_id")
+    probe_block(rel_probes, lineitem, "l_orderkey")
     # events scale with GROWING user cardinality (each copy is a fresh
     # user population) — the realistic 100 TB shape: more users, not
     # deeper per-user history
-    for name, fn in ev_probes.items():
-        row = []
-        for copies in (1, 4, 16):
-            e = scaled(
-                events,
-                "event_id",
-                copies,
-                uniquify=lambda p, c: p.withColumn(
-                    "user_id", F.col("user_id") + F.lit(c * 1_000_000)
-                ),
-            )
-            t0 = time.time()
-            noop(fn(e))
-            row.append(time.time() - t0)
-        print(f"{name:<20} {row[0]:>8.2f} {row[1]:>8.2f} {row[2]:>8.2f}")
+    probe_block(
+        ev_probes,
+        events,
+        "event_id",
+        uniquify=lambda p, c: p.withColumn(
+            "user_id", F.col("user_id") + F.lit(c * 1_000_000)
+        ),
+    )
 
 
 if __name__ == "__main__":
