@@ -346,3 +346,79 @@ def c4_filter_df(
         F.md5(F.array_join(kept, "\n")).alias("cleaned_md5"),
         (F.size(kept) >= min_lines).alias("keep"),
     )
+
+
+def nb_token_weights(
+    df: DataFrame,
+    label_col: str,
+    text_col: str,
+    smoothing: int = 1,
+) -> DataFrame:
+    """Train a Naive-Bayes-style token log-odds table from weak labels
+    (the CCNet/fastText-style quality-classifier stage, made fully
+    deterministic): weight(t) = ln((pos_t + s) / (pos_total + s*V))
+    - ln((neg_t + s) / (neg_total + s*V)) over integer token counts.
+
+    Pure aggregation — one shuffle on token — and the counts are exact
+    integers, so the weights are reproducible bit for bit from the same
+    corpus in any engine with IEEE doubles. Returns (token, w).
+    """
+    tok = df.select(
+        F.col(label_col).cast("int").alias("__y"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum("__y").alias("__p"),
+        F.sum(1 - F.col("__y")).alias("__n"),
+    )
+    tot = tok.groupBy().agg(
+        F.sum("__y").alias("__tp"),
+        F.sum(1 - F.col("__y")).alias("__tn"),
+        F.countDistinct("token").alias("__v"),
+    )
+    s = F.lit(smoothing)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "token",
+        (
+            F.log((F.col("__p") + s) / (F.col("__tp") + s * F.col("__v")))
+            - F.log((F.col("__n") + s) / (F.col("__tn") + s * F.col("__v")))
+        ).alias("w"),
+    )
+
+
+def nb_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    quantize: int | None = 6,
+) -> DataFrame:
+    """Score documents with a trained token-weight table: per-doc sum of
+    token log-odds (tokens WITH multiplicity, unseen tokens contribute
+    0). One explode + one hash join on token + one groupBy on the doc id
+    — at scale the weight table is the broadcast side when it fits, and
+    the score is a map-side-combined sum either way.
+
+    ``quantize`` (digits): weights are floored to integer 10^-q units
+    and summed as EXACT bigints — float sums depend on accumulation
+    order, which Spark does not fix across partitions, so an unquantized
+    sum is irreproducible run to run (and engine to engine). Pass None
+    for raw float sums when reproducibility doesn't matter.
+
+    Returns (id, n_tokens, score).
+    """
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token"))
+    w = F.coalesce(F.col("w"), F.lit(0.0))
+    if quantize is None:
+        score = F.sum(w)
+    else:
+        unit = 10**quantize
+        score = F.sum(F.floor(w * F.lit(unit)).cast("bigint")) / F.lit(float(unit))
+    return (
+        tok.join(weights, "token", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            score.alias("score"),
+        )
+    )

@@ -1454,3 +1454,54 @@ def q117_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = top_k_per_group(scored, ["cluster_id"], [F.desc("quality"), F.asc("doc_id")], 1)
     return top.select("cluster_id", F.col("doc_id").alias("canonical_id"), "quality")
+
+
+# --------------------------------------------------------------------- #
+# Deterministic NB quality classifier (text.nb_token_weights/nb_score):
+# the CCNet/fastText-style "train a weak classifier, score the corpus"
+# stage, expressed fully relationally. Weak label = predicted-'en'.
+# Token weights are exact-integer-count log-odds; doc scores are summed
+# as floor-quantized micro-unit bigints so the result is independent of
+# float accumulation order (and hence engine-reproducible).
+# --------------------------------------------------------------------- #
+_EN_CASE = (
+    f"CASE WHEN {_SCORE['qy']} > greatest({_SCORE['dt']}, {_SCORE['en']}, 0) THEN 'qy' "
+    f"WHEN {_SCORE['en']} > greatest({_SCORE['dt']}, 0) THEN 'en' "
+    f"WHEN {_SCORE['dt']} > 0 THEN 'dt' ELSE 'und' END"
+)
+
+
+@query(
+    "q118_nb_classifier",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT doc_id, text,
+             CASE WHEN {_EN_CASE} = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    tok AS (SELECT y, unnest({_TOKENS.format(c='text')}) AS token FROM labeled),
+    counts AS (
+      SELECT token, CAST(SUM(y) AS BIGINT) AS p, CAST(SUM(1 - y) AS BIGINT) AS n
+      FROM tok GROUP BY token),
+    tot AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS tp, CAST(SUM(1 - y) AS BIGINT) AS tn,
+             COUNT(DISTINCT token) AS v
+      FROM tok),
+    w AS (
+      SELECT token,
+             ln((p + 1) / (tp + v)) - ln((n + 1) / (tn + v)) AS w
+      FROM counts, tot),
+    dtok AS (SELECT doc_id AS id, unnest({_TOKENS.format(c='text')}) AS token
+             FROM documents)
+    SELECT id AS doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(floor(COALESCE(w, 0) * 1000000) AS BIGINT)) AS BIGINT)
+             / 1000000.0 AS score
+    FROM dtok LEFT JOIN w USING (token)
+    GROUP BY id
+    """,
+)
+def q118_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = docs.withColumn("y", (tx.lang_id("text") == "en").cast("int"))
+    weights = tx.nb_token_weights(labeled, "y", "text")
+    out = tx.nb_score(docs, weights, "doc_id", "text", quantize=6)
+    return out.select(F.col("id").alias("doc_id"), "n_tokens", "score")

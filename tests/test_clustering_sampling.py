@@ -451,3 +451,27 @@ def test_embedding_covariance_matches_numpy(spark):
     assert len(got) == 36
     for (i, j), v in got.items():
         assert abs(v - ref[i, j]) < 5e-6, (i, j, v, ref[i, j])
+
+
+def test_nb_classifier_separates_weak_labels(spark):
+    from dabstract_spark.operators.text import nb_score, nb_token_weights
+
+    from pyspark.sql import functions as F
+
+    pos = [(i, 1, "good clean prose with many words here") for i in range(10)]
+    neg = [(100 + i, 0, "spam buy now click now spam") for i in range(10)]
+    df = spark.createDataFrame(pos + neg, "doc_id bigint, y int, text string")
+    w = nb_token_weights(df, "y", "text")
+    scored = {
+        r["id"]: r["score"]
+        for r in nb_score(df, w, "doc_id", "text").collect()
+    }
+    assert all(scored[i] > 0 for i in range(10))
+    assert all(scored[100 + i] < 0 for i in range(10))
+    # quantized sums are order-independent: repartitioned input scores
+    # must be bit-identical
+    scored2 = {
+        r["id"]: r["score"]
+        for r in nb_score(df.repartition(13), w, "doc_id", "text").collect()
+    }
+    assert scored == scored2

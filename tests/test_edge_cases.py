@@ -180,3 +180,17 @@ def test_asof_join_tie_and_strict_semantics(spark):
         for r in asof_join(left, right, right_cols=("value",), strict=True).collect()
     }
     assert strict == {1: None, 2: 2.5, 3: None}
+
+
+def test_bench_json_line_fits_capture_window():
+    """The harness that records bench output keeps only the tail of
+    stdout (~2000 bytes): the one-line JSON summary must stay under that
+    with headroom, and the shortened qNN keys must stay unique."""
+    import __spark_entry__ as E
+
+    names = list(E.queries())
+    keys = [n.split("_", 1)[0] for n in names]
+    assert len(set(keys)) == len(keys), "qNN prefix collision"
+    # ~"qNNN":12.34, per entry + fixed fields
+    est = 120 + sum(len(k) + 11 for k in keys)
+    assert est < 1800, f"bench JSON line estimate {est}B exceeds capture budget"
