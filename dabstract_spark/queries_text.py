@@ -1505,3 +1505,86 @@ def q118_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = tx.nb_token_weights(labeled, "y", "text")
     out = tx.nb_score(docs, weights, "doc_id", "text", quantize=6)
     return out.select(F.col("id").alias("doc_id"), "n_tokens", "score")
+
+
+# --------------------------------------------------------------------- #
+# Pivot / crosstab (§2.4 depth): predicted language x quality-decile
+# contingency matrix. Spark's groupBy().pivot() compiles to conditional
+# aggregation — the oracle spells the same conditional aggregate.
+# --------------------------------------------------------------------- #
+@query(
+    "q119_pivot_matrix",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN {_SCORE['qy']} > greatest({_SCORE['dt']}, {_SCORE['en']}, 0) THEN 'qy'
+                  WHEN {_SCORE['en']} > greatest({_SCORE['dt']}, 0) THEN 'en'
+                  WHEN {_SCORE['dt']} > 0 THEN 'dt'
+                  ELSE 'und' END AS lang_pred,
+             least(CAST(floor(((5 * least(length(text)::BIGINT * 2500, 1000000)
+               + 3 * least((len(list_filter({_T}, t -> t IN {_SW}))::BIGINT * 1000000
+                            // greatest(len({_T}), 1)) * 5, 1000000)
+               + 2 * (1000000 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::BIGINT * 1000000
+                            // greatest(length(text), 1)) * 10, 1000000))) // 10)
+             / 100000) AS BIGINT), 9) AS decile
+      FROM documents)
+    SELECT lang_pred,
+           CAST(SUM(CASE WHEN decile <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS low,
+           CAST(SUM(CASE WHEN decile BETWEEN 4 AND 6 THEN 1 ELSE 0 END) AS BIGINT) AS mid,
+           CAST(SUM(CASE WHEN decile >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS high
+    FROM scored GROUP BY lang_pred
+    """,
+)
+def q119_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        tx.lang_id("text").alias("lang_pred"),
+        F.least(
+            F.floor(tx.quality_score("text") * 10).cast("bigint"), F.lit(9).cast("bigint")
+        ).alias("decile"),
+    )
+    bucket = (
+        F.when(F.col("decile") <= 3, "low")
+        .when(F.col("decile") <= 6, "mid")
+        .otherwise("high")
+    )
+    return (
+        scored.withColumn("bucket", bucket)
+        .groupBy("lang_pred")
+        .pivot("bucket", ["low", "mid", "high"])
+        .count()
+        .fillna(0, ["low", "mid", "high"])
+    )
+
+
+# --------------------------------------------------------------------- #
+# Per-user event history features (§2.5 depth): lag/lead deltas — the
+# feature-engineering window pass (time since previous event, time to
+# next, value delta) every behavioral model consumes.
+# --------------------------------------------------------------------- #
+@query(
+    "q120_event_lag_features",
+    oracle="""
+    SELECT event_id, user_id,
+           (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS sec_since_prev,
+           (lead(epoch_us(ts)) OVER w - epoch_us(ts)) // 1000000 AS sec_to_next,
+           CAST(ROUND(value - lag(value) OVER w, 6) AS DOUBLE) AS value_delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q120_event_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dabstract_spark.operators.events import _epoch_us
+
+    ev_df = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(_epoch_us("ts"), F.col("event_id"))
+    us = _epoch_us("ts")
+    return ev_df.select(
+        "event_id",
+        "user_id",
+        ((us - F.lag(us).over(w)) / F.lit(1_000_000)).cast("bigint").alias("sec_since_prev"),
+        ((F.lead(us).over(w) - us) / F.lit(1_000_000)).cast("bigint").alias("sec_to_next"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).cast("double").alias("value_delta"),
+    )

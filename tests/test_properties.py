@@ -207,3 +207,30 @@ def test_asof_join_matches_reference_model(spark, lefts, rights, strict):
         for r in asof_join(left, right, right_cols=("value",), strict=strict).collect()
     }
     assert got == {i: expect(u, s) for i, (u, s) in enumerate(lefts)}
+
+
+@given(
+    vals=st.lists(st.integers(0, 60), min_size=1, max_size=40),
+    gap=st.integers(1, 9),
+    block=st.integers(1, 16),
+    cap=st.integers(1, 50),
+)
+@settings(**_SETTINGS)
+def test_sequence_pack_matches_serial_model(spark, vals, gap, block, cap):
+    """sequence_pack (over the block-wise distributed prefix sum) equals
+    the obvious serial concat-and-chunk model for arbitrary token
+    counts, id gaps, block sizes, and window capacities."""
+    from dabstract_spark.operators.packing import sequence_pack
+
+    rows = [(i * gap, v) for i, v in enumerate(vals)]  # gappy, unique ids
+    df = spark.createDataFrame(rows, "doc_id bigint, n int").repartition(5)
+    got = {
+        r["doc_id"]: (r["start_offset"], r["first_chunk"], r["last_chunk"], r["n_chunks"])
+        for r in sequence_pack(df, "doc_id", "n", capacity=cap, block_size=block).collect()
+    }
+    off = 0
+    for oid, v in rows:
+        first = off // cap
+        last = (off + v - 1) // cap if v > 0 else first
+        assert got[oid] == (off, first, last, last - first + 1), (oid, got[oid])
+        off += v
