@@ -1588,3 +1588,59 @@ def q120_event_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.lead(us).over(w) - us) / F.lit(1_000_000)).cast("bigint").alias("sec_to_next"),
         F.round(F.col("value") - F.lag("value").over(w), 6).cast("double").alias("value_delta"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Training-example assembly (sequence dataset construction): per user,
+# the chronological event history as one delimited string — the
+# "assemble behavior sequences" pass before sequence-model training.
+# Events are formatted with INTEGER floor(value*100) units (float→string
+# formatting differs between engines; floor of identical doubles does
+# not) and ordered by (ts, event_id) so ties are deterministic. The
+# per-user collect_list is bounded by per-user history length — the same
+# per-key contract as the sessionizers, not a global collect.
+# --------------------------------------------------------------------- #
+@query(
+    "q121_user_histories",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS span_sec,
+           STRING_AGG(
+             event_type || ':' || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR),
+             '|' ORDER BY ts, event_id) AS history
+    FROM events GROUP BY user_id
+    """,
+)
+def q121_user_histories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.events import _epoch_us
+
+    ev_df = _t(spark, sf_dir, "events")
+    us = _epoch_us("ts")
+    tok = F.concat(
+        F.col("event_type"),
+        F.lit(":"),
+        F.floor(F.col("value") * 100).cast("bigint").cast("string"),
+    )
+    return (
+        ev_df.select(
+            "user_id",
+            us.alias("__o1"),
+            F.col("event_id").alias("__o2"),
+            tok.alias("__s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            ((F.max("__o1") - F.min("__o1")) / F.lit(1_000_000))
+            .cast("bigint")
+            .alias("span_sec"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__o1", "__o2", "__s"))),
+                    lambda x: x["__s"],
+                ),
+                "|",
+            ).alias("history"),
+        )
+    )

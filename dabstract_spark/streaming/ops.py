@@ -310,6 +310,7 @@ def interval_join_stream(
     ts_col: str = "ts",
     within: str = "5 minutes",
     watermark: str = "0 seconds",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: pair each left event with right events
     for the same ``key`` that follow it within ``within`` (click →
@@ -321,7 +322,16 @@ def interval_join_stream(
     stream-stream joins grow state forever; this one holds at most
     ``within`` + watermark per key). State scales with the event rate ×
     window, not history — the 100 TB posture.
+
+    ``how='left_outer'``: unmatched left rows are emitted with NULL right
+    columns — but only once the watermark has closed their match window,
+    so on a BOUNDED drain the last rows' NULLs can lag one flush cycle
+    behind the batch-equivalent result (observed: the final tail row of
+    a drained fixture). Inner mode has no such asymmetry and is what the
+    oracle-checked catalog entry (q115) uses.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type '{how}'")
     lt, rt = f"__l_{ts_col}", f"__r_{ts_col}"
     lk = f"__l_{key}"
     l = left.withWatermark(ts_col, watermark).select(
@@ -335,4 +345,4 @@ def interval_join_stream(
         & (F.col(rt) > F.col(lt))
         & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
