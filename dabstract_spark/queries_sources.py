@@ -135,3 +135,70 @@ def q98_named_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scene_id",
         F.col("group").alias("grp"),
     )
+
+
+# --------------------------------------------------------------------- #
+# WAV decode verified at the SAMPLE level (§2.1 WavDatareader): Spark
+# decodes PCM through the real reader UDF; DuckDB independently parses
+# the same bytes — little-endian header fields and signed 16-bit
+# samples — straight from read_blob hex. The int16 sum is exact in both
+# engines (decode normalizes by 32768, so sample*32768 is the original
+# integer), making the audio decode path itself driver-oracle-checked,
+# not just unit-tested.
+# --------------------------------------------------------------------- #
+@query(
+    "q122_wav_decode",
+    oracle=f"""
+    WITH f AS (
+      SELECT filename AS fpath,
+             regexp_extract(filename, '([^/]+)/[^/]+$', 1) AS subdb,
+             regexp_extract(filename, '([^/]+)$', 1) AS fname,
+             size, hex(content) AS hx
+      FROM read_blob('{FIXTURE_DIR}/*/*.wav')),
+    hdr AS (
+      SELECT fpath, subdb, fname, size, hx,
+             CAST(('0x' || substr(hx, 2*24+1, 2)) AS BIGINT)
+             + 256 * CAST(('0x' || substr(hx, 2*25+1, 2)) AS BIGINT)
+             + 65536 * CAST(('0x' || substr(hx, 2*26+1, 2)) AS BIGINT)
+             + 16777216 * CAST(('0x' || substr(hx, 2*27+1, 2)) AS BIGINT) AS fs,
+             (size - 44) // 2 AS n_samples
+      FROM f),
+    samp AS (
+      SELECT fpath,
+             CAST(('0x' || substr(hx, 2*(44 + 2*i) + 1, 2)) AS BIGINT)
+             + 256 * CAST(('0x' || substr(hx, 2*(45 + 2*i) + 1, 2)) AS BIGINT) AS v
+      FROM hdr, UNNEST(generate_series(0, CAST(n_samples AS INT) - 1)) AS t(i))
+    SELECT h.subdb, h.fname, CAST(h.fs AS INT) AS fs,
+           CAST(h.n_samples AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN s.v >= 32768 THEN s.v - 65536 ELSE s.v END) AS BIGINT)
+             AS pcm_sum
+    FROM hdr h JOIN samp s USING (fpath)
+    GROUP BY h.subdb, h.fname, h.fs, h.n_samples
+    """,
+)
+def q122_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.sources.readers import decode_wav, wav_info
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .option("recursiveFileLookup", "true")
+        .load(FIXTURE_DIR)
+    )
+    decoded = files.select(
+        F.element_at(F.split("path", "/"), -2).alias("subdb"),
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        wav_info("content").alias("__info"),
+        decode_wav("content").alias("__samples"),
+    )
+    return decoded.select(
+        "subdb",
+        "fname",
+        F.col("__info.fs").alias("fs"),
+        F.col("__info.n_samples").alias("n_samples"),
+        F.aggregate(
+            F.transform(F.col("__samples"), lambda x: (x * 32768).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("pcm_sum"),
+    )

@@ -19,6 +19,7 @@ from tests.conftest import SF_SMOKE
 ARROW_OK = {
     "q65_fft_magnitude",  # np.fft.rfft pandas UDF
     "q83_resample",  # scipy.signal.resample pandas UDF
+    "q122_wav_decode",  # stdlib wave-parse pandas UDF (binary PCM decode)
 }
 
 # Row-at-a-time Python (BatchEvalPython / PythonUDF in a non-Arrow
