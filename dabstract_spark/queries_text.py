@@ -1644,3 +1644,39 @@ def q121_user_histories(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("history"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Stream-static dimension enrichment (§2.12): the event stream joined to
+# the static customer dimension AT INGEST (broadcast hash join per
+# micro-batch — no state, the standard enrichment topology), then a
+# streaming aggregate per (segment, event_type). Batch SQL is the exact
+# oracle since the bounded drain sees every event.
+# --------------------------------------------------------------------- #
+@query(
+    "q123_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def q123_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.session import load_table
+    from dabstract_spark.streaming.ops import run_to_memory, stream_events
+
+    src = stream_events(spark, f"{sf_dir}/events.parquet")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        src.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    return run_to_memory(agg)
