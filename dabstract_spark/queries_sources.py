@@ -202,3 +202,50 @@ def q122_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         ).alias("pcm_sum"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Multimodal metadata extraction, JVM-only (§2.1 image columns): PNG
+# header fields (IHDR fixed offsets, big-endian) parsed with
+# substring/hex/conv expressions — no pixel decode, no Python stage.
+# DuckDB independently parses the same bytes from read_blob hex.
+# --------------------------------------------------------------------- #
+IMAGE_FIXTURE_DIR = "/root/repo/tests/fixtures/imagedb"
+
+
+@query(
+    "q124_image_metadata",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+           'png' AS format,
+           CAST(CAST(('0x' || substr(hex(content), 2*16+1, 8)) AS BIGINT) AS INT) AS width,
+           CAST(CAST(('0x' || substr(hex(content), 2*20+1, 8)) AS BIGINT) AS INT) AS height,
+           CAST(CAST(('0x' || substr(hex(content), 2*24+1, 2)) AS BIGINT) AS INT) AS bit_depth,
+           CAST(CAST(('0x' || substr(hex(content), 2*25+1, 2)) AS BIGINT) AS INT) AS color_type,
+           size AS n_bytes
+    FROM read_blob('{IMAGE_FIXTURE_DIR}/*.png')
+    WHERE substr(hex(content), 1, 16) = '89504E470D0A1A0A'
+    """,
+)
+def q124_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.sources.readers import image_metadata
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(IMAGE_FIXTURE_DIR)
+    )
+    meta = files.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        image_metadata("content").alias("__m"),
+        F.col("length").alias("n_bytes"),
+    )
+    return meta.filter(F.col("__m").isNotNull()).select(
+        "fname",
+        F.col("__m.format").alias("format"),
+        F.col("__m.width").alias("width"),
+        F.col("__m.height").alias("height"),
+        F.col("__m.bit_depth").alias("bit_depth"),
+        F.col("__m.color_type").alias("color_type"),
+        "n_bytes",
+    )

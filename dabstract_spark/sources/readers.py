@@ -224,3 +224,35 @@ def sample_video_frames(col: Column | str, n_frames: int = 4, height: int = 8, w
         return pd.Series(out)
 
     return vid_udf(c)
+
+
+PNG_MAGIC_HEX = "89504E470D0A1A0A"
+
+
+def image_metadata(col: Column | str) -> Column:
+    """binary image -> struct(format, width, height, bit_depth,
+    color_type) parsed ENTIRELY JVM-side from the header bytes — the
+    multimodal-metadata pass needs no pixel decode and therefore no
+    Python: substring/hex/conv expressions inside whole-stage codegen,
+    which is exactly what you want when profiling 10^9 images.
+
+    PNG is parsed for real (IHDR fixed offsets: width bytes 16-19 BE,
+    height 20-23, bit depth 24, color type 25). Non-PNG payloads yield
+    format=NULL and NULL fields — callers dispatch on the magic.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+
+    def be_int(start_1b: int, nbytes: int) -> Column:
+        return F.conv(F.hex(F.substring(c, start_1b, nbytes)), 16, 10).cast("bigint")
+
+    is_png = F.hex(F.substring(c, 1, 8)) == PNG_MAGIC_HEX
+    return F.when(
+        is_png,
+        F.struct(
+            F.lit("png").alias("format"),
+            be_int(17, 4).cast("int").alias("width"),
+            be_int(21, 4).cast("int").alias("height"),
+            be_int(25, 1).cast("int").alias("bit_depth"),
+            be_int(26, 1).cast("int").alias("color_type"),
+        ),
+    )

@@ -204,3 +204,16 @@ def test_decode_wav_read_range(spark):
     assert tail == full[-2:]
     empty = df.select(decode_wav("data", read_start=10**9).alias("x")).collect()[0].x
     assert empty == []
+
+
+def test_image_metadata_jvm_parse_and_dispatch(spark):
+    """PNG headers parse JVM-side; non-PNG payloads yield NULL struct."""
+    from dabstract_spark.sources.readers import image_metadata
+
+    png = open("tests/fixtures/imagedb/img_001.png", "rb").read()
+    rows = [(1, bytearray(png)), (2, bytearray(b"RIFFxxxxWAVE")), (3, None)]
+    df = spark.createDataFrame(rows, "id bigint, content binary")
+    got = {r["id"]: r["m"] for r in df.select("id", image_metadata("content").alias("m")).collect()}
+    assert got[1]["format"] == "png" and (got[1]["width"], got[1]["height"]) == (7, 5)
+    assert got[1]["bit_depth"] == 8 and got[1]["color_type"] == 2
+    assert got[2] is None and got[3] is None
