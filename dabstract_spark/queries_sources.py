@@ -249,3 +249,90 @@ def q124_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__m.color_type").alias("color_type"),
         "n_bytes",
     )
+
+
+# --------------------------------------------------------------------- #
+# NPY decode verified at the value level (§2.1 NumpyDatareader): same
+# treatment as q122 — Spark decodes through np.load in the reader UDF;
+# DuckDB parses the npy container independently (magic + LE header
+# length at bytes 8-9 -> data offset, then signed LE int16 values).
+# --------------------------------------------------------------------- #
+NPY_FIXTURE_DIR = "/root/repo/tests/fixtures/npydb"
+
+
+@query(
+    "q125_npy_decode",
+    oracle=f"""
+    WITH f AS (
+      SELECT filename AS fpath,
+             regexp_extract(filename, '([^/]+)$', 1) AS fname,
+             size, hex(content) AS hx,
+             10 + CAST(('0x' || substr(hex(content), 2*8+1, 2)) AS BIGINT)
+                + 256 * CAST(('0x' || substr(hex(content), 2*9+1, 2)) AS BIGINT) AS off
+      FROM read_blob('{NPY_FIXTURE_DIR}/*.npy')),
+    hdr AS (SELECT fpath, fname, hx, off, (size - off) // 2 AS n_samples FROM f),
+    samp AS (
+      SELECT fpath,
+             CAST(('0x' || substr(hx, 2*(off + 2*i) + 1, 2)) AS BIGINT)
+             + 256 * CAST(('0x' || substr(hx, 2*(off + 1 + 2*i) + 1, 2)) AS BIGINT) AS v
+      FROM hdr, UNNEST(generate_series(0, CAST(n_samples AS INT) - 1)) AS t(i))
+    SELECT h.fname, CAST(h.n_samples AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN s.v >= 32768 THEN s.v - 65536 ELSE s.v END) AS BIGINT)
+             AS val_sum
+    FROM hdr h JOIN samp s USING (fpath)
+    GROUP BY h.fname, h.n_samples
+    """,
+)
+def q125_npy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.sources.readers import decode_npy
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.npy")
+        .load(NPY_FIXTURE_DIR)
+    )
+    decoded = files.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        decode_npy("content").alias("__v"),
+    )
+    return decoded.select(
+        "fname",
+        F.size("__v").cast("bigint").alias("n_samples"),
+        F.aggregate(
+            F.transform(F.col("__v"), lambda x: x.cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("val_sum"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# spark.sql surface (§2.9/§2.7): the engine's tables registered as temp
+# views and queried with SQL TEXT — proving the declarative surface end
+# to end (same SQL answered by both engines; Catalyst plans it like the
+# DataFrame form). Top supplier per nation by lineitem revenue.
+# --------------------------------------------------------------------- #
+_TOP_SUPPLIER_SQL = """
+SELECT n_name, s_name, revenue FROM (
+  SELECT n.n_name, s.s_name,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.n_name
+           ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) DESC,
+                    s.s_name) AS rn
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, s.s_name) ranked
+WHERE rn = 1
+"""
+
+
+@query("q126_sql_interface", oracle=_TOP_SUPPLIER_SQL)
+def q126_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.session import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    return spark.sql(_TOP_SUPPLIER_SQL)

@@ -20,6 +20,7 @@ ARROW_OK = {
     "q65_fft_magnitude",  # np.fft.rfft pandas UDF
     "q83_resample",  # scipy.signal.resample pandas UDF
     "q122_wav_decode",  # stdlib wave-parse pandas UDF (binary PCM decode)
+    "q125_npy_decode",  # np.load pandas UDF (npy container decode)
 }
 
 # Row-at-a-time Python (BatchEvalPython / PythonUDF in a non-Arrow
