@@ -82,3 +82,23 @@ def test_filters_reach_the_scan(spark, qname, expect):
         # the In() predicate must be in the pushed list, not only post-scan
         scan = plan[plan.index("PushedFilters: [") :]
         assert "In(" in scan.split("]")[0]
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "q21_metadata_join",  # small dim side must broadcast
+        "q02_top_revenue_orders",  # customer side must broadcast
+    ],
+)
+def test_small_dimension_joins_broadcast(spark, qname):
+    """Dimension joins in the catalog must plan as broadcast hash joins —
+    a shuffle join on a small dim side is the classic silent scale bug.
+    (q123's stream-static enrichment join is hinted broadcast in the
+    operator itself; its drained result is a memory-sink scan, so the
+    batch queries carry this audit.)"""
+    from __spark_entry__ import queries
+
+    df = queries()[qname](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, f"{qname} lost its broadcast:\n{plan[:2000]}"
