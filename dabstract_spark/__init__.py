@@ -27,4 +27,4 @@ __all__ = [
     "get_dir_info",
     "folder_dataset",
 ]
-__version__ = "0.3.0"
+__version__ = "0.4.0"
