@@ -1680,3 +1680,96 @@ def q123_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg)
+
+
+# --------------------------------------------------------------------- #
+# Data-quality constraint suite (quality.validate): the Deequ-style
+# pre-promotion audit — every metric is an aggregate expression and the
+# WHOLE suite runs in ONE scan/Aggregate node, so a 50-constraint suite
+# over 100 TB pays the scan once. Output is the tiny report table.
+# --------------------------------------------------------------------- #
+@query(
+    "q127_data_quality",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) * 1000000
+                  / COUNT(*) AS BIGINT) AS null_custkey_ppm,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkeys,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nonpositive_prices,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+               AS BIGINT) AS bad_status
+      FROM orders)
+    SELECT r."check" AS "check", r.value, r.passed FROM m, LATERAL (VALUES
+      ('null_custkey_ppm', null_custkey_ppm, null_custkey_ppm <= 1000),
+      ('dup_orderkeys', dup_orderkeys, dup_orderkeys = 0),
+      ('nonpositive_prices', nonpositive_prices, nonpositive_prices = 0),
+      ('bad_status', bad_status, bad_status = 0)
+    ) AS r("check", value, passed)
+    """,
+)
+def q127_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.quality import null_rate_ppm, validate
+
+    orders = _t(spark, sf_dir, "orders")
+    dup = F.count(F.lit(1)) - F.countDistinct("o_orderkey")
+    nonpos = F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+    bad = F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0))
+    checks = [
+        ("null_custkey_ppm", null_rate_ppm("o_custkey"), null_rate_ppm("o_custkey") <= 1000),
+        ("dup_orderkeys", dup, dup == 0),
+        ("nonpositive_prices", nonpos, nonpos == 0),
+        ("bad_status", bad, bad == 0),
+    ]
+    return validate(orders, checks)
+
+
+# --------------------------------------------------------------------- #
+# Snapshot diff (quality.snapshot_diff): CDC-style added/removed/changed
+# classification between two keyed snapshots in one full outer join —
+# the "what changed since the last run" primitive. The new snapshot is
+# derived deterministically from orders (drop keys ending in 7, add
+# shifted copies, bump some prices).
+# --------------------------------------------------------------------- #
+@query(
+    "q128_snapshot_diff",
+    oracle="""
+    WITH newsnap AS (
+      SELECT o_orderkey, o_totalprice * CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END
+               AS o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 <> 7
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 3),
+    o AS (SELECT o_orderkey, o_totalprice, o_orderstatus, 1 AS in_o FROM orders),
+    n AS (SELECT o_orderkey, o_totalprice, o_orderstatus, 1 AS in_n FROM newsnap)
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.in_o IS NULL THEN 'added'
+                WHEN n.in_n IS NULL THEN 'removed'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                     OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    """,
+)
+def q128_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.quality import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice")
+            * F.when(F.col("o_orderkey") % 5 == 0, 2).otherwise(1)
+        ).alias("o_totalprice"),
+        "o_orderstatus",
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 10 == 3).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_totalprice",
+            "o_orderstatus",
+        )
+    )
+    return snapshot_diff(orders, new, "o_orderkey", ["o_totalprice", "o_orderstatus"])

@@ -194,3 +194,17 @@ def test_bench_json_line_fits_capture_window():
     # ~"qNNN":12.34, per entry + fixed fields
     est = 120 + sum(len(k) + 11 for k in keys)
     assert est < 1800, f"bench JSON line estimate {est}B exceeds capture budget"
+
+
+def test_snapshot_diff_null_safety(spark):
+    from dabstract_spark.operators.quality import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "a"), (3, "b"), (4, None)], "k bigint, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "A"), (5, "c"), (4, "now-set")], "k bigint, v string"
+    )
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, "k", ["v"]).collect()}
+    # NULL == NULL is 'unchanged' (eqNullSafe), NULL -> value is 'changed'
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "changed", 5: "added"}
