@@ -215,11 +215,38 @@ def q82_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
-# Resample (§2.8): FFT-method resampling has no SQL analog — registered
-# WITHOUT an oracle so the driver records the (weaker) rows-only check;
-# numeric semantics are unit-tested against numpy in tests/test_processing.py
+# Resample (§2.8): FFT-method resampling spelled as an O(n²) oracle —
+# forward DFT (17 kept bins of the 64-sample spectrum), spectral
+# truncation, inverse real DFT at 32 points, ×(num/n) gain: exactly
+# scipy.signal.resample's construction (the same rfft→truncate→irfft
+# the Spark-side numpy UDF runs), like q65's DFT-magnitude oracle.
+# DC contributes re once, the kept top bin contributes re·cos(πm)
+# (irfft's C2R transform drops its imaginary part), interior bins 2·(re
+# cosθ − im sinθ). Rounded to 4 decimals on both sides (q65 precedent:
+# transcendental float paths agree to well below 1e-4).
 # --------------------------------------------------------------------- #
-@query("q83_resample")
+@query(
+    "q83_resample",
+    oracle="""
+    WITH spec AS (
+      SELECT vec_id, k,
+             list_sum(list_transform(generate_series(1, 64),
+               j -> embedding[j]::DOUBLE * cos(2 * pi() * k * (j - 1) / 64))) AS re,
+             -list_sum(list_transform(generate_series(1, 64),
+               j -> embedding[j]::DOUBLE * sin(2 * pi() * k * (j - 1) / 64))) AS im
+      FROM embeddings, UNNEST(generate_series(0, 16)) AS t(k)),
+    y AS (
+      SELECT vec_id, m,
+             SUM(CASE WHEN k = 0 THEN re
+                      WHEN k = 16 THEN re * cos(pi() * m)
+                      ELSE 2 * (re * cos(2 * pi() * k * m / 32)
+                                - im * sin(2 * pi() * k * m / 32)) END)
+               / 32 * 0.5 AS v
+      FROM spec, UNNEST(generate_series(0, 31)) AS u(m)
+      GROUP BY vec_id, m)
+    SELECT vec_id, CAST(m AS INT) AS pos, round(v, 4) + 0.0 AS resampled FROM y
+    """,
+)
 def q83_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dabstract_spark.processing import ProcessingChain
 
@@ -227,5 +254,5 @@ def q83_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain = ProcessingChain().add("Resample", {"target_fs": 4, "fs": 8})
     out = chain.process_df(emb, "embedding", new_key="resampled", info={"dtype": "array<double>"})
     return out.select("vec_id", F.posexplode("resampled").alias("pos", "resampled")).select(
-        "vec_id", "pos", (F.round("resampled", 6) + F.lit(0.0)).alias("resampled")
+        "vec_id", "pos", (F.round("resampled", 4) + F.lit(0.0)).alias("resampled")
     )
