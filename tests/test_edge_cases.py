@@ -208,3 +208,24 @@ def test_snapshot_diff_null_safety(spark):
     got = {r["k"]: r["change"] for r in snapshot_diff(old, new, "k", ["v"]).collect()}
     # NULL == NULL is 'unchanged' (eqNullSafe), NULL -> value is 'changed'
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "changed", 5: "added"}
+
+
+def test_user_history_repartition_invariant(spark):
+    """q121's per-user history string must not depend on partitioning:
+    collect_list is unordered, so the array_sort over (ts, event_id)
+    structs is what makes the result deterministic."""
+    from dabstract_spark.queries_text import q121_user_histories
+
+    a = {
+        r["user_id"]: r["history"]
+        for r in q121_user_histories(spark, "/root/testdata/sf0.001").collect()
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = {
+            r["user_id"]: r["history"]
+            for r in q121_user_histories(spark, "/root/testdata/sf0.001").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert a == b
