@@ -126,6 +126,39 @@ def weighted_mix(
     return out
 
 
+def token_budget_per_group(
+    df: DataFrame,
+    group_col: str,
+    token_col,
+    order_cols: list,
+    budget: int,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Quota sampling to a per-group TOKEN budget (the corpus-curation
+    step after quality ranking: "take the best docs per domain until the
+    domain's token budget is spent"). Keeps rows whose inclusive
+    cumulative token count in ``order_cols`` order stays <= ``budget``.
+
+    ``order_cols`` must end in a unique tiebreaker for determinism.
+
+    Scale shape: one shuffle on the group key, then a per-group window
+    cumsum — domains are the unit of parallelism, which fits corpus
+    mixtures (tens of domains, each internally huge but scanned
+    map-side after the exchange). For a budget over ONE giant domain use
+    packing.block_prefix_sum on a precomputed rank instead — it breaks
+    the single-partition window this form would degenerate to.
+    """
+    from pyspark.sql import Window
+
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(cum_col, F.sum(tok).over(w)).filter(F.col(cum_col) <= budget)
+
+
 def top_k_per_group(
     df: DataFrame, group_cols: list[str], order_cols: list, k: int
 ) -> DataFrame:

@@ -1773,3 +1773,92 @@ def q128_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(orders, new, "o_orderkey", ["o_totalprice", "o_orderstatus"])
+
+
+# --------------------------------------------------------------------- #
+# Paragraph-level exact dedup (dedup.paragraph_dedup): the RefinedWeb /
+# MassiveText line-dedup step. Documents are reshaped into deterministic
+# 4-paragraph form with cross-document duplicates (a corpus-wide shared
+# boilerplate paragraph and a footer shared per doc_id % 7 group) so the
+# keep-first-occurrence rule fires on real duplicates.
+# --------------------------------------------------------------------- #
+@query(
+    "q129_paragraph_dedup",
+    oracle="""
+    WITH lined AS (
+      SELECT doc_id,
+             [substr(text, 1, 60),
+              'shared boilerplate: subscribe to our newsletter.',
+              substr(text, 61, 50),
+              'footer id ' || CAST(doc_id % 7 AS VARCHAR)] AS ps
+      FROM documents),
+    paras AS (
+      SELECT doc_id, i - 1 AS pos, ps[i] AS para, md5(ps[i]) AS h
+      FROM lined, UNNEST(generate_series(1, len(ps))) AS t(i)),
+    flagged AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1 AS kept
+      FROM paras)
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_paras,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           md5(coalesce(
+             array_to_string(list(para ORDER BY pos) FILTER (WHERE kept),
+                             chr(10) || chr(10)), '')) AS cleaned_md5
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def q129_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.substring("text", 1, 60),
+            F.lit("shared boilerplate: subscribe to our newsletter."),
+            F.substring("text", 61, 50),
+            F.concat(F.lit("footer id "), (F.col("doc_id") % 7).cast("string")),
+        ).alias("text"),
+    )
+    return dd.paragraph_dedup(lined, id_col="doc_id", text_col="text")
+
+
+# --------------------------------------------------------------------- #
+# Token-budget quota sampling (select.token_budget_per_group): keep the
+# longest documents per source until each source's 800-BPE-token budget
+# is spent — the curation step that turns quality ranking + domain
+# weights into an actual training mix. Cumulative sum is inclusive, so
+# the doc that would cross the budget is dropped.
+# --------------------------------------------------------------------- #
+@query(
+    "q130_token_budget_mix",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             CAST(len(regexp_extract_all(lower(text),
+               '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored)
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= 800
+    """,
+)
+def q130_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import token_budget_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", "n_chars", tx.bpe_token_count("text").alias("n_tokens")
+    )
+    out = token_budget_per_group(
+        scored, "source", "n_tokens",
+        [F.col("n_chars").desc(), F.col("doc_id")], budget=800,
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
