@@ -230,6 +230,157 @@ def range_join(
     return out.drop("__lo", "__hi", "__lbin", "__rbin", "__ron", "__rus")
 
 
+def time_grid_fill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    step_sec: int = 3600,
+) -> DataFrame:
+    """Regularize an irregular event stream onto a fixed per-key time
+    grid with forward fill (gap filling — the time-series feature-prep
+    step before any fixed-rate model).
+
+    For every key, emits one row per ``step_sec`` bucket between the
+    key's first and last event (bucket starts epoch-aligned); the value
+    is the latest observation at-or-before the bucket start (NULL until
+    the first observation). Events sharing a timestamp are pre-reduced
+    to the max-event-id observation so the fill is deterministic.
+
+    Shape at scale: grid generation is a per-key ``sequence`` explode
+    (no shuffle); the fill is the asof union-tag form — one shuffle on
+    the key, a per-key window scan, never a range join. Grid volume is
+    keys x span/step, independent of event count.
+    """
+    us = _epoch_us(ts_col)
+    step_us = step_sec * 1_000_000
+    obs = df.groupBy(F.col(user_col).alias("__u"), us.alias("__us")).agg(
+        F.max_by(F.col(value_col), F.col("event_id")).alias("__v")
+        if "event_id" in df.columns
+        else F.max(F.col(value_col)).alias("__v")
+    )
+    bounds = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(us).alias("__lo"), F.max(us).alias("__hi")
+    )
+    grid = bounds.select(
+        "__u",
+        F.explode(
+            F.sequence(
+                F.expr(f"__lo div {step_us}") * step_us,
+                F.expr(f"__hi div {step_us}") * step_us,
+                F.lit(step_us),
+            )
+        ).alias("__us"),
+    )
+    u = grid.select("__u", "__us", F.lit(None).cast("double").alias("__v"), F.lit(0).alias("__tag")).unionByName(
+        obs.select("__u", "__us", "__v", F.lit(-1).alias("__tag"))
+    )
+    w = (
+        Window.partitionBy("__u")
+        .orderBy("__us", "__tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("__ff", F.last("__v", ignorenulls=True).over(w))
+        .filter(F.col("__tag") == 0)
+        .select(
+            F.col("__u").alias(user_col),
+            F.timestamp_micros(F.col("__us")).alias("bucket_ts"),
+            F.col("__ff").alias("value_ff"),
+        )
+    )
+
+
+def rolling_range_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    window_sec: int = 3600,
+) -> DataFrame:
+    """Trailing time-range aggregate per event: count and sum of the
+    key's events in the last ``window_sec`` seconds INCLUDING the
+    current row (RANGE frame, so same-timestamp events see each other).
+
+    Built on a window RANGE frame over epoch *microseconds* — exact
+    boundary semantics identical to SQL ``RANGE BETWEEN INTERVAL ...
+    PRECEDING AND CURRENT ROW``. One shuffle on the key; the frame scan
+    is a per-key sliding two-pointer inside the sorted partition, not a
+    self-join.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(_epoch_us(ts_col))
+        .rangeBetween(-window_sec * 1_000_000, 0)
+    )
+    return df.select(
+        "event_id",
+        user_col,
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).over(w).cast("double").alias("sum_trailing"),
+    )
+
+
+def funnel_stages(
+    df: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: the deepest stage each key reached, where
+    stage k counts only if it happened STRICTLY AFTER the key's entry
+    into stage k-1 (min-ts chaining — the standard conversion funnel).
+
+    Returns (user, stage_reached, t_first_stage0). Implemented as one
+    conditional aggregation per stage over the same key grouping: stage
+    timestamps chain through ``min(CASE WHEN type=s AND ts > prev)``.
+    Spark computes all stages in a single groupBy pass (no joins): the
+    per-stage mins are mutually dependent, so they are evaluated over
+    the collected per-user (ts, type) pairs — bounded by the user's own
+    event count via aggregate expressions, still one shuffle.
+    """
+    us = _epoch_us(ts_col)
+    pairs = F.collect_list(F.struct(us.alias("us"), F.col(type_col).alias("t")))
+    agg = df.groupBy(user_col).agg(F.array_sort(pairs).alias("__p"))
+    # fold the sorted (ts, type) list through the stage chain: acc =
+    # (stage_reached, ts_of_last_stage, t0) — one pass, pure HOF.
+    n = len(stages)
+    type_arr = F.array(*[F.lit(s) for s in stages])
+    def _step(acc, x):
+        # F.get is 0-based and NULL-safe out of range (element_at throws
+        # under ANSI mode once the final stage is reached)
+        type_ok = x["t"] == F.get(type_arr, acc["k"])
+        advance = (
+            (acc["k"] < n)
+            & type_ok.isNotNull() & type_ok
+            & ((acc["k"] == 0) | (x["us"] > acc["ts"]))
+        )
+        return F.when(
+            advance,
+            F.struct(
+                (acc["k"] + 1).alias("k"),
+                x["us"].alias("ts"),
+                F.coalesce(acc["t0"], x["us"]).alias("t0"),
+            ),
+        ).otherwise(acc)
+
+    folded = F.aggregate(
+        F.col("__p"),
+        F.struct(
+            F.lit(0).cast("int").alias("k"),
+            F.lit(None).cast("bigint").alias("ts"),
+            F.lit(None).cast("bigint").alias("t0"),
+        ),
+        _step,
+    )
+    return agg.select(
+        user_col,
+        folded["k"].alias("stage_reached"),
+        F.timestamp_micros(folded["t0"]).alias("t_first_stage"),
+    )
+
+
 def multires_rollup(
     df: DataFrame,
     ts_col: str = "ts",

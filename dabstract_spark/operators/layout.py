@@ -1,0 +1,89 @@
+"""Data-layout operators: Z-order (Morton) clustering for multi-column
+file skipping (SURVEY §4 / 100 TB posture; no reference analog — the
+reference never manages physical layout).
+
+Why this matters at scale: parquet row-group pruning works off per-file
+min/max statistics, which a sort can only make selective for ONE column.
+Interleaving the bits of two (or more) quantized columns and sorting by
+the interleaved value bounds the min/max *range of every participating
+column* per file — the standard lakehouse trick for multi-dimensional
+predicates. Everything here is pure JVM bit arithmetic (shift/and/or
+unrolled per bit), whole-stage-codegen friendly, oracle-expressible.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def zorder_value(x: Column, y: Column, bits: int = 8) -> Column:
+    """Morton code of two pre-quantized values in [0, 2^bits): bit i of
+    x lands at position 2i, bit i of y at 2i+1. Unrolled shift/and/add —
+    no UDF, no loop at runtime."""
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return reduce(lambda a, b: a + b, terms).cast("bigint")
+
+
+def zorder_value_sql(x: str, y: str, bits: int = 8) -> str:
+    """The identical Morton arithmetic as engine-portable SQL text."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x}) >> {i}) & 1) << {2 * i}")
+        terms.append(f"((({y}) >> {i}) & 1) << {2 * i + 1}")
+    return "CAST(" + " + ".join(f"({t})" for t in terms) + " AS BIGINT)"
+
+
+def quantize_minmax(df: DataFrame, col: str, bits: int = 8) -> tuple[DataFrame, Column]:
+    """Rank-free quantization of a numeric column to [0, 2^bits) by a
+    broadcast (min, max) aggregate — deterministic (no sampled range
+    boundaries), two tiny jobs, zero data shuffle. Returns (df', expr);
+    df' carries the broadcast bounds columns the expr references."""
+    lo, hi = f"__lo_{col}", f"__hi_{col}"
+    mm = df.select(
+        F.min(F.col(col)).cast("double").alias(lo),
+        F.max(F.col(col)).cast("double").alias(hi),
+    )
+    out = df.crossJoin(F.broadcast(mm))
+    width = (F.col(hi) - F.col(lo)) + F.lit(1e-9)
+    n = 1 << bits
+    q = F.least(
+        F.greatest(
+            F.floor((F.col(col).cast("double") - F.col(lo)) / width * n), F.lit(0)
+        ),
+        F.lit(n - 1),
+    ).cast("int")
+    return out, q
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    bits: int = 8,
+    num_files: int | None = None,
+) -> None:
+    """Write ``df`` as parquet physically clustered by the Z-order of
+    two numeric columns: quantize each by its global min/max, compute
+    the Morton code, range-partition on it (so files own contiguous
+    Z ranges → tight per-file min/max on BOTH columns) and sort within
+    partitions. Readers with predicates on either column then skip
+    files/row-groups via ordinary parquet stats — no engine changes.
+    """
+    d1, q1 = quantize_minmax(df, cols[0], bits)
+    d2, q2 = quantize_minmax(d1.withColumn("__q1", q1), cols[1], bits)
+    z = d2.withColumn("__z", zorder_value(F.col("__q1"), q2, bits)).drop(
+        f"__lo_{cols[0]}", f"__hi_{cols[0]}", f"__lo_{cols[1]}", f"__hi_{cols[1]}", "__q1"
+    )
+    n = num_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    (
+        z.repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

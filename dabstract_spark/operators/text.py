@@ -215,6 +215,64 @@ def tfdf_keywords(
     )
 
 
+def tfdf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int = 50,
+    threshold: float = 0.5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Document-pair cosine similarity over sparse df-weighted term
+    vectors (w = tf * scale div df — the integer-exact tf/df analog of
+    tf-idf; float idf logs differ across libms at the last bit, integer
+    division doesn't). Returns (id_a, id_b, sim) for pairs at or above
+    ``threshold``, id_a < id_b.
+
+    The inverted-index formulation, the standard sub-quadratic text
+    similarity at scale: pairs are generated ONLY through shared terms
+    (join on token), never doc x doc. ``max_df`` is the prefix filter —
+    a term in d docs contributes d^2 join rows, so corpus-wide
+    stop-terms are dropped before the pair stage (they carry the least
+    weight anyway: w ~ 1/df). Dot products and norms are summed in
+    DECIMAL(38,0) (exact, order-free) and only the final cosine touches
+    floating point via correctly-rounded double ops — bit-identical in
+    any engine.
+    """
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token"))
+    tf = tok.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("dfc"))
+        .filter(F.col("dfc") <= max_df)
+    )
+    w = tf.join(dfreq, "token").select(
+        "id", "token", F.expr(f"tf * {scale} div dfc").cast("bigint").alias("w")
+    )
+    norms = w.groupBy("id").agg(
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("w")).cast("double").alias("n2")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.sum(F.col("a.w").cast("decimal(38,0)") * F.col("b.w"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("n2").alias("__na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("n2").alias("__nb"))
+    sim = F.col("dot") / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb")))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(sim >= threshold)
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+    )
+
+
 def text_stats_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_tokens, punct_ratio, stopword_ratio, mean_token_len) with
     the token array staged ONCE — the single-expression helpers each

@@ -1862,3 +1862,151 @@ def q130_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("n_chars").desc(), F.col("doc_id")], budget=800,
     )
     return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+# --------------------------------------------------------------------- #
+# Time-grid gap fill + forward fill (events.time_grid_fill): every user
+# regularized to a 6-hour grid between their first and last event, value
+# forward-filled from the latest observation at-or-before each bucket.
+# Oracle: per-user generate_series + DuckDB native ASOF LEFT JOIN.
+# --------------------------------------------------------------------- #
+@query(
+    "q131_time_grid_fill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             epoch_us(min(ts)) // 21600000000 AS lob,
+             epoch_us(max(ts)) // 21600000000 AS hib
+      FROM events GROUP BY user_id),
+    g AS (
+      SELECT user_id, CAST(to_timestamp(t.i * 21600) AS TIMESTAMP) AS bucket_ts
+      FROM b, UNNEST(generate_series(lob, hib)) AS t(i)),
+    e AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS v
+      FROM events GROUP BY user_id, ts)
+    SELECT g.user_id, g.bucket_ts, e.v AS value_ff
+    FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.bucket_ts >= e.ts
+    """,
+)
+def q131_time_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return ev.time_grid_fill(events, step_sec=21600)
+
+
+# --------------------------------------------------------------------- #
+# Trailing time-range window aggregate (events.rolling_range_agg): per
+# event, count/sum of the user's events in the trailing hour (RANGE
+# frame on epoch microseconds — exact INTERVAL-PRECEDING semantics).
+# --------------------------------------------------------------------- #
+@query(
+    "q132_rolling_window",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_trailing,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q132_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return ev.rolling_range_agg(events, window_sec=3600)
+
+
+# --------------------------------------------------------------------- #
+# Ordered conversion funnel (events.funnel_stages): deepest
+# view -> click -> purchase stage per user, each stage strictly after
+# the previous one's first entry (min-ts chaining). The Spark form is a
+# single groupBy + sorted HOF fold; the oracle is the classic chained
+# conditional-min CTE ladder.
+# --------------------------------------------------------------------- #
+@query(
+    "q133_funnel",
+    oracle="""
+    WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+           JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+           JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                     WHEN t2.user_id IS NOT NULL THEN 2
+                     WHEN t1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage_reached,
+           t1.ts1 AS t_first_stage
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN t1 USING (user_id)
+    LEFT JOIN t2 USING (user_id)
+    LEFT JOIN t3 USING (user_id)
+    """,
+)
+def q133_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return ev.funnel_stages(events, stages=("view", "click", "purchase"))
+
+
+# --------------------------------------------------------------------- #
+# Sparse TF-DF cosine document pairs (text.tfdf_cosine_pairs): the
+# inverted-index similarity formulation — pairs exist only through
+# shared (df-capped) terms, exact integer weights, DECIMAL dot/norm
+# sums, one correctly-rounded double cosine at the end.
+# --------------------------------------------------------------------- #
+@query(
+    "q134_tfdf_cosine_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest({_T}) AS token FROM documents),
+    tf AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY id, token),
+    dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token
+              HAVING count(*) <= 50),
+    w AS (SELECT id, tf.token, CAST(tf * 1000000 // dfc AS BIGINT) AS w
+          FROM tf JOIN dfreq USING (token)),
+    norms AS (SELECT id, CAST(SUM(CAST(w AS DECIMAL(38,0)) * w) AS DOUBLE) AS n2
+              FROM w GROUP BY id),
+    dots AS (SELECT a.id AS id_a, b.id AS id_b,
+                    CAST(SUM(CAST(a.w AS DECIMAL(38,0)) * b.w) AS DOUBLE) AS dot
+             FROM w a JOIN w b ON a.token = b.token AND a.id < b.id
+             GROUP BY a.id, b.id)
+    SELECT id_a, id_b, round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) + 0.0 AS sim
+    FROM dots
+    JOIN norms na ON na.id = id_a
+    JOIN norms nb ON nb.id = id_b
+    WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.5
+    """,
+)
+def q134_tfdf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return tx.tfdf_cosine_pairs(docs, "doc_id", "text", max_df=50, threshold=0.5)
+
+
+# --------------------------------------------------------------------- #
+# Z-order (Morton) clustering value (layout.zorder_value): the bit
+# arithmetic that drives multi-column file skipping. The write path
+# (layout.zorder_write: quantize -> interleave -> range-partition ->
+# sorted parquet) is exercised in tests/test_clustering_sampling.py;
+# here the code itself is oracle-checked bit for bit.
+# --------------------------------------------------------------------- #
+from dabstract_spark.operators.layout import zorder_value, zorder_value_sql as _zsql
+
+
+@query(
+    "q135_zorder_value",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, {_zsql('l_partkey % 256', 'l_suppkey % 256', 8)} AS zval
+    FROM lineitem
+    WHERE {_zsql('l_partkey % 256', 'l_suppkey % 256', 8)} < 1024
+    """,
+)
+def q135_zorder_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    z = zorder_value((F.col("l_partkey") % 256).cast("int"),
+                     (F.col("l_suppkey") % 256).cast("int"), bits=8)
+    return (
+        li.withColumn("zval", z)
+        .filter(F.col("zval") < 1024)
+        .select("l_orderkey", "l_linenumber", "zval")
+    )

@@ -1,0 +1,157 @@
+"""Unit tests for the round-4 curation/layout operators: paragraph
+dedup, token-budget quota sampling, funnel stages, time-grid fill,
+rolling range aggregates, TF-DF cosine pairs, and Z-order layout."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from dabstract_spark.operators.dedup import paragraph_dedup
+from dabstract_spark.operators.events import (
+    funnel_stages,
+    rolling_range_agg,
+    time_grid_fill,
+)
+from dabstract_spark.operators.layout import zorder_value, zorder_write
+from dabstract_spark.operators.select import token_budget_per_group
+from dabstract_spark.operators.text import tfdf_cosine_pairs
+
+
+def test_paragraph_dedup_keep_first_and_all_dup_doc(spark):
+    sep = "\n\n"
+    docs = spark.createDataFrame(
+        [
+            (1, sep.join(["alpha", "boiler", "beta"])),
+            (2, sep.join(["boiler", "gamma"])),  # boiler dies (first seen in doc 1)
+            (3, sep.join(["alpha", "boiler"])),  # ALL paragraphs are dups
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert (out[1].n_paras, out[1].n_kept) == (3, 3)
+    assert (out[2].n_paras, out[2].n_kept) == (2, 1)
+    assert (out[3].n_paras, out[3].n_kept) == (2, 0)
+    # doc 3's reassembly is the empty string, not NULL
+    import hashlib
+
+    assert out[3].cleaned_md5 == hashlib.md5(b"").hexdigest()
+    assert out[2].cleaned_md5 == hashlib.md5(b"gamma").hexdigest()
+
+
+def test_paragraph_dedup_null_text_passthrough(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "x")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert out[1].n_paras == 1  # null coalesces to one empty paragraph
+    assert out[2].n_kept == 1
+
+
+def test_token_budget_per_group_inclusive_boundary(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 40), ("a", 2, 40), ("a", 3, 40), ("b", 4, 100)],
+        "g string, id bigint, tok bigint",
+    )
+    out = token_budget_per_group(df, "g", "tok", [F.col("id")], budget=80)
+    kept = sorted(r.id for r in out.collect())
+    # a: 40, 80 kept; 120 crosses. b: 100 > 80 -> dropped entirely
+    assert kept == [1, 2]
+
+
+def _ts(minute):
+    return datetime.datetime(2024, 1, 1, 0, minute)
+
+
+def test_funnel_stages_strict_ordering_and_ties(spark):
+    rows = [
+        # user 1: full funnel in order
+        (1, _ts(0), 1, "view"), (2, _ts(1), 1, "click"), (3, _ts(2), 1, "purchase"),
+        # user 2: click BEFORE any view -> stage 1 only (view at t=1)
+        (4, _ts(0), 2, "click"), (5, _ts(1), 2, "view"),
+        # user 3: click at the SAME ts as first view -> not after -> stage 1
+        (6, _ts(0), 3, "view"), (7, _ts(0), 3, "click"),
+        # user 4: never views -> stage 0, no t_first_stage
+        (8, _ts(0), 4, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    out = {r.user_id: r for r in funnel_stages(df).collect()}
+    assert out[1].stage_reached == 3
+    assert out[2].stage_reached == 1
+    assert out[3].stage_reached == 1
+    assert out[4].stage_reached == 0
+    assert out[4].t_first_stage is None
+    assert out[1].t_first_stage == _ts(0)
+
+
+def test_time_grid_fill_forward_fill_and_leading_null(spark):
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 30), 7, 10.0),
+        (2, datetime.datetime(2024, 1, 1, 2, 30), 7, 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    out = sorted(time_grid_fill(df, step_sec=3600).collect(), key=lambda r: r.bucket_ts)
+    # grid 00:00, 01:00, 02:00: nothing at-or-before 00:00, then 10.0 twice
+    assert [r.value_ff for r in out] == [None, 10.0, 10.0]
+
+
+def test_rolling_range_agg_includes_boundary(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (1, t0, 7, 1.0),
+        (2, t0 + datetime.timedelta(seconds=3600), 7, 2.0),   # exactly 1h later: in range
+        (3, t0 + datetime.timedelta(seconds=7201), 7, 4.0),   # >1h after event 2: alone
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    out = {r.event_id: r for r in rolling_range_agg(df, window_sec=3600).collect()}
+    assert out[1].n_trailing == 1
+    assert out[2].n_trailing == 2 and out[2].sum_trailing == 3.0
+    assert out[3].n_trailing == 1
+
+
+def test_tfdf_cosine_identical_docs_score_one(spark):
+    docs = spark.createDataFrame(
+        [(1, "red green blue"), (2, "red green blue"), (3, "entirely different words here")],
+        "doc_id bigint, text string",
+    )
+    out = tfdf_cosine_pairs(docs, "doc_id", "text", max_df=10, threshold=0.9)
+    got = {(r.id_a, r.id_b): r.sim for r in out.collect()}
+    assert got == {(1, 2): 1.0}
+
+
+def test_zorder_value_reference_bits(spark):
+    # x=0b11, y=0b01 -> z = 1<<0 | 1<<2 | 1<<1 = 0b0111 = 7
+    row = spark.range(1).select(
+        zorder_value(F.lit(3), F.lit(1), bits=2).alias("z")
+    ).collect()[0]
+    assert row.z == 7
+
+
+def test_zorder_write_bounds_both_columns(spark, tmp_path):
+    import itertools
+
+    rows = [(x, y) for x, y in itertools.product(range(32), range(32))]
+    df = spark.createDataFrame(rows, "x int, y int").repartition(8)
+    path = str(tmp_path / "zorded")
+    zorder_write(df, path, ("x", "y"), bits=5, num_files=8)
+    # each written file must cover a LIMITED range of BOTH dimensions —
+    # the whole point of interleaving vs a plain sort on x
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name())
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 4
+    for r in per_file:
+        assert r.sx <= 16 and r.sy <= 16, (r.sx, r.sy)
