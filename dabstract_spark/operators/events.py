@@ -421,3 +421,34 @@ def multires_rollup(
             F.sum(F.col("__v").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
+
+
+def change_intervals(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """SCD2-style history build: collapse a per-key event stream into
+    validity intervals of its state column — one row per state CHANGE,
+    with (valid_from, valid_to, is_current). The standard dimension-
+    history shape for warehouses and feature stores.
+
+    Two per-key window passes (same shuffle partitioning, one exchange):
+    drop rows equal to their predecessor's state, then valid_to = next
+    survivor's valid_from. Ties at one timestamp order by event_id so
+    both engines agree.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    changed = (
+        df.withColumn("__prev", F.lag(state_col).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(state_col)))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    return changed.select(
+        user_col,
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

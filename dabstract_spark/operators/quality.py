@@ -90,3 +90,47 @@ def snapshot_diff(
         .otherwise("unchanged")
     )
     return j.select(F.col("__k").alias(key), change.alias("change"))
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    cols: list[str],
+) -> DataFrame:
+    """Relational MERGE (upsert): matched keys take the source's column
+    values, unmatched target rows survive, unmatched source rows insert.
+    Returns the merged table plus an ``action`` column
+    (insert/update/unchanged) — the audit trail a lakehouse MERGE emits.
+
+    One full outer join on the key (single shuffle both sides); change
+    detection is null-safe per column. This is the batch semantics of
+    Delta/Iceberg MERGE expressed engine-side — at scale the join is
+    the unavoidable cost, and file-level pruning (see layout.zorder_write)
+    is what keeps the target side from rescanning 100 TB.
+    """
+    t = target.select(
+        F.col(key).alias("__k"), *[F.col(c).alias(f"__t_{c}") for c in cols]
+    ).withColumn("__in_t", F.lit(1))
+    s = source.select(
+        F.col(key).alias("__k"), *[F.col(c).alias(f"__s_{c}") for c in cols]
+    ).withColumn("__in_s", F.lit(1))
+    j = t.join(s, "__k", "full_outer")
+    differs = F.lit(False)
+    for c in cols:
+        differs = differs | ~F.col(f"__t_{c}").eqNullSafe(F.col(f"__s_{c}"))
+    action = (
+        F.when(F.col("__in_t").isNull(), "insert")
+        # no source row -> the target row is untouched; the null-safe
+        # compare below would read all-NULL source cols as a difference
+        .when(F.col("__in_s").isNull(), "unchanged")
+        .when(differs, "update")
+        .otherwise("unchanged")
+    )
+    picked = [
+        F.when(F.col("__in_s").isNotNull(), F.col(f"__s_{c}"))
+        .otherwise(F.col(f"__t_{c}"))
+        .alias(c)
+        for c in cols
+    ]
+    return j.select(F.col("__k").alias(key), *picked, action.alias("action"))

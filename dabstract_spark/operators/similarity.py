@@ -473,3 +473,49 @@ def topk_lsh_multiprobe(
     ).dropDuplicates(["query_id", id_col])
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space (map-side argmax over literal centroids — zero shuffle), then
+    mark every vector that has a LOWER-id neighbor in the SAME cluster
+    with cosine >= ``threshold`` as a semantic duplicate.
+
+    Returns (id, centroid_id, keep) for every input row.
+
+    Scale shape: the pair search is a self-join WITHIN clusters only —
+    the clustering is exactly what makes semantic dedup sub-quadratic
+    (K clusters turn n^2 into sum of n_k^2; with balanced k-means the
+    blow-up is n^2/K). The join key is the centroid id, so AQE's skew
+    handling applies to oversized clusters; tighten further by raising
+    K via ivf_refine — no code here changes.
+    """
+    assigned = ivf_assign(df, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "centroid_id"
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(cosine(F.col("a.vec"), F.col("b.vec")) >= threshold)
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )

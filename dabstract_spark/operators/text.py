@@ -215,6 +215,45 @@ def tfdf_keywords(
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking (RAG / context-window
+    ingestion): each document yields chunks of ``window`` tokens every
+    ``stride`` tokens. Trailing fragments shorter than ``window`` are
+    dropped UNLESS they are the document's only chunk (short docs still
+    produce one chunk). Returns (id, chunk_id, n_tokens, chunk_md5) —
+    the digest instead of the text so chunk identity is checkable
+    without shipping every chunk to the driver.
+
+    One explode per document (sequence of chunk starts — pure HOF, no
+    shuffle); chunk volume ~ tokens/stride. The reference's analog is
+    Framing over sample arrays (processors.py Framing); this is the
+    token/text form at corpus scale.
+    """
+    staged = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    n = F.size("__t")
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    exploded = staged.select(
+        id_col, "__t", n.alias("__n"), F.explode(starts).alias("__s")
+    )
+    chunk = F.slice(F.col("__t"), F.col("__s"), window)
+    return (
+        exploded.withColumn("__c", chunk)
+        .filter((F.size("__c") == window) | (F.col("__s") == 1))
+        .select(
+            id_col,
+            ((F.col("__s") - 1) / stride).cast("int").alias("chunk_id"),
+            F.size("__c").alias("n_tokens"),
+            F.md5(F.array_join(F.col("__c"), " ")).alias("chunk_md5"),
+        )
+    )
+
+
 def tfdf_cosine_pairs(
     df: DataFrame,
     id_col: str,

@@ -2010,3 +2010,145 @@ def q135_zorder_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("zval") < 1024)
         .select("l_orderkey", "l_linenumber", "zval")
     )
+
+
+# --------------------------------------------------------------------- #
+# Overlapping token-window chunking (text.chunk_text): RAG / context
+# ingestion — 16-token chunks every 8 tokens, trailing fragments
+# dropped unless they are the document's only chunk.
+# --------------------------------------------------------------------- #
+@query(
+    "q136_chunk_text",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+    st AS (SELECT doc_id, t,
+                  unnest(generate_series(1, greatest(len(t), 1), 8)) AS s
+           FROM toks),
+    ch AS (SELECT doc_id, s, t[s : s + 15] AS c FROM st)
+    SELECT doc_id, CAST((s - 1) // 8 AS INT) AS chunk_id,
+           CAST(len(c) AS INT) AS n_tokens,
+           md5(array_to_string(c, ' ')) AS chunk_md5
+    FROM ch WHERE len(c) = 16 OR s = 1
+    """,
+)
+def q136_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return tx.chunk_text(docs, "doc_id", "text", window=16, stride=8)
+
+
+# --------------------------------------------------------------------- #
+# Relational MERGE / upsert (quality.merge_into): matched keys take the
+# source values, unmatched targets survive, unmatched sources insert;
+# per-row action audit. Source = every 3rd order with a +10 price bump
+# (every 9th left untouched -> 'unchanged' despite matching) plus
+# key-shifted inserts.
+# --------------------------------------------------------------------- #
+@query(
+    "q137_merge_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             o_totalprice + CASE WHEN o_orderkey % 9 = 0 THEN 0 ELSE 10 END
+               AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey + 200000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 4),
+    t AS (SELECT o_orderkey, o_totalprice, o_orderstatus, 1 AS in_t FROM orders),
+    s AS (SELECT o_orderkey, o_totalprice, o_orderstatus, 1 AS in_s FROM src)
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN s.in_s IS NOT NULL THEN s.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN s.in_s IS NOT NULL THEN s.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN t.in_t IS NULL THEN 'insert'
+                WHEN s.in_s IS NULL THEN 'unchanged'
+                WHEN t.o_totalprice IS DISTINCT FROM s.o_totalprice
+                     OR t.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+                  THEN 'update'
+                ELSE 'unchanged' END AS action
+    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def q137_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.quality import merge_into
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    src = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 9 == 0, 0).otherwise(10)
+        ).alias("o_totalprice"),
+        "o_orderstatus",
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 10 == 4).select(
+            (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+            "o_totalprice",
+            "o_orderstatus",
+        )
+    )
+    return merge_into(orders, src, "o_orderkey", ["o_totalprice", "o_orderstatus"])
+
+
+# --------------------------------------------------------------------- #
+# SCD2 validity intervals (events.change_intervals): per-user
+# event_type change history with (valid_from, valid_to, is_current).
+# --------------------------------------------------------------------- #
+@query(
+    "q138_change_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events),
+    changed AS (
+      SELECT user_id, event_type AS state, ts AS valid_from, event_id
+      FROM ordered WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER w AS valid_to,
+           lead(valid_from) OVER w IS NULL AS is_current
+    FROM changed
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+)
+def q138_change_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return ev.change_intervals(events, state_col="event_type")
+
+
+# --------------------------------------------------------------------- #
+# Semantic dedup, SemDeDup-style (similarity.semantic_dedup): cluster
+# the embedding space (zero-shuffle literal-centroid argmax), then drop
+# vectors with a lower-id same-cluster neighbor at cosine >= 0.4. The
+# within-cluster pair search is exactly what keeps it sub-quadratic.
+# --------------------------------------------------------------------- #
+@query(
+    "q139_semantic_dedup",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+                  FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {_cos_sql('e.embedding', 'c.cvec')} AS sim
+      FROM embeddings e CROSS JOIN cent c),
+    asg AS (
+      SELECT vec_id, embedding, cid FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.4)
+    SELECT asg.vec_id, CAST(asg.cid AS INT) AS centroid_id,
+           dup.vec_id IS NULL AS keep
+    FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+    """,
+)
+def q139_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(emb, n_centroids=8)
+    return sim.semantic_dedup(emb, cents, threshold=0.4)

@@ -155,3 +155,75 @@ def test_zorder_write_bounds_both_columns(spark, tmp_path):
     assert len(per_file) >= 4
     for r in per_file:
         assert r.sx <= 16 and r.sy <= 16, (r.sx, r.sy)
+
+
+def test_chunk_text_overlap_and_short_doc(spark):
+    from dabstract_spark.operators.text import chunk_text
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "only three words")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_text(docs, "doc_id", "text", window=4, stride=2)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_id))
+    d1 = [r for r in rows if r.doc_id == 1]
+    # starts 1,3,5,7,9 -> full 4-token chunks at 1,3,5,7; tail at 9 dropped
+    assert [r.chunk_id for r in d1] == [0, 1, 2, 3]
+    assert all(r.n_tokens == 4 for r in d1)
+    d2 = [r for r in rows if r.doc_id == 2]
+    # short doc keeps its single fragment
+    assert len(d2) == 1 and d2[0].n_tokens == 3
+
+
+def test_merge_into_actions(spark):
+    from dabstract_spark.operators.quality import merge_into
+
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k bigint, v double"
+    )
+    source = spark.createDataFrame(
+        [(2, 99.0), (3, 30.0), (4, 40.0)], "k bigint, v double"
+    )
+    out = {r.k: r for r in merge_into(target, source, "k", ["v"]).collect()}
+    assert (out[1].v, out[1].action) == (10.0, "unchanged")  # target-only
+    assert (out[2].v, out[2].action) == (99.0, "update")
+    assert (out[3].v, out[3].action) == (30.0, "unchanged")  # matched, equal
+    assert (out[4].v, out[4].action) == (40.0, "insert")
+
+
+def test_change_intervals_collapse_and_current(spark):
+    from dabstract_spark.operators.events import change_intervals
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        (1, ts(0), 7, "a"), (2, ts(1), 7, "a"),  # run of a collapses
+        (3, ts(2), 7, "b"), (4, ts(3), 7, "a"),  # back to a = NEW interval
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    out = sorted(change_intervals(df).collect(), key=lambda r: r.valid_from)
+    assert [(r.state, r.is_current) for r in out] == [
+        ("a", False), ("b", False), ("a", True)
+    ]
+    assert out[0].valid_to == ts(2) and out[1].valid_to == ts(3)
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    from dabstract_spark.operators.similarity import semantic_dedup
+
+    # two orthogonal cluster directions; 1 and 2 are near-identical
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.999, 0.01]),  # same cluster, near-dup
+        (3, [0.0, 1.0]),                       # other cluster
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = {r.vec_id: r for r in semantic_dedup(df, cents, threshold=0.95).collect()}
+    assert out[1].keep is True
+    assert out[2].keep is False  # dropped against lower-id 1
+    assert out[3].keep is True
