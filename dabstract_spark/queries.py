@@ -421,3 +421,129 @@ def q22_threshold_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = Dataset(_t(spark, sf_dir, "orders"), name="orders")
     ds = ds.add_select("threshold_subsample", ratio=0.25, seed=7, key="o_orderkey")
     return ds.df.select("o_orderkey", "o_totalprice")
+
+
+# --------------------------------------------------------------------- #
+# Exact COUNT(DISTINCT) at scale (SURVEY §2.4): the two-level form —
+# pre-dedup on (group, key) with map-side partial aggregation, then a
+# plain count. A direct countDistinct ships every raw (group, key) pair
+# to the group's reducer; the two-level plan dedups BEFORE the second
+# shuffle, which is the difference between working and dying on a 100 TB
+# fact table with hot groups.
+# --------------------------------------------------------------------- #
+@query(
+    "q141_exact_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q141_exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------- #
+# ROLLUP / grouping sets (SURVEY §2.4): region > nation subtotal
+# hierarchy in ONE pass. grouping_id disambiguates subtotal NULLs from
+# data NULLs — both engines emit the identical bit mask.
+# --------------------------------------------------------------------- #
+@query(
+    "q142_rollup_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name, n_name) AS BIGINT) AS level,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q142_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("bigint").alias("level"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+        .select("r_name", "n_name", "level", "revenue")
+    )
+
+
+# --------------------------------------------------------------------- #
+# Anti-join (SURVEY §2.3): churned customers — no order since mid-1997.
+# left_anti with the date predicate PUSHED INTO the build side is the
+# shuffle-once negative membership test (never a NOT IN broadcast of a
+# data-scale list); the filter prunes the orders scan before the join.
+# --------------------------------------------------------------------- #
+@query(
+    "q143_churned_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')
+    """,
+)
+def q143_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1997-06-01"
+    )
+    return cust.join(
+        recent, cust.c_custkey == recent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+# --------------------------------------------------------------------- #
+# Decorrelated scalar subquery (TPC-H Q17 shape, SURVEY §2.3/§2.4):
+# lineitems below 20% of their part's average quantity. The correlated
+# per-row subquery becomes one per-part aggregate joined back — the
+# decorrelation every engine must do; quantities are small integers so
+# the double avg is exact in any summation order.
+# --------------------------------------------------------------------- #
+@query(
+    "q144_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+           AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    WHERE l_quantity < (
+      SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q144_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__thresh")
+    )
+    return (
+        li.join(per_part, li.l_partkey == per_part.__pk)
+        .filter(F.col("l_quantity") < F.col("__thresh"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 6
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

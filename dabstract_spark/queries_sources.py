@@ -336,3 +336,37 @@ def q126_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
     return spark.sql(_TOP_SUPPLIER_SQL)
+
+
+# --------------------------------------------------------------------- #
+# JSONL source with declared schema + drift tolerance (sources.read_jsonl
+# over the committed tests/fixtures/jsonl fixture): missing fields ->
+# NULL, undeclared extra fields ignored — both engines read the SAME
+# file through their native newline-JSON readers.
+# --------------------------------------------------------------------- #
+JSONL_FIXTURE = "/root/repo/tests/fixtures/jsonl/docs.jsonl"
+
+
+@query(
+    "q140_jsonl_source",
+    oracle=f"""
+    SELECT id, name, score, CAST(coalesce(len(tags), 0) AS INT) AS n_tags,
+           tags[1] AS first_tag
+    FROM read_json('{JSONL_FIXTURE}',
+      format='newline_delimited',
+      columns={{'id':'BIGINT','name':'VARCHAR','score':'DOUBLE','tags':'VARCHAR[]'}})
+    """,
+)
+def q140_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.sources import read_jsonl
+
+    df = read_jsonl(
+        spark, JSONL_FIXTURE, "id bigint, name string, score double, tags array<string>"
+    )
+    return df.select(
+        "id",
+        "name",
+        "score",
+        F.coalesce(F.size("tags"), F.lit(0)).alias("n_tags"),
+        F.element_at("tags", 1).alias("first_tag"),
+    )

@@ -8,6 +8,7 @@ from dabstract_spark.sources.folder import (
     folder_dataset,
     get_dir_info,
 )
+from dabstract_spark.sources.jsonl import read_jsonl
 from dabstract_spark.sources.readers import (
     decode_image,
     decode_npy,
@@ -25,4 +26,5 @@ __all__ = [
     "wav_info",
     "decode_image",
     "sample_video_frames",
+    "read_jsonl",
 ]

@@ -217,3 +217,31 @@ def test_image_metadata_jvm_parse_and_dispatch(spark):
     assert got[1]["format"] == "png" and (got[1]["width"], got[1]["height"]) == (7, 5)
     assert got[1]["bit_depth"] == 8 and got[1]["color_type"] == 2
     assert got[2] is None and got[3] is None
+
+
+def test_read_jsonl_corrupt_record_quarantine(spark, tmp_path):
+    from dabstract_spark.sources import read_jsonl
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"id": 1, "v": "ok"}\nTHIS IS NOT JSON\n{"id": 2, "v": "also ok"}\n')
+    clean = read_jsonl(spark, str(p), "id bigint, v string")
+    assert sorted(r.id for r in clean.collect() if r.id is not None) == [1, 2]
+    kept = read_jsonl(spark, str(p), "id bigint, v string", keep_corrupt=True)
+    bad = [r for r in kept.collect() if r._corrupt_record is not None]
+    assert len(bad) == 1 and "NOT JSON" in bad[0]._corrupt_record
+
+
+def test_read_jsonl_schema_drift(spark):
+    from dabstract_spark.sources import read_jsonl
+
+    df = read_jsonl(
+        spark,
+        "/root/repo/tests/fixtures/jsonl/docs.jsonl",
+        "id bigint, name string, score double, tags array<string>",
+    )
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 40
+    assert rows[0].score is None          # missing field -> NULL
+    assert rows[1].score == 0.5
+    assert rows[7].tags is None           # explicit null list
+    assert "extra_field" not in df.columns  # undeclared fields ignored

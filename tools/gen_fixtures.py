@@ -57,3 +57,29 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def gen_jsonl(root=None):
+    """Deterministic JSONL fixture with schema drift: rows 0-39 full,
+    every 3rd missing 'score', every 5th carrying an extra field the
+    declared schema must ignore, every 7th with a null tag list."""
+    import json
+    from pathlib import Path
+
+    out = Path(root or Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "jsonl")
+    out.mkdir(parents=True, exist_ok=True)
+    lines = []
+    for i in range(40):
+        row = {
+            "id": i,
+            "name": f"item_{i:03d}",
+            "score": None if i % 3 == 0 else round(i * 0.5, 1),
+            "tags": None if i % 7 == 0 else [f"t{i % 4}", f"t{(i + 1) % 4}"],
+        }
+        if i % 3 == 0:
+            del row["score"]
+        if i % 5 == 0:
+            row["extra_field"] = "ignored"
+        lines.append(json.dumps(row, sort_keys=True))
+    (out / "docs.jsonl").write_text("\n".join(lines) + "\n")
+    print(f"wrote {len(lines)} jsonl rows under {out}")
