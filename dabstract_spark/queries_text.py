@@ -2152,3 +2152,69 @@ def q139_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim.ivf_centroids(emb, n_centroids=8)
     return sim.semantic_dedup(emb, cents, threshold=0.4)
+
+
+# --------------------------------------------------------------------- #
+# Edit-distance near-dups with prefix blocking (dedup.fuzzy_pairs):
+# the record-linkage classic — catches single-character typos that
+# change every covering k-gram but cost edit distance 1. Both engines
+# share levenshtein semantics over the same normalized 40-char keys.
+# --------------------------------------------------------------------- #
+@query(
+    "q145_fuzzy_pairs",
+    oracle=r"""
+    WITH k AS (
+      SELECT doc_id AS id,
+             substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 40) AS k
+      FROM documents),
+    b AS (SELECT id, k, substr(k, 1, 4) AS blk FROM k)
+    SELECT a.id AS id_a, b2.id AS id_b,
+           CAST(levenshtein(a.k, b2.k) AS INT) AS dist
+    FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id
+    WHERE levenshtein(a.k, b2.k) <= 5
+    """,
+)
+def q145_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dd.fuzzy_pairs(docs, "doc_id", "text", prefix_len=4, key_len=40, max_dist=5)
+
+
+# --------------------------------------------------------------------- #
+# Equi-depth histogram (SURVEY §2.4): decile buckets of order value
+# with per-bucket stats. NOT the global-NTILE form (a WindowExec with no
+# partition key is one task at scale) — the rank comes from the
+# distributed bucketed row_id (core.with_row_id) and the decile is pure
+# arithmetic on it; the oracle mirrors the same floor mapping.
+# --------------------------------------------------------------------- #
+@query(
+    "q146_equidepth_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice,
+             (ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1) * 10
+               // COUNT(*) OVER () + 1 AS decile
+      FROM orders)
+    SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM t GROUP BY decile
+    """,
+)
+def q146_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.core import with_row_id
+
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    n = orders.select(F.count(F.lit(1)).alias("__n"))
+    ranked = with_row_id(orders, ["o_totalprice", "o_orderkey"]).crossJoin(
+        F.broadcast(n)
+    )
+    t = ranked.select(
+        "o_totalprice",
+        F.expr("row_id * 10 div __n").cast("int").alias("__d"),
+    )
+    return t.groupBy((F.col("__d") + 1).alias("decile")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )

@@ -234,3 +234,74 @@ def test_sequence_pack_matches_serial_model(spark, vals, gap, block, cap):
         last = (off + v - 1) // cap if v > 0 else first
         assert got[oid] == (off, first, last, last - first + 1), (oid, got[oid])
         off += v
+
+
+@given(
+    paras=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e", ""]), min_size=1, max_size=5),
+        min_size=1,
+        max_size=6,
+    ),
+    npart=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_paragraph_dedup_matches_serial_model(spark, paras, npart):
+    """paragraph_dedup == the obvious single-threaded keep-first pass,
+    regardless of input partitioning."""
+    import hashlib
+
+    docs = [(i, "\n\n".join(ps)) for i, ps in enumerate(paras)]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(npart)
+    got = {r.doc_id: r for r in dd.paragraph_dedup(df).collect()}
+
+    seen: set[str] = set()
+    for i, ps in enumerate(paras):
+        kept = []
+        for p in ps:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        expect_md5 = hashlib.md5("\n\n".join(kept).encode()).hexdigest()
+        assert got[i].n_paras == len(ps)
+        assert got[i].n_kept == len(kept)
+        assert got[i].cleaned_md5 == expect_md5
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),                 # user
+            st.integers(0, 50),                # minute
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_funnel_matches_serial_model(spark, events):
+    """funnel_stages == the serial min-ts chaining over sorted events
+    (strictly-after semantics, ties excluded)."""
+    import datetime
+
+    if not events:
+        return
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, 0, m), u, t)
+        for i, (u, m, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r.user_id: r.stage_reached for r in __import__(
+        "dabstract_spark.operators.events", fromlist=["funnel_stages"]
+    ).funnel_stages(df).collect()}
+
+    stages = ("view", "click", "purchase")
+    for u in {e[0] for e in events}:
+        evs = sorted((m, t) for uu, m, t in events if uu == u)
+        k, last = 0, None
+        for m, t in evs:
+            if k < 3 and t == stages[k] and (k == 0 or m > last):
+                k, last = k + 1, m
+        assert got[u] == k, (u, evs, got[u], k)
