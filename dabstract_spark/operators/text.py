@@ -278,6 +278,8 @@ def tfdf_cosine_pairs(
     floating point via correctly-rounded double ops — bit-identical in
     any engine.
     """
+    from pyspark.sql import Window
+
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token"))
     tf = tok.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (
@@ -285,11 +287,20 @@ def tfdf_cosine_pairs(
         .agg(F.count(F.lit(1)).alias("dfc"))
         .filter(F.col("dfc") <= max_df)
     )
-    w = tf.join(dfreq, "token").select(
-        "id", "token", F.expr(f"tf * {scale} div dfc").cast("bigint").alias("w")
-    )
-    norms = w.groupBy("id").agg(
-        F.sum(F.col("w").cast("decimal(38,0)") * F.col("w")).cast("double").alias("n2")
+    # the norm rides along on every weight row (per-id window) instead of
+    # living in a separate norms relation — a norms table would make the
+    # whole tokenize->tf->df pipeline appear FOUR times in the self-join
+    # plan (norms x2 + pair sides x2); this form keeps it at the self-
+    # join's inherent two (persist/checkpoint `w` to reach one at scale)
+    w = (
+        tf.join(dfreq, "token")
+        .select("id", "token", F.expr(f"tf * {scale} div dfc").cast("bigint").alias("w"))
+        .withColumn(
+            "__n2",
+            F.sum(F.col("w").cast("decimal(38,0)") * F.col("w"))
+            .over(Window.partitionBy("id"))
+            .cast("double"),
+        )
     )
     a, b = w.alias("a"), w.alias("b")
     dots = (
@@ -298,17 +309,14 @@ def tfdf_cosine_pairs(
         .agg(
             F.sum(F.col("a.w").cast("decimal(38,0)") * F.col("b.w"))
             .cast("double")
-            .alias("dot")
+            .alias("dot"),
+            F.max(F.col("a.__n2")).alias("__na"),
+            F.max(F.col("b.__n2")).alias("__nb"),
         )
     )
-    na = norms.select(F.col("id").alias("id_a"), F.col("n2").alias("__na"))
-    nb = norms.select(F.col("id").alias("id_b"), F.col("n2").alias("__nb"))
     sim = F.col("dot") / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb")))
-    return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(sim >= threshold)
-        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+    return dots.filter(sim >= threshold).select(
+        "id_a", "id_b", F.round(sim, 6).alias("sim")
     )
 
 
