@@ -495,10 +495,15 @@ def semantic_dedup(
     blow-up is n^2/K). The join key is the centroid id, so AQE's skew
     handling applies to oversized clusters; tighten further by raising
     K via ivf_refine — no code here changes.
+
+    Per-pair cost: norms are computed ONCE per row before the join and
+    carried on it (the pair expression is dot/(na*nb), bit-identical to
+    ``cosine`` but with two of its three array folds hoisted off the
+    O(n_k^2) hot path).
     """
     assigned = ivf_assign(df, centroids, id_col, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "centroid_id"
-    )
+    ).withColumn("__n", norm(F.col("vec")))
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(
@@ -506,7 +511,10 @@ def semantic_dedup(
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .filter(cosine(F.col("a.vec"), F.col("b.vec")) >= threshold)
+        .filter(
+            dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.__n") * F.col("b.__n"))
+            >= threshold
+        )
         .select(F.col("b.id").alias("id"))
         .distinct()
         .withColumn("__dup", F.lit(True))
