@@ -42,6 +42,7 @@ def _load_catalogs() -> None:
     import dabstract_spark.queries_processing  # noqa: F401
     import dabstract_spark.queries_sources  # noqa: F401
     import dabstract_spark.queries_text  # noqa: F401
+    import dabstract_spark.queries_tpch  # noqa: F401
     import dabstract_spark.queries_xval  # noqa: F401
 
 

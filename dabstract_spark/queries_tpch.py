@@ -1,0 +1,570 @@
+"""Warehouse-shape relational suite (TPC-H query shapes adapted to the
+trimmed fixture schema — no partsupp/commitdate/shipmode columns exist,
+so each query keeps the SHAPE that stresses the engine, not the TPC-H
+constants: EXISTS/IN semi-joins, NOT-IN anti-joins, scalar-subquery
+HAVING, disjunctive predicate pushdown, multi-way star joins with
+broadcastable dims, window-rank distribution, CUBE).
+
+Reference analog: the reference's query surface is dataset selection +
+metadata joins (SURVEY §2.2–§2.4); these queries are the same operators
+at warehouse width, expressed so Catalyst picks broadcast vs shuffle per
+side and pushes every filter to the parquet scan.
+
+Float discipline: money sums in DECIMAL(18,2) then cast to DOUBLE;
+ratios rounded to 6 decimals on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from dabstract_spark.queries import _dec, _t, query
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _rev():
+    return _dec("l_extendedprice") * (1 - _dec("l_discount"))
+
+
+# --------------------------------------------------------------------- #
+# Q4 shape: EXISTS semi-join with an inequality residual — orders that
+# had at least one line shipped >90 days after the order date, counted
+# by priority. Spark: LEFT SEMI hash join on the order key with the
+# date comparison as the join residual (one shuffle, no dedup needed —
+# semi-join semantics absorb the 1:N fanout).
+# --------------------------------------------------------------------- #
+@query(
+    "q147_late_priority_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q147_late_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --------------------------------------------------------------------- #
+# Q5 shape: six-way star join, local-supplier revenue per nation for one
+# region-year. nation/region broadcast (25/5 rows); the c=s nation
+# equality rides the fact-side join output. ONE shuffle pair for
+# orders⋈lineitem⋈customer; supplier broadcasts at this dim size but
+# the plan stays correct if it ever has to shuffle.
+# --------------------------------------------------------------------- #
+@query(
+    "q148_local_supplier_revenue",
+    oracle=f"""
+    SELECT n_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q148_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------- #
+# Q7 shape: bi-nation shipping volume — revenue between two nations in
+# both directions, per year. The two broadcast nation joins rename to
+# supp_nation/cust_nation; the disjunctive nation-pair predicate sits
+# above them.
+# --------------------------------------------------------------------- #
+@query(
+    "q149_bination_volume",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+           CAST(SUM({_REV}) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY sn.n_name, cn.n_name, l_year
+    """,
+)
+def q149_bination_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("volume"))
+    )
+
+
+# --------------------------------------------------------------------- #
+# Q8 shape: market share — the share of one supplier nation's revenue
+# within a customer region, per year. Conditional aggregation over the
+# same star join; DECIMAL ratio rounded at 6.
+# --------------------------------------------------------------------- #
+@query(
+    "q150_market_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM({_REV}) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY o_year
+    """,
+)
+def q150_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _rev()
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Q15 shape: top supplier by revenue — grouped revenue with a scalar
+# MAX subquery over the same aggregate. Spark reuses one aggregate
+# for both sides; the max side collapses to a single row crossed in.
+# --------------------------------------------------------------------- #
+@query(
+    "q151_top_supplier",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_suppkey AS supplier_no, CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN r ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM r)
+    """,
+)
+def q151_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------- #
+# Q16 shape: supplier diversity per part type/size band, excluding a
+# NOT-IN supplier set (negative balance). No partsupp table in the
+# fixture — supply relationships come from observed lineitems. The
+# NOT IN compiles to a broadcast anti-join (the excluded set is tiny);
+# COUNT(DISTINCT) shuffles once on the group key.
+# --------------------------------------------------------------------- #
+@query(
+    "q152_part_supplier_count",
+    oracle="""
+    SELECT p_type, CAST(p_size % 5 AS INT) AS size_band,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size >= 20
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_type, size_band
+    """,
+)
+def q152_part_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", (F.col("p_size") % 5).cast("int").alias("size_band"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------- #
+# Q18 shape: large-volume orders — IN over a grouped-HAVING subquery.
+# Spark: aggregate once, semi-join orders against the qualifying keys,
+# then re-join lineitem for the total. The qualifying-key set is small
+# (HAVING prunes hard) so it broadcasts.
+# --------------------------------------------------------------------- #
+@query(
+    "q153_big_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q153_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select(F.col("l_orderkey").alias("__ok"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(
+            F.broadcast(qualifying), F.col("o_orderkey") == F.col("__ok"), "left_semi"
+        )
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+    )
+
+
+# --------------------------------------------------------------------- #
+# Q19 shape: disjunctive predicate over a fact⋈dim join — three
+# (brand, size, quantity-range) conjunctions OR'd together. Catalyst
+# splits the common l_quantity/p_size bounds out of the OR and pushes
+# them to both scans; the residual disjunction evaluates post-join.
+# --------------------------------------------------------------------- #
+@query(
+    "q154_disjunctive_pricing",
+    oracle=f"""
+    SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q154_disjunctive_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(F.sum(_rev()).cast("double").alias("revenue"))
+
+
+# --------------------------------------------------------------------- #
+# Q22 shape: rich-but-idle customers — acctbal above the positive-only
+# global average (scalar subquery) with no RECENT orders (anti-join
+# whose build side has the date predicate pushed into its scan).
+# The scalar average broadcasts as a one-row cross; the anti-join
+# shuffles on custkey only.
+# --------------------------------------------------------------------- #
+@query(
+    "q155_idle_rich_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def q155_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Window-rank distribution (§2.7 breadth): percent_rank / cume_dist /
+# ntile within each market segment — PARTITIONED window, so each
+# segment sorts independently (no single-task global WindowExec).
+# --------------------------------------------------------------------- #
+@query(
+    "q156_balance_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CAST(NTILE(4) OVER w AS INT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q156_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# CUBE with grouping_id (§2.4 breadth): all four aggregation levels of
+# (returnflag, linestatus) in ONE shuffle — Spark expands the cube
+# map-side, partial-aggregates each level, then shuffles once.
+# --------------------------------------------------------------------- #
+@query(
+    "q160_cube_revenue",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q160_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n",
+            "total",
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Sketch guard queries: the approximate operators (HLL distinct,
+# quantile sketch) cannot hash-match an exact oracle — their outputs are
+# algorithm-specific. Instead each query computes BOTH the sketch and
+# the exact answer in one pass and returns the exact value plus a
+# boolean asserting the sketch landed within its error bound; the
+# oracle computes the exact value and asserts TRUE. A broken sketch
+# path flips the boolean and fails the hash — the approximate machinery
+# is gate-checked without demanding cross-engine sketch equality.
+# --------------------------------------------------------------------- #
+@query(
+    "q157_approx_distinct_guard",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_distinct,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q157_approx_distinct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        # HLL++ at 1% target rsd; guard at 5% — generous enough to be
+        # deterministic-in-practice, tight enough to catch a broken path
+        F.approx_count_distinct("user_id", rsd=0.01).alias("__approx"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("__approx") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("approx_ok"),
+    )
+
+
+@query(
+    "q158_approx_quantile_guard",
+    oracle="""
+    SELECT event_type,
+           ROUND(CAST(quantile_disc(value, 0.5) AS DOUBLE), 2) AS exact_median,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q158_approx_quantile_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # exact discrete median = percentile_approx at accuracy >= group
+    # size is NOT guaranteed; compute exact via percentile() and the
+    # sketch via approx_percentile, guard on relative error
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("__exact_cont"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("__approx"),
+        F.expr("percentile_approx(value, 0.5, 2147483647)").alias("__exact_disc"),
+    )
+    # percentile_approx at max accuracy degenerates to the exact
+    # discrete quantile (DuckDB's quantile_disc)
+    return agg.select(
+        "event_type",
+        F.round(F.col("__exact_disc"), 2).alias("exact_median"),
+        (
+            F.abs(F.col("__approx") - F.col("__exact_cont"))
+            <= 0.05 * F.abs(F.col("__exact_cont")) + F.lit(0.01)
+        ).alias("approx_ok"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Event-transition matrix (user-journey Markov counts): consecutive
+# event-type bigrams per user via lag over (user, ts, event_id), with
+# transition probability normalized per source state. One shuffle on
+# user_id for the window, one on the bigram for the count.
+# --------------------------------------------------------------------- #
+@query(
+    "q159_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    c AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type)
+    SELECT prev_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM c
+    """,
+)
+def q159_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
+    )
