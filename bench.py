@@ -80,11 +80,21 @@ def main():
             errors[key] = f"{type(exc).__name__}: {exc}"[:120]
 
     total = round(sum(timings.values()), 2)
+    # the recording harness keeps only the tail (~2000 B) of stdout, so
+    # at 150+ queries the full per-query map no longer fits one line:
+    # report the slowest DETAIL_N individually (they carry the
+    # performance story) and fold the rest into one bucket whose count
+    # and seconds keep the total reconstructible.
+    DETAIL_N = 60
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:DETAIL_N])
+    rest = [v for k, v in timings.items() if k not in slowest]
     out = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": slowest,
+        "rest_n": len(rest),
+        "rest_sec": round(sum(rest), 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -370,3 +370,86 @@ def q140_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.size("tags"), F.lit(0)).alias("n_tags"),
         F.element_at("tags", 1).alias("first_tag"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Streaming incremental dedup (streaming/ops.incremental_dedup_stream):
+# a two-file "new crawl" drains through maxFilesPerTrigger=1 so the
+# cross-micro-batch dropDuplicates state is actually exercised — file 1
+# carries the fresh docs, file 2 repeats every one of them plus exact
+# corpus duplicates; only the first-arrival fresh digests survive.
+# Output is the digest SET (arrival-order independent).
+# --------------------------------------------------------------------- #
+@query(
+    "q162_stream_incremental_dedup",
+    oracle="""
+    WITH new_batch AS (
+      SELECT text FROM documents
+      UNION ALL
+      SELECT text || ' uniq' || CAST(doc_id AS VARCHAR) AS text FROM documents),
+    seen AS (
+      SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+      FROM documents)
+    SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_md5
+    FROM new_batch
+    WHERE md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) NOT IN (SELECT h FROM seen)
+    """,
+)
+def q162_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.streaming.ops import incremental_dedup_stream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fresh = docs.select(
+        F.concat(F.col("text"), F.lit(" uniq"), F.col("doc_id").cast("string")).alias("text")
+    )
+    dup = docs.select("text")
+    tmp = tempfile.mkdtemp(prefix="sparkdab_incdedup_")
+    # file 1: fresh only; file 2: fresh AGAIN + corpus duplicates
+    fresh.coalesce(1).write.parquet(f"{tmp}/in/f1")
+    fresh.unionByName(dup).coalesce(1).write.parquet(f"{tmp}/in/f2")
+    schema = "text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in/*")
+    )
+    return incremental_dedup_stream(
+        stream, docs, "text", f"{tmp}/out", f"{tmp}/ckpt"
+    ).select("content_md5")
+
+
+# --------------------------------------------------------------------- #
+# Partition-pruned materialization (§2.1 sinks at scale): events written
+# partitioned by day (the fixture spans one month → ~30 directories),
+# read back with a single-day predicate — the scan must touch ONE
+# directory (PartitionFilters, verified in tests/test_sources.py),
+# which is the layout that turns a 100 TB history into a one-partition
+# read.
+# --------------------------------------------------------------------- #
+@query(
+    "q163_partitioned_events",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+    GROUP BY event_type
+    """,
+)
+def q163_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="sparkdab_part_")
+    (
+        events.withColumn("event_day", F.date_format("ts", "yyyy-MM-dd"))
+        .write.partitionBy("event_day")
+        .parquet(f"{tmp}/events")
+    )
+    back = spark.read.parquet(f"{tmp}/events").filter(F.col("event_day") == "2024-01-15")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )

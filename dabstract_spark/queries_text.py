@@ -2218,3 +2218,50 @@ def q146_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("hi"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+# --------------------------------------------------------------------- #
+# PageRank over the fuzzy near-dup graph (operators/graph.py): rank
+# propagation in EXACT integer micro-units — float PageRank sums are
+# order-dependent across engines, the integer recurrence is bit-exact,
+# so a fixed-iteration run hash-checks. The oracle unrolls the three
+# iterations as CTEs over the same edge derivation as q145.
+# --------------------------------------------------------------------- #
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+      SELECT d.id, d.deg,
+             150000000000 + 85 * COALESCE(s.inc, 0) // 100 AS rank
+      FROM d LEFT JOIN (
+        SELECT e.dst AS id, SUM(r.rank // r.deg) AS inc
+        FROM e JOIN {prev} r ON e.src = r.id GROUP BY e.dst) s
+      ON d.id = s.id)"""
+
+
+@query(
+    "q161_pagerank_neardup",
+    oracle=rf"""
+    WITH k AS (
+      SELECT doc_id AS id,
+             substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 40) AS k
+      FROM documents),
+    b AS (SELECT id, k, substr(k, 1, 4) AS blk FROM k),
+    p AS (SELECT a.id AS id_a, b2.id AS id_b
+          FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id
+          WHERE levenshtein(a.k, b2.k) <= 5),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+    d AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src),
+    n AS (SELECT COUNT(*) AS n FROM d),
+    r0 AS (SELECT id, deg, 1000000000000 // n AS rank FROM d, n),
+    {_pagerank_iter_sql('r0', 'r1')},
+    {_pagerank_iter_sql('r1', 'r2')},
+    {_pagerank_iter_sql('r2', 'r3')}
+    SELECT id, deg AS degree, rank AS rank_micro FROM r3
+    """,
+)
+def q161_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.fuzzy_pairs(docs, "doc_id", "text", prefix_len=4, key_len=40, max_dist=5)
+    return pagerank(pairs, iters=3)

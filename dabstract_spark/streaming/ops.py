@@ -346,3 +346,64 @@ def interval_join_stream(
         & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, how)
+
+
+def incremental_dedup_stream(
+    new_stream: DataFrame,
+    seen_df: DataFrame,
+    text_col: str,
+    out_path: str,
+    checkpoint: str,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming twin of dedup.dedup_against (exact mode): continuously
+    ingest new documents, drop any whose normalized-content digest is
+    already in the accumulated corpus OR was already emitted earlier in
+    the stream, and append the surviving digests to a parquet sink.
+
+    Two dedup layers:
+    - within-stream: streaming ``dropDuplicates`` on the digest — state
+      persists ACROSS micro-batches (a doc arriving in batch 7 that
+      duplicates one from batch 2 is dropped). Unbounded state by
+      design here (the digest set is exactly what a dedup service must
+      remember); bound it with a watermark upstream if the ingest has
+      event time.
+    - vs the corpus: per micro-batch LEFT ANTI join against the static
+      seen-digest table inside ``foreachBatch`` — the batch DataFrame
+      API is fully available there, so the anti-join needs no
+      stream-static join support. The shuffle carries 32-byte digests
+      only, and a materialized digest table bucketed on the digest
+      makes it co-located at scale (same posture as dedup_against).
+
+    Emits (content_md5) rows — set semantics, so the result is
+    arrival-order independent and oracle-checkable. Returns the re-read
+    sink.
+    """
+    from dabstract_spark.operators.dedup import normalize_text
+
+    spark = new_stream.sparkSession
+    seen = seen_df.select(F.md5(normalize_text(text_col)).alias("__h")).distinct()
+    hashed = new_stream.select(F.md5(normalize_text(text_col)).alias("content_md5"))
+    deduped = hashed.dropDuplicates(["content_md5"])
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.join(seen, batch_df["content_md5"] == seen["__h"], "left_anti")
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
+    try:
+        q = (
+            deduped.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out_path)

@@ -191,8 +191,15 @@ def test_bench_json_line_fits_capture_window():
     names = list(E.queries())
     keys = [n.split("_", 1)[0] for n in names]
     assert len(set(keys)) == len(keys), "qNN prefix collision"
-    # ~"qNNN":12.34, per entry + fixed fields
-    est = 120 + sum(len(k) + 11 for k in keys)
+    # bench caps the per-query map at its DETAIL_N slowest entries and
+    # buckets the rest — the line size is bounded by DETAIL_N, not the
+    # catalog size. Mirror that cap here (~"qNNN":123.45, per entry).
+    import re
+    from pathlib import Path
+
+    bench_src = (Path(__file__).resolve().parent.parent / "bench.py").read_text()
+    detail_n = int(re.search(r"DETAIL_N = (\d+)", bench_src).group(1))
+    est = 160 + sum(len(k) + 12 for k in keys[: min(detail_n, len(keys))])
     assert est < 1800, f"bench JSON line estimate {est}B exceeds capture budget"
 
 

@@ -245,3 +245,19 @@ def test_read_jsonl_schema_drift(spark):
     assert rows[1].score == 0.5
     assert rows[7].tags is None           # explicit null list
     assert "extra_field" not in df.columns  # undeclared fields ignored
+
+
+def test_partitioned_write_prunes_to_one_directory(spark, tmp_path):
+    """q163's layout claim: a partitionBy-day write read back with a
+    single-day equality must scan ONLY that day's directory (partition
+    pruning), not filter post-scan."""
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 3) + 1:02d}") for i in range(30)], "id bigint, day string"
+    )
+    df.write.partitionBy("day").parquet(str(tmp_path / "t"))
+    back = spark.read.parquet(str(tmp_path / "t")).filter(F.col("day") == "2024-01-02")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, f"no PartitionFilters in plan:\n{plan}"
+    assert "= 2024-01-02" in pf[1].split("]", 1)[0], "day predicate not pushed to partition pruning"
+    assert back.count() == 10
