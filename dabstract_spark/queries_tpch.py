@@ -568,3 +568,86 @@ def q159_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Product-analytics breadth over events: cohort retention and session
+# entry paths — the two classic "user journey" aggregations.
+# --------------------------------------------------------------------- #
+@query(
+    "q164_cohort_retention",
+    # cohort = each user's first active day; cell (cohort_day, offset) =
+    # distinct users of that cohort active `offset` days later. The
+    # first-seen aggregate shuffles once on user_id; the join back is on
+    # the same key (co-partitioned), then one shuffle on the cell key.
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id)
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, CAST(ts AS DATE)) AS INT) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    WHERE date_diff('day', cohort_day, CAST(ts AS DATE)) <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def q164_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", F.col("ts").cast("date").alias("d"))
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ev.join(first_seen, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_day").cast("int"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "q165_session_entry_paths",
+    # entry path = the first three event types of each session, joined
+    # with '>'. Sessions from the gaps-and-islands sessionizer; the
+    # within-session order is (ts, event_id) — total, so both engines
+    # build identical paths. One groupBy(user, session) with a sorted
+    # in-group fold (JVM collect_list + sort_array, no Python).
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events)),
+    paths AS (
+      SELECT user_id, session_id,
+             array_to_string((list(event_type ORDER BY ts, event_id))[1:3], '>') AS path
+      FROM s GROUP BY user_id, session_id)
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    """,
+)
+def q165_session_entry_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.events import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "ts", "user_id", gap_minutes=30)
+    paths = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("ts", "event_id", "event_type"))
+                        ),
+                        lambda x: x["event_type"],
+                    ),
+                    1,
+                    3,
+                ),
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
