@@ -527,3 +527,71 @@ def semantic_dedup(
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|, each
+    component mapped to floor(x * 127 / scale + 0.5) ∈ [-127, 127]
+    (floor(+0.5) instead of round() — floor is IEEE-deterministic in
+    every engine, round()'s half-tie rule is not). Zero vectors
+    quantize to zeros.
+
+    Returns (id, qvec array<bigint>, qnorm2 bigint): 4-8x smaller ANN
+    working set, and — because every downstream product/sum is exact
+    integer arithmetic — quantized scores are bit-identical across
+    engines and partitionings, which float dot products are not.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    mx = F.array_max(F.transform(x, F.abs))
+    q = F.when(mx == 0.0, F.expr(f"transform({vec_col}, v -> 0L)")).otherwise(
+        F.transform(x, lambda v: F.floor(v * F.lit(127.0) / mx + F.lit(0.5)))
+    )
+    out = df.select(F.col(id_col).alias("id"), q.alias("qvec"))
+    qn = F.aggregate(F.col("qvec"), F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    return out.select("id", "qvec", qn.alias("qnorm2"))
+
+
+def topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact top-k over the QUANTIZED space: integer dot products of
+    int8 codes, similarity = dotq / (sqrt(qn_a) * sqrt(qn_b)). The
+    integer dot is exact (no float summation-order sensitivity), the
+    two sqrts and one division are correctly-rounded IEEE ops on
+    integers — so the score is bit-identical across engines.
+
+    Same broadcast shape as topk_bruteforce: the (small) query side
+    broadcasts, the corpus streams — no corpus shuffle. The memory
+    story is the point at scale: int8 codes are 4x smaller than f32,
+    so the per-executor working set (and the broadcast) shrink 4x.
+    """
+    qc = quantize_embeddings(corpus, id_col, vec_col)
+    qq = quantize_embeddings(queries, id_col, vec_col).select(
+        F.col("id").alias(query_id),
+        F.col("qvec").alias("__qq"),
+        F.col("qnorm2").alias("__qn"),
+    )
+    joined = qc.join(F.broadcast(qq), F.col(query_id) != F.col("id"))
+    dotq = F.aggregate(
+        F.zip_with(F.col("__qq"), F.col("qvec"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = joined.select(
+        query_id,
+        F.col("id").alias(id_col),
+        F.round(
+            dotq.cast("double") / (F.sqrt(F.col("__qn")) * F.sqrt(F.col("qnorm2"))), 6
+        ).alias("qsim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("qsim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -2265,3 +2265,110 @@ def q161_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.fuzzy_pairs(docs, "doc_id", "text", prefix_len=4, key_len=40, max_dist=5)
     return pagerank(pairs, iters=3)
+
+
+# --------------------------------------------------------------------- #
+# int8-quantized ANN (similarity.quantize_embeddings / topk_quantized):
+# the 4x-smaller-working-set scale path. Quantized scores are exact
+# integer dots (floor(+0.5) quantization — IEEE-deterministic, unlike
+# round()'s tie rule) so the ranking is bit-identical across engines.
+# --------------------------------------------------------------------- #
+_QUANT_CTE = """
+    mxt AS (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+            FROM embeddings),
+    q AS (SELECT vec_id,
+                 CASE WHEN mx = 0
+                      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                      ELSE list_transform(embedding,
+                             x -> CAST(floor(x::DOUBLE * 127 / mx + 0.5) AS BIGINT))
+                 END AS qvec
+          FROM mxt),
+    qn AS (SELECT vec_id, qvec,
+                  CAST(list_sum(list_transform(qvec, v -> v * v)) AS BIGINT) AS qnorm2
+           FROM q)"""
+
+
+@query(
+    "q166_quantized_topk",
+    oracle=f"""
+    WITH {_QUANT_CTE},
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id,
+             ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+                          j -> a.qvec[j] * b.qvec[j])) AS DOUBLE)
+                   / (sqrt(a.qnorm2) * sqrt(b.qnorm2)), 6) AS qsim
+      FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 5)
+    SELECT query_id, vec_id, qsim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qsim DESC, vec_id) AS INT) AS rank
+    FROM scored QUALIFY rank <= 3
+    """,
+)
+def q166_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim.topk_quantized(emb, queries_df, k=3).select(
+        "query_id", "vec_id", "qsim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# --------------------------------------------------------------------- #
+# ANN recall evaluation (the harness every approximate index needs):
+# recall@10 of the LSH path against the exact brute-force ranking, per
+# query. Membership-only comparison, so rounded-sim ties are harmless
+# (both rankings break ties on vec_id).
+# --------------------------------------------------------------------- #
+@query(
+    "q167_lsh_recall",
+    oracle=f"""
+    WITH exact_s AS (
+      SELECT a.vec_id AS query_id, b.vec_id,
+             ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20),
+    exact_k AS (
+      SELECT query_id, vec_id FROM exact_s
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 10),
+    bk AS (
+      SELECT vec_id, embedding, CAST({_lsh_bucket_sql(8, 0)} AS BIGINT) AS bucket
+      FROM embeddings),
+    lsh_s AS (
+      SELECT a.vec_id AS query_id, b.vec_id,
+             ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS sim
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20),
+    lsh_k AS (
+      SELECT query_id, vec_id FROM lsh_s
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 10),
+    hits AS (
+      SELECT e.query_id, COUNT(*) AS n
+      FROM exact_k e JOIN lsh_k l ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+      GROUP BY e.query_id)
+    SELECT q.vec_id AS query_id, COALESCE(h.n, 0) AS n_hit,
+           COALESCE(h.n, 0) / 10.0 AS recall
+    FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 20) q
+    LEFT JOIN hits h ON q.vec_id = h.query_id
+    """,
+)
+def q167_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    exact_k = sim.topk_bruteforce(emb, queries_df, k=10).select("query_id", "vec_id")
+    lsh_k = sim.topk_lsh(emb, queries_df, k=10, n_bits=8, dim=64, seed=0).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        exact_k.join(lsh_k, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    all_q = queries_df.select(F.col("vec_id").alias("query_id"))
+    return (
+        all_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_hit"),
+            (F.coalesce(F.col("n"), F.lit(0)) / F.lit(10.0)).alias("recall"),
+        )
+    )
