@@ -485,9 +485,12 @@ def q157_approx_distinct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct"),
-        # HLL++ at 1% target rsd; guard at 5% — generous enough to be
-        # deterministic-in-practice, tight enough to catch a broken path
-        F.approx_count_distinct("user_id", rsd=0.01).alias("__approx"),
+        # HLL++ at 2% target rsd; guard at 5% — wide enough to be
+        # deterministic-in-practice, tight enough to catch a broken
+        # path. NOT 1%: under the mixed distinct/non-distinct Expand
+        # rewrite the p=14 sketch buffers replicate per distinct group
+        # (measured 4x slower than p=12 for zero guard benefit).
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
     )
     return agg.select(
         "event_type",
