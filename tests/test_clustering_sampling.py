@@ -475,3 +475,23 @@ def test_nb_classifier_separates_weak_labels(spark):
         for r in nb_score(df.repartition(13), w, "doc_id", "text").collect()
     }
     assert scored == scored2
+
+
+def test_semantic_dedup_gemm_matches_expr(spark):
+    """The BLAS (applyInPandas) and pure-JVM pair-join implementations
+    must agree on every keep decision (float summation order differs by
+    ~1e-13 — far from the 0.4 threshold on this fixture)."""
+    from dabstract_spark.operators import similarity as sim
+    from dabstract_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = sim.ivf_centroids(emb, n_centroids=4)
+    expr = {
+        (r.vec_id, r.centroid_id, r.keep)
+        for r in sim.semantic_dedup(emb, cents, threshold=0.4, impl="expr").collect()
+    }
+    gemm = {
+        (r.vec_id, r.centroid_id, r.keep)
+        for r in sim.semantic_dedup(emb, cents, threshold=0.4, impl="gemm").collect()
+    }
+    assert expr == gemm and len(expr) > 0

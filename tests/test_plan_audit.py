@@ -21,6 +21,7 @@ ARROW_OK = {
     "q83_resample",  # scipy.signal.resample pandas UDF
     "q122_wav_decode",  # stdlib wave-parse pandas UDF (binary PCM decode)
     "q125_npy_decode",  # np.load pandas UDF (npy container decode)
+    "q139_semantic_dedup",  # per-cluster blocked GEMM (BLAS pair search)
 }
 
 # Row-at-a-time Python (BatchEvalPython / PythonUDF in a non-Arrow
