@@ -654,3 +654,45 @@ def q165_session_entry_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+# --------------------------------------------------------------------- #
+# Incremental aggregate maintenance: the nightly pattern that avoids
+# rescanning a 100 TB history — a materialized per-key partial aggregate
+# (count + DECIMAL sum) absorbs each new batch by re-aggregating the
+# UNION of two partial-agg TABLES (K rows each), never the raw base.
+# The oracle recomputes from scratch; equality proves the maintenance
+# algebra (count/sum are the decomposable aggregates; avg derives).
+# --------------------------------------------------------------------- #
+@query(
+    "q168_incremental_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q168_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < cut))      # the materialized state
+    delta = partial(ev.filter(F.col("ts") >= cut))    # tonight's batch
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.col("total").cast("double").alias("total"),
+        F.round(F.col("total").cast("double") / F.col("n"), 6).alias("avg_value"),
+    )

@@ -495,3 +495,41 @@ def test_semantic_dedup_gemm_matches_expr(spark):
         for r in sim.semantic_dedup(emb, cents, threshold=0.4, impl="gemm").collect()
     }
     assert expr == gemm and len(expr) > 0
+
+
+def test_pagerank_matches_reference_model(spark):
+    """pagerank on a hand-checkable graph vs a direct numpy-free integer
+    recurrence computed in Python."""
+    from dabstract_spark.operators.graph import SCALE, pagerank
+
+    # path graph 1-2-3 plus isolated pair 4-5
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    got = {r.id: (r.degree, r.rank_micro) for r in pagerank(pairs, iters=3).collect()}
+
+    deg = {1: 1, 2: 2, 3: 1, 4: 1, 5: 1}
+    nbrs = {1: [2], 2: [1, 3], 3: [2], 4: [5], 5: [4]}
+    r = {v: SCALE // 5 for v in deg}
+    for _ in range(3):
+        r = {
+            v: (15 * SCALE) // 100 + 85 * sum(r[u] // deg[u] for u in nbrs[v]) // 100
+            for v in deg
+        }
+    assert got == {v: (deg[v], r[v]) for v in deg}
+
+
+def test_quantize_embeddings_bounds_and_zero(spark):
+    from dabstract_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0]), (3, [-3.0, 3.0, 1.5])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r.id: (list(r.qvec), r.qnorm2) for r in quantize_embeddings(df).collect()}
+    # scale = max|x|; q = floor(x*127/scale + 0.5)
+    assert got[1] == ([64, -127, 32], 64 * 64 + 127 * 127 + 32 * 32)
+    assert got[2] == ([0, 0, 0], 0)
+    assert got[3] == ([-127, 127, 64], 127 * 127 * 2 + 64 * 64)
+    # codes stay in [-127, 127] at the extremes
+    assert all(-127 <= v <= 127 for q, _ in got.values() for v in q)
