@@ -9,7 +9,7 @@ that matters at 100 TB where these run over every document.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Marker stopword sets for the n-gram language heuristic. On real corpora
 # these are per-language function words; the fixture documents are
@@ -526,4 +526,83 @@ def nb_score(
             F.count(F.lit(1)).alias("n_tokens"),
             score.alias("score"),
         )
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Span-level exact dedup: remove every k-token span whose exact
+    token sequence occurs >= ``min_df`` times across the corpus — the
+    relational form of suffix-array substring dedup (boilerplate
+    headers/footers, licence blocks, templated sentences), which
+    document- and paragraph-level dedup both miss.
+
+    Pipeline (all relational, one explode + two shuffles):
+    1. positional k-gram shingles (id, pos, md5(shingle)) — one row per
+       token position, so volume = corpus token count (linear);
+    2. document frequency per shingle digest, repeated = df >= min_df
+       (map-side partial counts; the shuffle carries 16-byte digests);
+    3. semi-join marks repeated positions; per doc, gaps-and-islands
+       merges overlapping/adjacent [pos, pos+k) spans (window per doc);
+    4. tokens outside every merged span rebuild the text.
+
+    Returns (id, n_tokens, n_removed, clean_text) where clean_text is
+    the TOKEN-level reconstruction (lower-cased, punctuation collapsed
+    — the same normalization every shingle op here uses; a char-exact
+    variant would carry token→char offsets through the same plan).
+    """
+    # both intermediates are referenced by two downstream branches each
+    # (staged: explode + rebuild; pos_sh: df-count + mark) — checkpoint
+    # so the regex tokenize and the shingle explode run once, not 2-3x
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__t")
+    ).localCheckpoint(eager=False)
+    pos_sh = (
+        staged.select(
+            "id",
+            F.posexplode(shingles_from_tokens(F.col("__t"), k)).alias("pos0", "__s"),
+        )
+        .select("id", (F.col("pos0") + 1).alias("pos"), F.md5("__s").alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    repeated = pos_sh.groupBy("h").count().filter(F.col("count") >= min_df).select("h")
+    marked = pos_sh.join(repeated, "h", "left_semi")
+
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = marked.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") - F.lag("pos").over(w) > k),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = (
+        isl.groupBy("id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + k).alias("e"))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__spans"))
+    )
+    joined = staged.join(spans, "id", "left").withColumn(
+        "__spans",
+        F.coalesce(F.col("__spans"), F.array().cast("array<struct<s:int,e:int>>")),
+    )
+    kept = F.filter(
+        F.col("__t"),
+        lambda t, i: ~F.exists(
+            F.col("__spans"), lambda sp: (sp["s"] <= i + 1) & (i + 1 < sp["e"])
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.size("__t").cast("bigint").alias("n_tokens"),
+        (F.size("__t") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
     )

@@ -2372,3 +2372,53 @@ def q167_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n"), F.lit(0)) / F.lit(10.0)).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Span-level substring dedup (text.substring_dedup): remove every
+# 8-token span occurring >= 2 times corpus-wide — the suffix-array-style
+# pass that catches boilerplate doc- and paragraph-dedup miss. Oracle
+# mirrors the positional-shingle → df → island-merge → indexed-lambda
+# rebuild pipeline stage for stage.
+# --------------------------------------------------------------------- #
+@query(
+    "q169_substring_dedup",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '') AS t
+      FROM documents),
+    ps AS (
+      SELECT id, i AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+      FROM tk, UNNEST(generate_series(1, GREATEST(len(t) - 7, 0))) AS u(i)),
+    rep AS (SELECT h FROM ps GROUP BY h HAVING COUNT(*) >= 2),
+    mk AS (SELECT id, pos FROM ps WHERE h IN (SELECT h FROM rep)),
+    lagd AS (SELECT id, pos, LAG(pos) OVER (PARTITION BY id ORDER BY pos) AS prev FROM mk),
+    isl AS (SELECT id, pos,
+              SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+            FROM lagd),
+    sp AS (SELECT id, MIN(pos) AS s, MAX(pos) + 8 AS e FROM isl GROUP BY id, island),
+    spl AS (SELECT id, list_sort(list({'s': s, 'e': e})) AS spans FROM sp GROUP BY id),
+    fin AS (
+      SELECT tk.id, tk.t,
+             COALESCE(spl.spans, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS spans
+      FROM tk LEFT JOIN spl ON tk.id = spl.id),
+    reb AS (
+      SELECT id, t,
+             list_filter(t, (x, i) ->
+               NOT len(list_filter(spans, sp -> sp.s <= i AND i < sp.e)) > 0) AS kept
+      FROM fin)
+    SELECT id AS doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+           -- array_to_string([]) is NULL in DuckDB, '' in Spark's array_join
+           md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5
+    FROM reb
+    """,
+)
+def q169_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.substring_dedup(docs, "doc_id", "text", k=8, min_df=2)
+    return out.select(
+        "doc_id", "n_tokens", "n_removed", F.md5("clean_text").alias("clean_md5")
+    )

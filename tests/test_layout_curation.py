@@ -227,3 +227,28 @@ def test_semantic_dedup_within_cluster_only(spark):
     assert out[1].keep is True
     assert out[2].keep is False  # dropped against lower-id 1
     assert out[3].keep is True
+
+
+def test_substring_dedup_spans_and_merge(spark):
+    from dabstract_spark.operators.text import substring_dedup
+
+    phrase = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"{phrase} unique one"),
+        (2, f"{phrase} unique two"),
+        (3, f"{phrase} {phrase}"),          # within-doc repeat: adjacent spans merge
+        (4, "short doc"),                    # < k tokens: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in substring_dedup(df, "doc_id", "text", k=8, min_df=2).collect()
+    }
+    # the 8-token phrase occurs 4 times corpus-wide -> removed
+    # everywhere; the pos-2 shingle "...theta unique" ALSO repeats
+    # across d1/d2, extending their spans one token further
+    assert got[1] == (10, 9, "one")
+    assert got[2] == (10, 9, "two")
+    # d3: spans [1,9) and [9,17) merge -> everything removed
+    assert got[3] == (16, 16, "")
+    assert got[4] == (2, 0, "short doc")

@@ -91,6 +91,23 @@ def main():
         "pii_stats": lambda d: tx.pii_stats_df(d, "doc_id", "text"),
         "c4_filter": lambda d: tx.c4_filter_df(d, "doc_id", "text"),
     }
+    # fuzzy/pagerank scale with DISTINCT-ish copies: each copy remaps
+    # the alphabet with a per-copy bijection (translate), so the texts
+    # differ from every other copy's while each copy keeps the BASE
+    # corpus's prefix-block size distribution — the growing-corpus
+    # shape. (A shared prepended tag would funnel ALL docs into one
+    # block; identical copies would be the duplicate bomb, quadratic BY
+    # OUTPUT like embedding_neardup below.)
+    _ab = "abcdefghijklmnop"
+    fuzzy_uniquify = lambda p, c: p.withColumn(  # noqa: E731
+        "text", F.translate(F.col("text"), _ab, _ab[c:] + _ab[:c])
+    )
+    fuzzy_probes = {
+        "fuzzy_pairs": lambda d: dd.fuzzy_pairs(d, "doc_id", "text"),
+        "pagerank": lambda d: __import__(
+            "dabstract_spark.operators.graph", fromlist=["pagerank"]
+        ).pagerank(dd.fuzzy_pairs(d, "doc_id", "text")),
+    }
     emb_probes = {
         # uncapped: the duplicate bomb is quadratic BY OUTPUT (16 copies
         # of every vector share a bucket -> 256x true pairs)...
@@ -107,6 +124,16 @@ def main():
         "embedding_cov": lambda e: __import__(
             "dabstract_spark.operators.similarity", fromlist=["embedding_covariance"]
         ).embedding_covariance(e, "vec_id", "embedding"),
+        # per-cluster GEMM: identical copies make every cluster 16x ->
+        # 256x pair work, absorbed by BLAS; K (ivf_refine) is the
+        # production knob that caps cluster size
+        "semantic_dedup_gemm": lambda e: __import__(
+            "dabstract_spark.operators.similarity", fromlist=["semantic_dedup"]
+        ).semantic_dedup(e, ivf_centroids(e, n_centroids=8), threshold=0.4),
+        # corpus scales, query set fixed at 5 — the serving shape
+        "topk_quantized": lambda e: __import__(
+            "dabstract_spark.operators.similarity", fromlist=["topk_quantized"]
+        ).topk_quantized(e, e.filter(F.col("vec_id") < 5), k=10),
     }
     rel_probes = {
         "pricing_summary": lambda li: li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -156,6 +183,7 @@ def main():
         f"  (sec, median of {reps}; input rows scale 1:4:16)"
     )
     probe_block(probes, docs, "doc_id")
+    probe_block(fuzzy_probes, docs, "doc_id", uniquify=fuzzy_uniquify)
     probe_block(emb_probes, emb, "vec_id")
     probe_block(rel_probes, lineitem, "l_orderkey")
     # events scale with GROWING user cardinality (each copy is a fresh
