@@ -606,3 +606,63 @@ def substring_dedup(
         (F.size("__t") - F.size(kept)).cast("bigint").alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval for a fixed term list: one corpus scan
+    computes the global stats (N, total doc length, per-term document
+    frequency) as a single aggregate row that broadcasts back onto the
+    scoring pass — no inverted index materialization for ad-hoc
+    queries, and the scoring stage is pure JVM expressions.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + ½)/(df + ½)) — the standard Robertson
+    form. Returns (id, score, rank) for the top ``k`` docs with
+    score > 0; score rounded to 4 decimals (ln is not required to be
+    correctly rounded across libms — the rounding plus id tie-break
+    keeps the RANKING engine-portable, same epsilon-margin argument as
+    the FFT oracle).
+
+    At scale: the stats aggregate is one map-side-combined pass; for a
+    standing query workload, materialize an inverted index instead
+    (tfdf_keywords is that path) — this operator is the ad-hoc form.
+    """
+    staged = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+    dl = F.size("__t")
+    stat_aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dl).alias("__sumdl"),
+    ] + [
+        F.sum(F.array_contains("__t", t).cast("long")).alias(f"__df{i}")
+        for i, t in enumerate(terms)
+    ]
+    stats = staged.agg(*stat_aggs)
+    scored = staged.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n")
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf = F.size(F.filter("__t", lambda x: x == F.lit(t))).cast("double")
+        dfc = F.col(f"__df{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (F.col("__n") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+        )
+        score = score + idf * (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl.cast("double") / avgdl)
+        )
+    out = scored.select("id", F.round(score, 4).alias("score")).filter(
+        F.col("score") > 0.0
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "score", F.col("rank").cast("int").alias("rank"))
+    )

@@ -2422,3 +2422,97 @@ def q169_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_tokens", "n_removed", F.md5("clean_text").alias("clean_md5")
     )
+
+
+# --------------------------------------------------------------------- #
+# BM25 keyword retrieval (text.bm25_topk) and reciprocal-rank-fusion
+# hybrid search: the text side of retrieval next to the ANN side. Float
+# constants are interpolated from Python reprs so both engines parse
+# the IDENTICAL doubles (1.2 + 1.0 is not the literal 2.2 bit-for-bit).
+# --------------------------------------------------------------------- #
+_BM_TERMS = ["join", "vector", "stream"]
+_K1, _B = 1.2, 0.75
+_K1P1, _OMB = repr(_K1 + 1.0), repr(1.0 - _B)
+
+
+def _bm25_cte() -> str:
+    dfs = ", ".join(
+        f"SUM(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(_BM_TERMS)
+    )
+    score = "0.0"
+    for i, t in enumerate(_BM_TERMS):
+        tf = f"CAST(len(list_filter(t, x -> x = '{t}')) AS DOUBLE)"
+        idf = f"ln(1.0 + (n - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        score += (
+            f" + {idf} * ({tf} * {_K1P1}) / ({tf} + {_K1} * "
+            f"({_OMB} + {_B} * CAST(len(t) AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))"
+        )
+    return rf"""
+    tk AS (SELECT doc_id AS id,
+                  list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '') AS t
+           FROM documents),
+    st AS (SELECT COUNT(*) AS n, SUM(len(t)) AS sumdl, {dfs} FROM tk),
+    sc AS (SELECT id, ROUND({score}, 4) AS score FROM tk, st),
+    bm AS (SELECT id, score,
+                  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS INT) AS rank
+           FROM sc WHERE score > 0.0
+           QUALIFY rank <= {{k}})"""
+
+
+@query(
+    "q170_bm25_topk",
+    oracle=f"""
+    WITH {_bm25_cte().format(k=10)}
+    SELECT id AS doc_id, score, rank FROM bm
+    """,
+)
+def q170_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bm25_topk(docs, "doc_id", "text", _BM_TERMS, k=10, k1=_K1, b=_B)
+
+
+@query(
+    "q171_hybrid_rrf",
+    # hybrid retrieval: BM25 rank list fused with the exact vector rank
+    # list (query vector = vec_id 0) by reciprocal-rank fusion in
+    # integer micro-units — 10^12 div (60 + rank) — so the fused score
+    # is exact integer arithmetic, immune to float summation order.
+    oracle=f"""
+    WITH {_bm25_cte().format(k=50)},
+    vr AS (
+      SELECT b.vec_id AS id,
+             CAST(ROW_NUMBER() OVER (ORDER BY ROUND({{dot}} / ({{na}} * {{nb}}), 6) DESC, b.vec_id) AS INT) AS rank
+      FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
+      QUALIFY rank <= 50)
+    SELECT COALESCE(bm.id, vr.id) AS doc_id,
+           bm.rank AS r_text, vr.rank AS r_vec,
+           COALESCE(1000000000000 // (60 + bm.rank), 0)
+             + COALESCE(1000000000000 // (60 + vr.rank), 0) AS rrf_micro
+    FROM bm FULL OUTER JOIN vr ON bm.id = vr.id
+    """.format(
+        k=50,
+        dot="list_sum(list_transform(generate_series(1, 64), j -> (a.embedding[j])::DOUBLE * (b.embedding[j])::DOUBLE))",
+        na="sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))",
+        nb="sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))",
+    ),
+)
+def q171_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = tx.bm25_topk(docs, "doc_id", "text", _BM_TERMS, k=50, k1=_K1, b=_B).select(
+        F.col("doc_id").alias("b_id"), F.col("rank").alias("r_text")
+    )
+    vr = sim.topk_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=50).select(
+        F.col("vec_id").alias("v_id"), F.col("rank").cast("int").alias("r_vec")
+    )
+    fused = bm.join(vr, F.col("b_id") == F.col("v_id"), "full_outer")
+    rrf = F.coalesce(
+        F.expr("1000000000000 div (60 + r_text)"), F.lit(0).cast("long")
+    ) + F.coalesce(F.expr("1000000000000 div (60 + r_vec)"), F.lit(0).cast("long"))
+    return fused.select(
+        F.coalesce(F.col("b_id"), F.col("v_id")).alias("doc_id"),
+        "r_text",
+        "r_vec",
+        rrf.alias("rrf_micro"),
+    )
