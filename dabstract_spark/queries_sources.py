@@ -453,3 +453,70 @@ def q163_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Deterministic training-shard export (§2.1 sinks): md5-bucketed shard
+# assignment -> partitioned parquet write -> read-back audit. The shard
+# function is pure (md5 of the id), so re-exports are reproducible and
+# shards are statistically balanced; the audit aggregates per shard.
+# --------------------------------------------------------------------- #
+@query(
+    "q172_export_shards",
+    oracle="""
+    SELECT CAST(CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 8 AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS sum_chars,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY shard
+    """,
+)
+def q172_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.functions.hashing import md5_bucket
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="sparkdab_shards_")
+    sharded = docs.withColumn("shard", md5_bucket("doc_id", 8, seed=7))
+    sharded.write.partitionBy("shard").parquet(f"{tmp}/out")
+    back = spark.read.parquet(f"{tmp}/out")
+    return back.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# ANALYZE-style table statistics in ONE scan (§2.4): per-column
+# null count / exact NDV / min / max — the CBO inputs a catalog keeps.
+# COUNT(DISTINCT x), COUNT(DISTINCT y) in one aggregate exercises
+# Spark's multi-distinct Expand rewrite.
+# --------------------------------------------------------------------- #
+@query(
+    "q173_table_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS ndv_custkey,
+           COUNT(DISTINCT o_orderpriority) AS ndv_priority,
+           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nulls_totalprice,
+           MIN(o_totalprice) AS min_totalprice, MAX(o_totalprice) AS max_totalprice,
+           MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+    FROM orders
+    """,
+)
+def q173_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("ndv_custkey"),
+        F.countDistinct("o_orderpriority").alias("ndv_priority"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("nulls_totalprice"),
+        F.min("o_totalprice").alias("min_totalprice"),
+        F.max("o_totalprice").alias("max_totalprice"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
