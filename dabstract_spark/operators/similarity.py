@@ -54,15 +54,22 @@ def topk_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast-join the query set against
     the corpus (no shuffle of the corpus), rank within query partitions.
-    Returns (query_id, vec_id, sim, rank)."""
+    Returns (query_id, vec_id, sim, rank).
+
+    Norms are staged per side BEFORE the join (value-identical to
+    ``cosine`` — same expressions, same op order — but each norm is
+    computed once per row instead of once per (query, corpus) pair)."""
     q = queries.select(
         F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec")
-    )
-    joined = corpus.join(F.broadcast(q), F.col(query_id) != F.col(id_col))
+    ).withColumn("__qn", norm(F.col("__qvec")))
+    staged = corpus.withColumn("__cn", norm(F.col(vec_col)))
+    joined = staged.join(F.broadcast(q), F.col(query_id) != F.col(id_col))
     scored = joined.select(
         query_id,
         id_col,
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("sim"),
+        F.round(
+            dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qn") * F.col("__cn")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(id_col))
     return (
@@ -148,18 +155,23 @@ def topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: score only corpus rows in the query's LSH
     bucket. Shuffles on the (small-cardinality) bucket key instead of
-    broadcasting every query against every row."""
-    cb = corpus.withColumn("bucket", hyperplane_bits(vec_col, n_bits, dim, seed))
+    broadcasting every query against every row. Norms staged per side
+    before the join (see topk_bruteforce)."""
+    cb = corpus.withColumn(
+        "bucket", hyperplane_bits(vec_col, n_bits, dim, seed)
+    ).withColumn("__cn", norm(F.col(vec_col)))
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         hyperplane_bits(vec_col, n_bits, dim, seed).alias("bucket"),
-    )
+    ).withColumn("__qn", norm(F.col("__qvec")))
     joined = cb.join(qb, "bucket").filter(F.col("query_id") != F.col(id_col))
     scored = joined.select(
         "query_id",
         id_col,
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("sim"),
+        F.round(
+            dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qn") * F.col("__cn")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -283,8 +295,8 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         F.transform(probes, lambda p: p["cid"]).alias("__probes"),
-    )
-    joined = assigned.join(
+    ).withColumn("__qn", norm(F.col("__qvec")))
+    joined = assigned.withColumn("__cn", norm(F.col(vec_col))).join(
         F.broadcast(q),
         F.array_contains(F.col("__probes"), F.col("centroid_id"))
         & (F.col("query_id") != F.col(id_col)),
@@ -292,7 +304,9 @@ def ivf_topk(
     scored = joined.select(
         "query_id",
         id_col,
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("sim"),
+        F.round(
+            dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qn") * F.col("__cn")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -322,8 +336,15 @@ def embedding_neardup_pairs(
     (documented recall trade; keep-set is the deterministic md5-min
     prefix so the choice is reproducible)."""
     if exact:
-        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        staged = df.withColumn("__n", norm(F.col(vec_col)))
+        a = staged.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+            F.col("__n").alias("__na"),
+        )
+        b = staged.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+            F.col("__n").alias("__nb"),
+        )
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         # carry the vectors through the bucket join — one shuffle on the
@@ -343,12 +364,23 @@ def embedding_neardup_pairs(
                 .filter(F.col("__rn") <= max_bucket)
                 .drop("__rn")
             )
-        l = ab.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket")
-        r = ab.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket")
+        ab = ab.withColumn("__n", norm(F.col(vec_col)))
+        l = ab.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+            F.col("__n").alias("__na"), "bucket",
+        )
+        r = ab.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+            F.col("__n").alias("__nb"), "bucket",
+        )
         pairs = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
-            "id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim")
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -450,11 +482,12 @@ def topk_lsh_multiprobe(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         hyperplane_bits(vec_col, n_bits, dim, seed).alias("__b0"),
-    )
+    ).withColumn("__qn", norm(F.col("__qvec")))
     # probe set = own bucket + n_probes single-bit flips (XOR with 2^b)
     qb = qb.select(
         "query_id",
         "__qvec",
+        "__qn",
         F.explode(
             F.array(
                 F.col("__b0"),
@@ -465,11 +498,15 @@ def topk_lsh_multiprobe(
             )
         ).alias("bucket"),
     )
-    joined = cb.join(qb, "bucket").filter(F.col("query_id") != F.col(id_col))
+    joined = cb.withColumn("__cn", norm(F.col(vec_col))).join(qb, "bucket").filter(
+        F.col("query_id") != F.col(id_col)
+    )
     scored = joined.select(
         "query_id",
         id_col,
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("sim"),
+        F.round(
+            dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qn") * F.col("__cn")), 6
+        ).alias("sim"),
     ).dropDuplicates(["query_id", id_col])
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

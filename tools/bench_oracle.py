@@ -40,9 +40,25 @@ def main():
     def spark_run(df):
         df.write.format("noop").mode("overwrite").save()
 
-    # warm both engines once
+    # warm both engines once: flagship query, the Python worker pool
+    # (first Arrow stage pays ~32 interpreter startups), and one touch
+    # of every table so the session's one-time scan re-layout happens
+    # outside the timed loop (same session-infrastructure classification
+    # bench.py uses)
+    from dabstract_spark.session import load_table
+
     spark_run(qs["q01_pricing_summary"](spark, sf_dir))
     con.execute(oracles["q01_pricing_summary"]).fetchall()
+    for t in TABLES:
+        load_table(spark, sf_dir, t)
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(s):
+        return s
+
+    spark_run(spark.range(256).select(_warm(F.col("id").cast("double"))))
 
     rows = []
     for name in sorted(oracles):
