@@ -235,21 +235,42 @@ def ivf_refine(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd refinement of the IVF centroids: assign (map-side argmax),
     then new centroid = per-dimension mean of its members — ONE shuffle
     per iteration on the K-ary centroid key, with map-side partial
-    averages (the aggregate is dim avg() columns, not an explode).
-    Clusters that lose all members keep their previous centroid."""
+    aggregates (dim agg columns, not an explode).
+    Clusters that lose all members keep their previous centroid.
+
+    ``exact=True``: per-dim means from DECIMAL(27,10) sums divided in
+    the driver — order-independent exact sums, so the refined centroids
+    (and every downstream assignment against them) are bit-identical
+    across engines and partitionings, which makes a fixed-iteration
+    k-means RUN hash-checkable against a SQL oracle. Float avg() mode
+    (default) is marginally cheaper but summation-order dependent."""
     dim = len(centroids[0][1])
     for _ in range(iters):
         assigned = ivf_assign(df, centroids, id_col, vec_col)
-        rows = (
-            assigned.groupBy("centroid_id")
-            .agg(*[F.avg(F.element_at(F.col(vec_col), j + 1)).alias(f"c{j}") for j in range(dim)])
-            .collect()
-        )
-        new = {int(r[0]): [float(r[j + 1]) for j in range(dim)] for r in rows}
+        if exact:
+            aggs = [F.count(F.lit(1)).alias("__n")] + [
+                F.sum(
+                    F.element_at(F.col(vec_col), j + 1).cast("decimal(27,10)")
+                ).alias(f"c{j}")
+                for j in range(dim)
+            ]
+            rows = assigned.groupBy("centroid_id").agg(*aggs).collect()
+            new = {
+                int(r[0]): [float(r[j + 2]) / int(r[1]) for j in range(dim)]
+                for r in rows
+            }
+        else:
+            rows = (
+                assigned.groupBy("centroid_id")
+                .agg(*[F.avg(F.element_at(F.col(vec_col), j + 1)).alias(f"c{j}") for j in range(dim)])
+                .collect()
+            )
+            new = {int(r[0]): [float(r[j + 1]) for j in range(dim)] for r in rows}
         centroids = sorted((cid, new.get(cid, vec)) for cid, vec in centroids)
     return centroids
 

@@ -2516,3 +2516,57 @@ def q171_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_vec",
         rrf.alias("rrf_micro"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Full k-means (Lloyd) refinement run, exact oracle: 2 assign→update
+# iterations with DECIMAL-sum centroid means (order-independent, so the
+# refined centroids are bit-identical across engines and partitionings)
+# followed by the final assignment. The oracle unrolls both iterations
+# — 64 decimal SUM columns per update — and must reproduce the
+# identical assignment for every vector.
+# --------------------------------------------------------------------- #
+_KM_K, _KM_DIM = 4, 64
+
+
+def _km_assign(cent: str, out: str) -> str:
+    return f"""{out} AS (
+      SELECT e.vec_id, e.embedding, c.cid FROM embeddings e CROSS JOIN {cent} c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) = 1)"""
+
+
+def _km_update(prev_asg: str, prev_cent: str, out: str) -> str:
+    sums = ", ".join(
+        f"CAST(SUM(CAST(embedding[{j}]::DOUBLE AS DECIMAL(27,10))) AS DOUBLE)"
+        f" / COUNT(*) AS m{j}"
+        for j in range(1, _KM_DIM + 1)
+    )
+    pack = "[" + ", ".join(f"u.m{j}" for j in range(1, _KM_DIM + 1)) + "]"
+    return f"""{out}_u AS (SELECT cid, {sums} FROM {prev_asg} GROUP BY cid),
+    {out} AS (
+      SELECT p.cid, CASE WHEN u.cid IS NULL THEN p.cv ELSE {pack} END AS cv
+      FROM {prev_cent} p LEFT JOIN {out}_u u ON p.cid = u.cid)"""
+
+
+@query(
+    "q174_kmeans_refine",
+    oracle=f"""
+    WITH cent0 AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+      FROM embeddings WHERE vec_id < {_KM_K}),
+    {_km_assign('cent0', 'a0')},
+    {_km_update('a0', 'cent0', 'cent1')},
+    {_km_assign('cent1', 'a1')},
+    {_km_update('a1', 'cent1', 'cent2')},
+    {_km_assign('cent2', 'af')}
+    SELECT vec_id, CAST(cid AS INT) AS centroid_id FROM af
+    """,
+)
+def q174_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = sim.ivf_centroids(emb, n_centroids=_KM_K)
+    refined = sim.ivf_refine(emb, seeds, iters=2, exact=True)
+    return sim.ivf_assign(emb, refined).select(
+        "vec_id", F.col("centroid_id").cast("int").alias("centroid_id")
+    )
