@@ -520,3 +520,126 @@ def q173_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("min_date"),
         F.max("o_orderdate").alias("max_date"),
     )
+
+
+# --------------------------------------------------------------------- #
+# END-TO-END audio feature pipeline (the reference's flagship use case,
+# dataset.py:703-928 + processors.py:93-611 composed): raw WAV bytes →
+# PCM decode → overlapping hamming frames → rFFT magnitude → mel
+# filterbank → natural log, every stage the real operator. The oracle
+# replays the ENTIRE chain independently in SQL: hex PCM parse, framed
+# windowing, O(n²) DFT per frame, the same literal mel weights
+# (ascending-bin left-associated sums, eps floor), then ln — so a
+# cross-engine hash match certifies the full feature-extraction path,
+# not any single stage.
+# --------------------------------------------------------------------- #
+_AP_FLEN, _AP_STEP, _AP_FS, _AP_BANDS = 32, 16, 800.0, 6
+
+
+def _ap_fbank_sql(spec: str) -> str:
+    """Literal mel band sums over a DFT-magnitude list column, mirroring
+    Filterbank's unrolled JVM path (same nonzeros, same fold order)."""
+    import numpy as np
+
+    from dabstract_spark.processing.processors import mel_filterbank
+
+    fb = mel_filterbank(_AP_BANDS, _AP_FLEN, _AP_FS, 0.0, None, "mel", None).T
+    eps = repr(float(np.finfo(float).eps))
+    bands = []
+    for b in range(fb.shape[1]):
+        terms = [
+            f"({float(fb[j, b])!r}) * ({spec}[{j + 1}])"
+            for j in range(fb.shape[0])
+            if fb[j, b] != 0.0
+        ]
+        s = " + ".join(["0.0"] + terms)
+        bands.append(f"CASE WHEN ({s}) = 0.0 THEN {eps} ELSE ({s}) END")
+    return "[" + ", ".join(bands) + "]"
+
+
+@query(
+    "q175_audio_pipeline",
+    oracle=f"""
+    WITH f AS (
+      SELECT filename AS fpath,
+             regexp_extract(filename, '([^/]+)/[^/]+$', 1) AS subdb,
+             regexp_extract(filename, '([^/]+)$', 1) AS fname,
+             size, hex(content) AS hx
+      FROM read_blob('{FIXTURE_DIR}/*/*.wav')),
+    samp AS (
+      SELECT fpath, subdb, fname, i,
+             CAST(('0x' || substr(hx, 2*(44 + 2*i) + 1, 2)) AS BIGINT)
+             + 256 * CAST(('0x' || substr(hx, 2*(45 + 2*i) + 1, 2)) AS BIGINT) AS v
+      FROM f, UNNEST(generate_series(0, CAST((size - 44) // 2 AS INT) - 1)) AS t(i)),
+    sig AS (
+      SELECT subdb, fname,
+             list((CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) / 32768.0
+                  ORDER BY i) AS s
+      FROM samp GROUP BY subdb, fname),
+    fr AS (
+      SELECT subdb, fname, fr,
+             list_transform(generate_series(1, {_AP_FLEN}),
+               k -> s[fr * {_AP_STEP} + k]
+                    * (0.54 - 0.46 * cos(2 * pi() * (k - 1) / {_AP_FLEN}))) AS w
+      FROM sig,
+           UNNEST(generate_series(0,
+             CAST((len(s) - {_AP_FLEN}) // {_AP_STEP} AS INT))) AS t(fr)),
+    mag AS (
+      SELECT subdb, fname, fr, b,
+             sqrt(
+               power(list_sum(list_transform(generate_series(1, {_AP_FLEN}),
+                 k -> w[k] * cos(2 * pi() * b * (k - 1) / {_AP_FLEN}))), 2)
+               + power(list_sum(list_transform(generate_series(1, {_AP_FLEN}),
+                 k -> w[k] * sin(2 * pi() * b * (k - 1) / {_AP_FLEN}))), 2)) AS m
+      FROM fr, UNNEST(generate_series(0, {_AP_FLEN // 2})) AS t(b)),
+    spec AS (
+      SELECT subdb, fname, fr, list(m ORDER BY b) AS sp
+      FROM mag GROUP BY subdb, fname, fr)
+    SELECT subdb, fname, CAST(fr AS INT) AS frame, CAST(b - 1 AS INT) AS band,
+           round(ln(({_ap_fbank_sql('sp')})[b]), 4) + 0.0 AS logmel
+    FROM spec, UNNEST(generate_series(1, {_AP_BANDS})) AS t(b)
+    """,
+)
+def q175_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.processing.processors import FFT, Filterbank, Framing, Logarithm
+    from dabstract_spark.sources.readers import decode_wav
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .option("recursiveFileLookup", "true")
+        .load(FIXTURE_DIR)
+    )
+    decoded = files.select(
+        F.element_at(F.split("path", "/"), -2).alias("subdb"),
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        decode_wav("content").alias("samples"),
+    )
+    framer = ProcessingChain().add(
+        Framing(
+            windowsize=_AP_FLEN / _AP_FS,
+            stepsize=_AP_STEP / _AP_FS,
+            window_func="hamming",
+            fs=_AP_FS,
+        )
+    )
+    framed = framer.process_df(decoded, "samples", new_key="frames")
+    ex = framed.select(
+        "subdb", "fname", F.posexplode("frames").alias("frame", "fvec")
+    )
+    feats = (
+        ProcessingChain()
+        .add(FFT(type="real", nfft="original", format="magnitude"))
+        .add(Filterbank(n_bands=_AP_BANDS, scale="mel", nfft=_AP_FLEN, fs=_AP_FS))
+        .add(Logarithm("natural"))
+    )
+    out = feats.process_df(ex, "fvec", new_key="logmel")
+    return out.select(
+        "subdb", "fname", "frame", F.posexplode("logmel").alias("band", "logmel")
+    ).select(
+        "subdb",
+        "fname",
+        "frame",
+        "band",
+        (F.round("logmel", 4) + F.lit(0.0)).alias("logmel"),
+    )
