@@ -2570,3 +2570,71 @@ def q174_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_assign(emb, refined).select(
         "vec_id", F.col("centroid_id").cast("int").alias("centroid_id")
     )
+
+
+# --------------------------------------------------------------------- #
+# Heavy hitters via deterministic sampled candidate pruning: at 100 TB
+# a token-frequency top-k cannot afford to shuffle every distinct token
+# — instead count tokens in a deterministic md5-Bernoulli 25% document
+# sample, keep the top-50 candidates, and re-count ONLY those tokens
+# over the full corpus (the candidate filter pushes a broadcast
+# semi-join below the big aggregation). The final output is the EXACT
+# global top-10 — sampling only prunes, it never appears in the answer —
+# so the oracle is a plain exact top-k that must hash-match.
+# --------------------------------------------------------------------- #
+@query(
+    "q177_heavy_hitters",
+    oracle=f"""
+    WITH tok_all AS (
+      SELECT doc_id, unnest({_TOKENS.format(c='text')}) AS token FROM documents),
+    samp AS (
+      SELECT token FROM tok_all
+      WHERE CAST(('0x' || substr(md5('7:hh/' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            / 4294967296.0 < 0.25),
+    cand AS (
+      SELECT token FROM samp GROUP BY token
+      QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) <= 50)
+    SELECT token, COUNT(*) AS cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS INT) AS rank
+    FROM tok_all JOIN cand USING (token)
+    GROUP BY token
+    QUALIFY rank <= 10
+    """,
+)
+def q177_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dabstract_spark.functions.hashing import md5_unit
+
+    docs = _t(spark, sf_dir, "documents")
+    tok_all = docs.select(
+        "doc_id", F.explode(tx.tokens("text")).alias("token")
+    )
+    samp = docs.filter(
+        md5_unit(F.concat(F.lit("hh/"), F.col("doc_id").cast("string")), 7) < 0.25
+    ).select(F.explode(tx.tokens("text")).alias("token"))
+    # top-50 candidates via orderBy+limit -> TakeOrderedAndProject:
+    # distributed per-partition partial top-k, NO single-partition window
+    # over the (unbounded) distinct-token set
+    cand = (
+        samp.groupBy("token")
+        .count()
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(50)
+        .select("token")
+    )
+    counted = (
+        tok_all.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # the ranking window here runs over <= 50 candidate rows (bounded by
+    # construction), not the corpus — safe at any scale
+    return (
+        counted.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))).cast("int"),
+        )
+        .filter(F.col("rank") <= 10)
+        .select("token", "cnt", "rank")
+    )

@@ -696,3 +696,43 @@ def q168_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("double").alias("total"),
         F.round(F.col("total").cast("double") / F.col("n"), 6).alias("avg_value"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Re-aggregatable distinct sketches — THE 100 TB pattern the scalar
+# approx_count_distinct (q157) cannot express: persist one Datasketches
+# HLL per (event_type, day) partition, then answer the whole-corpus distinct
+# question by MERGING sketches (hll_union_agg) without ever rescanning
+# the base data. Guarded like q157: exact value + a boolean asserting
+# the merged estimate landed inside 5x its configured error.
+# --------------------------------------------------------------------- #
+@query(
+    "q176_sketch_reaggregation",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_distinct,
+           TRUE AS merge_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q176_sketch_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # stage 1: the partial sketches a pipeline would PERSIST (per day)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    # stage 2: merge-only rollup — no base-table rescan
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias("__est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return exact.join(F.broadcast(merged), "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("__est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("merge_ok"),
+    )
