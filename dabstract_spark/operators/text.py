@@ -666,3 +666,46 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def bigram_coherence(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Statistical LM quality signal (KenLM-perplexity-shaped, library-
+    free): train a bigram model ON the corpus itself, then score each
+    document by the average conditional bigram frequency of its token
+    pairs, in exact integer parts-per-million —
+    ``p_ppm(w1,w2) = 1e6 * c(w1,w2) div c(w1,·)`` summed per doc and
+    divided (integer div) by its bigram count. Low scores = incoherent
+    token sequences (boilerplate soup, shuffled text); the standard
+    cheap perplexity proxy when no external LM is available.
+
+    All-integer arithmetic end to end, so the score is bit-identical
+    across engines and partitionings. Plan shape: one token explode
+    feeds both the model aggregation and the scoring join; bigram
+    counts shuffle on (w1,w2) — vocabulary-sized, not corpus-sized —
+    and the per-doc rollup shuffles on the id. No Python, no driver
+    state, no broadcast of unbounded vocab."""
+    d = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__t"))
+    big = d.select(
+        "__id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("__t", 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                F.slice("__t", 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+            )
+        ).alias("__z"),
+    ).select("__id", F.col("__z.0").alias("w1"), F.col("__z.1").alias("w2"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2"))
+    ctx = big.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(ctx, ["w1"])
+        .select("__id", F.expr("1000000 * __c2 div __c1").alias("__ppm"))
+    )
+    return scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(__ppm) div count(1)").cast("bigint").alias("coherence_ppm"),
+    ).select(F.col("__id").alias(id_col), "n_bigrams", "coherence_ppm")

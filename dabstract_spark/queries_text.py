@@ -2638,3 +2638,32 @@ def q177_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("token", "cnt", "rank")
     )
+
+
+# --------------------------------------------------------------------- #
+# Bigram-LM coherence scoring (perplexity proxy, library-free): train
+# bigram statistics on the corpus itself, score every document by its
+# average conditional bigram frequency in exact integer ppm — the cheap
+# quality signal for LLM-corpus curation when no external LM exists.
+# Integer div end to end => bit-identical across engines.
+# --------------------------------------------------------------------- #
+@query(
+    "q178_bigram_coherence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS.format(c='text')} AS ts FROM documents),
+    big AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+    ctx AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1)
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(1000000 * c2.c2 // ctx.c1) // COUNT(*) AS BIGINT)
+             AS coherence_ppm
+    FROM big b JOIN c2 USING (w1, w2) JOIN ctx USING (w1)
+    GROUP BY b.doc_id
+    """,
+)
+def q178_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bigram_coherence(docs, "doc_id", "text")
