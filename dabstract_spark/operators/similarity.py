@@ -706,3 +706,74 @@ def topk_quantized(
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("qsim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pca_power_projection(
+    df: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every vector onto the corpus's top principal component,
+    with the whole run — scatter matrix, power iteration, projection —
+    in EXACT integer arithmetic so a fixed-iteration result is
+    bit-identical across engines and partitionings (the float version
+    would drift with summation order).
+
+    Distributed part (the only data-sized work): one scan computes the
+    integer second-moment sums S2[i,j] = Σ xi·xj and S1[i] = Σ xi over
+    micro-unit encoded components (round(x,6)·1e6 as int64) via the
+    same map-side outer-product shape as ``embedding_covariance`` —
+    linear in rows, one (i,j)-keyed shuffle of ≤ dim² rows. The
+    dim×dim scatter matrix M = n·S2 − S1·S1ᵀ and the ``iters``-step
+    power iteration are driver-side Python big-int arithmetic (dim² 
+    numbers — legitimately tiny), with the eigenvector re-quantized to
+    1e6 scale each step by sign-safe floor division. The projection is
+    a map-side 64-term integer dot product — zero shuffle, whole-stage
+    codegen, no Python in any per-row path."""
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    enc = lambda c: (  # noqa: E731
+        F.round(c.cast("double"), 6).cast("decimal(18,6)") * F.lit(1000000)
+    ).cast("bigint")
+    encoded = df.select(
+        F.col(id_col).alias("__id"), F.transform(vec_col, enc).alias("__e")
+    )
+    e = encoded.select("__e", F.posexplode("__e").alias("i", "xi"))
+    pairs = e.select("i", "xi", F.posexplode("__e").alias("j", "xj"))
+    stats = (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.sum(F.col("xi") * F.col("xj")).alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    s1_rows = e.groupBy("i").agg(F.sum("xi").alias("s1")).collect()
+    n = int(stats[0]["n"])
+    s1 = {int(r["i"]): int(r["s1"]) for r in s1_rows}
+    m = {(int(r["i"]), int(r["j"])): n * int(r["s2"]) - s1[int(r["i"])] * s1[int(r["j"])] for r in stats}
+
+    def floordiv_abs(u: int, d: int) -> int:
+        # sign-safe: divide magnitudes only, so Spark div / DuckDB // /
+        # Python // rounding-direction differences can never matter
+        return -((-u) // d) if u < 0 else u // d
+
+    v = [1000000] * dim
+    for _ in range(iters):
+        u = [sum(m[(i, j)] * v[j] for j in range(dim)) for i in range(dim)]
+        mx = max(abs(x) for x in u) or 1
+        v = [floordiv_abs(x * 1000000, mx) for x in u]
+
+    dotc = F.lit(0).cast("bigint")
+    for j in range(dim):
+        if v[j]:
+            dotc = dotc + F.lit(int(v[j])) * F.element_at("__e", j + 1)
+    # stage the big dot expression once, then sign-safe divide it
+    out = encoded.select(F.col("__id"), dotc.alias("__dot"))
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.when(
+            F.col("__dot") < 0, -F.expr("(-__dot) div 1000000")
+        ).otherwise(F.expr("__dot div 1000000")).cast("bigint").alias("proj_micro"),
+    )

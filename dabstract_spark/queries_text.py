@@ -2667,3 +2667,54 @@ def q177_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q178_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return tx.bigram_coherence(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------- #
+# PCA projection with a cross-engine bit-exact power iteration: the
+# scatter matrix M = n*S2 - S1*S1ᵀ is built from exact micro-unit
+# integer sums (the only data-sized work — one scan, one dim²-row
+# shuffle), the 3-step power iteration runs in arbitrary-precision
+# integers (HUGEINT in the oracle, Python big-ints in the engine) with
+# sign-safe 1e6 re-quantization each step, and the final projection is
+# a map-side integer dot product. Exact integers end to end => the
+# eigenvector run itself is hash-checkable, not just "close".
+# --------------------------------------------------------------------- #
+def _pca_iter_sql(prev_v: str, out: str) -> str:
+    return f"""{out}_u AS (
+      SELECT m.i, SUM(m.mm * {prev_v}.v) AS u
+      FROM m JOIN {prev_v} ON m.j = {prev_v}.i GROUP BY m.i),
+    {out} AS (
+      SELECT i, CASE WHEN u < 0 THEN -((-u) * 1000000 // mx)
+                     ELSE u * 1000000 // mx END AS v
+      FROM {out}_u CROSS JOIN (SELECT MAX(abs(u)) AS mx FROM {out}_u))"""
+
+
+@query(
+    "q179_pca_projection",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, CAST(j - 1 AS INT) AS i,
+             CAST(CAST(round(embedding[j]::DOUBLE, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xi
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(j)),
+    s2 AS (
+      SELECT a.i AS i, b.i AS j, SUM(CAST(a.xi AS HUGEINT) * b.xi) AS s2
+      FROM x a JOIN x b USING (vec_id) GROUP BY a.i, b.i),
+    s1 AS (SELECT i, SUM(CAST(xi AS HUGEINT)) AS s1, COUNT(*) AS n FROM x GROUP BY i),
+    m AS (
+      SELECT s2.i, s2.j, sa.n * s2.s2 - sa.s1 * sb.s1 AS mm
+      FROM s2 JOIN s1 sa ON s2.i = sa.i JOIN s1 sb ON s2.j = sb.i),
+    v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM s1),
+    {_pca_iter_sql('v0', 'v1')},
+    {_pca_iter_sql('v1', 'v2')},
+    {_pca_iter_sql('v2', 'v3')}
+    SELECT x.vec_id,
+           CAST(CASE WHEN SUM(x.xi * v3.v) < 0
+                     THEN -((-SUM(x.xi * v3.v)) // 1000000)
+                     ELSE SUM(x.xi * v3.v) // 1000000 END AS BIGINT) AS proj_micro
+    FROM x JOIN v3 ON x.i = v3.i
+    GROUP BY x.vec_id
+    """,
+)
+def q179_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.pca_power_projection(emb, iters=3)
