@@ -252,3 +252,58 @@ def test_substring_dedup_spans_and_merge(spark):
     # d3: spans [1,9) and [9,17) merge -> everything removed
     assert got[3] == (16, 16, "")
     assert got[4] == (2, 0, "short doc")
+
+
+def test_bigram_coherence_exact_values_and_short_docs(spark):
+    from dabstract_spark.operators.text import bigram_coherence
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # bigrams: (a,b)x3, (b,a)x2
+            (2, "a b"),           # one bigram
+            (3, "solo"),          # no bigram -> dropped
+            (4, ""),              # empty -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in bigram_coherence(df).collect()}
+    assert set(rows) == {1, 2}
+    # corpus counts: c2(a,b)=4, c2(b,a)=2, ctx(a)=4, ctx(b)=2
+    # doc1: 3*(1e6*4//4) + 2*(1e6*2//2) = 5e6; avg over 5 = 1e6
+    assert rows[1].n_bigrams == 5 and rows[1].coherence_ppm == 1_000_000
+    assert rows[2].n_bigrams == 1 and rows[2].coherence_ppm == 1_000_000
+
+
+def test_pca_power_projection_matches_integer_reference(spark):
+    import numpy as np
+
+    from dabstract_spark.operators.similarity import pca_power_projection
+
+    rng = np.random.default_rng(7)
+    # dominant variance along dim 0, noise elsewhere
+    vecs = [
+        [float(rng.normal(0, 5.0)), float(rng.normal(0, 0.1)), float(rng.normal(0, 0.1))]
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    got = {r.vec_id: r.proj_micro for r in pca_power_projection(df, iters=3).collect()}
+
+    # independent driver-side replica of the exact integer algorithm
+    x = [[round(c, 6) for c in v] for v in vecs]
+    xi = [[int(round(c * 1e6)) for c in v] for v in x]
+    n, dim = len(xi), 3
+    s2 = [[sum(r[i] * r[j] for r in xi) for j in range(dim)] for i in range(dim)]
+    s1 = [sum(r[i] for r in xi) for i in range(dim)]
+    m = [[n * s2[i][j] - s1[i] * s1[j] for j in range(dim)] for i in range(dim)]
+    fd = lambda u, d: -((-u) // d) if u < 0 else u // d  # noqa: E731
+    v = [1000000] * dim
+    for _ in range(3):
+        u = [sum(m[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        mx = max(abs(t) for t in u) or 1
+        v = [fd(t * 1000000, mx) for t in u]
+    want = {i: fd(sum(xi[i][j] * v[j] for j in range(dim)), 1000000) for i in range(n)}
+    assert got == want
+    # and the dominant axis really is dim 0: projection ~ x0 * v0
+    assert abs(v[0]) == 1000000
