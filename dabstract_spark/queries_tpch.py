@@ -736,3 +736,52 @@ def q176_sketch_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_distinct")
         ).alias("merge_ok"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Leave-one-out target encoding (the ML-feature staple): encode a
+# categorical by the mean target of all OTHER rows in its category, in
+# exact integer ppm. Shape matters at scale: a window over the category
+# would funnel each (few-valued, huge) category into one partition —
+# instead aggregate to a tiny per-category table and broadcast it back
+# onto the fact scan. Integer arithmetic => bit-identical cross-engine.
+# --------------------------------------------------------------------- #
+@query(
+    "q180_target_encoding",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS s,
+             COUNT(*) AS c
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CAST(CASE WHEN a.c > 1
+                THEN 1000000 * (a.s - CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                     // (a.c - 1)
+                ELSE 0 END AS BIGINT) AS loo_ppm
+    FROM orders o JOIN agg a USING (o_orderpriority)
+    """,
+)
+def q180_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.sum(y).alias("__s"), F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        orders.join(F.broadcast(agg), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(
+                F.col("__c") > 1,
+                F.expr(
+                    "1000000 * (__s - (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END))"
+                    " div (__c - 1)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("loo_ppm"),
+        )
+    )
