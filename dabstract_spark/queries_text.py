@@ -2718,3 +2718,74 @@ def _pca_iter_sql(prev_v: str, out: str) -> str:
 def q179_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return sim.pca_power_projection(emb, iters=3)
+
+
+# --------------------------------------------------------------------- #
+# Grouped OLS trend (per-user slope of value over time) with the whole
+# regression in exact integers: x = epoch-day, y = value micro-units,
+# slope_ppm_per_day = 1e6 * (n·Σxy − Σx·Σy) div (n·Σx² − (Σx)²) with the
+# combination arithmetic in DECIMAL(38,0)/HUGEINT (the int64-overflowing
+# step) and sign-safe magnitude division. One groupBy — partial
+# aggregation absorbs per-user skew; output is one row per user.
+# --------------------------------------------------------------------- #
+@query(
+    "q181_grouped_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             epoch_us(ts) // 86400000000 AS x,
+             CAST(CAST(round(value, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y
+      FROM events),
+    agg AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM pts GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                     WHEN (n * sxy - sx * sy) < 0
+                     THEN -((-(n * sxy - sx * sy)) * 1000000 // (n * sxx - sx * sx))
+                     ELSE (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+                END AS BIGINT) AS slope_ppm
+    FROM agg
+    """,
+)
+def q181_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.events import _epoch_us
+
+    evts = _t(spark, sf_dir, "events")
+    pts = evts.select(
+        "user_id",
+        (_epoch_us("ts") / F.lit(86400000000)).cast("bigint").alias("x"),
+        (F.round(F.col("value"), 6).cast("decimal(18,6)") * F.lit(1000000))
+        .cast("bigint")
+        .alias("y"),
+    )
+    agg = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    # decimal `div` = divideToIntegralValue (truncation), exact — NOT
+    # float floor(a/b), whose rounded decimal division can flip an
+    # integer boundary; divide magnitudes only so truncation == floor
+    staged = agg.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("sxy")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+        ).alias("__num"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("sxx")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+        ).alias("__den"),
+    )
+    slope = (
+        F.when(F.col("__den") == 0, F.lit(0).cast("bigint"))
+        .when(F.col("__num") < 0, -F.expr("((-__num) * 1000000) div __den"))
+        .otherwise(F.expr("(__num * 1000000) div __den"))
+    )
+    return staged.select("user_id", "n", slope.cast("bigint").alias("slope_ppm"))
