@@ -22,6 +22,7 @@ ARROW_OK = {
     "q122_wav_decode",  # stdlib wave-parse pandas UDF (binary PCM decode)
     "q125_npy_decode",  # np.load pandas UDF (npy container decode)
     "q139_semantic_dedup",  # per-cluster blocked GEMM (BLAS pair search)
+    "q175_audio_pipeline",  # wav-decode + np.fft.rfft pandas UDFs (end-to-end chain)
 }
 
 # Row-at-a-time Python (BatchEvalPython / PythonUDF in a non-Arrow
