@@ -107,7 +107,29 @@ def main():
         "pagerank": lambda d: __import__(
             "dabstract_spark.operators.graph", fromlist=["pagerank"]
         ).pagerank(dd.fuzzy_pairs(d, "doc_id", "text")),
+        # vocab grows with the bijection copies -> the model tables
+        # (bigram/context counts) grow too, the honest LM-training shape
+        "bigram_lm": lambda d: tx.bigram_coherence(d, "doc_id", "text"),
     }
+
+    def _heavy_hitters(d):
+        from dabstract_spark.functions.hashing import md5_unit
+
+        tok_all = d.select("doc_id", F.explode(tx.tokens("text")).alias("token"))
+        samp = d.filter(
+            md5_unit(F.concat(F.lit("hh/"), F.col("doc_id").cast("string")), 7) < 0.25
+        ).select(F.explode(tx.tokens("text")).alias("token"))
+        cand = (
+            samp.groupBy("token").count().orderBy(F.desc("count"), F.asc("token"))
+            .limit(50).select("token")
+        )
+        return (
+            tok_all.join(F.broadcast(cand), "token")
+            .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("token")).limit(10)
+        )
+
+    probes["heavy_hitters"] = _heavy_hitters
     emb_probes = {
         # uncapped: the duplicate bomb is quadratic BY OUTPUT (16 copies
         # of every vector share a bucket -> 256x true pairs)...
@@ -134,6 +156,11 @@ def main():
         "topk_quantized": lambda e: __import__(
             "dabstract_spark.operators.similarity", fromlist=["topk_quantized"]
         ).topk_quantized(e, e.filter(F.col("vec_id") < 5), k=10),
+        # rows x dim^2 integer sums + a dim^2-row shuffle; the power
+        # iteration itself is driver-side on a 64x64 matrix
+        "pca_projection": lambda e: __import__(
+            "dabstract_spark.operators.similarity", fromlist=["pca_power_projection"]
+        ).pca_power_projection(e),
     }
     rel_probes = {
         "pricing_summary": lambda li: li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -163,8 +190,14 @@ def main():
     # a heavy neighbor once inflated asof_join 16x from 2.3s to 13.4s)
     reps = int(os.environ.get("SCALE_PROBE_REPS", "3"))
 
+    only = {
+        s for s in os.environ.get("SCALE_PROBE_ONLY", "").split(",") if s
+    }
+
     def probe_block(block, base, id_col, uniquify=None):
         for name, fn in block.items():
+            if only and name not in only:
+                continue
             row = []
             for copies in (1, 4, 16):
                 d = scaled(base, id_col, copies, uniquify=uniquify)
