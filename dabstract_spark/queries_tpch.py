@@ -785,3 +785,64 @@ def q180_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("loo_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Rolling 7-day distinct users (the WAU metric): COUNT(DISTINCT) over a
+# RANGE window is inexpressible in Spark SQL — the scalable form is
+# dedup to (user, day), explode each pair into the 7 window-ending days
+# it serves, then one distinct-count per day. Shuffle volume is bounded
+# at 7x the DEDUPED user-day table (not 7x raw events).
+# --------------------------------------------------------------------- #
+@query(
+    "q182_rolling_distinct",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    win AS (
+      SELECT user_id, day + CAST(i AS INT) AS wday
+      FROM ud, UNNEST(generate_series(0, 6)) AS t(i))
+    SELECT wday, COUNT(DISTINCT user_id) AS wau
+    FROM win GROUP BY wday
+    """,
+)
+def q182_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    win = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("i")).alias("wday"))
+    return win.groupBy("wday").agg(F.countDistinct("user_id").alias("wau"))
+
+
+# --------------------------------------------------------------------- #
+# UNPIVOT / melt (wide → long): the inverse of q119's pivot, via
+# Spark's native unpivot (Expand node — map-side, zero shuffle).
+# --------------------------------------------------------------------- #
+@query(
+    "q183_unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+           CAST(l_extendedprice AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount',
+           CAST(l_discount AS DOUBLE) FROM lineitem
+    """,
+)
+def q183_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "metric",
+        F.col("val").cast("double").alias("val"),
+    )
