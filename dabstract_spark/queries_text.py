@@ -2789,3 +2789,39 @@ def q181_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("(__num * 1000000) div __den"))
     )
     return staged.select("user_id", "n", slope.cast("bigint").alias("slope_ppm"))
+
+
+# --------------------------------------------------------------------- #
+# Asymmetric shingle containment |A∩B|/|A| — the quotation/boilerplate
+# signal Jaccard structurally misses (a short doc quoted inside a long
+# one has tiny Jaccard but containment ≈ 1 on the short side). Same
+# df-capped inverted-index candidates as q48; scores in exact integer
+# ppm per direction.
+# --------------------------------------------------------------------- #
+@query(
+    "q184_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct({_shingles('text', 2)})) AS s
+      FROM documents),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    kept AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (s) JOIN kept USING (s) WHERE a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           CAST(1000000 * n_common // sa.n_sh AS BIGINT) AS contain_a_ppm,
+           CAST(1000000 * n_common // sb.n_sh AS BIGINT) AS contain_b_ppm
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE 1000000 * n_common // sa.n_sh >= 600000
+       OR 1000000 * n_common // sb.n_sh >= 600000
+    """,
+)
+def q184_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dd.containment_pairs(
+        docs, "doc_id", "text", k=2, threshold_ppm=600000, max_df=100
+    )

@@ -307,3 +307,22 @@ def test_pca_power_projection_matches_integer_reference(spark):
     assert got == want
     # and the dominant axis really is dim 0: projection ~ x0 * v0
     assert abs(v[0]) == 1000000
+
+
+def test_containment_short_doc_quoted_in_long(spark):
+    from dabstract_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta"
+    long = "intro words here " + short + " plus a very long unrelated tail " + \
+        "with many extra tokens that dilute the union badly " * 3
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "совершенно unrelated text entirely")],
+        ["doc_id", "text"],
+    )
+    rows = containment_pairs(df, "doc_id", "text", k=2, threshold_ppm=900000).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # doc 1's shingles are all inside doc 2 -> containment_a = 1.0
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.contain_a_ppm == 1_000_000
+    assert r.contain_b_ppm < 500_000
