@@ -643,3 +643,84 @@ def q175_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         (F.round("logmel", 4) + F.lit(0.0)).alias("logmel"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Multimodal pixel-decode plumbing, ORACLE-checked (§2.1 image/video
+# columns): the container has no PIL/cv2, so mode='fake' substitutes an
+# md5-derived pixel function for the codec — but everything else
+# (binary scan, Arrow batch transfer, nested array<array<double>>
+# schema, posexplode downstream) is the real path, and because the
+# fake is a pure function of bytes+coordinates DuckDB reproduces every
+# pixel from read_blob. The decode plumbing is therefore hash-checked
+# end to end, not just unit-tested for determinism.
+# --------------------------------------------------------------------- #
+_IMG_H, _IMG_W = 4, 6
+_PX = (
+    "round(CAST(('0x' || substr(md5(md5(lower(hex(content))) "
+    "|| {coords}), 1, 8)) AS BIGINT) / 4294967296.0, 6)"
+)
+
+
+@query(
+    "q185_image_decode_fake",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+           CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           {_PX.format(coords="':' || i || ':' || j")} + 0.0 AS px
+    FROM read_blob('{IMAGE_FIXTURE_DIR}/*.png'),
+         UNNEST(generate_series(0, {_IMG_H - 1})) AS ti(i),
+         UNNEST(generate_series(0, {_IMG_W - 1})) AS tj(j)
+    """,
+)
+def q185_image_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.sources.readers import decode_image
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(IMAGE_FIXTURE_DIR)
+    )
+    img = files.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        decode_image("content", _IMG_H, _IMG_W, mode="fake").alias("__m"),
+    )
+    return (
+        img.select("fname", F.posexplode("__m").alias("i", "__row"))
+        .select("fname", "i", F.posexplode("__row").alias("j", "px"))
+        .select("fname", "i", "j", (F.round("px", 6) + F.lit(0.0)).alias("px"))
+    )
+
+
+@query(
+    "q186_video_frames_fake",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+           CAST(f AS INT) AS frame, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           {_PX.format(coords="':' || f || ':' || i || ':' || j")} + 0.0 AS px
+    FROM read_blob('{IMAGE_FIXTURE_DIR}/*.png'),
+         UNNEST(generate_series(0, 1)) AS tf(f),
+         UNNEST(generate_series(0, 1)) AS ti(i),
+         UNNEST(generate_series(0, 2)) AS tj(j)
+    """,
+)
+def q186_video_frames_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.sources.readers import sample_video_frames
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(IMAGE_FIXTURE_DIR)
+    )
+    vid = files.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        sample_video_frames("content", n_frames=2, height=2, width=3, mode="fake").alias("__v"),
+    )
+    return (
+        vid.select("fname", F.posexplode("__v").alias("frame", "__fr"))
+        .select("fname", "frame", F.posexplode("__fr").alias("i", "__row"))
+        .select("fname", "frame", "i", F.posexplode("__row").alias("j", "px"))
+        .select(
+            "fname", "frame", "i", "j", (F.round("px", 6) + F.lit(0.0)).alias("px")
+        )
+    )

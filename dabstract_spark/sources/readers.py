@@ -161,12 +161,30 @@ def decode_image(col: Column | str, height: int = 8, width: int = 8, mode: str =
                 img = Image.open(io.BytesIO(bytes(raw))).convert("L").resize((width, height))
                 out.append(np.asarray(img, dtype=np.float64) / 255.0)
             else:
-                seed = int.from_bytes(hashlib.md5(bytes(raw)).digest()[:8], "big")
-                rng = np.random.default_rng(seed)
-                out.append(rng.random((height, width)))
+                # md5-derived pixels (NOT a PRNG): every value is a pure
+                # function of the bytes + coordinates, so the fake-decode
+                # path is reproducible in SQL and the full binary→Arrow→
+                # nested-array plumbing can be ORACLE-checked end to end
+                # (q185), not just unit-tested for determinism
+                seed = hashlib.md5(bytes(raw).hex().encode()).hexdigest()
+                out.append(
+                    np.array(
+                        [
+                            [_fake_pixel(seed, i, j) for j in range(width)]
+                            for i in range(height)
+                        ]
+                    )
+                )
         return pd.Series(out)
 
     return img_udf(c)
+
+
+def _fake_pixel(seed_hex: str, *coords: int) -> float:
+    """Deterministic engine-portable pseudo-pixel in [0,1): the first 8
+    hex chars of md5('seed:coord:coord...') / 2^32, rounded to 6."""
+    h = hashlib.md5((seed_hex + "".join(f":{c}" for c in coords)).encode()).hexdigest()
+    return round(int(h[:8], 16) / 2**32, 6)
 
 
 def sample_video_frames(col: Column | str, n_frames: int = 4, height: int = 8, width: int = 8, mode: str = "real") -> Column:
@@ -218,9 +236,20 @@ def sample_video_frames(col: Column | str, n_frames: int = 4, height: int = 8, w
                 finally:
                     os.unlink(tmp)
             else:
-                seed = int.from_bytes(hashlib.md5(bytes(raw)).digest()[:8], "big")
-                rng = np.random.default_rng(seed)
-                out.append(rng.random((n_frames, height, width)))
+                # same md5-derived (SQL-reproducible) fake as decode_image,
+                # with the frame index as the leading coordinate
+                seed = hashlib.md5(bytes(raw).hex().encode()).hexdigest()
+                out.append(
+                    np.array(
+                        [
+                            [
+                                [_fake_pixel(seed, f, i, j) for j in range(width)]
+                                for i in range(height)
+                            ]
+                            for f in range(n_frames)
+                        ]
+                    )
+                )
         return pd.Series(out)
 
     return vid_udf(c)

@@ -23,6 +23,8 @@ ARROW_OK = {
     "q125_npy_decode",  # np.load pandas UDF (npy container decode)
     "q139_semantic_dedup",  # per-cluster blocked GEMM (BLAS pair search)
     "q175_audio_pipeline",  # wav-decode + np.fft.rfft pandas UDFs (end-to-end chain)
+    "q185_image_decode_fake",  # image-decode pandas UDF (md5-fake codec, real plumbing)
+    "q186_video_frames_fake",  # video-frame pandas UDF (md5-fake codec, real plumbing)
 }
 
 # Row-at-a-time Python (BatchEvalPython / PythonUDF in a non-Arrow
