@@ -846,3 +846,62 @@ def q183_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         F.col("val").cast("double").alias("val"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Cross-validated (out-of-fold) target encoding: q180's encoder made
+# leakage-safe the way training pipelines actually do it — each row's
+# category statistic comes from the OTHER k-1 folds of the md5-seeded
+# kfold assignment (§2.10 machinery composed with the feature path).
+# Per-(category, fold) partials are tiny and broadcast back; exact
+# integer ppm.
+# --------------------------------------------------------------------- #
+@query(
+    "q187_crossfold_encoding",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             CAST((ROW_NUMBER() OVER (ORDER BY md5('0:' || CAST(o_orderkey AS VARCHAR))) - 1) % 5 AS INT) AS fold
+      FROM orders),
+    pf AS (SELECT o_orderpriority, fold, SUM(y) AS s, COUNT(*) AS c
+           FROM f GROUP BY o_orderpriority, fold),
+    pt AS (SELECT o_orderpriority, SUM(y) AS s, COUNT(*) AS c
+           FROM f GROUP BY o_orderpriority)
+    SELECT f.o_orderkey, f.o_orderpriority, f.fold,
+           CAST(CASE WHEN pt.c - pf.c = 0 THEN 0
+                ELSE 1000000 * (pt.s - pf.s) // (pt.c - pf.c) END AS BIGINT) AS oof_ppm
+    FROM f
+    JOIN pf USING (o_orderpriority, fold)
+    JOIN pt USING (o_orderpriority)
+    """,
+)
+def q187_crossfold_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators import xval as xv
+
+    orders = _t(spark, sf_dir, "orders")
+    folds = xv.random_kfold(orders, folds=5, key="o_orderkey", seed=0)
+    f = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("__y"),
+    ).join(folds, "o_orderkey")
+    pf = f.groupBy("o_orderpriority", "fold").agg(
+        F.sum("__y").alias("__s"), F.count(F.lit(1)).alias("__c")
+    )
+    pt = f.groupBy("o_orderpriority").agg(
+        F.sum("__y").alias("__ts"), F.count(F.lit(1)).alias("__tc")
+    )
+    return (
+        f.join(F.broadcast(pf), ["o_orderpriority", "fold"])
+        .join(F.broadcast(pt), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "fold",
+            F.when(F.col("__tc") - F.col("__c") == 0, F.lit(0))
+            .otherwise(F.expr("1000000 * (__ts - __s) div (__tc - __c)"))
+            .cast("bigint")
+            .alias("oof_ppm"),
+        )
+    )
