@@ -2825,3 +2825,57 @@ def q184_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.containment_pairs(
         docs, "doc_id", "text", k=2, threshold_ppm=600000, max_df=100
     )
+
+
+# --------------------------------------------------------------------- #
+# Near-dup-aware (leakage-free) train/test split: the standard LLM-data
+# practice that plain random splits violate — near-duplicate documents
+# must land in the SAME fold or the test set leaks into training. The
+# minhash cluster labels (q84) become the GROUP of a group-kfold
+# (§2.10), so fold boundaries never cut a duplicate cluster. One
+# composed plan: sketch → band → pair → cluster → broadcast fold join.
+# --------------------------------------------------------------------- #
+@query(
+    "q188_cluster_safe_split",
+    oracle=f"""
+    WITH RECURSIVE
+         tk AS (SELECT doc_id, {_TOKENS.format(c='text')} AS t FROM documents),
+         ths AS (SELECT doc_id, {_TH} AS th FROM tk),
+         hs2 AS (SELECT doc_id, {_HS3} AS hs FROM ths),
+         sig AS (SELECT doc_id, {_minhash_list(16)} AS mh FROM hs2 WHERE len(hs) > 0),
+         bands AS (
+           SELECT doc_id, b AS band_id,
+                  md5(array_to_string(mh[b*4+1 : b*4+4], ',')) AS band_hash
+           FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING (band_id, band_hash)
+           WHERE a.doc_id < b.doc_id),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS comp FROM documents
+           UNION
+           SELECT e.dst AS id, r.comp
+           FROM reach r JOIN edges e ON e.src = r.id),
+         clus AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+         gfold AS (
+           SELECT cluster_id,
+                  CAST((ROW_NUMBER() OVER (ORDER BY md5('2:' || CAST(cluster_id AS VARCHAR))) - 1) % 5 AS INT) AS fold
+           FROM (SELECT DISTINCT cluster_id FROM clus))
+    SELECT c.doc_id, c.cluster_id, g.fold
+    FROM clus c JOIN gfold g USING (cluster_id)
+    """,
+)
+def q188_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators import xval as xv
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dd.minhash_dedup_clusters(
+        docs, "doc_id", "text", n_hashes=16, bands=4, k=3
+    )
+    folds = xv.group_random_kfold(
+        clusters, folds=5, key="doc_id", group="cluster_id", seed=2
+    )
+    return clusters.join(folds, "doc_id").select("doc_id", "cluster_id", "fold")
