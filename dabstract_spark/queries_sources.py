@@ -724,3 +724,30 @@ def q186_video_frames_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fname", "frame", "i", "j", (F.round("px", 6) + F.lit(0.0)).alias("px")
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Small-file compaction audit (§2.1 sink maintenance): fragment events
+# into 37 tiny files, compact to exactly 4, and prove the rewrite via
+# an order-independent audit (row count + integer checksum + file
+# count) that must hash-match the original table's numbers.
+# --------------------------------------------------------------------- #
+@query(
+    "q189_compaction_audit",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM events) AS total_rows,
+           (SELECT SUM(event_id) FROM events) AS id_sum,
+           4 AS n_files
+    """,
+)
+def q189_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.operators.layout import compact_parquet
+    from dabstract_spark.session import load_table
+
+    base = tempfile.mkdtemp(prefix="sparkdab_compact_")
+    ev = load_table(spark, sf_dir, "events")
+    # the fragmented "many small appends" state being repaired
+    ev.select("event_id").repartition(37).write.mode("overwrite").parquet(f"{base}/frag")
+    return compact_parquet(spark, f"{base}/frag", f"{base}/compacted", target_files=4)
