@@ -122,6 +122,26 @@ def quality_score(col: Column | str, token_col: Column | None = None) -> Column:
     return (q_ppm / F.lit(1000000.0)).alias("quality")
 
 
+def quality_score_ppm(col: Column | str, token_col: Column | None = None) -> Column:
+    """quality_score BEFORE the final /1e6 — the exact bigint ppm value,
+    for aggregations that must stay in integer arithmetic (a mean over
+    the float form would round-trip through an inexact double). Same
+    expression tree as quality_score up to the last division."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = token_col if token_col is not None else tokens(c)
+    n_tok = F.greatest(F.size(t), F.lit(1)).cast("bigint")
+    n_chars = F.greatest(F.length(c), F.lit(1)).cast("bigint")
+    hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("bigint")
+    n_punct = F.length(F.regexp_replace(c, r"[^.!?,;:]", "")).cast("bigint")
+    m = F.lit(1000000).cast("bigint")
+    len_ppm = F.least(F.length(c).cast("bigint") * 2500, m)
+    sw_capped = F.least(F.floor(hits * 1000000 / n_tok) * 5, m)
+    punct_capped = F.least(F.floor(n_punct * 1000000 / n_chars) * 10, m)
+    return F.floor((5 * len_ppm + 3 * sw_capped + 2 * (m - punct_capped)) / 10).cast(
+        "bigint"
+    )
+
+
 def lang_id(
     col: Column | str,
     markers: dict[str, tuple[str, ...]] | None = None,

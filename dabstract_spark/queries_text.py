@@ -2879,3 +2879,64 @@ def q188_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         clusters, folds=5, key="doc_id", group="cluster_id", seed=2
     )
     return clusters.join(folds, "doc_id").select("doc_id", "cluster_id", "fold")
+
+
+# --------------------------------------------------------------------- #
+# Corpus curation report — the per-(source, detected-language) dashboard
+# a data-curation team reads before mixing: doc counts, BPE token
+# budget, exact integer mean quality, and how many docs survive exact
+# dedup. ONE pass computes all detected columns; the dedup survivor
+# count joins a groupBy-min keeper table. Quality mean stays in bigint
+# ppm end to end (a mean over the /1e6 double would round-trip through
+# an inexact value).
+# --------------------------------------------------------------------- #
+@query(
+    "q191_curation_report",
+    oracle=f"""
+    WITH det AS (
+      SELECT doc_id, source, text,
+             CASE WHEN {_SCORE['qy']} > greatest({_SCORE['dt']}, {_SCORE['en']}, 0) THEN 'qy'
+                  WHEN {_SCORE['en']} > greatest({_SCORE['dt']}, 0) THEN 'en'
+                  WHEN {_SCORE['dt']} > 0 THEN 'dt'
+                  ELSE 'und' END AS lang_pred,
+             len(regexp_extract_all(lower(text),
+                 '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe,
+             ((5 * least(length(text)::BIGINT * 2500, 1000000)
+               + 3 * least((len(list_filter({_T}, t -> t IN {_SW}))::BIGINT * 1000000
+                            // greatest(len({_T}), 1)) * 5, 1000000)
+               + 2 * (1000000 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::BIGINT * 1000000
+                            // greatest(length(text), 1)) * 10, 1000000))) // 10) AS q_ppm,
+             ROW_NUMBER() OVER (
+               PARTITION BY COALESCE(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')),
+                                     'null:' || CAST(doc_id AS VARCHAR))
+               ORDER BY doc_id) AS rn
+      FROM documents)
+    SELECT source, lang_pred,
+           COUNT(*) AS n_docs,
+           SUM(n_bpe) AS bpe_tokens,
+           CAST(SUM(q_ppm) // COUNT(*) AS BIGINT) AS mean_quality_ppm,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS dedup_survivors
+    FROM det GROUP BY source, lang_pred
+    """,
+)
+def q191_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+        F.coalesce(
+            F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")),
+            F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+        )
+    ).orderBy("doc_id")
+    det = docs.select(
+        "source",
+        tx.lang_id("text").alias("lang_pred"),
+        tx.bpe_token_count("text").alias("__n_bpe"),
+        tx.quality_score_ppm("text").alias("__q_ppm"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    return det.groupBy("source", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n_bpe").alias("bpe_tokens"),
+        F.expr("sum(__q_ppm) div count(1)").cast("bigint").alias("mean_quality_ppm"),
+        F.sum((F.col("__rn") == 1).cast("bigint")).alias("dedup_survivors"),
+    )

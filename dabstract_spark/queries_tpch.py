@@ -905,3 +905,51 @@ def q187_crossfold_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("oof_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Referential-integrity audit: orphan counts for every FK relationship
+# in one result — each relationship a broadcast/shuffle ANTI join (the
+# scalable form; EXISTS-per-row subqueries would rescan the dim per
+# probe). The constraint pass a warehouse runs after every load.
+# --------------------------------------------------------------------- #
+@query(
+    "q190_referential_audit",
+    oracle="""
+    SELECT 'orders->customer' AS rel,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier->nation',
+           (SELECT COUNT(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+    """,
+)
+def q190_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+
+    def orphans(rel, child, parent, ck, pk):
+        return (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("orphans"))
+            .select(F.lit(rel).alias("rel"), "orphans")
+        )
+
+    return (
+        orphans("orders->customer", orders, cust, "o_custkey", "c_custkey")
+        .unionByName(orphans("lineitem->orders", li, orders, "l_orderkey", "o_orderkey"))
+        .unionByName(orphans("customer->nation", cust, nation, "c_nationkey", "n_nationkey"))
+        .unionByName(orphans("supplier->nation", supp, nation, "s_nationkey", "n_nationkey"))
+    )
