@@ -326,3 +326,46 @@ def test_containment_short_doc_quoted_in_long(spark):
     assert (r.id_a, r.id_b) == (1, 2)
     assert r.contain_a_ppm == 1_000_000
     assert r.contain_b_ppm < 500_000
+
+
+def test_heavy_hitter_pruning_recovers_exact_topk(spark):
+    """q177's correctness depends on the md5-sampled candidate set
+    containing the true top-10 — verify on randomized zipf-ish corpora,
+    not just the fixtures."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dabstract_spark.functions.hashing import md5_unit
+    from dabstract_spark.operators.text import tokens
+
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(120)]
+        weights = [1.0 / (i + 1) for i in range(120)]  # zipf
+        docs = [
+            (i, " ".join(rng.choices(vocab, weights=weights, k=40)))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        tok_all = df.select("doc_id", F.explode(tokens("text")).alias("token"))
+        exact = (
+            tok_all.groupBy("token").count()
+            .orderBy(F.desc("count"), F.asc("token")).limit(10).collect()
+        )
+        samp = df.filter(
+            md5_unit(F.concat(F.lit("hh/"), F.col("doc_id").cast("string")), 7) < 0.25
+        ).select(F.explode(tokens("text")).alias("token"))
+        cand = (
+            samp.groupBy("token").count()
+            .orderBy(F.desc("count"), F.asc("token")).limit(50).select("token")
+        )
+        pruned = (
+            tok_all.join(F.broadcast(cand), "token")
+            .groupBy("token").agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), F.asc("token")).limit(10).collect()
+        )
+        assert [(r.token, r['count']) for r in pruned] == [
+            (r.token, r['count']) for r in exact
+        ], f"seed {seed}: pruning lost a true heavy hitter"
