@@ -2940,3 +2940,31 @@ def q191_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(__q_ppm) div count(1)").cast("bigint").alias("mean_quality_ppm"),
         F.sum((F.col("__rn") == 1).cast("bigint")).alias("dedup_survivors"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Streaming twin of q182 (live rolling 7-day distinct users): streaming
+# COUNT(DISTINCT) doesn't exist, so distinctness is dropDuplicates
+# state on (user, window-day) feeding a plain streaming count —
+# drained availableNow, must equal the batch WAU SQL exactly.
+# --------------------------------------------------------------------- #
+@query(
+    "q192_stream_rolling_distinct",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    win AS (
+      SELECT user_id, day + CAST(i AS INT) AS wday
+      FROM ud, UNNEST(generate_series(0, 6)) AS t(i))
+    SELECT wday, COUNT(DISTINCT user_id) AS wau
+    FROM win GROUP BY wday
+    """,
+)
+def q192_stream_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.streaming.ops import (
+        rolling_distinct_stream,
+        run_to_memory,
+        stream_events,
+    )
+
+    src = stream_events(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(rolling_distinct_stream(src))

@@ -407,3 +407,28 @@ def incremental_dedup_stream(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out_path)
+
+
+def rolling_distinct_stream(
+    src: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Streaming rolling N-day distinct keys (live WAU): COUNT(DISTINCT)
+    is unsupported in streaming aggregations, so distinctness becomes
+    dropDuplicates STATE — explode each event into the N window-ending
+    days it serves, dedup on (key, window-day), then a plain streaming
+    count per day. Two chained stateful operators; state is bounded by
+    (active keys × N), the same table the batch twin (q182) builds."""
+    exploded = (
+        src.select(F.col(key_col), F.to_date(ts_col).alias("__day"))
+        .select(
+            key_col,
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("__i"),
+            "__day",
+        )
+        .select(key_col, F.date_add(F.col("__day"), F.col("__i")).alias("wday"))
+    )
+    dedup = exploded.dropDuplicates([key_col, "wday"])
+    return dedup.groupBy("wday").agg(F.count(F.lit(1)).alias("wau"))
