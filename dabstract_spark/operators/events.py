@@ -452,3 +452,53 @@ def change_intervals(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key time-weighted average (trapezoidal integration) — the
+    irregular-sampling mean every metrics store needs (a value held for
+    an hour must weigh 60x one held for a minute; the row-mean is
+    wrong). twa = Σ (v_i + v_{i+1})·(t_{i+1} − t_i) / (2·(t_N − t_0)).
+
+    Exact integer form: values in 1e6 micro-units, time in epoch µs —
+    segment products overflow int64, so the per-key sums accumulate in
+    DECIMAL(38,0) and the final division is integral (sign-safe
+    magnitudes), giving a bit-identical twa_micro across engines.
+    One shuffle on the key (lag window + aggregate share it); keys with
+    a single sample (zero span) are excluded — their TWA is undefined."""
+    w = Window.partitionBy(key_col).orderBy(F.col("__t"), F.col("__v"))
+    seg = (
+        df.select(
+            F.col(key_col),
+            _epoch_us(ts_col).alias("__t"),
+            (F.round(F.col(value_col), 6).cast("decimal(18,6)") * F.lit(1000000))
+            .cast("bigint")
+            .alias("__v"),
+        )
+        .withColumn("__pt", F.lag("__t").over(w))
+        .withColumn("__pv", F.lag("__v").over(w))
+    )
+    agg = seg.groupBy(key_col).agg(
+        F.sum(
+            (
+                (F.col("__v") + F.col("__pv")).cast("decimal(38,0)")
+                * (F.col("__t") - F.col("__pt")).cast("decimal(38,0)")
+            )
+        ).alias("__num"),
+        (F.max("__t") - F.min("__t")).alias("__span"),
+    )
+    return (
+        agg.filter(F.col("__span") > 0)
+        .withColumn("__den", (F.col("__span").cast("decimal(38,0)") * 2))
+        .select(
+            key_col,
+            F.when(
+                F.col("__num") < 0, -F.expr("(-__num) div __den")
+            ).otherwise(F.expr("__num div __den")).cast("bigint").alias("twa_micro"),
+        )
+    )

@@ -2968,3 +2968,36 @@ def q192_stream_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = stream_events(spark, f"{sf_dir}/events.parquet")
     return run_to_memory(rolling_distinct_stream(src))
+
+
+# --------------------------------------------------------------------- #
+# Per-key time-weighted average (trapezoidal) — the irregular-sampling
+# mean (a value held an hour must weigh 60x one held a minute). Exact:
+# micro-unit values × epoch-µs spans in DECIMAL(38)/HUGEINT, integral
+# division => bit-identical twa_micro.
+# --------------------------------------------------------------------- #
+@query(
+    "q193_time_weighted_avg",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CAST(CAST(round(value, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+      FROM events),
+    seg AS (
+      SELECT user_id, t, v,
+             LAG(t) OVER w AS pt, LAG(v) OVER w AS pv
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t, v)),
+    agg AS (
+      SELECT user_id,
+             SUM(CAST(v + pv AS HUGEINT) * (t - pt)) AS num,
+             MAX(t) - MIN(t) AS span
+      FROM seg GROUP BY user_id)
+    SELECT user_id,
+           CAST(CASE WHEN num < 0 THEN -((-num) // CAST(2 * span AS HUGEINT))
+                     ELSE num // CAST(2 * span AS HUGEINT) END AS BIGINT) AS twa_micro
+    FROM agg WHERE span > 0
+    """,
+)
+def q193_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    evts = _t(spark, sf_dir, "events")
+    return ev.time_weighted_avg(evts)
