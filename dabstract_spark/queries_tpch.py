@@ -953,3 +953,49 @@ def q190_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphans("customer->nation", cust, nation, "c_nationkey", "n_nationkey"))
         .unionByName(orphans("supplier->nation", supp, nation, "s_nationkey", "n_nationkey"))
     )
+
+
+# --------------------------------------------------------------------- #
+# Grouped WEIGHTED median (price weighted by quantity): the exact
+# selection form — collapse to per-(group, price) weight sums FIRST
+# (the aggregation does the data-sized work and kills duplicates), then
+# a cumulative sum over the much smaller distinct-price table picks the
+# smallest price whose cumulative weight reaches half the total.
+# Integer weights => deterministic boundary, no percentile
+# interpolation semantics to disagree on.
+# --------------------------------------------------------------------- #
+@query(
+    "q194_weighted_median",
+    oracle="""
+    WITH pw AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY l_returnflag, l_extendedprice),
+    cum AS (
+      SELECT l_returnflag, price, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS total
+      FROM pw)
+    SELECT l_returnflag, MIN(price) AS weighted_median
+    FROM cum WHERE 2 * cw >= total
+    GROUP BY l_returnflag
+    """,
+)
+def q194_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pw = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("w")
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("price")
+    wtot = Window.partitionBy("l_returnflag")
+    cum = pw.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("total"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("price").alias("weighted_median"))
+    )
