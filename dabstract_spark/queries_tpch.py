@@ -999,3 +999,36 @@ def q194_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("price").alias("weighted_median"))
     )
+
+
+# --------------------------------------------------------------------- #
+# Grouped exact MODE with a deterministic tie-break (built-in mode()
+# breaks ties arbitrarily — useless under a correctness gate): count
+# per (group, value) first (map-side combine does the heavy lifting),
+# then a bounded top-1 window over the small distinct-value table.
+# --------------------------------------------------------------------- #
+@query(
+    "q195_grouped_mode",
+    oracle="""
+    WITH vc AS (
+      SELECT event_type, user_id, COUNT(*) AS n
+      FROM events GROUP BY event_type, user_id)
+    SELECT event_type, user_id AS mode_user, n AS n_events
+    FROM vc
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, user_id) = 1
+    """,
+)
+def q195_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    vc = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        vc.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("mode_user"),
+            F.col("n").alias("n_events"),
+        )
+    )
