@@ -98,13 +98,21 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
-        out["errors"] = errors
+        # keep the emitted line bounded even if many queries fail: first
+        # few messages inline, the rest as a count (full map in the file)
+        head = dict(sorted(errors.items())[:5])
+        out["errors"] = head
+        if len(errors) > len(head):
+            out["errors_more"] = len(errors) - len(head)
     line = json.dumps(out, separators=(",", ":"))
-    print(line)
-    # full-name timings for local inspection (stderr is not the recorded
-    # channel, so this cannot break the one-line stdout contract)
+    # the recording harness tail-captures output: nothing may print after
+    # this line, on ANY stream — a trailing multi-KB detail dump (even on
+    # stderr, in case streams are merged) would evict the JSON line from
+    # the capture window. Full-name per-query timings go to a file.
     full = {n: timings.get(n.split("_", 1)[0]) for n in names}
-    print(json.dumps({"detail": full, "errors": errors}), file=sys.stderr)
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps({"detail": full, "errors": errors}, indent=1))
+    print(line)
 
 
 if __name__ == "__main__":

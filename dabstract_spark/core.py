@@ -146,3 +146,26 @@ def select_indices(df: DataFrame, indices) -> DataFrame:
     spark = df.sparkSession
     idx_df = spark.createDataFrame([(int(i),) for i in indices], f"{ROW_ID} long")
     return df.join(F.broadcast(idx_df), ROW_ID, "left_semi")
+
+
+def dense_codes(df: DataFrame, col: str, out_col: str) -> DataFrame:
+    """Dictionary table ``(col, out_col)``: dense 0-based int codes in
+    sorted-value order over the DISTINCT values of ``col`` (stringlist2ind
+    parity, reference utils.py:553-569).
+
+    Window-free: code(v) = count of distinct values < v, computed as a
+    tiny-×-tiny self-join + count on the distinct table. The dictionary
+    is by definition small (a label domain), so the O(k²) join is
+    negligible and the plan carries NO single-partition WindowExec — a
+    ``dense_rank`` over even a tiny table still moves that table through
+    one window task and trips the global-window audit. NULL values get
+    no code (left out of the dictionary); join back with ``broadcast``.
+    """
+    vals = df.select(F.col(col).alias("__val")).filter(F.col("__val").isNotNull()).distinct()
+    smaller = vals.select(F.col("__val").alias("__lt"))
+    return (
+        vals.join(F.broadcast(smaller), F.col("__lt") < F.col("__val"), "left")
+        .groupBy("__val")
+        .agg(F.count("__lt").cast("int").alias(out_col))
+        .select(F.col("__val").alias(col), out_col)
+    )

@@ -11,13 +11,17 @@ scale bug. Here the sum is computed block-wise instead:
 2. a windowed cumsum *within* each block (one shuffle on the block id,
    local sorts only — every block is bounded);
 3. per-block totals are aggregated (map-side partial agg, n_blocks tiny
-   rows), collected, exclusive-prefix-summed on the driver, and
-   broadcast-joined back.
+   rows) and exclusive-prefix-summed with a SECOND level of the same
+   blocking: totals cumsum within super-blocks (windows bounded at
+   ``block_size`` rows each), then the n_blocks/block_size super-block
+   totals take the one global window — at 10^12 rows and the default
+   block size that table is ~233 rows, constant for any realistic n.
+   The offsets join back to the data on the block id.
 
-The only driver-side state is one row per block: with ``block_size`` =
-1M ordinals, a 10^12-row table needs 10^6 block rows (~16 MB) — the
-same K-row-collect shape as the IVF centroid table. Everything row-scale
-stays in whole-stage codegen.
+Nothing ever reaches the driver — every stage is executor-side and the
+only global window runs over the doubly-aggregated super-block table
+(n / block_size² rows). Everything row-scale stays in whole-stage
+codegen.
 
 Reference parallel: dabstract's SplitAbstract/frame bookkeeping computes
 per-example split offsets with ``np.cumsum`` on the driver
@@ -49,26 +53,45 @@ def block_prefix_sum(
     with_blk = df.withColumn("__blk", blk).withColumn("__v", val.cast("bigint"))
 
     # per-block totals: map-side combine shrinks this to n_blocks rows
-    # before the (tiny) shuffle; the collect is K rows, not data-scale.
-    totals = (
-        with_blk.groupBy("__blk").agg(F.sum("__v").alias("__tot")).collect()
+    # before the (tiny) shuffle — this table stays on executors.
+    totals = with_blk.groupBy("__blk").agg(F.sum("__v").alias("__tot"))
+
+    # exclusive prefix sum OVER THE TOTALS, same blocking one level up:
+    # within-super-block window (bounded at block_size rows per task),
+    # then a global window over the super-block totals — a table of
+    # n_blocks/block_size rows, i.e. n/block_size² (~233 rows for 10^12
+    # input rows): small by construction, not by assumption.
+    totals = totals.withColumn("__sb", F.floor(F.col("__blk") / F.lit(block_size)))
+    w_in = (
+        Window.partitionBy("__sb")
+        .orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    running = 0
-    offsets = []
-    for row in sorted(totals, key=lambda r: r["__blk"]):
-        offsets.append((row["__blk"], running))
-        running += row["__tot"] or 0
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "__blk bigint, __off bigint")
+    totals = totals.withColumn(
+        "__off_in", F.coalesce(F.sum("__tot").over(w_in), F.lit(0))
+    )
+    sb_tot = totals.groupBy("__sb").agg(F.sum("__tot").alias("__sbt"))
+    w_sb = Window.orderBy("__sb").rowsBetween(Window.unboundedPreceding, -1)
+    sb_off = sb_tot.withColumn(
+        "__off_sb", F.coalesce(F.sum("__sbt").over(w_sb), F.lit(0))
+    ).select("__sb", "__off_sb")
+    off_df = (
+        totals.join(F.broadcast(sb_off), "__sb")
+        .select("__blk", (F.col("__off_in") + F.col("__off_sb")).alias("__off"))
+    )
 
     w = (
         Window.partitionBy("__blk")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # no broadcast hint on the offsets join: off_df is n/block_size rows
+    # — usually broadcastable, but at extreme n AQE should be free to
+    # pick a shuffle join on __blk (the data side is already exchanged
+    # on __blk by the window above, so the exchange is reused).
     return (
         with_blk.withColumn("__loc", F.sum("__v").over(w))
-        .join(F.broadcast(off_df), "__blk")
+        .join(off_df, "__blk")
         .withColumn(out_col, F.col("__loc") + F.col("__off"))
         .drop("__blk", "__v", "__loc", "__off")
     )

@@ -7,9 +7,7 @@ mirroring the reference's string-resolution of selector factories
 
 from __future__ import annotations
 
-import math
-
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from dabstract_spark.functions.hashing import md5_order, md5_unit
 
@@ -17,16 +15,38 @@ from dabstract_spark.functions.hashing import md5_order, md5_unit
 def random_subsample(df: DataFrame, ratio: float, seed: int = 0, key: str = "row_id") -> DataFrame:
     """Keep ceil(n*ratio) pseudo-random rows (reference select.py:7-24).
 
-    Exact-count semantics like the reference. Implemented as a rank over a
-    deterministic md5 ordering — distributed sort, no driver collect. For
-    approximate sampling at scale prefer ``df.sample(fraction=ratio, seed)``
-    (no shuffle at all); this exact variant costs one range-shuffle.
+    Exact-count semantics like the reference, fully distributed: rank the
+    md5 ordering with the same hex-prefix bucketing ``core.with_row_id``
+    uses (256 bounded per-bucket windows + a 256-row offset table), fold
+    the TOTAL count into that same offset table, and filter
+    ``rank <= ceil(n*ratio)``. No ``count()`` job, no global
+    ``orderBy().limit(k)`` — a TakeOrdered over k = a constant fraction
+    of the data would funnel the whole sample through one task at scale.
+    Same md5 order ⇒ byte-identical rows to the old sort-limit form.
     """
-    n = df.count()
-    k = math.ceil(n * ratio)
+    from dabstract_spark.core import _string_bucket
+
     ranked = df.withColumn("__rk", md5_order(key, seed))
-    out = ranked.orderBy("__rk").limit(k).drop("__rk")
-    return out
+    bucketed = ranked.withColumn("__g", _string_bucket(F.col("__rk"), 0))
+    # 256-row bucket-count table: cumulative offsets AND the grand total
+    # come from the same tiny aggregate — one extra column, zero jobs.
+    counts = bucketed.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("__g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "__g",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__n").over(w_tot).alias("__tot"),
+    )
+    w_local = Window.partitionBy("__g").orderBy("__rk")
+    return (
+        bucketed.join(F.broadcast(offsets), "__g")
+        .withColumn("__rank", F.col("__off") + F.row_number().over(w_local))
+        .filter(F.col("__rank") <= F.ceil(F.col("__tot") * F.lit(float(ratio))))
+        .drop("__rk", "__g", "__off", "__tot", "__rank")
+    )
 
 
 def random_subsample_approx(df: DataFrame, ratio: float, seed: int = 0) -> DataFrame:

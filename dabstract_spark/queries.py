@@ -368,19 +368,13 @@ def q19_summary_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q20_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from dabstract_spark.core import dense_codes
 
     cust = _t(spark, sf_dir, "customer")
     # Scale note: a global dense_rank window is single-partition; the scale
-    # path builds the (tiny) distinct dictionary and broadcast-joins it.
-    dic = (
-        cust.select("c_mktsegment")
-        .distinct()
-        .withColumn(
-            "segment_code",
-            (F.dense_rank().over(Window.orderBy("c_mktsegment")) - 1).cast("int"),
-        )
-    )
+    # path builds the (tiny) distinct dictionary window-free
+    # (count-of-smaller self-join) and broadcast-joins it back.
+    dic = dense_codes(cust, "c_mktsegment", "segment_code")
     return cust.select("c_custkey", "c_mktsegment").join(F.broadcast(dic), "c_mktsegment").select(
         "c_custkey", "c_mktsegment", "segment_code"
     )

@@ -182,15 +182,25 @@ def q45_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
          bands AS (
            SELECT doc_id, b AS band_id,
                   md5(array_to_string(mh[b*4+1 : b*4+4], ',')) AS band_hash
-           FROM sig, UNNEST(generate_series(0, 3)) AS t(b))
+           FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+         capped AS (
+           SELECT doc_id, band_id, band_hash FROM bands
+           QUALIFY ROW_NUMBER() OVER (
+             PARTITION BY band_id, band_hash
+             ORDER BY md5('0:' || CAST(doc_id AS VARCHAR))) <= 64)
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b USING (band_id, band_hash)
+    FROM capped a JOIN capped b USING (band_id, band_hash)
     WHERE a.doc_id < b.doc_id
     """,
 )
 def q46_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_bucket=64 is the production hot-band cap (md5-min prefix per
+    # bucket) — oracled via the identical QUALIFY above, so the capped
+    # pipeline itself is the hash-checked variant.
     docs = _t(spark, sf_dir, "documents")
-    return dd.minhash_candidate_pairs(docs, "doc_id", "text", n_hashes=16, bands=4, k=3)
+    return dd.minhash_candidate_pairs(
+        docs, "doc_id", "text", n_hashes=16, bands=4, k=3, max_bucket=64
+    )
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -678,9 +688,14 @@ def q95_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
            SELECT doc_id, b AS band_id,
                   md5(array_to_string(mh[b*4+1 : b*4+4], ',')) AS band_hash
            FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+         capped AS (
+           SELECT doc_id, band_id, band_hash FROM bands
+           QUALIFY ROW_NUMBER() OVER (
+             PARTITION BY band_id, band_hash
+             ORDER BY md5('0:' || CAST(doc_id AS VARCHAR))) <= 64),
          pairs AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bands a JOIN bands b USING (band_id, band_hash)
+           FROM capped a JOIN capped b USING (band_id, band_hash)
            WHERE a.doc_id < b.doc_id),
          edges AS (
            SELECT id_a AS src, id_b AS dst FROM pairs
@@ -695,7 +710,9 @@ def q95_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q84_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return dd.minhash_dedup_clusters(docs, "doc_id", "text", n_hashes=16, bands=4, k=3)
+    return dd.minhash_dedup_clusters(
+        docs, "doc_id", "text", n_hashes=16, bands=4, k=3, max_bucket=64
+    )
 
 
 @query(
@@ -1418,9 +1435,14 @@ def q116_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            SELECT doc_id, b AS band_id,
                   md5(array_to_string(mh[b*4+1 : b*4+4], ',')) AS band_hash
            FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+         capped AS (
+           SELECT doc_id, band_id, band_hash FROM bands
+           QUALIFY ROW_NUMBER() OVER (
+             PARTITION BY band_id, band_hash
+             ORDER BY md5('0:' || CAST(doc_id AS VARCHAR))) <= 64),
          pairs AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bands a JOIN bands b USING (band_id, band_hash)
+           FROM capped a JOIN capped b USING (band_id, band_hash)
            WHERE a.doc_id < b.doc_id),
          edges AS (
            SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1448,7 +1470,9 @@ def q117_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dabstract_spark.operators.select import top_k_per_group
 
     docs = _t(spark, sf_dir, "documents")
-    clusters = dd.minhash_dedup_clusters(docs, "doc_id", "text", n_hashes=16, bands=4, k=3)
+    clusters = dd.minhash_dedup_clusters(
+        docs, "doc_id", "text", n_hashes=16, bands=4, k=3, max_bucket=64
+    )
     scored = clusters.join(
         docs.select("doc_id", tx.quality_score("text").alias("quality")), "doc_id"
     )
@@ -2847,9 +2871,14 @@ def q184_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            SELECT doc_id, b AS band_id,
                   md5(array_to_string(mh[b*4+1 : b*4+4], ',')) AS band_hash
            FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+         capped AS (
+           SELECT doc_id, band_id, band_hash FROM bands
+           QUALIFY ROW_NUMBER() OVER (
+             PARTITION BY band_id, band_hash
+             ORDER BY md5('0:' || CAST(doc_id AS VARCHAR))) <= 64),
          pairs AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bands a JOIN bands b USING (band_id, band_hash)
+           FROM capped a JOIN capped b USING (band_id, band_hash)
            WHERE a.doc_id < b.doc_id),
          edges AS (
            SELECT id_a AS src, id_b AS dst FROM pairs
@@ -2873,7 +2902,7 @@ def q188_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     clusters = dd.minhash_dedup_clusters(
-        docs, "doc_id", "text", n_hashes=16, bands=4, k=3
+        docs, "doc_id", "text", n_hashes=16, bands=4, k=3, max_bucket=64
     )
     folds = xv.group_random_kfold(
         clusters, folds=5, key="doc_id", group="cluster_id", seed=2

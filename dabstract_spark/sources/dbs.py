@@ -14,22 +14,21 @@ broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession, Window, functions as F
+from pyspark.sql import SparkSession, functions as F
 
+from dabstract_spark.core import dense_codes
 from dabstract_spark.dataset import Dataset
 from dabstract_spark.sources.folder import attach_csv_metadata, folder_dataset
 
 
 def _dense_label_ids(ds: Dataset, col: str, out_col: str) -> Dataset:
     """stringlist2ind parity (reference utils.py): dense 0-based int codes
-    in sorted-value order. Computed on the DISTINCT values (a few rows),
-    broadcast-joined back — no window over the full scan."""
+    in sorted-value order. Computed window-free on the DISTINCT values
+    (core.dense_codes: count-of-smaller self-join on the tiny label
+    domain), broadcast-joined back — neither a window over the full scan
+    NOR a single-partition WindowExec over the dictionary."""
     df = ds.full_df
-    codes = (
-        df.select(F.col(col).alias("__val"))
-        .distinct()
-        .withColumn(out_col, F.dense_rank().over(Window.orderBy("__val")) - F.lit(1))
-    )
+    codes = dense_codes(df, col, out_col).withColumnRenamed(col, "__val")
     joined = df.join(F.broadcast(codes), F.col(col) == F.col("__val"), "left").drop("__val")
     return ds._evolve(joined)
 

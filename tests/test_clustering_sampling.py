@@ -533,3 +533,32 @@ def test_quantize_embeddings_bounds_and_zero(spark):
     assert got[3] == ([-127, 127, 64], 127 * 127 * 2 + 64 * 64)
     # codes stay in [-127, 127] at the extremes
     assert all(-127 <= v <= 127 for q, _ in got.values() for v in q)
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """max_bucket bounds candidate generation in a hot band bucket: 20
+    identical docs share every band, so uncapped they emit C(20,2) pairs;
+    capped at 5 only the md5-min prefix of each bucket pairs — C(5,2)
+    pairs, same keep-set in every band (the md5 order is band-independent).
+    Clustering keeps the kept members together; sampled-out docs fall back
+    to singletons (the documented recall trade for a pathological bucket)."""
+    from dabstract_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_dedup_clusters,
+    )
+
+    rows = [(i, "the exact same boilerplate text repeated everywhere") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = minhash_candidate_pairs(df, "doc_id", "text").collect()
+    assert len(uncapped) == 20 * 19 // 2
+    capped = minhash_candidate_pairs(df, "doc_id", "text", max_bucket=5).collect()
+    assert len(capped) == 5 * 4 // 2
+    kept = {r.id_a for r in capped} | {r.id_b for r in capped}
+    assert len(kept) == 5
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in minhash_dedup_clusters(df, "doc_id", "text", max_bucket=5).collect()
+    }
+    root = min(kept)
+    assert all(clusters[i] == root for i in kept)
+    assert all(clusters[i] == i for i in set(range(20)) - kept)
