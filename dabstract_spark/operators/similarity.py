@@ -741,15 +741,21 @@ def pca_power_projection(
     )
     e = encoded.select("__e", F.posexplode("__e").alias("i", "xi"))
     pairs = e.select("i", "xi", F.posexplode("__e").alias("j", "xj"))
+    # accumulate in decimal(38,0) (the oracle's HUGEINT): each xi·xj
+    # product is already ~1e12, so an int64 S2 accumulator silently
+    # wraps around ~9e6 rows — far below the scale this operator claims.
+    # int(...) below converts the returned Decimal to Python bigint.
     stats = (
         pairs.groupBy("i", "j")
         .agg(
-            F.sum(F.col("xi") * F.col("xj")).alias("s2"),
+            F.sum(F.col("xi").cast("decimal(38,0)") * F.col("xj")).alias("s2"),
             F.count(F.lit(1)).alias("n"),
         )
         .collect()
     )
-    s1_rows = e.groupBy("i").agg(F.sum("xi").alias("s1")).collect()
+    s1_rows = e.groupBy("i").agg(
+        F.sum(F.col("xi").cast("decimal(38,0)")).alias("s1")
+    ).collect()
     n = int(stats[0]["n"])
     s1 = {int(r["i"]): int(r["s1"]) for r in s1_rows}
     m = {(int(r["i"]), int(r["j"])): n * int(r["s2"]) - s1[int(r["i"])] * s1[int(r["j"])] for r in stats}

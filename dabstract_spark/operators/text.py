@@ -106,27 +106,18 @@ def quality_score(col: Column | str, token_col: Column | None = None) -> Column:
     half-boundaries differs between engines, integer division doesn't.
     quality = (5*len + 3*min(5*sw,1) + 2*(1-min(10*punct,1))) / 10.
     ``token_col``: pass an already-staged token array to avoid
-    re-tokenizing when several stats share one select."""
-    c = F.col(col) if isinstance(col, str) else col
-    t = token_col if token_col is not None else tokens(c)
-    n_tok = F.greatest(F.size(t), F.lit(1)).cast("bigint")
-    n_chars = F.greatest(F.length(c), F.lit(1)).cast("bigint")
-    hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("bigint")
-    n_punct = F.length(F.regexp_replace(c, r"[^.!?,;:]", "")).cast("bigint")
-    m = F.lit(1000000).cast("bigint")
+    re-tokenizing when several stats share one select.
 
-    len_ppm = F.least(F.length(c).cast("bigint") * 2500, m)
-    sw_capped = F.least(F.floor(hits * 1000000 / n_tok) * 5, m)
-    punct_capped = F.least(F.floor(n_punct * 1000000 / n_chars) * 10, m)
-    q_ppm = F.floor((5 * len_ppm + 3 * sw_capped + 2 * (m - punct_capped)) / 10)
-    return (q_ppm / F.lit(1000000.0)).alias("quality")
+    Defined AS ``quality_score_ppm / 1e6`` — one expression tree, so the
+    float and integer forms can never silently drift apart."""
+    return (quality_score_ppm(col, token_col) / F.lit(1000000.0)).alias("quality")
 
 
 def quality_score_ppm(col: Column | str, token_col: Column | None = None) -> Column:
     """quality_score BEFORE the final /1e6 — the exact bigint ppm value,
     for aggregations that must stay in integer arithmetic (a mean over
-    the float form would round-trip through an inexact double). Same
-    expression tree as quality_score up to the last division."""
+    the float form would round-trip through an inexact double). This is
+    the single source of truth; quality_score IS this / 1e6."""
     c = F.col(col) if isinstance(col, str) else col
     t = token_col if token_col is not None else tokens(c)
     n_tok = F.greatest(F.size(t), F.lit(1)).cast("bigint")

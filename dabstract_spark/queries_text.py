@@ -2602,9 +2602,14 @@ def q174_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — instead count tokens in a deterministic md5-Bernoulli 25% document
 # sample, keep the top-50 candidates, and re-count ONLY those tokens
 # over the full corpus (the candidate filter pushes a broadcast
-# semi-join below the big aggregation). The final output is the EXACT
-# global top-10 — sampling only prunes, it never appears in the answer —
-# so the oracle is a plain exact top-k that must hash-match.
+# semi-join below the big aggregation). The oracle MIRRORS the
+# sample-prune pipeline (same 25% md5 sample, same top-50 candidate
+# cut), so the hash-match checks the pruned pipeline, not an oracle-vs-
+# heuristic claim. The reported counts of surviving tokens are exact
+# full-corpus counts; that the pruned top-10 equals the UNPRUNED exact
+# top-10 is an empirical property of the candidate margin (verified on
+# zipf corpora by tests/test_properties.py's heavy-hitter recovery
+# test), not a structural guarantee.
 # --------------------------------------------------------------------- #
 @query(
     "q177_heavy_hitters",
@@ -2785,12 +2790,18 @@ def q181_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("y"),
     )
+    # accumulate the raw sums in decimal(38,0), matching the oracle's
+    # HUGEINT: the xy/xx PRODUCTS are ~1e16 per row already, so a large
+    # per-user row count overflows an int64 accumulator (silent non-ANSI
+    # wrap) long before the combination step does — same recipe as
+    # time_weighted_avg in operators/events.py
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = pts.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
     )
     # decimal `div` = divideToIntegralValue (truncation), exact — NOT
     # float floor(a/b), whose rounded decimal division can flip an

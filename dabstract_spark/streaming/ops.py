@@ -260,7 +260,9 @@ def run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(f"stream drain exceeded {timeout_sec}s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
@@ -297,7 +299,9 @@ def run_to_parquet(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(f"stream drain exceeded {timeout_sec}s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(path)
@@ -403,7 +407,14 @@ def incremental_dedup_stream(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        # awaitTermination returns False on timeout — reading the sink
+        # then would yield a nondeterministic partial result (or a
+        # path-not-found if no micro-batch committed); stop and raise.
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"incremental_dedup_stream drain exceeded {timeout_sec}s"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out_path)

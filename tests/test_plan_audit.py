@@ -10,6 +10,7 @@ column.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 
@@ -106,3 +107,34 @@ def test_small_dimension_joins_broadcast(spark, qname):
     df = queries()[qname](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, f"{qname} lost its broadcast:\n{plan[:2000]}"
+
+
+def test_no_data_scale_take_ordered(spark):
+    """``orderBy().limit(k)`` plans a TakeOrderedAndProject: every
+    partition's top-k funnels through one final reduction, fine for a
+    constant small k (top-10 revenue) but a driver-side bottleneck when
+    k is data-derived (a fraction of the rows — the bug the exact
+    subsample used to have). Audit: any TakeOrdered in the catalog must
+    carry a small literal limit."""
+    import re
+
+    bad = []
+    for name, plan in _plans(spark):
+        for m in re.finditer(r"TakeOrderedAndProject\s*\(limit=(\d+)", plan):
+            if int(m.group(1)) > 1000:
+                bad.append((name, int(m.group(1))))
+    assert bad == [], f"data-scale TakeOrdered limits: {bad}"
+
+
+def test_random_subsample_exact_is_distributed(spark):
+    """The exact subsample must not plan a global sort-limit (TakeOrdered
+    / GlobalLimit) — it ranks via bounded per-bucket windows and keeps
+    rank <= ceil(n*ratio) computed inside the same plan."""
+    from dabstract_spark.operators.select import random_subsample
+
+    df = spark.range(500).select(F.col("id").alias("row_id"), (F.col("id") * 2).alias("v"))
+    out = random_subsample(df, 0.25, seed=3, key="row_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" not in plan
+    assert "GlobalLimit" not in plan
+    assert out.count() == 125
