@@ -650,14 +650,49 @@ def q97_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_type")
 
 
-@query("q95_stream_stateful_sessions")
+@query(
+    "q95_stream_stateful_sessions",
+    # The sessionizer emits CLOSED sessions only; each user's open tail
+    # stays in state, never emitted. Over a bounded single-micro-batch
+    # drain (one fixture file + availableNow) the emitted multiset is
+    # therefore EXACTLY the batch gaps-and-islands sessions (break on
+    # diff > gap, the operator's strict-gap rule) minus each user's
+    # LAST session — fully SQL-expressible, so the custom stateful op is
+    # hash-checked end to end, not rows-only. Timestamps go through
+    # make_timestamp(epoch_us(...)) to mirror the operator's ns→µs
+    # truncation; sums are rounded at 6 decimals on both sides because
+    # the operator accumulates float64 in ts order while the oracle sums
+    # exact decimals (the true sums are 2-decimal, so round(6) is loss-
+    # free and order-independent).
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    sess AS (
+      SELECT user_id,
+             make_timestamp(MIN(epoch_us(ts))) AS session_start,
+             make_timestamp(MAX(epoch_us(ts))) AS session_end,
+             COUNT(*) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value
+      FROM sessioned GROUP BY user_id, sid)
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM sess
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY session_start DESC) > 1
+    """,
+)
 def q95_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM stateful streaming op (applyInPandasWithState): per-user
     open-session state across micro-batches, emitting a session the
-    moment its closing event arrives. Registered rows-only — the emitted
-    set depends on which sessions close before the stream drains (the
-    still-open tail per user stays in state), which no batch SQL oracle
-    can mirror."""
+    moment its closing event arrives; the still-open tail per user stays
+    in state. See the oracle comment for why the bounded drain makes the
+    emitted set deterministic and batch-SQL-checkable."""
     from dabstract_spark.streaming.ops import (
         run_to_memory,
         stateful_sessionizer,
@@ -665,7 +700,14 @@ def q95_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = stream_events(spark, f"{sf_dir}/events.parquet")
-    return run_to_memory(stateful_sessionizer(src, gap_minutes=30))
+    out = run_to_memory(stateful_sessionizer(src, gap_minutes=30))
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
 
 
 # --------------------------------------------------------------------- #
