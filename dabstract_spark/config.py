@@ -68,10 +68,24 @@ def _anomaly_audio(spark, paths, test_only=False, name=None, **kw):
     return _anomaly_audio_db(spark, paths, test_only=test_only, name=name, **kw)
 
 
+def _dcase(cls_name):
+    def build(spark, paths, test_only=False, name=None, **kw):
+        from dabstract_spark.sources import dbs
+
+        return getattr(dbs, cls_name).build(
+            spark, paths or {}, test_only=test_only, name=name, **kw
+        )
+
+    return build
+
+
 register_dataset("parquet_table", _parquet_table)
 register_dataset("folder_wav", _folder_wav)
 register_dataset("folder_binary", _folder_binary)
 register_dataset("AnomalyAudioDB", _anomaly_audio)
+register_dataset("DCASE2020Task1A", _dcase("DCASE2020Task1A"))
+register_dataset("DCASE2020Task1B", _dcase("DCASE2020Task1B"))
+register_dataset("DCASE2018Task5", _dcase("DCASE2018Task5"))
 
 
 def dataset_factory(spark, builder, paths=None, select=None, split=None, xval=None, test_only=False, **kwargs) -> Dataset:

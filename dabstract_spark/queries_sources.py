@@ -751,3 +751,64 @@ def q189_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fragmented "many small appends" state being repaired
     ev.select("event_id").repartition(37).write.mode("overwrite").parquet(f"{base}/frag")
     return compact_parquet(spark, f"{base}/frag", f"{base}/compacted", target_files=4)
+
+
+# --------------------------------------------------------------------- #
+# Concrete DCASE connector (§2.1; reference dbs/DCASE2020Task1A.py:42-88):
+# config-built named dataset class — prepare hook + folder scan + tab-CSV
+# broadcast metadata join keyed 'audio/<file>' + stringlist2ind codes for
+# scene_id/group. The oracle independently re-derives everything from the
+# committed fixture with read_blob + read_csv(delim tab) + count-of-
+# smaller dense codes.
+# --------------------------------------------------------------------- #
+DCASE_DIR = "/root/repo/tests/fixtures/dcase2020"
+
+
+@query(
+    "q196_dcase_connector",
+    oracle=f"""
+    WITH scan AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname
+      FROM read_blob('{DCASE_DIR}/audio/*.wav')),
+    meta AS (
+      SELECT * FROM read_csv('{DCASE_DIR}/meta.csv', delim='\t', header=true)),
+    labeled AS (
+      SELECT s.fname, m.scene_label, m.identifier, m.source_label
+      FROM scan s LEFT JOIN meta m ON m.filename = 'audio/' || s.fname),
+    sc AS (
+      SELECT a.v, CAST(COUNT(b.v) AS INT) AS scene_id
+      FROM (SELECT DISTINCT scene_label AS v FROM labeled) a
+      LEFT JOIN (SELECT DISTINCT scene_label AS v FROM labeled) b ON b.v < a.v
+      GROUP BY a.v),
+    gc AS (
+      SELECT a.v, CAST(COUNT(b.v) AS INT) AS grp
+      FROM (SELECT DISTINCT identifier AS v FROM labeled) a
+      LEFT JOIN (SELECT DISTINCT identifier AS v FROM labeled) b ON b.v < a.v
+      GROUP BY a.v)
+    SELECT l.fname, l.scene_label, l.identifier, l.source_label,
+           sc.scene_id, gc.grp
+    FROM labeled l
+    JOIN sc ON sc.v = l.scene_label
+    JOIN gc ON gc.v = l.identifier
+    """,
+)
+def q196_dcase_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.config import dataset_from_config
+
+    cfg = {
+        "datasets": [
+            {
+                "name": "DCASE2020Task1A",
+                "parameters": {"paths": {"data": f"{DCASE_DIR}/audio"}},
+            }
+        ]
+    }
+    ds = dataset_from_config(spark, cfg)
+    return ds.full_df.select(
+        F.col("filename").alias("fname"),
+        "scene_label",
+        "identifier",
+        "source_label",
+        "scene_id",
+        F.col("group").alias("grp"),
+    )

@@ -81,3 +81,133 @@ class AnomalyAudioDB:
 def _anomaly_audio_db(spark, paths, test_only=False, name=None, **kw) -> Dataset:
     """Registry adapter: builder(spark, paths, test_only, **kw) -> Dataset."""
     return AnomalyAudioDB.build(spark, paths or {}, test_only=test_only, name=name, **kw)
+
+
+# ------------------------------------------------------------------ #
+# Concrete DCASE dev-set connector trio (reference dbs/DCASE2020Task1A.py,
+# DCASE2020Task1B.py, DCASE2018Task5.py): named dataset classes with a
+# `prepare` (download) hook, metadata alignment, and stringlist2ind label
+# codes — the first thing a user porting a dabstract project reaches for.
+# ------------------------------------------------------------------ #
+class DCASEDevSet:
+    """Shared skeleton for DCASE-style dev sets: a flat ``audio/`` wav
+    folder plus a tab-separated meta table keyed by ``audio/<filename>``.
+
+    Reference flow parity (dataset.py:118-119 runs ``self.prepare(paths)``
+    before ``set_data``): ``build`` calls ``cls.prepare`` first. The
+    reference's prepare downloads via ``dcase_util`` (DCASE2020Task1A.py:
+    82-88); network fetch is environment-specific, so here the fetch step
+    is INJECTED — pass ``downloader=callable(paths)`` and it runs exactly
+    once, iff the data dir is absent (idempotent like the reference's
+    ``initialize()``); with the data already on disk prepare is a no-op;
+    with neither, a clear FileNotFoundError explains what to provide.
+
+    Labels follow the reference column-for-column: the meta's label
+    columns are broadcast-joined onto the scan, and ``scene_id`` /
+    ``group`` are stringlist2ind dense codes (window-free
+    ``core.dense_codes``) of the scene / identifier domains.
+    """
+
+    META_FILE = "meta.csv"
+    META_SEP = "\t"
+    META_HEADER = True
+    META_NAMES: list[str] | None = None  # for headerless metas
+    FILENAME_COL = "filename"
+    SCENE_COL = "scene_label"
+    GROUP_COL = "identifier"
+
+    def __init__(self, spark: SparkSession, paths: dict, test_only: bool = False, **kw):
+        self.dataset = self.build(spark, paths, test_only=test_only, **kw)
+
+    @classmethod
+    def prepare(cls, paths: dict, downloader=None) -> bool:
+        """Ensure the data exists; returns True iff the downloader ran."""
+        import os
+
+        data = paths.get("data", "")
+        meta = paths.get("meta") or (
+            os.path.join(os.path.dirname(data.rstrip("/")), cls.META_FILE) if data else ""
+        )
+        if os.path.isdir(data) and os.path.isfile(meta):
+            return False
+        if downloader is not None:
+            downloader(paths)
+            if not (os.path.isdir(data) and os.path.isfile(meta)):
+                raise FileNotFoundError(
+                    f"{cls.__name__}.prepare: downloader ran but {data} / {meta} still missing"
+                )
+            return True
+        raise FileNotFoundError(
+            f"{cls.__name__}.prepare: no data at {data!r} (meta {meta!r}). This "
+            "environment performs no network fetches — pass "
+            "downloader=callable(paths) (e.g. a dcase_util/zenodo wrapper) "
+            "or stage the dev set on disk first."
+        )
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        paths: dict,
+        test_only: bool = False,
+        downloader=None,
+        name: str | None = None,
+        **kw,
+    ) -> Dataset:
+        import os
+
+        if not paths or "data" not in paths:
+            raise ValueError(f"{cls.__name__} needs paths={{'data': <audio dir>[, 'meta': <meta file>]}}")
+        cls.prepare(paths, downloader)
+        meta_path = paths.get("meta") or os.path.join(
+            os.path.dirname(paths["data"].rstrip("/")), cls.META_FILE
+        )
+        ds = folder_dataset(
+            spark,
+            paths["data"],
+            extension=".wav",
+            name=name or cls.__name__,
+            test_only=test_only,
+        ).reset_active_keys()
+        # DCASE metas key rows as 'audio/<filename>' (the reference
+        # reindexes on exactly that string, DCASE2020Task1A.py:63-71)
+        ds = ds.add("relpath", F.concat(F.lit("audio/"), F.col("filename")))
+        ds = attach_csv_metadata(
+            ds,
+            meta_path,
+            on=("relpath", cls.FILENAME_COL),
+            sep=cls.META_SEP,
+            header=cls.META_HEADER,
+            names=cls.META_NAMES,
+        )
+        ds = _dense_label_ids(ds, cls.SCENE_COL, "scene_id")
+        grp_codes = dense_codes(ds.full_df, cls.GROUP_COL, "group").withColumnRenamed(
+            cls.GROUP_COL, "__gval"
+        )
+        joined = ds.full_df.join(
+            F.broadcast(grp_codes), F.col(cls.GROUP_COL) == F.col("__gval"), "left"
+        ).drop("__gval")
+        return ds._evolve(joined)
+
+
+class DCASE2020Task1A(DCASEDevSet):
+    """Acoustic scene classification dev set (reference
+    dbs/DCASE2020Task1A.py:42-88): meta.csv with filename / scene_label /
+    identifier / source_label; scene_id + group label codes."""
+
+
+class DCASE2020Task1B(DCASEDevSet):
+    """Same dev-set layout as Task1A (reference dbs/DCASE2020Task1B.py —
+    identical set_data; the tasks differ in the downloaded archive)."""
+
+
+class DCASE2018Task5(DCASEDevSet):
+    """Domestic-activity dev set (reference dbs/DCASE2018Task5.py:42-87):
+    HEADERLESS tab meta.txt (filename, scene, identifier); group codes
+    over the recording session identifier."""
+
+    META_FILE = "meta.txt"
+    META_HEADER = False
+    META_NAMES = ["filename", "scene", "identifier"]
+    SCENE_COL = "scene"
+    GROUP_COL = "identifier"

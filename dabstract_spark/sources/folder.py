@@ -127,6 +127,8 @@ def attach_csv_metadata(
     on: str | tuple[str, str] = "filepath",
     how: str = "left",
     header: bool = True,
+    sep: str = ",",
+    names: list[str] | None = None,
 ) -> Dataset:
     """Connector pattern (reference dbs/DCASE2020Task1A.py:63-71): align a
     CSV label table to the scan by equi-join on a path-derived key. The
@@ -134,9 +136,18 @@ def attach_csv_metadata(
 
     ``on``: a shared column name, or ``(dataset_col, csv_col)`` when the
     key is named differently on each side (the CSV key column is dropped
-    after the join in that case)."""
+    after the join in that case). ``sep``: field delimiter (DCASE metas
+    are tab-separated). ``names``: column names for headerless files
+    (reference DCASE2018Task5.py reads ``meta.txt`` with header=None)."""
     spark = ds.full_df.sparkSession
-    meta = spark.read.option("header", str(header).lower()).option("inferSchema", "true").csv(csv_path)
+    meta = (
+        spark.read.option("header", str(header).lower())
+        .option("inferSchema", "true")
+        .option("sep", sep)
+        .csv(csv_path)
+    )
+    if names is not None:
+        meta = meta.toDF(*names)
     join_keys = set(on if isinstance(on, tuple) else (on,))
     for c in list(meta.columns):
         if c in ds.full_df.columns and c not in join_keys:

@@ -261,3 +261,51 @@ def test_partitioned_write_prunes_to_one_directory(spark, tmp_path):
     assert len(pf) == 2, f"no PartitionFilters in plan:\n{plan}"
     assert "= 2024-01-02" in pf[1].split("]", 1)[0], "day predicate not pushed to partition pruning"
     assert back.count() == 10
+
+
+def test_dcase_connector_trio(spark, tmp_path):
+    """Reference-parity connectors (dbs/DCASE2020Task1A.py et al.):
+    meta alignment on 'audio/<file>', stringlist2ind scene_id/group
+    codes, headerless tab meta for 2018Task5, and the prepare hook
+    (no-op when staged / injected downloader / clear error)."""
+    from dabstract_spark.sources.dbs import (
+        DCASE2018Task5,
+        DCASE2020Task1A,
+        DCASE2020Task1B,
+    )
+
+    root = "tests/fixtures/dcase2020"
+    ds = DCASE2020Task1A.build(spark, {"data": f"{root}/audio"})
+    rows = {r.filename: r for r in ds.full_df.collect()}
+    assert len(rows) == 6
+    r = rows["metro-paris-3-a.wav"]
+    assert (r.scene_label, r.identifier, r.source_label) == ("metro", "paris-1", "a")
+    # dense codes in sorted-value order: airport=0 < metro=1 < park=2
+    assert r.scene_id == 1 and rows["park-lisbon-4-b.wav"].scene_id == 2
+
+    ds18 = DCASE2018Task5.build(spark, {"data": "tests/fixtures/dcase2018/audio"})
+    r18 = {r.filename: r for r in ds18.full_df.collect()}
+    assert len(r18) == 5
+    assert r18["node0_seg0.wav"].scene == "cooking" and r18["node0_seg0.wav"].scene_id == 0
+    assert r18["node1_seg1.wav"].group == 1  # sess1 > sess0
+
+    # prepare: staged data -> no-op False; missing without downloader -> raises
+    assert DCASE2020Task1A.prepare({"data": f"{root}/audio"}) is False
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        DCASE2020Task1B.prepare({"data": str(tmp_path / "none" / "audio")})
+
+    # injected downloader runs exactly once and satisfies the build
+    calls = []
+
+    def dl(paths):
+        import shutil
+
+        calls.append(1)
+        shutil.copytree(root, tmp_path / "dl")
+
+    ds_b = DCASE2020Task1B.build(
+        spark, {"data": str(tmp_path / "dl" / "audio")}, downloader=dl
+    )
+    assert calls == [1] and ds_b.full_df.count() == 6

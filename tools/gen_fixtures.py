@@ -83,3 +83,52 @@ def gen_jsonl(root=None):
         lines.append(json.dumps(row, sort_keys=True))
     (out / "docs.jsonl").write_text("\n".join(lines) + "\n")
     print(f"wrote {len(lines)} jsonl rows under {out}")
+
+
+def gen_dcase(root=None):
+    """Deterministic DCASE-shaped dev-set fixtures (committed):
+
+        tests/fixtures/dcase2020/audio/<scene>-<city>-<k>-<dev>.wav
+        tests/fixtures/dcase2020/meta.csv        (tab, with header:
+            filename  scene_label  identifier  source_label)
+        tests/fixtures/dcase2018/audio/node<N>_seg<k>.wav
+        tests/fixtures/dcase2018/meta.txt        (tab, NO header:
+            filename  scene  identifier)
+
+    Mirrors the reference connectors' expected layouts
+    (dbs/DCASE2020Task1A.py:60-71 meta.csv columns; DCASE2018Task5.py:
+    59-66 headerless meta.txt) at committed-to-git scale.
+    """
+    base = Path(root or Path(__file__).resolve().parent.parent / "tests" / "fixtures")
+
+    d20 = base / "dcase2020"
+    rows = []
+    for i, (scene, city, dev) in enumerate(
+        [
+            ("airport", "helsinki", "a"),
+            ("airport", "lisbon", "b"),
+            ("metro", "helsinki", "a"),
+            ("metro", "paris", "a"),
+            ("park", "lisbon", "b"),
+            ("park", "paris", "a"),
+        ]
+    ):
+        name = f"{scene}-{city}-{i}-{dev}.wav"
+        write_wav(d20 / "audio" / name, tone(50.0 + 11 * i))
+        rows.append((f"audio/{name}", scene, f"{city}-{i % 2}", dev))
+    (d20 / "meta.csv").write_text(
+        "filename\tscene_label\tidentifier\tsource_label\n"
+        + "\n".join("\t".join(r) for r in rows)
+        + "\n"
+    )
+
+    d18 = base / "dcase2018"
+    rows18 = []
+    for i in range(5):
+        name = f"node{i % 2}_seg{i}.wav"
+        write_wav(d18 / "audio" / name, tone(35.0 + 13 * i))
+        rows18.append((f"audio/{name}", ["cooking", "watching_tv", "working"][i % 3], f"sess{i % 2}"))
+    (d18 / "meta.txt").write_text(
+        "\n".join("\t".join(r) for r in rows18) + "\n"
+    )
+    print(f"wrote dcase fixtures under {d20} and {d18}")
