@@ -511,10 +511,23 @@ class Dataset:
         merged = self._df.drop(target).join(feat_df, ROW_ID, "left")
         return self._evolve(merged)
 
-    def load_memory(self, key: str | None = None) -> "Dataset":
-        """Materialize (cache) the dataset or one column's projection."""
+    def load_memory(self, key: str | None = None, keep_structure: bool = False) -> "Dataset":
+        """Materialize (cache) the dataset or one column's projection
+        (reference dataset.py:555-626).
+
+        ``keep_structure=True`` (the reference's nested-DictSeq branch,
+        dataset.py:590-619, which re-wraps loaded leaves so the
+        surrounding structure survives): materialize ``key``'s data while
+        PRESERVING everything around it — the (possibly nested struct)
+        column is computed once into a cached (row_id, key) table and
+        joined back, every other column stays lazy, and the current
+        active-key view is kept instead of collapsing onto ``key``."""
         if key is None:
             return self._evolve(self._df.cache())
+        if keep_structure:
+            proj = self._df.select(F.col(ROW_ID), F.col(key)).cache()
+            merged = self._df.drop(key).join(proj, ROW_ID, "left")
+            return self._evolve(merged)
         return self._evolve(self._df, active_keys=(key,))._evolve(self._df.cache())
 
     # ------------------------------------------------------------------ #

@@ -105,3 +105,33 @@ def test_replace_column(spark):
     ds = make_ds(spark, n=3)
     out = ds.replace_column("val", F.lit(0.0))
     assert {r["val"] for r in out.full_df.collect()} == {0.0}
+
+
+def test_load_memory_keep_structure(spark):
+    """Reference parity (tests/test_dataset.py:383-398): load_memory with
+    and without keep_structure must leave every key's observable values
+    unchanged; keep_structure additionally preserves the active-key view
+    and nested struct shape instead of collapsing onto the loaded key."""
+    from pyspark.sql import functions as F
+
+    from dabstract_spark.dataset import Dataset
+
+    df = spark.range(4).select(
+        F.col("id").alias("row_id"),
+        F.struct(
+            (F.col("id") * 2).alias("a"), F.struct((F.col("id") + 10).alias("b")).alias("inner")
+        ).alias("data"),
+        (F.col("id") % 2).alias("label"),
+    )
+    ds = Dataset(df, name="nested").set_active_keys("data")
+    before = sorted(map(tuple, ds.full_df.collect()))
+
+    flat = ds.load_memory("data")
+    assert flat._active_keys == ("data",)
+
+    kept = ds.load_memory("data", keep_structure=True)
+    # active keys preserved, nested struct intact, values identical
+    assert kept._active_keys == ds._active_keys
+    assert dict(kept.full_df.dtypes)["data"] == dict(df.dtypes)["data"]
+    after = sorted(tuple(r) for r in kept.full_df.select(*ds.full_df.columns).collect())
+    assert after == before
