@@ -211,10 +211,30 @@ def main():
                 f"{name:<20} {row[0]:>8.2f} {row[1]:>8.2f} {row[2]:>8.2f}", flush=True
             )
 
+    # adversarial single-hot-band corpus: 500 docs (then 2k, 8k) with
+    # IDENTICAL text — every band bucket holds the whole corpus, the
+    # worst case for pair generation (mass-duplicated boilerplate at
+    # web scale). Uncapped the bucket emits C(n,2) pairs from one task
+    # (quadratic BY CONSTRUCTION — the blow-up the cap exists to stop);
+    # max_bucket=64 bounds every bucket's contribution to C(64,2).
+    hot_base = docs.filter(F.col("doc_id") < 500).withColumn(
+        "text",
+        F.lit("the exact same boilerplate paragraph appearing on every page "),
+    )
+    hot_probes = {
+        "minhash_hotband_uncap": lambda d: dd.minhash_candidate_pairs(
+            d, "doc_id", "text"
+        ),
+        "minhash_hotband_cap64": lambda d: dd.minhash_candidate_pairs(
+            d, "doc_id", "text", max_bucket=64
+        ),
+    }
+
     print(
         f"{'probe':<20} {'1x':>8} {'4x':>8} {'16x':>8}"
         f"  (sec, median of {reps}; input rows scale 1:4:16)"
     )
+    probe_block(hot_probes, hot_base, "doc_id")
     probe_block(probes, docs, "doc_id")
     probe_block(fuzzy_probes, docs, "doc_id", uniquify=fuzzy_uniquify)
     probe_block(emb_probes, emb, "vec_id")
