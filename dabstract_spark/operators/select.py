@@ -195,3 +195,35 @@ def top_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def importance_sample(
+    df: DataFrame,
+    weight_ppm,
+    rate_ppm: int = 1000000,
+    key: str = "row_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted (importance) Bernoulli downsample: keep each row with
+    probability (weight_ppm/1e6)·(rate_ppm/1e6) — quality-proportional
+    corpus curation ("keep good docs more often") as one scan-fused
+    filter.
+
+    The accept test is EXACT integer arithmetic on an md5-derived
+    uniform (u_ppm·1e6 < weight_ppm·rate_ppm, all bigint), so the kept
+    set is deterministic, seed-reproducible, and oracle-expressible —
+    no float rounding can flip a row across engines. u_ppm comes from
+    the md5 prefix mod 1e6 (bias 2^32 mod 1e6 ≈ 0.03%, irrelevant for
+    curation and identical on every engine). Zero shuffle.
+    """
+    w = F.col(weight_ppm) if isinstance(weight_ppm, str) else weight_ppm
+    u_ppm = (
+        F.conv(F.substring(md5_order(key, seed), 1, 8), 16, 10).cast("bigint")
+        % F.lit(1000000)
+    )
+    return df.filter(
+        u_ppm * F.lit(1000000) < w.cast("bigint") * F.lit(int(rate_ppm))
+    )
+
+
+_REGISTRY["importance_sample"] = importance_sample

@@ -1,0 +1,99 @@
+"""Re-aggregatable count-min sketches — approximate frequency counts
+with the same 100 TB property the HLL rollup (q176) demonstrates for
+distincts: per-partition PARTIAL sketches persist as small (j, bucket,
+cnt) tables and any rollup is a merge-by-sum, never a base-data rescan.
+
+Everything is md5-derived integer arithmetic (``md5_bucket`` row hashes,
+bigint counters), so sketch contents, merges, and estimates are
+bit-identical across engines and partitionings — the whole pipeline is
+DuckDB-oracle-checkable, unlike a seeded-PRNG sketch.
+
+Scale shape: building a sketch is one groupBy on (group, j, bucket) —
+the shuffle carries at most |groups|·depth·width rows after map-side
+partial aggregation, regardless of input size. Estimation joins probe
+keys against the sketch on (j, bucket): with the default 4×256 geometry
+the merged sketch is ≤1024 rows — always broadcastable.
+
+No reference analog (the reference has no sketches); the pattern follows
+Cormode & Muthukrishnan, "An Improved Data Stream Summary: The
+Count-Min Sketch and its Applications" (J. Algorithms 2005).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from dabstract_spark.functions.hashing import md5_bucket
+
+
+def _hash_pairs(key: Column | str, depth: int, width: int) -> Column:
+    """array<struct<j, bucket>>: the key's row in each of the ``depth``
+    md5 hash families (family j = md5 seeded with j)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), md5_bucket(c, width, seed=j).alias("bucket")
+            )
+            for j in range(depth)
+        ]
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str | Column,
+    group_cols: tuple[str, ...] = (),
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | Column | None = None,
+) -> DataFrame:
+    """Partial count-min sketch(es): one (``*group_cols``, j, bucket,
+    cnt) row per touched counter. ``weight_col`` counts each row by an
+    integral weight instead of 1 (e.g. token counts pre-aggregated per
+    doc)."""
+    w = (
+        F.lit(1).cast("bigint")
+        if weight_col is None
+        else (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+            "bigint"
+        )
+    )
+    exploded = df.select(
+        *group_cols, F.explode(_hash_pairs(key_col, depth, width)).alias("__p"), w.alias("__w")
+    )
+    return (
+        exploded.select(*group_cols, F.col("__p.j").alias("j"), F.col("__p.bucket").alias("bucket"), "__w")
+        .groupBy(*group_cols, "j", "bucket")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Merge partial sketches by summing counters — the rollup that
+    never rescans base data. Drop partition columns from ``group_cols``
+    to roll them up (exactly like re-aggregating q176's HLLs)."""
+    return sketches.groupBy(*group_cols, "j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    est_col: str = "est",
+) -> DataFrame:
+    """Point-query the sketch: estimate(key) = min over hash families of
+    the key's counter. Never underestimates (each counter ≥ the true
+    count); overestimates only on hash collisions. The sketch side is
+    ≤ depth·width rows — broadcast, so probing is shuffle-free on the
+    probe side."""
+    p = probes.select(
+        "*", F.explode(_hash_pairs(key_col, depth, width)).alias("__p")
+    ).select("*", F.col("__p.j").alias("j"), F.col("__p.bucket").alias("bucket")).drop("__p")
+    others = [c for c in probes.columns]
+    joined = p.join(F.broadcast(sketch), ["j", "bucket"], "left")
+    return joined.groupBy(*others).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias(est_col)
+    )

@@ -3083,3 +3083,95 @@ def q192_stream_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q193_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     evts = _t(spark, sf_dir, "events")
     return ev.time_weighted_avg(evts)
+
+
+# --------------------------------------------------------------------- #
+# Re-aggregatable count-min sketch (operators/sketches.py; Cormode &
+# Muthukrishnan 2005) — the frequency twin of q176's HLL rollup: partial
+# per-lang sketches persist as tiny (j, bucket, cnt) tables, the global
+# sketch is a merge-by-SUM (no corpus rescan), and point estimates =
+# min over md5 hash families. All-integer md5 arithmetic ⇒ the whole
+# sketch pipeline hash-matches the oracle, including the structural
+# never-underestimate guarantee on the exact top-20 tokens.
+# --------------------------------------------------------------------- #
+_CMS_BUCKET = (
+    "CAST(CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {k}), 1, 8)) "
+    "AS BIGINT) % 256 AS INT)"
+)
+
+
+@query(
+    "q197_cms_token_counts",
+    oracle=f"""
+    WITH tok AS (SELECT lang, unnest({_T}) AS token FROM documents),
+    sk AS (
+      SELECT lang, j, {_CMS_BUCKET.format(j='j', k='token')} AS bucket,
+             COUNT(*) AS cnt
+      FROM tok, UNNEST(generate_series(0, 3)) AS t(j)
+      GROUP BY lang, j, bucket),
+    merged AS (SELECT j, bucket, SUM(cnt) AS cnt FROM sk GROUP BY j, bucket),
+    probes AS (
+      SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token
+      ORDER BY exact_cnt DESC, token LIMIT 20),
+    est AS (
+      SELECT p.token, p.exact_cnt, MIN(m.cnt) AS est
+      FROM probes p JOIN merged m
+        ON m.bucket = {_CMS_BUCKET.format(j='m.j', k='p.token')}
+      GROUP BY p.token, p.exact_cnt)
+    SELECT token, exact_cnt, CAST(est AS BIGINT) AS est,
+           est >= exact_cnt AS never_under
+    FROM est
+    """,
+)
+def q197_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators import sketches as sk
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(tx.tokens("text")).alias("token"))
+    # stage 1: partial sketches a pipeline would persist per partition
+    partials = sk.cms_sketch(tok, "token", group_cols=("lang",))
+    # stage 2: merge-only global rollup — langs collapse by summation
+    merged = sk.cms_merge(partials)
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(20)
+    est = sk.cms_estimate(merged, probes, "token")
+    return est.select(
+        "token",
+        "exact_cnt",
+        "est",
+        (F.col("est") >= F.col("exact_cnt")).alias("never_under"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Importance (quality-weighted Bernoulli) sampling — curation that keeps
+# good documents proportionally more often, as ONE scan-fused filter
+# with an exact-integer accept test (operators/select.py
+# importance_sample): u_ppm·1e6 < quality_ppm·rate_ppm, u from the md5
+# prefix. Deterministic and engine-exact, so the kept SET hash-matches.
+# --------------------------------------------------------------------- #
+@query(
+    "q198_importance_sample",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             ((5 * least(length(text)::BIGINT * 2500, 1000000)
+               + 3 * least((len(list_filter({_T}, t -> t IN {_SW}))::BIGINT * 1000000
+                            // greatest(len({_T}), 1)) * 5, 1000000)
+               + 2 * (1000000 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::BIGINT * 1000000
+                            // greatest(length(text), 1)) * 10, 1000000))) // 10) AS quality_ppm,
+             CAST(('0x' || substr(md5('9:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS u_ppm
+      FROM documents)
+    SELECT doc_id, quality_ppm
+    FROM q WHERE u_ppm * 1000000 < quality_ppm * 800000
+    """,
+)
+def q198_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import importance_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.quality_score_ppm("text").alias("quality_ppm")
+    )
+    return importance_sample(
+        docs, "quality_ppm", rate_ppm=800000, key="doc_id", seed=9
+    )

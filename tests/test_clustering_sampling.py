@@ -562,3 +562,42 @@ def test_minhash_hot_bucket_cap(spark):
     root = min(kept)
     assert all(clusters[i] == root for i in kept)
     assert all(clusters[i] == i for i in set(range(20)) - kept)
+
+
+def test_cms_sketch_merge_and_bounds(spark):
+    """Count-min properties: (1) merging per-partition partial sketches
+    by sum equals sketching the union; (2) estimates never underestimate;
+    (3) with far fewer keys than width, estimates are exact."""
+    from dabstract_spark.operators.sketches import cms_estimate, cms_merge, cms_sketch
+
+    rows = [(i, f"k{i % 7}", "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, key string, part string")
+
+    partials = cms_sketch(df, "key", group_cols=("part",), depth=4, width=256)
+    merged = cms_merge(partials)
+    direct = cms_sketch(df, "key", depth=4, width=256)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+    exact = {r.key: r.cnt for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    probes = df.select("key").distinct()
+    est = {r.key: r.est for r in cms_estimate(merged, probes, "key", depth=4, width=256).collect()}
+    assert all(est[k] >= exact[k] for k in exact)
+    # 7 keys in 256 buckets across 4 families: min over families is exact
+    assert est == exact
+
+
+def test_importance_sample_integer_accept(spark):
+    """The weighted Bernoulli accept test is exact integer arithmetic:
+    weight 0 keeps nothing, weight 1e6 at rate 1e6 keeps everything, and
+    the kept set is reproducible for a fixed seed."""
+    from dabstract_spark.operators.select import importance_sample
+
+    df = spark.range(300).select(F.col("id").alias("row_id"))
+    zero = importance_sample(df.withColumn("w", F.lit(0)), "w")
+    assert zero.count() == 0
+    full = importance_sample(df.withColumn("w", F.lit(1000000)), "w", rate_ppm=1000000)
+    assert full.count() == 300
+    half = df.withColumn("w", F.lit(500000))
+    a = sorted(r.row_id for r in importance_sample(half, "w", seed=3).collect())
+    b = sorted(r.row_id for r in importance_sample(half, "w", seed=3).collect())
+    assert a == b and 0 < len(a) < 300
