@@ -720,3 +720,71 @@ def bigram_coherence(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.expr("sum(__ppm) div count(1)").cast("bigint").alias("coherence_ppm"),
     ).select(F.col("__id").alias(id_col), "n_bigrams", "coherence_ppm")
+
+
+def bpe_learn_merges(
+    df, text_col: str = "text", n_merges: int = 5, pattern: str = BPE_PATTERN
+):
+    """Distributed BPE vocabulary training (Sennrich et al., "Neural
+    Machine Translation of Rare Words with Subword Units", ACL 2016):
+    learn ``n_merges`` merge rules from a corpus, returning the rule
+    table (step, left_sym, right_sym, pair_count).
+
+    Structure is the classic BPE trainer, distributed where it matters:
+    the ONE corpus-scale stage is the pre-token frequency count (scan +
+    groupBy); every merge iteration then runs on the tiny distinct-word
+    table (vocabulary-sized, not corpus-sized), and only the single
+    winning rule row ever reaches the driver per step. Deterministic:
+    ties break by (count DESC, left ASC, right ASC) on the wrapped
+    symbol encoding, so the learned vocabulary is reproducible and
+    cross-engine hash-checkable.
+
+    Symbol sequences are encoded as delimited strings — each symbol
+    wrapped in \\x1f and joined with a space — so applying a merge is
+    ONE ``replace()`` per word: left-to-right non-overlapping
+    replacement (Java, DuckDB, and Python ``str.replace`` all share
+    these semantics) is exactly BPE's greedy merge application, and the
+    \\x1f wrappers stop a rule (a,b) from matching the tail of a longer
+    symbol like "xa". Plans stay linear via localCheckpoint per step.
+    """
+    US = "\x1f"
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(bpe_tokens(text_col, pattern)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.regexp_extract_all(F.col("w"), F.lit("(?s)."), 0)
+    s0 = F.concat(F.lit(US), F.array_join(chars, US + " " + US), F.lit(US))
+    cur = words.select(s0.alias("s"), "cnt").localCheckpoint()
+    merges = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(F.col("s"), " ")
+        n = F.size(syms)
+        pairs = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("wa"),
+                    F.element_at(syms, i + 1).alias("wb"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<wa:string,wb:string>>"))
+        pc = (
+            cur.select(F.explode(pairs).alias("p"), "cnt")
+            .groupBy(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
+            .agg(F.sum("cnt").alias("total"))
+        )
+        best = pc.orderBy(F.desc("total"), F.asc("wa"), F.asc("wb")).limit(1).collect()
+        if not best:
+            break
+        wa, wb, total = best[0]["wa"], best[0]["wb"], int(best[0]["total"])
+        merges.append((step, wa[1:-1], wb[1:-1], total))
+        pat, rep = wa + " " + wb, wa[:-1] + wb[1:]
+        cur = cur.withColumn(
+            "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep))
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, pair_count bigint"
+    )

@@ -3175,3 +3175,65 @@ def q198_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_sample(
         docs, "quality_ppm", rate_ppm=800000, key="doc_id", seed=9
     )
+
+
+# --------------------------------------------------------------------- #
+# Distributed BPE vocabulary training (text.bpe_learn_merges; Sennrich
+# et al. 2016): the ONE corpus-scale stage is the pre-token frequency
+# count; each of the 5 merge steps then iterates the tiny distinct-word
+# symbol table, and only the winning rule row reaches the driver. The
+# oracle unrolls the identical 5 fixed steps in SQL (pair counts over
+# the delimited symbol strings, argmax with the same (count DESC, left,
+# right) tie-break, greedy merge via left-to-right replace) — the whole
+# training loop hash-matches, like the k-means (q174) and PageRank
+# (q161) fixed-iteration recurrences.
+# --------------------------------------------------------------------- #
+_BPE_SQL = "'''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'"
+
+
+def _bpe_stage_sql(n: int) -> str:
+    prev = f"w{n-1}"
+    return f"""
+    pc{n} AS (
+      SELECT syms[i] AS wa, syms[i+1] AS wb, SUM(cnt) AS total
+      FROM (SELECT string_split(s, ' ') AS syms, cnt FROM {prev}),
+           UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+      GROUP BY wa, wb),
+    b{n} AS (SELECT wa, wb, total FROM pc{n} ORDER BY total DESC, wa, wb LIMIT 1),
+    w{n} AS (
+      SELECT replace(s, (SELECT wa || ' ' || wb FROM b{n}),
+                        (SELECT substr(wa, 1, length(wa)-1) || substr(wb, 2) FROM b{n})) AS s,
+             cnt
+      FROM {prev})"""
+
+
+@query(
+    "q199_bpe_vocab",
+    oracle=f"""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT unnest(regexp_extract_all(lower(text), {_BPE_SQL})) AS w
+            FROM documents)
+      GROUP BY w),
+    w0 AS (
+      SELECT chr(31) || array_to_string(regexp_extract_all(w, '(?s).'),
+                                        chr(31) || ' ' || chr(31)) || chr(31) AS s,
+             cnt
+      FROM wc),
+    {", ".join(_bpe_stage_sql(i) for i in range(1, 6))}
+    SELECT step, substr(wa, 2, length(wa)-2) AS left_sym,
+           substr(wb, 2, length(wb)-2) AS right_sym,
+           CAST(total AS BIGINT) AS pair_count
+    FROM (  SELECT 1 AS step, * FROM b1
+      UNION ALL SELECT 2, * FROM b2
+      UNION ALL SELECT 3, * FROM b3
+      UNION ALL SELECT 4, * FROM b4
+      UNION ALL SELECT 5, * FROM b5)
+    """,
+)
+def q199_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.bpe_learn_merges(docs, "text", n_merges=5)
+    return out.select(
+        "step", "left_sym", "right_sym", "pair_count"
+    )

@@ -601,3 +601,52 @@ def test_importance_sample_integer_accept(spark):
     a = sorted(r.row_id for r in importance_sample(half, "w", seed=3).collect())
     b = sorted(r.row_id for r in importance_sample(half, "w", seed=3).collect())
     assert a == b and 0 < len(a) < 300
+
+
+def test_bpe_learn_merges_matches_python_reference(spark):
+    """The distributed BPE trainer equals a serial Python reference
+    (same greedy left-to-right merge application via str.replace, same
+    (count DESC, left, right) tie-break) on a corpus engineered to hit
+    ties and repeated-symbol overlaps ("aaaa")."""
+    from collections import Counter
+
+    from dabstract_spark.operators.text import bpe_learn_merges, bpe_tokens  # noqa: F401
+
+    texts = [
+        "aaaa aaaa banana banana bandana",
+        "low lower lowest low low",
+        "aaaa banana low!",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_learn_merges(df, "text", n_merges=4).orderBy("step").collect()
+    ]
+
+    # serial reference
+    import re
+
+    pat = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    words = Counter()
+    for t in texts:
+        words.update(re.findall(pat, t.lower()))
+    US = "\x1f"
+    enc = {US + (US + " " + US).join(list(w)) + US: c for w, c in words.items()}
+    want = []
+    for step in range(1, 5):
+        pairs = Counter()
+        for s, c in enc.items():
+            syms = s.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (wa, wb), total = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((step, wa[1:-1], wb[1:-1], total))
+        patt, rep = wa + " " + wb, wa[:-1] + wb[1:]
+        # distinct words stay distinct under merges (strip separators to
+        # recover the word), so a plain dict re-key is exact
+        enc = {s.replace(patt, rep): c for s, c in enc.items()}
+    assert got == want
