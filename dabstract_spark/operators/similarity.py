@@ -740,7 +740,14 @@ def pca_power_projection(
         F.col(id_col).alias("__id"), F.transform(vec_col, enc).alias("__e")
     )
     e = encoded.select("__e", F.posexplode("__e").alias("i", "xi"))
-    pairs = e.select("i", "xi", F.posexplode("__e").alias("j", "xj"))
+    # the scatter matrix is SYMMETRIC: generate only the upper triangle
+    # (slice the vector from position i), halving both the exploded row
+    # count and the (i,j) shuffle; the driver mirrors j<i from (j,i).
+    pairs = e.select(
+        "i",
+        "xi",
+        F.posexplode(F.slice("__e", F.col("i") + 1, F.lit(dim))).alias("jr", "xj"),
+    ).select("i", "xi", (F.col("i") + F.col("jr")).alias("j"), "xj")
     # accumulate in decimal(38,0) (the oracle's HUGEINT): each xi·xj
     # product is already ~1e12, so an int64 S2 accumulator silently
     # wraps around ~9e6 rows — far below the scale this operator claims.
@@ -758,7 +765,15 @@ def pca_power_projection(
     ).collect()
     n = int(stats[0]["n"])
     s1 = {int(r["i"]): int(r["s1"]) for r in s1_rows}
-    m = {(int(r["i"]), int(r["j"])): n * int(r["s2"]) - s1[int(r["i"])] * s1[int(r["j"])] for r in stats}
+    s2 = {}
+    for r in stats:
+        i, j = int(r["i"]), int(r["j"])
+        s2[(i, j)] = s2[(j, i)] = int(r["s2"])
+    m = {
+        (i, j): n * s2[(i, j)] - s1[i] * s1[j]
+        for i in range(dim)
+        for j in range(dim)
+    }
 
     def floordiv_abs(u: int, d: int) -> int:
         # sign-safe: divide magnitudes only, so Spark div / DuckDB // /
