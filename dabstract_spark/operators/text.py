@@ -788,3 +788,43 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, pair_count bigint"
     )
+
+
+def bpe_encode_counts(
+    df,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple],
+    pattern: str = BPE_PATTERN,
+):
+    """Apply learned BPE merge rules (from ``bpe_learn_merges``) at
+    corpus scale and report per-document token counts before and after
+    merging — the 'real' LLM token budget the pre-token count
+    (``bpe_token_count``) only approximates.
+
+    Encoding is map-side only until the final per-doc aggregation: each
+    pre-token becomes its \\x1f-delimited character string and the merge
+    rules apply as a fixed chain of left-to-right ``replace``\\ s (the
+    same greedy semantics the trainer used), so the whole encode stage
+    is whole-stage-codegen string ops — no UDF, no shuffle except the
+    one groupBy on ``id_col``.
+
+    ``merges``: [(step, left_sym, right_sym, count), ...] in step order.
+    """
+    US = "\x1f"
+    tok = df.select(
+        F.col(id_col), F.explode(bpe_tokens(text_col, pattern)).alias("__w")
+    )
+    chars = F.regexp_extract_all(F.col("__w"), F.lit("(?s)."), 0)
+    s = F.concat(F.lit(US), F.array_join(chars, US + " " + US), F.lit(US))
+    for _, left_sym, right_sym, *_rest in sorted(merges):
+        wa, wb = US + left_sym + US, US + right_sym + US
+        s = F.replace(s, F.lit(wa + " " + wb), F.lit(wa[:-1] + wb[1:]))
+    return (
+        tok.select(id_col, F.size(F.split(s, " ")).alias("__n"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pre_tokens"),
+            F.sum("__n").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

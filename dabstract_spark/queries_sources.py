@@ -812,3 +812,58 @@ def q196_dcase_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scene_id",
         F.col("group").alias("grp"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Streaming count-min maintenance (streaming/ops.cms_sketch_stream):
+# each micro-batch appends its PARTIAL (j, bucket, cnt) sketch to the
+# sink; the live frequency table is cms_merge of the sink — an online
+# frequency monitor that never rescans past batches. Merge-by-sum is
+# batch-boundary independent, so the drained sketch equals the batch
+# sketch and the per-user estimates hash-check against the batch SQL
+# (including the structural never-underestimate guarantee).
+# --------------------------------------------------------------------- #
+_CMS_BUCKET_SQL = (
+    "CAST(CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || CAST({k} AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 256 AS INT)"
+)
+
+
+@query(
+    "q201_stream_cms",
+    oracle=f"""
+    WITH sk AS (
+      SELECT j, {_CMS_BUCKET_SQL.format(j='j', k='user_id')} AS bucket,
+             COUNT(*) AS cnt
+      FROM events, UNNEST(generate_series(0, 3)) AS t(j)
+      GROUP BY j, bucket),
+    exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id),
+    est AS (
+      SELECT e.user_id, e.exact_cnt, MIN(s.cnt) AS est
+      FROM exact e JOIN sk s
+        ON s.bucket = {_CMS_BUCKET_SQL.format(j='s.j', k='e.user_id')}
+      GROUP BY e.user_id, e.exact_cnt)
+    SELECT user_id, exact_cnt, CAST(est AS BIGINT) AS est,
+           est >= exact_cnt AS never_under
+    FROM est
+    """,
+)
+def q201_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.operators.sketches import cms_estimate, cms_merge
+    from dabstract_spark.streaming.ops import cms_sketch_stream, stream_events
+
+    tmp = tempfile.mkdtemp(prefix="sparkdab_cms_")
+    src = stream_events(spark, f"{sf_dir}/events.parquet").select("user_id")
+    partials = cms_sketch_stream(src, "user_id", f"{tmp}/out", f"{tmp}/ckpt")
+    merged = cms_merge(partials)
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_estimate(merged, probes, "user_id")
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "est",
+        (F.col("est") >= F.col("exact_cnt")).alias("never_under"),
+    )

@@ -3237,3 +3237,60 @@ def q199_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "step", "left_sym", "right_sym", "pair_count"
     )
+
+
+# --------------------------------------------------------------------- #
+# BPE ENCODING at corpus scale (text.bpe_encode_counts): apply the 5
+# learned merge rules to every document and report exact pre/post token
+# budgets — the other half of the tokenizer story (q199 trains, this
+# encodes). The encode stage is pure codegen string ops (wrap + 5
+# chained greedy replaces), shuffling only the per-doc count aggregate;
+# the oracle re-derives the SAME rules (unrolled stages) and applies
+# the same nested replaces.
+# --------------------------------------------------------------------- #
+def _bpe_apply_sql(inner: str, n: int) -> str:
+    pat = f"(SELECT wa || ' ' || wb FROM b{n})"
+    rep = f"(SELECT substr(wa, 1, length(wa)-1) || substr(wb, 2) FROM b{n})"
+    return f"replace({inner}, {pat}, {rep})"
+
+
+def _bpe_apply_chain() -> str:
+    s = "s"
+    for n in range(1, 6):
+        s = _bpe_apply_sql(s, n)
+    return s
+
+
+@query(
+    "q200_bpe_encode",
+    oracle=f"""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT unnest(regexp_extract_all(lower(text), {_BPE_SQL})) AS w
+            FROM documents)
+      GROUP BY w),
+    w0 AS (
+      SELECT chr(31) || array_to_string(regexp_extract_all(w, '(?s).'),
+                                        chr(31) || ' ' || chr(31)) || chr(31) AS s,
+             cnt
+      FROM wc),
+    {", ".join(_bpe_stage_sql(i) for i in range(1, 6))},
+    enc AS (
+      SELECT doc_id,
+             chr(31) || array_to_string(regexp_extract_all(w, '(?s).'),
+                                        chr(31) || ' ' || chr(31)) || chr(31) AS s
+      FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), {_BPE_SQL})) AS w
+            FROM documents)),
+    app AS (SELECT doc_id, {_bpe_apply_chain()} AS s2 FROM enc)
+    SELECT doc_id, COUNT(*) AS n_pre_tokens,
+           CAST(SUM(len(string_split(s2, ' '))) AS BIGINT) AS n_bpe_tokens
+    FROM app GROUP BY doc_id
+    """,
+)
+def q200_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        (r.step, r.left_sym, r.right_sym, r.pair_count)
+        for r in tx.bpe_learn_merges(docs, "text", n_merges=5).collect()
+    ]
+    return tx.bpe_encode_counts(docs, "doc_id", "text", rules)

@@ -443,3 +443,50 @@ def rolling_distinct_stream(
     )
     dedup = exploded.dropDuplicates([key_col, "wday"])
     return dedup.groupBy("wday").agg(F.count(F.lit(1)).alias("wau"))
+
+
+def cms_sketch_stream(
+    new_stream: DataFrame,
+    key_col: str,
+    out_path: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 256,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming count-min maintenance (the online twin of
+    operators/sketches.py): each micro-batch reduces to its PARTIAL
+    sketch — a ≤ depth·width-row (j, bucket, cnt) table — appended to
+    the sink; the live frequency table at any time is ``cms_merge`` of
+    the sink, never a rescan of past batches. Because merge is a plain
+    SUM, the drained result is arrival-order and batch-boundary
+    independent — exactly the batch sketch, so it hash-checks against
+    the batch SQL oracle. Returns the re-read partial-sketch table.
+    """
+    from dabstract_spark.operators.sketches import cms_sketch
+
+    spark = new_stream.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cms_sketch(batch_df, key_col, depth=depth, width=width)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
+    try:
+        q = (
+            new_stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(f"cms_sketch_stream drain exceeded {timeout_sec}s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out_path)
