@@ -3294,3 +3294,169 @@ def q200_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in tx.bpe_learn_merges(docs, "text", n_merges=5).collect()
     ]
     return tx.bpe_encode_counts(docs, "doc_id", "text", rules)
+
+
+# --------------------------------------------------------------------- #
+# MinHash estimator-quality evaluation (the q167-style eval for the
+# dedup sketch): for every LSH candidate pair, compare the signature
+# Jaccard estimate (matching positions / 16, exact integer ppm) with
+# the TRUE shingle-set Jaccard — how practitioners pick n_hashes/bands.
+# Everything integer: est = matches·62500 ppm, exact = 1e6·|∩| div |∪|.
+# --------------------------------------------------------------------- #
+@query(
+    "q202_minhash_estimate_eval",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKENS.format(c='text')} AS t FROM documents),
+         ths AS (SELECT doc_id, {_TH} AS th FROM tk),
+         hs2 AS (SELECT doc_id, {_HS3} AS hs FROM ths),
+         sigp AS (
+           SELECT doc_id, list_distinct(hs) AS hsd, {_minhash_list(16)} AS mh
+           FROM hs2 WHERE len(hs) > 0),
+         bands AS (
+           SELECT doc_id, b AS band_id,
+                  md5(array_to_string(mh[b*4+1 : b*4+4], ',')) AS band_hash
+           FROM sigp, UNNEST(generate_series(0, 3)) AS t(b)),
+         capped AS (
+           SELECT doc_id, band_id, band_hash FROM bands
+           QUALIFY ROW_NUMBER() OVER (
+             PARTITION BY band_id, band_hash
+             ORDER BY md5('0:' || CAST(doc_id AS VARCHAR))) <= 64),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM capped a JOIN capped b USING (band_id, band_hash)
+           WHERE a.doc_id < b.doc_id),
+         scored AS (
+           SELECT p.id_a, p.id_b,
+                  len(list_filter(generate_series(1, 16), i -> a.mh[i] = b.mh[i])) * 62500 AS est_ppm,
+                  1000000 * len(list_intersect(a.hsd, b.hsd))
+                    // (len(a.hsd) + len(b.hsd) - len(list_intersect(a.hsd, b.hsd))) AS exact_ppm
+           FROM pairs p
+           JOIN sigp a ON a.doc_id = p.id_a
+           JOIN sigp b ON b.doc_id = p.id_b)
+    SELECT id_a, id_b, CAST(est_ppm AS BIGINT) AS est_ppm,
+           CAST(exact_ppm AS BIGINT) AS exact_ppm,
+           CAST(abs(est_ppm - exact_ppm) AS BIGINT) AS err_ppm
+    FROM scored
+    """,
+)
+def q202_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    prof = dd.minhash_profile(docs, "doc_id", "text", n_hashes=16, k=3)
+    pairs = dd.minhash_candidate_pairs(
+        docs, "doc_id", "text", n_hashes=16, bands=4, k=3, max_bucket=64
+    )
+    a = prof.select(
+        F.col("doc_id").alias("id_a"), F.col("hs").alias("__hsa"), F.col("sig").alias("__sa")
+    )
+    b = prof.select(
+        F.col("doc_id").alias("id_b"), F.col("hs").alias("__hsb"), F.col("sig").alias("__sb")
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    matches = F.size(
+        F.filter(F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y), lambda v: v)
+    )
+    inter = F.size(F.array_intersect(F.col("__hsa"), F.col("__hsb"))).cast("bigint")
+    staged = joined.select(
+        "id_a",
+        "id_b",
+        (matches.cast("bigint") * F.lit(62500)).alias("est_ppm"),
+        (F.lit(1000000) * inter).alias("__num"),
+        (
+            F.size(F.col("__hsa")).cast("bigint")
+            + F.size(F.col("__hsb")).cast("bigint")
+            - inter
+        ).alias("__den"),
+    )
+    return staged.select(
+        "id_a",
+        "id_b",
+        "est_ppm",
+        F.expr("__num div __den").cast("bigint").alias("exact_ppm"),
+        F.abs(F.col("est_ppm") - F.expr("__num div __den")).cast("bigint").alias("err_ppm"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Exact grouped percentiles (p50/p95/p99 latency-dashboard shape) by
+# aggregate-first cumulative selection: groupBy (group, value) shrinks
+# to the small distinct-value table, per-group window cumsum over THAT,
+# then "smallest v with 100·cum >= p·n" — integer comparisons only, so
+# the exact percentile is engine-identical (approx_percentile is not).
+# Same machinery as the weighted median (q194), widened to a percentile
+# vector in one pass.
+# --------------------------------------------------------------------- #
+@query(
+    "q203_group_percentiles",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(round(value, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+             COUNT(*) AS c
+      FROM events GROUP BY event_type, v),
+    cum AS (
+      SELECT event_type, v,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM c)
+    SELECT event_type,
+           MIN(CASE WHEN 100 * cum >= 50 * n THEN v END) AS p50_micro,
+           MIN(CASE WHEN 100 * cum >= 95 * n THEN v END) AS p95_micro,
+           MIN(CASE WHEN 100 * cum >= 99 * n THEN v END) AS p99_micro
+    FROM cum GROUP BY event_type
+    """,
+)
+def q203_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    vm = (
+        (F.round(F.col("value"), 6).cast("decimal(18,6)") * F.lit(1000000))
+        .cast("bigint")
+        .alias("v")
+    )
+    counts = ev.groupBy("event_type", vm).agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        "v",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("n"),
+    )
+    def pick(p):
+        return F.min(
+            F.when(100 * F.col("cum") >= p * F.col("n"), F.col("v"))
+        ).alias(f"p{p}_micro")
+
+    return cum.groupBy("event_type").agg(pick(50), pick(95), pick(99))
+
+
+# --------------------------------------------------------------------- #
+# N-gram decontamination (dedup.decontaminate): DROP every train doc
+# sharing a distinct 5-shingle with the test split — the enforcement
+# twin of the q113 audit, shingle-key joins only, never doc×doc.
+# --------------------------------------------------------------------- #
+@query(
+    "q204_decontaminate",
+    oracle=f"""
+    WITH sh_tr AS (
+      SELECT doc_id, unnest(list_distinct({_shingles('text', 5)})) AS sh
+      FROM documents WHERE doc_id % 5 <> 0),
+    sh_te AS (
+      SELECT DISTINCT unnest(list_distinct({_shingles('text', 5)})) AS sh
+      FROM documents WHERE doc_id % 5 = 0),
+    dirty AS (SELECT DISTINCT doc_id FROM sh_tr JOIN sh_te USING (sh))
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id % 5 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+)
+def q204_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    clean = dd.decontaminate(train, test, "doc_id", "text", k=5)
+    return clean.select("doc_id", "lang")
