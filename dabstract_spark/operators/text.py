@@ -756,7 +756,10 @@ def bpe_learn_merges(
     )
     chars = F.regexp_extract_all(F.col("w"), F.lit("(?s)."), 0)
     s0 = F.concat(F.lit(US), F.array_join(chars, US + " " + US), F.lit(US))
-    cur = words.select(s0.alias("s"), "cnt").localCheckpoint()
+    # lazy checkpoints: lineage still truncates, but the materialization
+    # fuses into the NEXT step's pair-count job instead of running its
+    # own — halves the per-step job count (and Spark's per-job floor)
+    cur = words.select(s0.alias("s"), "cnt").localCheckpoint(eager=False)
     merges = []
     for step in range(1, n_merges + 1):
         syms = F.split(F.col("s"), " ")
@@ -784,7 +787,7 @@ def bpe_learn_merges(
         pat, rep = wa + " " + wb, wa[:-1] + wb[1:]
         cur = cur.withColumn(
             "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, pair_count bigint"
     )
