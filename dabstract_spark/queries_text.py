@@ -3460,3 +3460,61 @@ def q204_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = docs.filter(F.col("doc_id") % 5 == 0)
     clean = dd.decontaminate(train, test, "doc_id", "text", k=5)
     return clean.select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------- #
+# Tokenizer fertility per language (post-BPE tokens per pre-token, the
+# metric tokenizer teams watch per locale): q200's encode joined back
+# to lang, aggregated in exact integer ppm — mean fertility =
+# 1e6·Σpost div Σpre per lang.
+# --------------------------------------------------------------------- #
+@query(
+    "q205_tokenizer_fertility",
+    oracle=f"""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT unnest(regexp_extract_all(lower(text), {_BPE_SQL})) AS w
+            FROM documents)
+      GROUP BY w),
+    w0 AS (
+      SELECT chr(31) || array_to_string(regexp_extract_all(w, '(?s).'),
+                                        chr(31) || ' ' || chr(31)) || chr(31) AS s,
+             cnt
+      FROM wc),
+    {", ".join(_bpe_stage_sql(i) for i in range(1, 6))},
+    enc AS (
+      SELECT doc_id,
+             chr(31) || array_to_string(regexp_extract_all(w, '(?s).'),
+                                        chr(31) || ' ' || chr(31)) || chr(31) AS s
+      FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), {_BPE_SQL})) AS w
+            FROM documents)),
+    app AS (SELECT doc_id, {_bpe_apply_chain()} AS s2 FROM enc),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS pre, SUM(len(string_split(s2, ' '))) AS post
+      FROM app GROUP BY doc_id)
+    SELECT d.lang,
+           CAST(SUM(p.pre) AS BIGINT) AS pre_tokens,
+           CAST(SUM(p.post) AS BIGINT) AS post_tokens,
+           CAST(1000000 * SUM(p.post) // SUM(p.pre) AS BIGINT) AS fertility_ppm
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def q205_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        (r.step, r.left_sym, r.right_sym, r.pair_count)
+        for r in tx.bpe_learn_merges(docs, "text", n_merges=5).collect()
+    ]
+    per_doc = tx.bpe_encode_counts(docs, "doc_id", "text", rules)
+    joined = per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+    agg = joined.groupBy("lang").agg(
+        F.sum("n_pre_tokens").alias("pre_tokens"),
+        F.sum("n_bpe_tokens").alias("post_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "pre_tokens",
+        "post_tokens",
+        F.expr("(1000000 * post_tokens) div pre_tokens").cast("bigint").alias("fertility_ppm"),
+    )
