@@ -110,6 +110,9 @@ def main():
         # vocab grows with the bijection copies -> the model tables
         # (bigram/context counts) grow too, the honest LM-training shape
         "bigram_lm": lambda d: tx.bigram_coherence(d, "doc_id", "text"),
+        # BPE training: the corpus-scale stage is the word count; the
+        # 5-step merge loop runs on the (bijection-grown) vocab table
+        "bpe_train": lambda d: tx.bpe_learn_merges(d, "text", n_merges=5),
     }
 
     def _heavy_hitters(d):
