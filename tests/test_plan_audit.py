@@ -138,3 +138,25 @@ def test_random_subsample_exact_is_distributed(spark):
     assert "TakeOrdered" not in plan
     assert "GlobalLimit" not in plan
     assert out.count() == 125
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    """The merged sketch is ≤ depth·width rows by construction — probing
+    must plan a broadcast join, not shuffle the probe side."""
+    from __spark_entry__ import queries
+
+    df = queries()["q197_cms_token_counts"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_no_cartesian(spark):
+    """Decontamination must join on the shingle key only — any cartesian
+    / broadcast nested loop over doc×doc is the scale bug it exists to
+    avoid."""
+    from __spark_entry__ import queries
+
+    df = queries()["q204_decontaminate"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

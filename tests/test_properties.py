@@ -305,3 +305,51 @@ def test_funnel_matches_serial_model(spark, events):
             if k < 3 and t == stages[k] and (k == 0 or m > last):
                 k, last = k + 1, m
         assert got[u] == k, (u, evs, got[u], k)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=24), min_size=1, max_size=6
+    ),
+    n_merges=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_bpe_trainer_matches_serial_reference(spark, texts, n_merges):
+    """Property form of the BPE equivalence: on hypothesis-generated
+    corpora over a tiny alphabet (maximizing repeated-symbol overlaps
+    and count ties), the distributed trainer must equal a serial Python
+    reference using str.replace — same greedy application, same
+    (count DESC, left, right) tie-break."""
+    import re
+    from collections import Counter
+
+    from dabstract_spark.operators.text import BPE_PATTERN, bpe_learn_merges
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_learn_merges(df, "text", n_merges=n_merges)
+        .orderBy("step")
+        .collect()
+    ]
+    words = Counter()
+    for t in texts:
+        words.update(re.findall(BPE_PATTERN, t.lower()))
+    US = "\x1f"
+    enc = {US + (US + " " + US).join(list(w)) + US: c for w, c in words.items()}
+    want = []
+    for step in range(1, n_merges + 1):
+        pairs = Counter()
+        for s, c in enc.items():
+            syms = s.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (wa, wb), total = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((step, wa[1:-1], wb[1:-1], total))
+        patt, rep = wa + " " + wb, wa[:-1] + wb[1:]
+        enc = {s.replace(patt, rep): c for s, c in enc.items()}
+    assert got == want
