@@ -3518,3 +3518,143 @@ def q205_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "post_tokens",
         F.expr("(1000000 * post_tokens) div pre_tokens").cast("bigint").alias("fertility_ppm"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Triangle census of the near-dup candidate graph: triangles + open
+# wedges + global closure ratio (integer ppm) — the structural signal
+# that tells a curation team whether candidate pairs form tight
+# duplicate cliques (high closure: boilerplate families) or loose
+# chains (low closure: LSH noise). Edges are canonical (a<b), so each
+# triangle {x<y<z} is counted exactly once by joining (x,y)+(x,z) with
+# (y,z); wedge count per apex is C(deg,2) over canonical neighbors.
+# --------------------------------------------------------------------- #
+@query(
+    "q206_triangle_census",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKENS.format(c='text')} AS t FROM documents),
+         ths AS (SELECT doc_id, {_TH} AS th FROM tk),
+         hs2 AS (SELECT doc_id, {_HS3} AS hs FROM ths),
+         sig AS (SELECT doc_id, {_minhash_list(16)} AS mh FROM hs2 WHERE len(hs) > 0),
+         bands AS (
+           SELECT doc_id, b AS band_id,
+                  md5(array_to_string(mh[b*4+1 : b*4+4], ',')) AS band_hash
+           FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+         capped AS (
+           SELECT doc_id, band_id, band_hash FROM bands
+           QUALIFY ROW_NUMBER() OVER (
+             PARTITION BY band_id, band_hash
+             ORDER BY md5('0:' || CAST(doc_id AS VARCHAR))) <= 64),
+         e AS (
+           SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM capped a JOIN capped b USING (band_id, band_hash)
+           WHERE a.doc_id < b.doc_id),
+         tri AS (
+           SELECT COUNT(*) AS n_triangles
+           FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                     JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         wed AS (
+           SELECT COALESCE(SUM(d * (d - 1) // 2), 0) AS n_wedges
+           FROM (SELECT COUNT(*) AS d
+                 FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+                 GROUP BY v))
+    SELECT CAST(t.n_triangles AS BIGINT) AS n_triangles,
+           CAST(w.n_wedges AS BIGINT) AS n_wedges,
+           CAST(CASE WHEN w.n_wedges > 0
+                     THEN 3000000 * t.n_triangles // w.n_wedges
+                     ELSE 0 END AS BIGINT) AS closure_ppm
+    FROM tri t, wed w
+    """,
+)
+def q206_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    e = dd.minhash_candidate_pairs(
+        docs, "doc_id", "text", n_hashes=16, bands=4, k=3, max_bucket=64
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e = e.localCheckpoint(eager=False)
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, "x")
+        .filter(F.col("z") > F.col("y"))
+        .join(e3, ["y", "z"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wed = deg.agg(
+        F.coalesce(
+            F.sum(F.expr("d * (d - 1) div 2")), F.lit(0).cast("bigint")
+        ).alias("n_wedges")
+    )
+    out = tri.crossJoin(wed)
+    return out.select(
+        F.col("n_triangles").cast("bigint"),
+        F.col("n_wedges").cast("bigint"),
+        F.when(
+            F.col("n_wedges") > 0, F.expr("(3000000 * n_triangles) div n_wedges")
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("closure_ppm"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Duplicate-cluster size histogram — the one-glance duplication profile
+# (how much of the corpus sits in families of size 1, 2, 3…): q84's
+# clusters aggregated twice (cluster → size, size → frequency), all
+# map-side-combinable groupBys.
+# --------------------------------------------------------------------- #
+@query(
+    "q207_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE
+         tk AS (SELECT doc_id, {_TOKENS.format(c='text')} AS t FROM documents),
+         ths AS (SELECT doc_id, {_TH} AS th FROM tk),
+         hs2 AS (SELECT doc_id, {_HS3} AS hs FROM ths),
+         sig AS (SELECT doc_id, {_minhash_list(16)} AS mh FROM hs2 WHERE len(hs) > 0),
+         bands AS (
+           SELECT doc_id, b AS band_id,
+                  md5(array_to_string(mh[b*4+1 : b*4+4], ',')) AS band_hash
+           FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+         capped AS (
+           SELECT doc_id, band_id, band_hash FROM bands
+           QUALIFY ROW_NUMBER() OVER (
+             PARTITION BY band_id, band_hash
+             ORDER BY md5('0:' || CAST(doc_id AS VARCHAR))) <= 64),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM capped a JOIN capped b USING (band_id, band_hash)
+           WHERE a.doc_id < b.doc_id),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS comp FROM documents
+           UNION
+           SELECT e.dst AS id, r.comp
+           FROM reach r JOIN edges e ON e.src = r.id),
+         clus AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+         sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM clus GROUP BY cluster_id)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+)
+def q207_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dd.minhash_dedup_clusters(
+        docs, "doc_id", "text", n_hashes=16, bands=4, k=3, max_bucket=64
+    )
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").cast("bigint").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )
