@@ -113,6 +113,31 @@ def main():
         # BPE training: the corpus-scale stage is the word count; the
         # 5-step merge loop runs on the (bijection-grown) vocab table
         "bpe_train": lambda d: tx.bpe_learn_merges(d, "text", n_merges=5),
+        # count-min sketch build: shuffle bounded at depth·width rows
+        # after map-side combine regardless of input size
+        "cms_sketch": lambda d: __import__(
+            "dabstract_spark.operators.sketches", fromlist=["cms_sketch"]
+        ).cms_sketch(
+            d.select("doc_id", F.explode(tx.tokens("text")).alias("tok")), "tok"
+        ),
+        # decontamination: train grows with the corpus, test fixed at the
+        # base 20% — shingle-key semi/anti joins only
+        "decontaminate": lambda d: dd.decontaminate(
+            d.filter(F.col("doc_id") % 5 != 0),
+            d.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 10_000_000)),
+            "doc_id",
+            "text",
+            k=5,
+        ),
+        # quality-weighted Bernoulli keep: scan-fused filter, zero shuffle
+        "importance_sample": lambda d: __import__(
+            "dabstract_spark.operators.select", fromlist=["importance_sample"]
+        ).importance_sample(
+            d.select("doc_id", tx.quality_score_ppm("text").alias("q")),
+            "q",
+            rate_ppm=800000,
+            key="doc_id",
+        ),
     }
 
     def _heavy_hitters(d):
