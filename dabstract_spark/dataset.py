@@ -564,6 +564,28 @@ class Dataset:
 
         return self._evolve(sample_per_group(self._df, group_key, n, seed, key=ROW_ID))
 
+    def decontaminate(
+        self, test: "Dataset | DataFrame", key: str, id_col: str = ROW_ID, **kw
+    ) -> "Dataset":
+        """Drop rows sharing a distinct k-shingle of ``key`` with the
+        ``test`` set (n-gram decontamination; see dedup.decontaminate)."""
+        from dabstract_spark.operators import dedup as dd
+
+        test_df = test.full_df if isinstance(test, Dataset) else test
+        return self._evolve(dd.decontaminate(self._df, test_df, id_col, key, **kw))
+
+    def importance_sample(
+        self, weight_ppm, rate_ppm: int = 1000000, seed: int = 0
+    ) -> "Dataset":
+        """Quality-weighted Bernoulli keep (exact-integer accept test;
+        see select.importance_sample). Also reachable by name through
+        ``add_select('importance_sample', ...)``."""
+        from dabstract_spark.operators.select import importance_sample
+
+        return self._evolve(
+            importance_sample(self._df, weight_ppm, rate_ppm, key=ROW_ID, seed=seed)
+        )
+
     def add_text_stats(self, key: str = "text") -> "Dataset":
         """Attach the full text-analysis column set (token counts,
         ratios, quality, lang-id, fingerprint) with tokens staged once."""
