@@ -867,3 +867,32 @@ def q201_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est",
         (F.col("est") >= F.col("exact_cnt")).alias("never_under"),
     )
+
+
+# --------------------------------------------------------------------- #
+# ORC sink/source roundtrip (§2.1 breadth: the other mainstream columnar
+# format Spark ships natively): events written as ORC partitioned by
+# event_type, read back with a partition-pruning filter and aggregated.
+# The oracle answers from the same logical data (the parquet view), so
+# the roundtrip itself is what's under test; predicate pushdown into the
+# ORC scan is asserted in tests/test_sources.py.
+# --------------------------------------------------------------------- #
+@query(
+    "q208_orc_roundtrip",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events WHERE event_type = 'click' GROUP BY user_id
+    """,
+)
+def q208_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="sparkdab_orc_")
+    ev.write.mode("overwrite").partitionBy("event_type").orc(f"{tmp}/events_orc")
+    back = spark.read.orc(f"{tmp}/events_orc").filter(F.col("event_type") == "click")
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )

@@ -309,3 +309,20 @@ def test_dcase_connector_trio(spark, tmp_path):
         spark, {"data": str(tmp_path / "dl" / "audio")}, downloader=dl
     )
     assert calls == [1] and ds_b.full_df.count() == 6
+
+
+def test_orc_scan_pushdown_and_pruning(spark, tmp_path):
+    """ORC sink/source parity with the parquet path: a partition filter
+    must prune to one directory and a row-group predicate must reach the
+    ORC scan (PushedFilters)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    path = str(tmp_path / "orc")
+    df.write.partitionBy("p").orc(path)
+    back = spark.read.orc(path).filter((F.col("p") == 1) & (F.col("v") > 50))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(v), GreaterThan(v,50)]" in plan
+    assert back.count() == df.filter((F.col("p") == 1) & (F.col("v") > 50)).count()
