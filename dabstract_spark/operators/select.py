@@ -49,6 +49,30 @@ def random_subsample(df: DataFrame, ratio: float, seed: int = 0, key: str = "row
     )
 
 
+def random_sample_n(df: DataFrame, n: int, seed: int = 0, key: str = "row_id") -> DataFrame:
+    """Keep exactly min(n, count) pseudo-random rows — the fixed-budget
+    form of ``random_subsample`` ("give me exactly 10k docs"),
+    deterministic and seed-reproducible. Same distributed machinery:
+    md5-rank via bounded per-bucket windows, filter rank <= n — no
+    count() job, no global sort-limit TakeOrdered."""
+    from dabstract_spark.core import _string_bucket
+
+    ranked = df.withColumn("__rk", md5_order(key, seed))
+    bucketed = ranked.withColumn("__g", _string_bucket(F.col("__rk"), 0))
+    counts = bucketed.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__g", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_local = Window.partitionBy("__g").orderBy("__rk")
+    return (
+        bucketed.join(F.broadcast(offsets), "__g")
+        .withColumn("__rank", F.col("__off") + F.row_number().over(w_local))
+        .filter(F.col("__rank") <= F.lit(int(n)))
+        .drop("__rk", "__g", "__off", "__rank")
+    )
+
+
 def random_subsample_approx(df: DataFrame, ratio: float, seed: int = 0) -> DataFrame:
     """Scale path: Bernoulli sample, no shuffle, not exact-count."""
     return df.sample(fraction=ratio, seed=seed)
@@ -85,6 +109,7 @@ def sample_per_group(
 
 _REGISTRY = {
     "random_subsample": random_subsample,
+    "random_sample_n": random_sample_n,
     "random_subsample_approx": random_subsample_approx,
     "subsample_by_str": subsample_by_str,
     "threshold_subsample": threshold_subsample,

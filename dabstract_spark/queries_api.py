@@ -256,3 +256,22 @@ def q83_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.posexplode("resampled").alias("pos", "resampled")).select(
         "vec_id", "pos", (F.round("resampled", 4) + F.lit(0.0)).alias("resampled")
     )
+
+
+# --------------------------------------------------------------------- #
+# Exact-N deterministic sample (select.random_sample_n): the fixed-budget
+# sibling of q78 — "exactly 40 customers", md5-ranked via bounded
+# per-bucket windows, no count job, no global sort-limit.
+# --------------------------------------------------------------------- #
+@query(
+    "q209_random_sample_n",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    QUALIFY ROW_NUMBER() OVER (ORDER BY md5('4:' || CAST(c_custkey AS VARCHAR))) <= 40
+    """,
+)
+def q209_random_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import random_sample_n
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return random_sample_n(cust, 40, seed=4, key="c_custkey")
