@@ -112,7 +112,14 @@ def with_row_id(df: DataFrame, order_by: str | list[str], prefix_skip: int = 0) 
     # ≤ #distinct-buckets rows (256 for hex keys, 4·npart for numeric) —
     # a single small task, not a data-sized stage.
     counts = bucketed.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
-    w = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
+    # explicit constant partition key: identical single-partition plan,
+    # but keeps the WindowExec no-partition warning reserved for real
+    # data-scale windows (this table is bounded by construction)
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.select(
         "__g", F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off")
     )

@@ -327,6 +327,7 @@ def funnel_stages(
     ts_col: str = "ts",
     user_col: str = "user_id",
     type_col: str = "event_type",
+    max_events: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: the deepest stage each key reached, where
     stage k counts only if it happened STRICTLY AFTER the key's entry
@@ -337,12 +338,45 @@ def funnel_stages(
     timestamps chain through ``min(CASE WHEN type=s AND ts > prev)``.
     Spark computes all stages in a single groupBy pass (no joins): the
     per-stage mins are mutually dependent, so they are evaluated over
-    the collected per-user (ts, type) pairs — bounded by the user's own
-    event count via aggregate expressions, still one shuffle.
+    the collected per-user (ts, type) pairs via aggregate expressions,
+    still one shuffle.
+
+    Scale posture of the per-user collect: events are pre-filtered to
+    the funnel's stage types BEFORE collection (semantics-preserving —
+    non-stage events can never advance the fold — and it shrinks the
+    collected arrays to the funnel-relevant fraction of the corpus);
+    users with no stage events re-enter through a distinct-user-id left
+    join (user-id-only shuffle) as stage 0. The residual bound is the
+    per-user STAGE-event count — fine for humans, but a bot emitting
+    10⁸ stage events is still one task's array, so ``max_events`` adds
+    a deterministic cap keeping each user's EARLIEST max_events stage
+    events (rank-filtered before the collect — nothing over-cap is ever
+    materialized; ties on (ts, type) are struct-identical so the kept
+    multiset is deterministic). Documented trade: a capped user's
+    funnel can only under-report progression that first happens after
+    its max_events-th stage event.
     """
     us = _epoch_us(ts_col)
+    stage_events = df.filter(F.col(type_col).isin(list(stages)))
+    if max_events is not None:
+        wcap = Window.partitionBy(user_col).orderBy(us, F.col(type_col))
+        stage_events = (
+            stage_events.withColumn("__rn", F.row_number().over(wcap))
+            .filter(F.col("__rn") <= max_events)
+            .drop("__rn")
+        )
     pairs = F.collect_list(F.struct(us.alias("us"), F.col(type_col).alias("t")))
-    agg = df.groupBy(user_col).agg(F.array_sort(pairs).alias("__p"))
+    users = df.select(user_col).distinct()
+    agg = users.join(
+        stage_events.groupBy(user_col).agg(F.array_sort(pairs).alias("__p")),
+        user_col,
+        "left",
+    ).withColumn(
+        "__p",
+        F.coalesce(
+            F.col("__p"), F.array().cast("array<struct<us:bigint,t:string>>")
+        ),
+    )
     # fold the sorted (ts, type) list through the stage chain: acc =
     # (stage_reached, ts_of_last_stage, t0) — one pass, pure HOF.
     n = len(stages)

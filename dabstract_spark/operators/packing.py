@@ -2,7 +2,7 @@
 windows ("concat-and-chunk"), the standard LLM pre-training layout.
 
 The core primitive is an EXACT distributed prefix sum. A naive global
-cumulative sum (``Window.orderBy(...)`` with no partition key) collapses
+cumulative sum (an ``orderBy``-only window with no partition key) collapses
 the whole table into one task — the classic single-partition window
 scale bug. Here the sum is computed block-wise instead:
 
@@ -71,7 +71,13 @@ def block_prefix_sum(
         "__off_in", F.coalesce(F.sum("__tot").over(w_in), F.lit(0))
     )
     sb_tot = totals.groupBy("__sb").agg(F.sum("__tot").alias("__sbt"))
-    w_sb = Window.orderBy("__sb").rowsBetween(Window.unboundedPreceding, -1)
+    # constant partition key: same single-partition plan over the ~233-row
+    # super-block table, but no spurious no-partition WindowExec warning
+    w_sb = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__sb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     sb_off = sb_tot.withColumn(
         "__off_sb", F.coalesce(F.sum("__sbt").over(w_sb), F.lit(0))
     ).select("__sb", "__off_sb")

@@ -31,9 +31,19 @@ def random_subsample(df: DataFrame, ratio: float, seed: int = 0, key: str = "row
     # 256-row bucket-count table: cumulative offsets AND the grand total
     # come from the same tiny aggregate — one extra column, zero jobs.
     counts = bucketed.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
-    w_off = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
-    w_tot = Window.orderBy("__g").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # windows over the 256-row bucket table carry an explicit constant
+    # partition key: same single-partition plan, but the WindowExec
+    # "No Partition Defined" warning stays reserved for real data-scale
+    # regressions (this table is constant-size by construction)
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__g")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     offsets = counts.select(
         "__g",
@@ -60,7 +70,12 @@ def random_sample_n(df: DataFrame, n: int, seed: int = 0, key: str = "row_id") -
     ranked = df.withColumn("__rk", md5_order(key, seed))
     bucketed = ranked.withColumn("__g", _string_bucket(F.col("__rk"), 0))
     counts = bucketed.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
-    w_off = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
+    # constant partition key on the 256-row table — see random_subsample
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.select(
         "__g", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
     )

@@ -671,7 +671,11 @@ def bm25_topk(
     out = scored.select("id", F.round(score, 4).alias("score")).filter(
         F.col("score") > 0.0
     )
-    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    # global top-k rank over docs matching the query terms (the score>0
+    # filter bounds this to the posting-list union, not the corpus);
+    # constant partition key = same single-partition sort, no spurious
+    # no-partition WindowExec warning
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("id"))
     return (
         out.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

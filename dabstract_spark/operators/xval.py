@@ -64,7 +64,9 @@ def group_random_kfold(
     integrity preserved (reference xval.py:27-43). The distinct-group
     table is small: broadcast-joined back."""
     groups = df.select(group).distinct()
-    w = Window.orderBy(md5_order(group, seed))
+    # constant partition key over the small distinct-group table: same
+    # single-partition plan, no spurious no-partition WindowExec warning
+    w = Window.partitionBy(F.lit(0)).orderBy(md5_order(group, seed))
     gfold = groups.withColumn(
         "fold", ((F.row_number().over(w) - 1) % folds).cast("int")
     )
@@ -90,7 +92,10 @@ def xval_from_item(df: DataFrame, key: str, item: str, seed: int = 0) -> DataFra
         df.select(item)
         .distinct()
         .withColumn(
-            "fold", (F.dense_rank().over(Window.orderBy(item)) - 1).cast("int")
+            "fold",
+            (
+                F.dense_rank().over(Window.partitionBy(F.lit(0)).orderBy(item)) - 1
+            ).cast("int"),
         )
     )
     return df.select(key, item).join(F.broadcast(dic), item).select(key, "fold")

@@ -2225,24 +2225,36 @@ def q139_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the record-linkage classic — catches single-character typos that
 # change every covering k-gram but cost edit distance 1. Both engines
 # share levenshtein semantics over the same normalized 40-char keys.
+# max_block=64 caps each prefix block BEFORE the self-join (md5-min
+# keep-set, mirrored by the oracle's QUALIFY) — a hot boilerplate
+# prefix must not become one task's O(b²) join.
 # --------------------------------------------------------------------- #
-@query(
-    "q145_fuzzy_pairs",
-    oracle=r"""
-    WITH k AS (
+_FUZZY_BLOCK_CTE = r"""
+    fk AS (
       SELECT doc_id AS id,
              substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 40) AS k
       FROM documents),
-    b AS (SELECT id, k, substr(k, 1, 4) AS blk FROM k)
+    fb AS (SELECT id, k, substr(k, 1, 4) AS blk FROM fk
+           QUALIFY ROW_NUMBER() OVER (
+             PARTITION BY blk
+             ORDER BY md5('0:' || CAST(id AS VARCHAR))) <= 64)"""
+
+
+@query(
+    "q145_fuzzy_pairs",
+    oracle=rf"""
+    WITH {_FUZZY_BLOCK_CTE}
     SELECT a.id AS id_a, b2.id AS id_b,
            CAST(levenshtein(a.k, b2.k) AS INT) AS dist
-    FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id
+    FROM fb a JOIN fb b2 ON a.blk = b2.blk AND a.id < b2.id
     WHERE levenshtein(a.k, b2.k) <= 5
     """,
 )
 def q145_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return dd.fuzzy_pairs(docs, "doc_id", "text", prefix_len=4, key_len=40, max_dist=5)
+    return dd.fuzzy_pairs(
+        docs, "doc_id", "text", prefix_len=4, key_len=40, max_dist=5, max_block=64
+    )
 
 
 # --------------------------------------------------------------------- #
@@ -2306,13 +2318,9 @@ def _pagerank_iter_sql(prev: str, out: str) -> str:
 @query(
     "q161_pagerank_neardup",
     oracle=rf"""
-    WITH k AS (
-      SELECT doc_id AS id,
-             substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 40) AS k
-      FROM documents),
-    b AS (SELECT id, k, substr(k, 1, 4) AS blk FROM k),
+    WITH {_FUZZY_BLOCK_CTE},
     p AS (SELECT a.id AS id_a, b2.id AS id_b
-          FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id
+          FROM fb a JOIN fb b2 ON a.blk = b2.blk AND a.id < b2.id
           WHERE levenshtein(a.k, b2.k) <= 5),
     e AS (SELECT id_a AS src, id_b AS dst FROM p
           UNION SELECT id_b, id_a FROM p),
@@ -2329,7 +2337,9 @@ def q161_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dabstract_spark.operators.graph import pagerank
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = dd.fuzzy_pairs(docs, "doc_id", "text", prefix_len=4, key_len=40, max_dist=5)
+    pairs = dd.fuzzy_pairs(
+        docs, "doc_id", "text", prefix_len=4, key_len=40, max_dist=5, max_block=64
+    )
     return pagerank(pairs, iters=3)
 
 
@@ -2704,7 +2714,9 @@ def q177_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counted.withColumn(
             "rank",
-            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))).cast("int"),
+            F.row_number()
+            .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("token")))
+            .cast("int"),
         )
         .filter(F.col("rank") <= 10)
         .select("token", "cnt", "rank")

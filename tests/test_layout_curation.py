@@ -87,6 +87,28 @@ def test_funnel_stages_strict_ordering_and_ties(spark):
     assert out[1].t_first_stage == _ts(0)
 
 
+def test_funnel_nonstage_user_and_bot_cap(spark):
+    """A user with only non-stage events still gets a stage-0 row (the
+    pre-filter + distinct-user left join path), and ``max_events``
+    bounds the per-user collected array for a synthetic bot while
+    leaving the funnel of early progressions intact."""
+    rows = [(1, _ts(0), 9, "scroll")]  # user 9: no stage events at all
+    # user 5 (bot): view+click in the first minute, then 500 purchases
+    rows += [(10, _ts(0), 5, "view"), (11, _ts(1), 5, "click")]
+    rows += [(100 + i, _ts(2 + i % 50), 5, "purchase") for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    out = {r.user_id: r for r in funnel_stages(df, max_events=10).collect()}
+    assert out[9].stage_reached == 0 and out[9].t_first_stage is None
+    # the bot's first 10 stage events include view, click, purchase
+    assert out[5].stage_reached == 3
+    # the cap really bounds the collected array: rank-filter keeps the
+    # earliest 10 stage events, so the fold saw <= 10 elements
+    capped = funnel_stages(df, max_events=3).collect()
+    assert {r.user_id for r in capped} == {5, 9}
+
+
 def test_time_grid_fill_forward_fill_and_leading_null(spark):
     rows = [
         (1, datetime.datetime(2024, 1, 1, 0, 30), 7, 10.0),

@@ -150,6 +150,28 @@ def test_cms_estimate_broadcasts_sketch(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_no_unpartitioned_window_in_source():
+    """Every window in the engine must declare a partition spec — the
+    bounded-by-construction tiny-table windows (256-row bucket-offset
+    tables, super-block totals, fold/decile dictionaries) carry an
+    explicit ``partitionBy(lit(0))`` so Spark's runtime "No Partition
+    Defined for Window operation" warning stays reserved for REAL
+    data-scale regressions. A bare ``Window.orderBy(...)`` anywhere in
+    the source is either a new scale bug or an unannotated tiny-table
+    window; both must be fixed at the source."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "dabstract_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        for m in re.finditer(r"Window\s*\.\s*orderBy\(", src):
+            line = src[: m.start()].count("\n") + 1
+            offenders.append(f"{p.relative_to(root.parent)}:{line}")
+    assert offenders == [], f"unpartitioned Window.orderBy at: {offenders}"
+
+
 def test_decontaminate_no_cartesian(spark):
     """Decontamination must join on the shingle key only — any cartesian
     / broadcast nested loop over doc×doc is the scale bug it exists to
