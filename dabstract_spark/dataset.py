@@ -525,6 +525,15 @@ class Dataset:
         if key is None:
             return self._evolve(self._df.cache())
         if keep_structure:
+            # top-level columns only: a dotted path ('data.inner') would
+            # make drop(key) a silent no-op and the join would append a
+            # duplicate leaf-named column instead of re-wrapping the
+            # struct — reject it loudly rather than corrupt the schema
+            if key not in self._df.columns:
+                raise ValueError(
+                    f"load_memory(keep_structure=True) requires a top-level "
+                    f"column; got {key!r} (available: {self._df.columns})"
+                )
             proj = self._df.select(F.col(ROW_ID), F.col(key)).cache()
             merged = self._df.drop(key).join(proj, ROW_ID, "left")
             return self._evolve(merged)

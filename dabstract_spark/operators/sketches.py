@@ -88,12 +88,33 @@ def cms_estimate(
     the key's counter. Never underestimates (each counter ≥ the true
     count); overestimates only on hash collisions. The sketch side is
     ≤ depth·width rows — broadcast, so probing is shuffle-free on the
-    probe side."""
-    p = probes.select(
-        "*", F.explode(_hash_pairs(key_col, depth, width)).alias("__p")
-    ).select("*", F.col("__p.j").alias("j"), F.col("__p.bucket").alias("bucket")).drop("__p")
+    probe side.
+
+    Internal hash columns use collision-proof ``__cms_*`` names so a
+    probes frame that itself carries ``j``/``bucket``/``cnt`` columns
+    (they're ordinary analytics names) can never make the join or the
+    final groupBy silently ambiguous — those names are grouped over as
+    plain probe attributes like any other."""
+    reserved = {"__cms_j", "__cms_bucket", "__cms_cnt", "__cms_p"}
+    clash = reserved & set(probes.columns)
+    if clash:
+        raise ValueError(f"probes columns collide with cms internals: {sorted(clash)}")
+    p = (
+        probes.select("*", F.explode(_hash_pairs(key_col, depth, width)).alias("__cms_p"))
+        .select(
+            "*",
+            F.col("__cms_p.j").alias("__cms_j"),
+            F.col("__cms_p.bucket").alias("__cms_bucket"),
+        )
+        .drop("__cms_p")
+    )
     others = [c for c in probes.columns]
-    joined = p.join(F.broadcast(sketch), ["j", "bucket"], "left")
+    sk = sketch.select(
+        F.col("j").alias("__cms_j"),
+        F.col("bucket").alias("__cms_bucket"),
+        F.col("cnt").alias("__cms_cnt"),
+    )
+    joined = p.join(F.broadcast(sk), ["__cms_j", "__cms_bucket"], "left")
     return joined.groupBy(*others).agg(
-        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias(est_col)
+        F.min(F.coalesce(F.col("__cms_cnt"), F.lit(0))).cast("bigint").alias(est_col)
     )

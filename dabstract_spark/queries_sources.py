@@ -10,13 +10,18 @@ escapes bytes, so content hashes can't cross engines).
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dabstract_spark.processing import ProcessingChain
 from dabstract_spark.queries import _t, query
 from dabstract_spark.sources import attach_csv_metadata, folder_dataset, get_dir_info
 
-FIXTURE_DIR = "/root/repo/tests/fixtures/audiodb"
+# fixture paths derive from the package location so the catalog (and the
+# oracle SQL strings they are interpolated into) work from any checkout
+_FIXTURES = str(Path(__file__).resolve().parent.parent / "tests" / "fixtures")
+FIXTURE_DIR = f"{_FIXTURES}/audiodb"
 FIXTURE_CSV = f"{FIXTURE_DIR}/meta/labels.csv"
 
 
@@ -210,7 +215,7 @@ def q122_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # substring/hex/conv expressions — no pixel decode, no Python stage.
 # DuckDB independently parses the same bytes from read_blob hex.
 # --------------------------------------------------------------------- #
-IMAGE_FIXTURE_DIR = "/root/repo/tests/fixtures/imagedb"
+IMAGE_FIXTURE_DIR = f"{_FIXTURES}/imagedb"
 
 
 @query(
@@ -257,7 +262,7 @@ def q124_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB parses the npy container independently (magic + LE header
 # length at bytes 8-9 -> data offset, then signed LE int16 values).
 # --------------------------------------------------------------------- #
-NPY_FIXTURE_DIR = "/root/repo/tests/fixtures/npydb"
+NPY_FIXTURE_DIR = f"{_FIXTURES}/npydb"
 
 
 @query(
@@ -344,7 +349,7 @@ def q126_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NULL, undeclared extra fields ignored — both engines read the SAME
 # file through their native newline-JSON readers.
 # --------------------------------------------------------------------- #
-JSONL_FIXTURE = "/root/repo/tests/fixtures/jsonl/docs.jsonl"
+JSONL_FIXTURE = f"{_FIXTURES}/jsonl/docs.jsonl"
 
 
 @query(
@@ -761,7 +766,7 @@ def q189_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # committed fixture with read_blob + read_csv(delim tab) + count-of-
 # smaller dense codes.
 # --------------------------------------------------------------------- #
-DCASE_DIR = "/root/repo/tests/fixtures/dcase2020"
+DCASE_DIR = f"{_FIXTURES}/dcase2020"
 
 
 @query(

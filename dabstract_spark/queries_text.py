@@ -700,7 +700,12 @@ def q95_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = stream_events(spark, f"{sf_dir}/events.parquet")
-    out = run_to_memory(stateful_sessionizer(src, gap_minutes=30))
+    # the oracle's "batch sessions minus each user's last" identity
+    # holds only for a one-micro-batch drain (the sessionizer sorts
+    # within a batch) — enforced, not assumed
+    out = run_to_memory(
+        stateful_sessionizer(src, gap_minutes=30), require_single_batch=True
+    )
     return out.select(
         "user_id",
         "session_start",

@@ -235,6 +235,7 @@ def run_to_memory(
     name: str | None = None,
     timeout_sec: int = 120,
     drain_partitions: int = 8,
+    require_single_batch: bool = False,
 ) -> DataFrame:
     """Drain a (bounded) stream with trigger=availableNow into a memory
     sink and return the result as a batch DataFrame — the test harness
@@ -245,7 +246,15 @@ def run_to_memory(
     shuffle partition PER micro-batch, which is pure overhead on a
     fixture-sized backlog (a long-lived production stream sizes
     partitions to its rate instead). The conf binds at query start, so
-    it is set for the drain and restored right after."""
+    it is set for the drain and restored right after.
+
+    ``require_single_batch=True`` ENFORCES that all input arrived in
+    one micro-batch (recentProgress shows exactly one batch with input
+    rows). Callers whose batch-SQL oracle depends on per-batch ordering
+    semantics — e.g. the stateful sessionizer sorts events WITHIN a
+    batch, so a multi-batch out-of-order drain could legally diverge
+    from the gaps-and-islands SQL — must pass this instead of assuming
+    the drain shape in a comment."""
     spark = stream_df.sparkSession
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -263,6 +272,13 @@ def run_to_memory(
         if not q.awaitTermination(timeout_sec):
             q.stop()
             raise TimeoutError(f"stream drain exceeded {timeout_sec}s")
+        if require_single_batch:
+            fed = [p for p in q.recentProgress if (p.get("numInputRows") or 0) > 0]
+            if len(fed) != 1:
+                raise AssertionError(
+                    f"drain delivered input across {len(fed)} micro-batches; "
+                    "the caller's batch oracle assumes exactly one"
+                )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

@@ -353,3 +353,75 @@ def test_bpe_trainer_matches_serial_reference(spark, texts, n_merges):
         patt, rep = wa + " " + wb, wa[:-1] + wb[1:]
         enc = {s.replace(patt, rep): c for s, c in enc.items()}
     assert got == want
+
+
+def _serial_shingles(text: str, k: int) -> set[str]:
+    import re
+
+    toks = [t for t in re.split(r"\W+", text.lower()) if t]
+    if len(toks) < k:
+        return set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+_docwords = st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=2, max_size=8)
+
+
+@given(docs=st.lists(_docwords, min_size=2, max_size=6))
+@settings(**_SETTINGS)
+def test_capped_pair_mining_equals_uncapped_below_cap(spark, docs):
+    """With max_df >= every shingle's document frequency, the capped
+    jaccard/containment pair miners are EXACTLY the uncapped ones —
+    the pre-count semi-join cap is a pure no-op below the cap."""
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = len(docs)  # df can never exceed the corpus size
+    jac_c = sorted(map(tuple, dd.jaccard_pairs(df, "doc_id", "text", k=2, threshold=0.0, max_df=cap).collect()))
+    jac_u = sorted(map(tuple, dd.jaccard_pairs(df, "doc_id", "text", k=2, threshold=0.0).collect()))
+    assert jac_c == jac_u
+    con_c = sorted(map(tuple, dd.containment_pairs(df, "doc_id", "text", k=2, threshold_ppm=0, max_df=cap).collect()))
+    con_u = sorted(map(tuple, dd.containment_pairs(df, "doc_id", "text", k=2, threshold_ppm=0).collect()))
+    assert con_c == con_u
+
+
+@given(docs=st.lists(_docwords, min_size=3, max_size=6), cap=st.integers(1, 2))
+@settings(**_SETTINGS)
+def test_capped_pair_mining_loses_only_hot_shingle_pairs(spark, docs, cap):
+    """With an injected boilerplate phrase in EVERY doc (shingles with
+    df = corpus size > max_df), the capped miner's pairs are a subset of
+    the uncapped ones; every lost pair co-occurred ONLY through hot
+    (df > max_df) shingles — no pair connected by a cool shingle is
+    ever dropped — and every surviving pair's score matches the serial
+    model exactly: numerator = shared COOL shingles (hot ones are
+    excluded from candidate generation, so they leave the intersection
+    count too), denominators = FULL per-doc shingle counts. Corollary:
+    a capped score can only be <= its uncapped score."""
+    boiler = "zz yy xx"
+    rows = [(i, boiler + " " + " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 2
+    capped = {(r.id_a, r.id_b): r.jaccard for r in dd.jaccard_pairs(df, "doc_id", "text", k=k, threshold=0.0, max_df=cap).collect()}
+    uncapped = {(r.id_a, r.id_b): r.jaccard for r in dd.jaccard_pairs(df, "doc_id", "text", k=k, threshold=0.0).collect()}
+    assert set(capped) <= set(uncapped)
+    sh = {i: _serial_shingles(t, k) for i, t in rows}
+    docfreq: dict[str, int] = {}
+    for s_set in sh.values():
+        for s in s_set:
+            docfreq[s] = docfreq.get(s, 0) + 1
+    for (a, b) in set(uncapped) - set(capped):
+        shared = sh[a] & sh[b]
+        assert shared and all(docfreq[s] > cap for s in shared)
+    # the capped set is exactly the pairs sharing >= 1 cool shingle,
+    # scored with a cool-only numerator over full denominators
+    for (a, b), v in capped.items():
+        inter_cool = sum(1 for s in sh[a] & sh[b] if docfreq[s] <= cap)
+        expect = round(inter_cool / (len(sh[a]) + len(sh[b]) - inter_cool), 6)
+        assert v == expect
+        assert v <= uncapped[(a, b)]
+    expect_pairs = {
+        (a, b)
+        for a in sh
+        for b in sh
+        if a < b and any(docfreq[s] <= cap for s in (sh[a] & sh[b]))
+    }
+    assert set(capped) == expect_pairs

@@ -257,12 +257,45 @@ def main():
             d, "doc_id", "text", max_bucket=64
         ),
     }
+    # adversarial ubiquitous-shingle corpus: every doc keeps its real
+    # text but carries the SAME boilerplate phrase — its shingles have
+    # df = corpus size, the stop-shingle case the max_df cap exists
+    # for. The pre-count semi-join excludes them BEFORE any
+    # collect_list, so no task ever materializes the corpus-sized
+    # bucket and capped time stays flat/linear under the bomb.
+    boiler_docs = docs.withColumn(
+        "text",
+        F.concat(F.lit("the exact same boilerplate phrase on every page "), F.col("text")),
+    )
+    boiler_probes = {
+        "jaccard_hotshingle_cap100": lambda d: dd.jaccard_pairs(
+            d, "doc_id", "text", k=2, threshold=0.12, max_df=100
+        ),
+        "containment_hotshingle_cap100": lambda d: dd.containment_pairs(
+            d, "doc_id", "text", k=2, threshold_ppm=700000, max_df=100
+        ),
+    }
+    # adversarial identical-prefix corpus (500 -> 8k docs): a shared tag
+    # funnels EVERY doc into one prefix block — uncapped, that block's
+    # self-join is C(n,2) levenshteins in one task (quadratic by
+    # construction); max_block=64 bounds it to C(64,2) at any size.
+    hot_prefix_base = docs.filter(F.col("doc_id") < 500).withColumn(
+        "text", F.concat(F.lit("samesharedprefix "), F.col("text"))
+    )
+    hot_prefix_probes = {
+        "fuzzy_hotprefix_uncap": lambda d: dd.fuzzy_pairs(d, "doc_id", "text"),
+        "fuzzy_hotprefix_cap64": lambda d: dd.fuzzy_pairs(
+            d, "doc_id", "text", max_block=64
+        ),
+    }
 
     print(
         f"{'probe':<20} {'1x':>8} {'4x':>8} {'16x':>8}"
         f"  (sec, median of {reps}; input rows scale 1:4:16)"
     )
     probe_block(hot_probes, hot_base, "doc_id")
+    probe_block(boiler_probes, boiler_docs, "doc_id")
+    probe_block(hot_prefix_probes, hot_prefix_base, "doc_id")
     probe_block(probes, docs, "doc_id")
     probe_block(fuzzy_probes, docs, "doc_id", uniquify=fuzzy_uniquify)
     probe_block(emb_probes, emb, "vec_id")
