@@ -3161,6 +3161,139 @@ def q197_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Re-aggregatable Bloom filter (operators/bloom.py; Bloom 1970) — the
+# MEMBERSHIP twin of the CMS/HLL sketches: a corpus's digest set
+# persists as a tiny distinct set-bits table (merge = DISTINCT union,
+# never a rescan), probing broadcasts, and the no-false-negative law
+# makes the q211 ingest pre-filter EXACTLY equal to the plain anti-join
+# (its oracle IS the plain anti-join SQL). All-integer md5 arithmetic
+# ⇒ bit positions, membership, and the q212 false-positive census all
+# hash-match across engines.
+# --------------------------------------------------------------------- #
+_BLOOM_BIT = (
+    "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {k}), 1, 8)) "
+    "AS BIGINT) % 65536"
+)
+_DOC_DIGEST = f"md5({_NORM.format(c='text')})"
+
+
+@query(
+    "q210_bloom_membership",
+    oracle=f"""
+    WITH seen AS (
+      SELECT DISTINCT {_DOC_DIGEST} AS h FROM documents WHERE doc_id % 3 <> 0),
+    bits AS (
+      SELECT DISTINCT {_BLOOM_BIT.format(j='j', k='h')} AS bit
+      FROM seen, UNNEST(generate_series(0, 3)) AS t(j)),
+    pr AS (SELECT doc_id, {_DOC_DIGEST} AS h FROM documents),
+    pb AS (
+      SELECT doc_id, {_BLOOM_BIT.format(j='j', k='h')} AS bit
+      FROM pr, UNNEST(generate_series(0, 3)) AS t(j))
+    SELECT pb.doc_id, COUNT(b.bit) = 4 AS possible_member
+    FROM pb LEFT JOIN bits b USING (bit)
+    GROUP BY pb.doc_id
+    """,
+)
+def q210_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the filter over two-thirds of the corpus's content digests,
+    probe EVERY document: members always report possible_member (no
+    false negatives); non-members almost always report false at this
+    fill ratio — both facts hash-checked bit-for-bit."""
+    from dabstract_spark.operators.bloom import bloom_probe, bloom_sketch
+    from dabstract_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select(F.md5(normalize_text("text")).alias("h"))
+        .distinct()
+    )
+    sk = bloom_sketch(seen, "h")
+    probes = docs.select("doc_id", F.md5(normalize_text("text")).alias("__h"))
+    return bloom_probe(sk, probes, "__h").select("doc_id", "possible_member")
+
+
+@query(
+    "q211_bloom_dedup_against",
+    # the oracle is the PLAIN exact anti-join: the bloom pre-filter must
+    # be invisible in the output (no false negatives; false positives
+    # are re-verified exactly)
+    oracle=f"""
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 3 = 0
+      AND {_DOC_DIGEST} NOT IN (
+        SELECT {_DOC_DIGEST} FROM documents WHERE doc_id % 3 <> 0)
+    """,
+)
+def q211_bloom_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup with the Bloom membership pre-filter:
+    'definitely unseen' rows bypass the corpus anti-join entirely, only
+    possible members are verified — output byte-identical to
+    dedup.dedup_against's exact mode."""
+    from dabstract_spark.operators.bloom import dedup_against_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    seen = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup_against_bloom(new, seen, "doc_id", "text").select("doc_id")
+
+
+@query(
+    "q212_bloom_fpp_eval",
+    oracle=f"""
+    WITH seen AS (SELECT DISTINCT {_DOC_DIGEST} AS h FROM documents),
+    bits AS (
+      SELECT DISTINCT {_BLOOM_BIT.format(j='j', k='h')} AS bit
+      FROM seen, UNNEST(generate_series(0, 3)) AS t(j)),
+    pr AS (
+      SELECT 'probe/' || CAST(i AS VARCHAR) AS k
+      FROM UNNEST(generate_series(0, 1999)) AS t(i)),
+    pb AS (
+      SELECT k, {_BLOOM_BIT.format(j='j', k='k')} AS bit
+      FROM pr, UNNEST(generate_series(0, 3)) AS t(j)),
+    mem AS (
+      SELECT pb.k, COUNT(b.bit) = 4 AS hit
+      FROM pb LEFT JOIN bits b USING (bit) GROUP BY pb.k)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+           CAST(1000000 * SUM(CASE WHEN hit THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+             AS fp_ppm
+    FROM mem
+    """,
+)
+def q212_bloom_fpp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality census (the q202 pattern for membership): probe a
+    DISJOINT synthetic key set so every hit is a false positive by
+    construction; report the observed fp rate and fill — exact
+    integers, so the filter's quality curve is oracle-checked, not
+    assumed from theory."""
+    from dabstract_spark.operators.bloom import bloom_probe, bloom_sketch
+    from dabstract_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.select(F.md5(normalize_text("text")).alias("h")).distinct()
+    sk = bloom_sketch(seen, "h").persist()
+    probes = spark.range(2000).select(
+        F.concat(F.lit("probe/"), F.col("id").cast("string")).alias("k")
+    )
+    mem = bloom_probe(sk, probes, "k")
+    nb = sk.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    stats = mem.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("possible_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    ).crossJoin(F.broadcast(nb))
+    return stats.select(
+        "n_probes",
+        "n_false_pos",
+        F.col("n_bits_set").cast("bigint").alias("n_bits_set"),
+        F.expr("1000000 * n_false_pos div n_probes").cast("bigint").alias("fp_ppm"),
+    )
+
+
+# --------------------------------------------------------------------- #
 # Importance (quality-weighted Bernoulli) sampling — curation that keeps
 # good documents proportionally more often, as ONE scan-fused filter
 # with an exact-integer accept test (operators/select.py

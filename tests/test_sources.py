@@ -311,6 +311,57 @@ def test_dcase_connector_trio(spark, tmp_path):
     assert calls == [1] and ds_b.full_df.count() == 6
 
 
+def test_dcase_prepare_downloader_from_scratch(spark, tmp_path):
+    """The full prepare-hook contract (reference dataset.py:112-121:
+    prepare runs BEFORE set_data): an injected fake downloader
+    materializes the dev-set tree FROM SCRATCH — wav bytes and the tab
+    meta synthesized inside the downloader, nothing copied from a
+    committed fixture — and the same build call then scans/joins/codes
+    it end to end. A second build over the now-staged tree must not
+    call the downloader again (idempotent, like the reference's
+    initialize())."""
+    import struct
+    import wave
+
+    from dabstract_spark.sources.dbs import DCASE2020Task1A
+
+    data_dir = tmp_path / "scratch" / "audio"
+    calls = []
+
+    def fake_downloader(paths):
+        calls.append(dict(paths))
+        root = data_dir.parent
+        data_dir.mkdir(parents=True)
+        rows = [
+            ("bus-a.wav", "bus", "city-0", "a"),
+            ("bus-b.wav", "bus", "city-1", "a"),
+            ("tram-a.wav", "tram", "city-0", "b"),
+        ]
+        for fname, _, _, _ in rows:
+            with wave.open(str(data_dir / fname), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(b"".join(struct.pack("<h", v) for v in (0, 100, -100, 50)))
+        lines = ["filename\tscene_label\tidentifier\tsource_label"]
+        lines += [f"audio/{f}\t{s}\t{i}\t{src}" for f, s, i, src in rows]
+        (root / "meta.csv").write_text("\n".join(lines) + "\n")
+
+    ds = DCASE2020Task1A.build(
+        spark, {"data": str(data_dir)}, downloader=fake_downloader
+    )
+    got = {r.filename: r for r in ds.full_df.collect()}
+    assert len(calls) == 1 and calls[0]["data"] == str(data_dir)
+    assert len(got) == 3
+    assert got["tram-a.wav"].scene_label == "tram" and got["tram-a.wav"].scene_id == 1
+    assert got["bus-a.wav"].group == 0 and got["bus-b.wav"].group == 1
+    # idempotent: data staged -> prepare is a no-op, downloader not re-run
+    ds2 = DCASE2020Task1A.build(
+        spark, {"data": str(data_dir)}, downloader=fake_downloader
+    )
+    assert len(calls) == 1 and ds2.full_df.count() == 3
+
+
 def test_orc_scan_pushdown_and_pruning(spark, tmp_path):
     """ORC sink/source parity with the parquet path: a partition filter
     must prune to one directory and a row-group predicate must reach the

@@ -90,6 +90,18 @@ def main():
         ),
         "pii_stats": lambda d: tx.pii_stats_df(d, "doc_id", "text"),
         "c4_filter": lambda d: tx.c4_filter_df(d, "doc_id", "text"),
+        # bloom-pre-filtered incremental dedup: the seen corpus grows
+        # with scale but its membership structure is the <= 65536-row
+        # set-bits table (broadcast); only possible members reach the
+        # exact anti-join
+        "bloom_dedup": lambda d: __import__(
+            "dabstract_spark.operators.bloom", fromlist=["dedup_against_bloom"]
+        ).dedup_against_bloom(
+            d.filter(F.col("doc_id") % 5 == 0),
+            d.filter(F.col("doc_id") % 5 != 0),
+            "doc_id",
+            "text",
+        ),
     }
     # fuzzy/pagerank scale with DISTINCT-ish copies: each copy remaps
     # the alphabet with a per-copy bijection (translate), so the texts
