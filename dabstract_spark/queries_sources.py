@@ -875,6 +875,40 @@ def q201_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Streaming Bloom-filter maintenance (streaming/ops.bloom_sketch_stream):
+# each micro-batch appends its PARTIAL set-bits table to the sink; the
+# live filter is bloom_merge (DISTINCT) of the sink — an online
+# membership monitor that never rescans past batches. Set union is
+# batch-boundary and arrival-order independent, so the drained merged
+# filter equals the batch filter BIT FOR BIT — which is exactly what
+# this query outputs and hash-checks.
+# --------------------------------------------------------------------- #
+_BLOOM_BIT_SQL = (
+    "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || CAST({k} AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 65536"
+)
+
+
+@query(
+    "q213_stream_bloom",
+    oracle=f"""
+    SELECT DISTINCT {_BLOOM_BIT_SQL.format(j='j', k='user_id')} AS bit
+    FROM events, UNNEST(generate_series(0, 3)) AS t(j)
+    """,
+)
+def q213_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.operators.bloom import bloom_merge
+    from dabstract_spark.streaming.ops import bloom_sketch_stream, stream_events
+
+    tmp = tempfile.mkdtemp(prefix="sparkdab_bloom_")
+    src = stream_events(spark, f"{sf_dir}/events.parquet").select("user_id")
+    partials = bloom_sketch_stream(src, "user_id", f"{tmp}/out", f"{tmp}/ckpt")
+    return bloom_merge(partials)
+
+
+# --------------------------------------------------------------------- #
 # ORC sink/source roundtrip (§2.1 breadth: the other mainstream columnar
 # format Spark ships natively): events written as ORC partitioned by
 # event_type, read back with a partition-pruning filter and aggregated.

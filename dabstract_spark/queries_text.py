@@ -2021,6 +2021,49 @@ def q133_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Bot-capped funnel (events.funnel_stages max_events): the per-user
+# collect is bounded by a deterministic earliest-N rank-filter BEFORE
+# collection — the skew guard for a bot emitting millions of stage
+# events. The oracle applies the identical cap as a QUALIFY over
+# (ts, type), then runs the same chained conditional-min ladder, so
+# the guard's exact semantics (not just its existence) hash-check.
+# --------------------------------------------------------------------- #
+@query(
+    "q214_funnel_capped",
+    oracle="""
+    WITH se AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts, event_type) <= 8),
+    t1 AS (SELECT user_id, min(ts) AS ts1 FROM se
+           WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM se e
+           JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM se e
+           JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                     WHEN t2.user_id IS NOT NULL THEN 2
+                     WHEN t1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage_reached,
+           t1.ts1 AS t_first_stage
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN t1 USING (user_id)
+    LEFT JOIN t2 USING (user_id)
+    LEFT JOIN t3 USING (user_id)
+    """,
+)
+def q214_funnel_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return ev.funnel_stages(
+        events, stages=("view", "click", "purchase"), max_events=8
+    )
+
+
+# --------------------------------------------------------------------- #
 # Sparse TF-DF cosine document pairs (text.tfdf_cosine_pairs): the
 # inverted-index similarity formulation — pairs exist only through
 # shared (df-capped) terms, exact integer weights, DECIMAL dot/norm

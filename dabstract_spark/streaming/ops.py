@@ -506,3 +506,50 @@ def cms_sketch_stream(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out_path)
+
+
+def bloom_sketch_stream(
+    new_stream: DataFrame,
+    key_col: str,
+    out_path: str,
+    checkpoint: str,
+    m_bits: int = 65536,
+    k_hashes: int = 4,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming Bloom-filter maintenance (the online twin of
+    operators/bloom.py): each micro-batch reduces to its PARTIAL
+    set-bits table (≤ ``m_bits`` rows) appended to the sink; the live
+    filter at any time is ``bloom_merge`` (DISTINCT) of the sink, never
+    a rescan of past batches. Because merge is a set union, the drained
+    result is arrival-order and batch-boundary independent — exactly
+    the batch filter, so it hash-checks against the batch SQL oracle.
+    Returns the re-read partial-bits table (apply ``bloom_merge`` for
+    the live filter)."""
+    from dabstract_spark.operators.bloom import bloom_sketch
+
+    spark = new_stream.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            bloom_sketch(batch_df, key_col, m_bits=m_bits, k_hashes=k_hashes)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
+    try:
+        q = (
+            new_stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(f"bloom_sketch_stream drain exceeded {timeout_sec}s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out_path)
