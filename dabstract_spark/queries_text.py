@@ -3337,6 +3337,58 @@ def q212_bloom_fpp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Winnowing fingerprints (dedup.winnow_fingerprints; Schleimer et al.
+# SIGMOD 2003, the MOSS scheme): per window of 4 consecutive 3-gram
+# hashes keep the minimum — ~1/window the storage of full shingling
+# with the guarantee that any shared run of >= window+k-1 tokens is
+# detected. Pure integer arithmetic over the SAME staged token-md5
+# pipeline as MinHash, so fingerprints hash-match bit for bit.
+# --------------------------------------------------------------------- #
+_WINNOW_FP_CTE = f"""
+    wtk AS (SELECT doc_id, {{toks}} AS t FROM documents),
+    wth AS (SELECT doc_id, {_TH} AS th FROM wtk),
+    whs AS (SELECT doc_id, {_HS3} AS hs FROM wth),
+    wfp AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3])))) AS fp
+      FROM whs WHERE len(hs) >= 4)"""
+
+
+@query(
+    "q215_winnow_fingerprints",
+    oracle="WITH "
+    + _WINNOW_FP_CTE.format(toks=_TOKENS.format(c="text"))
+    + "\n    SELECT doc_id, fp FROM wfp",
+)
+def q215_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dd.winnow_fingerprints(docs, "doc_id", "text", k=3, window=4)
+
+
+@query(
+    "q216_winnow_pairs",
+    # df-capped inverted index over the fingerprint table; the cap is
+    # the same pre-count semi-join discipline as jaccard_pairs
+    oracle="WITH "
+    + _WINNOW_FP_CTE.format(toks=_TOKENS.format(c="text"))
+    + """,
+    cool AS (SELECT fp FROM wfp GROUP BY fp HAVING COUNT(*) <= 100),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM wfp a JOIN wfp b USING (fp) JOIN cool USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, n_shared FROM shared WHERE n_shared >= 2""",
+)
+def q216_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dd.winnow_pairs(
+        docs, "doc_id", "text", k=3, window=4, min_shared=2, max_df=100
+    )
+
+
+# --------------------------------------------------------------------- #
 # Importance (quality-weighted Bernoulli) sampling — curation that keeps
 # good documents proportionally more often, as ONE scan-fused filter
 # with an exact-integer accept test (operators/select.py

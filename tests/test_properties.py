@@ -425,3 +425,27 @@ def test_capped_pair_mining_loses_only_hot_shingle_pairs(spark, docs, cap):
         if a < b and any(docfreq[s] <= cap for s in (sh[a] & sh[b]))
     }
     assert set(capped) == expect_pairs
+
+
+@given(
+    a_words=st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6),
+    b_words=st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6),
+)
+@settings(**_SETTINGS)
+def test_winnowing_guarantee_shared_run_detected(spark, a_words, b_words):
+    """The winnowing guarantee (Schleimer 2003): two documents sharing
+    a token run of >= window+k-1 tokens (here 4+3-1 = 6, the injected
+    'uu vv ww xx yy zz' phrase) ALWAYS share at least one fingerprint —
+    a full window of k-gram hashes lies inside the shared run, and its
+    minimum lands in both value sets regardless of surrounding text."""
+    shared = "uu vv ww xx yy zz"
+    rows = [
+        (0, (" ".join(a_words) + " " + shared).strip()),
+        (1, (shared + " " + " ".join(b_words)).strip()),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dd.winnow_fingerprints(df, "doc_id", "text", k=3, window=4)
+    by_doc: dict[int, set] = {0: set(), 1: set()}
+    for r in fps.collect():
+        by_doc[r.doc_id].add(r.fp)
+    assert by_doc[0] & by_doc[1], "shared 6-token run produced no shared fingerprint"
