@@ -90,6 +90,11 @@ def main():
         ),
         "pii_stats": lambda d: tx.pii_stats_df(d, "doc_id", "text"),
         "c4_filter": lambda d: tx.c4_filter_df(d, "doc_id", "text"),
+        # winnowed fingerprint pair mining: ~1/window the index density
+        # of full shingling, same capped inverted-index machinery
+        "winnow_pairs": lambda d: dd.winnow_pairs(
+            d, "doc_id", "text", k=3, window=4, min_shared=2, max_df=100
+        ),
         # bloom-pre-filtered incremental dedup: the seen corpus grows
         # with scale but its membership structure is the <= 65536-row
         # set-bits table (broadcast); only possible members reach the
