@@ -567,6 +567,31 @@ class Dataset:
 
         return dd.minhash_dedup_clusters(self._df, id_col, key, **kw)
 
+    def dedup_against(
+        self,
+        seen: "Dataset | DataFrame",
+        key: str,
+        id_col: str = ROW_ID,
+        use_bloom: bool = False,
+        **kw,
+    ) -> "Dataset":
+        """Incremental ingest dedup: drop rows whose normalized ``key``
+        content already exists in ``seen`` (dedup.dedup_against).
+        ``use_bloom=True`` routes through the Bloom membership
+        pre-filter (bloom.dedup_against_bloom — byte-identical output;
+        at corpus scale only possible members reach the exact
+        anti-join)."""
+        seen_df = seen.full_df if isinstance(seen, Dataset) else seen
+        if use_bloom:
+            from dabstract_spark.operators.bloom import dedup_against_bloom
+
+            return self._evolve(
+                dedup_against_bloom(self._df, seen_df, id_col, key, **kw)
+            )
+        from dabstract_spark.operators import dedup as dd
+
+        return self._evolve(dd.dedup_against(self._df, seen_df, id_col, key, **kw))
+
     def sample_per_group(self, group_key: str, n: int, seed: int = 0) -> "Dataset":
         """Balanced per-group subsample (at most n rows per group)."""
         from dabstract_spark.operators.select import sample_per_group

@@ -135,3 +135,38 @@ def test_load_memory_keep_structure(spark):
     assert dict(kept.full_df.dtypes)["data"] == dict(df.dtypes)["data"]
     after = sorted(tuple(r) for r in kept.full_df.select(*ds.full_df.columns).collect())
     assert after == before
+
+    # dotted (nested) keys are rejected loudly: drop('data.inner') would
+    # be a silent no-op and the join would append a duplicate leaf column
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top-level"):
+        ds.load_memory("data.inner", keep_structure=True)
+
+
+def test_dedup_against_facade_bloom_equals_exact(spark):
+    """Dataset.dedup_against: plain and use_bloom routes must keep the
+    identical row set (the Bloom pre-filter is invisible in output)."""
+    from pyspark.sql import functions as F
+
+    from dabstract_spark.dataset import Dataset
+
+    seen = Dataset(
+        spark.createDataFrame(
+            [(i, f"doc {i % 7}") for i in range(20)], "row_id long, text string"
+        ),
+        name="seen",
+    )
+    new = Dataset(
+        spark.createDataFrame(
+            [(100 + i, f"doc {i}") for i in range(12)], "row_id long, text string"
+        ),
+        name="new",
+    )
+    plain = sorted(r.row_id for r in new.dedup_against(seen, "text").full_df.collect())
+    bloomed = sorted(
+        r.row_id
+        for r in new.dedup_against(seen, "text", use_bloom=True).full_df.collect()
+    )
+    # docs 0..6 collide with the seen corpus ('doc 0'..'doc 6'), 7..11 are new
+    assert plain == bloomed == [107, 108, 109, 110, 111]
