@@ -72,28 +72,48 @@ def bloom_probe(
 ) -> DataFrame:
     """Membership test per probe row: possible member iff ALL
     ``k_hashes`` bit positions are set. No false negatives; false
-    positives at the standard ``(set_bits/m)^k`` rate. The sketch is
-    ≤ ``m_bits`` rows — broadcast, so probing never shuffles the probe
-    side.
+    positives at the standard ``(set_bits/m)^k`` rate.
+
+    Shape at scale: ``k_hashes`` map-side BROADCAST left joins (one per
+    hash family, each against the ≤ ``m_bits``-row set-bits table),
+    AND-ed into the flag — the probe side never shuffles, never groups,
+    and duplicate probe rows pass through with their multiplicity
+    intact. (The explode→groupBy-all-probe-columns alternative shuffles
+    full-width rows on their entire content and silently collapses
+    duplicate probes — both wrong at corpus scale.)
 
     Internal columns use reserved ``__bloom_*`` names (rejected if the
     probes frame carries them) so probe frames with their own ``bit``
     column can never make the join ambiguous."""
-    reserved = {"__bloom_bit", "__bloom_hits"}
+    reserved = {f"__bloom_b{i}" for i in range(k_hashes)} | {
+        f"__bloom_hit{i}" for i in range(k_hashes)
+    }
     clash = reserved & set(probes.columns)
     if clash:
         raise ValueError(f"probes columns collide with bloom internals: {sorted(clash)}")
-    exploded = probes.select(
-        "*", F.explode(_bit_positions(key_col, m_bits, k_hashes)).alias("__bloom_bit")
+    c = F.col(key_col)
+    out = probes.select(
+        "*",
+        *[
+            md5_bucket(c, m_bits, seed=i).cast("bigint").alias(f"__bloom_b{i}")
+            for i in range(k_hashes)
+        ],
     )
-    sk = sketch.select(F.col("bit").alias("__bloom_bit")).withColumn(
-        "__bloom_hits", F.lit(1)
-    )
-    joined = exploded.join(F.broadcast(sk), "__bloom_bit", "left")
-    return (
-        joined.groupBy(*probes.columns)
-        .agg((F.count("__bloom_hits") == k_hashes).alias(out_col))
-    )
+    # distinct defends against un-merged partial-sketch inputs (q213's
+    # appended partials): a duplicate bit row would fan the join out
+    bits = sketch.select("bit").distinct()
+    for i in range(k_hashes):
+        sk_i = bits.select(
+            F.col("bit").alias(f"__bloom_b{i}"), F.lit(1).alias(f"__bloom_hit{i}")
+        )
+        out = out.join(F.broadcast(sk_i), f"__bloom_b{i}", "left")
+    member = F.lit(True)
+    for i in range(k_hashes):
+        member = member & F.col(f"__bloom_hit{i}").isNotNull()
+    drop = [f"__bloom_b{i}" for i in range(k_hashes)] + [
+        f"__bloom_hit{i}" for i in range(k_hashes)
+    ]
+    return out.withColumn(out_col, member).drop(*drop)
 
 
 def dedup_against_bloom(

@@ -46,9 +46,22 @@ def test_bloom_merge_is_union(spark):
 
 def test_bloom_probe_rejects_reserved_columns(spark):
     sk = bloom_sketch(_keys(spark, ["x"]), "k")
-    bad = spark.createDataFrame([("x", 1)], "k string, __bloom_bit int")
-    with pytest.raises(ValueError, match="__bloom_bit"):
+    bad = spark.createDataFrame([("x", 1)], "k string, __bloom_b0 int")
+    with pytest.raises(ValueError, match="__bloom_b0"):
         bloom_probe(sk, bad, "k")
+
+
+def test_bloom_probe_preserves_duplicate_probe_rows(spark):
+    """Duplicate probe rows keep their multiplicity — the map-side
+    broadcast-join shape never groups the probe side."""
+    sk = bloom_sketch(_keys(spark, ["x"]), "k")
+    probes = _keys(spark, ["x", "x", "y"])
+    rows = bloom_probe(sk, probes, "k").collect()
+    assert sorted((r.k, r.possible_member) for r in rows) == [
+        ("x", True),
+        ("x", True),
+        ("y", False),
+    ]
 
 
 def test_dedup_against_bloom_equals_exact_anti_join(spark):
