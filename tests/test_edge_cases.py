@@ -236,3 +236,33 @@ def test_user_history_repartition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
     assert a == b
+
+
+def test_new_r6_operators_on_empty_input(spark):
+    """Bloom, winnowing, capped pair miners, and the capped funnel must
+    all yield clean empty results on empty inputs (no first()/collect()
+    crash, no schema surprises)."""
+    from dabstract_spark.operators import dedup as dd
+    from dabstract_spark.operators.bloom import (
+        bloom_probe,
+        bloom_sketch,
+        dedup_against_bloom,
+    )
+    from dabstract_spark.operators.events import funnel_stages
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dd.winnow_fingerprints(empty_docs, "doc_id", "text").count() == 0
+    assert dd.winnow_pairs(empty_docs, "doc_id", "text", max_df=10).count() == 0
+    assert dd.jaccard_pairs(empty_docs, "doc_id", "text", max_df=10).count() == 0
+    sk = bloom_sketch(empty_docs.select("text"), "text")
+    assert sk.count() == 0
+    # probing an EMPTY filter: everything is definitely-unseen
+    probed = bloom_probe(sk, spark.createDataFrame([("x",)], "k string"), "k")
+    assert [r.possible_member for r in probed.collect()] == [False]
+    some = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    kept = dedup_against_bloom(some, empty_docs, "doc_id", "text")
+    assert [r.doc_id for r in kept.collect()] == [1]
+    empty_events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    assert funnel_stages(empty_events, max_events=5).count() == 0
