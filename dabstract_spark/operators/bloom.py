@@ -139,16 +139,30 @@ def dedup_against_bloom(
     anti-join entirely; Bloom's no-false-negative guarantee is what
     makes the bypass EXACT, not approximate — false positives merely
     do a redundant exact check and are then kept or dropped correctly.
-    """
+
+    Both reused frames are persisted: ``flagged`` feeds the definite
+    and possible-member branches of the union (without the persist the
+    whole normalize+md5+probe pipeline over the ingest would execute
+    twice — there is no exchange boundary to reuse), and the seen
+    digest set feeds both the sketch build and the verification
+    anti-join. ``id_col`` is validated for signature parity with
+    ``dedup.dedup_against`` (the exact path keys on content digests,
+    not ids)."""
     from dabstract_spark.operators.dedup import normalize_text
 
+    if id_col not in new_df.columns:
+        raise ValueError(f"id_col {id_col!r} not in new_df columns {new_df.columns}")
+    if "__h" in new_df.columns:
+        raise ValueError("new_df already carries the reserved column '__h'")
     digest = F.md5(normalize_text(text_col))
     new_h = new_df.withColumn("__h", digest)
-    seen_h = seen_df.select(F.md5(normalize_text(text_col)).alias("__h")).distinct()
+    seen_h = (
+        seen_df.select(F.md5(normalize_text(text_col)).alias("__h")).distinct().persist()
+    )
     bits = bloom_sketch(seen_h, "__h", m_bits, k_hashes)
     flagged = bloom_probe(
         bits, new_h, "__h", m_bits, k_hashes, out_col="__bloom_maybe"
-    )
+    ).persist()
     definite = flagged.filter(~F.col("__bloom_maybe")).drop("__bloom_maybe", "__h")
     maybe = flagged.filter(F.col("__bloom_maybe")).drop("__bloom_maybe")
     verified = maybe.join(seen_h, "__h", "left_anti").drop("__h")

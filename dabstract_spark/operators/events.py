@@ -359,7 +359,12 @@ def funnel_stages(
     us = _epoch_us(ts_col)
     stage_events = df.filter(F.col(type_col).isin(list(stages)))
     if max_events is not None:
-        wcap = Window.partitionBy(user_col).orderBy(us, F.col(type_col))
+        # NULLS LAST explicitly: Spark's asc default is NULLS FIRST,
+        # DuckDB's (the q214 oracle) is NULLS LAST — and a NULL-ts
+        # event is not "earliest" under the cap's documented semantics
+        wcap = Window.partitionBy(user_col).orderBy(
+            us.asc_nulls_last(), F.col(type_col)
+        )
         stage_events = (
             stage_events.withColumn("__rn", F.row_number().over(wcap))
             .filter(F.col("__rn") <= max_events)

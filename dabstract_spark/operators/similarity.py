@@ -749,6 +749,8 @@ def pca_power_projection(
     )
 
     def _partial_scatter(batches):
+        from decimal import Decimal
+
         import numpy as np
         import pandas as pd
 
@@ -761,29 +763,71 @@ def pca_power_projection(
         }
         LIMIT = 1 << 62
 
-        def flush():
-            if state["n"] == 0:
-                return None
-            out = pd.DataFrame(
+        def frame(s2_mat, s1_vec, n_rows):
+            # emit as decimal(38,0): uniform for the int64 fast path and
+            # the exact Python-bigint fallback (whose partials can
+            # exceed int64)
+            vals = (
+                [Decimal(int(s2_mat[a, b])) for a, b in zip(iu, ju)]
+                + [Decimal(int(v)) for v in s1_vec]
+                + [Decimal(n_rows)]
+            )
+            return pd.DataFrame(
                 {
                     "i": np.concatenate([iu, np.arange(dim), [-1]]).astype("int32"),
                     "j": np.concatenate([ju, np.full(dim, -1), [-1]]).astype("int32"),
-                    "v": np.concatenate(
-                        [state["s2"][iu, ju], state["s1"], [state["n"]]]
-                    ).astype("int64"),
+                    "v": pd.Series(vals, dtype=object),
                 }
             )
+
+        def flush():
+            if state["n"] == 0:
+                return None
+            out = frame(state["s2"], state["s1"], state["n"])
             state["s2"] = np.zeros((dim, dim), dtype=np.int64)
             state["s1"] = np.zeros(dim, dtype=np.int64)
             state["n"] = 0
             state["cost"] = 0
             return out
 
+        def to_matrix(cells):
+            # fast path: dense int64; fallback sanitizes NULL elements to
+            # 0 (the old explode path's sum-skips-null semantics — the
+            # pair row still counted toward n) and rejects ragged rows
+            # loudly (they were ill-defined under the explode path too)
+            lst = cells.tolist()
+            try:
+                m = np.array(lst, dtype=np.int64)
+                if m.ndim == 2 and m.shape[1] == dim:
+                    return m
+            except (TypeError, ValueError):
+                pass
+            rows = []
+            for row in lst:
+                vals = [0 if v is None else int(v) for v in row]
+                if len(vals) != dim:
+                    raise ValueError(
+                        f"pca_power_projection: ragged vector of length "
+                        f"{len(vals)} (expected {dim})"
+                    )
+                rows.append(vals)
+            return np.array(rows, dtype=np.int64)
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.array(pdf["__e"].tolist(), dtype=np.int64)
+            x = to_matrix(pdf["__e"])
             per_row = max(1, int(np.abs(x).max())) ** 2
+            if per_row > LIMIT:
+                # a single row's own products may not fit int64: compute
+                # this (pathological-magnitude) batch in exact Python
+                # bigints and flush it as its own partial
+                pending = flush()
+                if pending is not None:
+                    yield pending
+                xo = x.astype(object)
+                yield frame(xo.T @ xo, xo.sum(axis=0), len(xo))
+                continue
             k = 0
             while k < len(x):
                 room = (LIMIT - state["cost"]) // per_row
@@ -803,7 +847,7 @@ def pca_power_projection(
     parts = (
         encoded.filter(F.col("__e").isNotNull())
         .select("__e")
-        .mapInPandas(_partial_scatter, "i int, j int, v long")
+        .mapInPandas(_partial_scatter, "i int, j int, v decimal(38,0)")
     )
     merged = (
         parts.groupBy("i", "j")

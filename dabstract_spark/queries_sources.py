@@ -883,16 +883,13 @@ def q201_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # filter equals the batch filter BIT FOR BIT — which is exactly what
 # this query outputs and hash-checks.
 # --------------------------------------------------------------------- #
-_BLOOM_BIT_SQL = (
-    "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || CAST({k} AS VARCHAR)), 1, 8)) "
-    "AS BIGINT) % 65536"
-)
+from dabstract_spark.queries_text import _BLOOM_BIT  # one bloom-bit recipe, no drift
 
 
 @query(
     "q213_stream_bloom",
     oracle=f"""
-    SELECT DISTINCT {_BLOOM_BIT_SQL.format(j='j', k='user_id')} AS bit
+    SELECT DISTINCT {_BLOOM_BIT.format(j='j', k='CAST(user_id AS VARCHAR)')} AS bit
     FROM events, UNNEST(generate_series(0, 3)) AS t(j)
     """,
 )

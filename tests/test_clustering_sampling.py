@@ -650,3 +650,33 @@ def test_bpe_learn_merges_matches_python_reference(spark):
         # recover the word), so a plain dict re-key is exact
         enc = {s.replace(patt, rep): c for s, c in enc.items()}
     assert got == want
+
+
+def test_pca_scatter_handles_huge_magnitudes_and_null_elements(spark):
+    """The blocked Arrow scatter must not narrow the operator's input
+    domain vs the old explode path: components whose products overflow
+    int64 route through the exact Python-bigint fallback, NULL elements
+    contribute 0 to the sums (the explode path's sum-skips-null
+    semantics) and NULL-out that row's projection, and ragged vectors
+    fail loudly."""
+    import pytest
+
+    from dabstract_spark.operators.similarity import pca_power_projection
+
+    rows = [
+        (0, [5000.0, -3000.0, 1.0, 2.0]),   # products ~2.5e19 > int64
+        (1, [4999.5, 2999.25, 0.5, -1.0]),
+        (2, [1.0, None, 2.0, 3.0]),          # NULL element
+        (3, [0.001, 0.002, -0.003, 0.004]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.proj_micro for r in pca_power_projection(df, iters=2).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[2] is None  # null element -> null dot product, like the old path
+    assert out[0] is not None and abs(out[0]) > 10**9  # exact bigint path ran
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="ragged"):
+        pca_power_projection(ragged, iters=1)
