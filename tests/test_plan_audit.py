@@ -27,6 +27,10 @@ ARROW_OK = {
     "q185_image_decode_fake",  # image-decode pandas UDF (md5-fake codec, real plumbing)
     "q186_video_frames_fake",  # video-frame pandas UDF (md5-fake codec, real plumbing)
 }
+# q179_pca_projection's blocked int64 scatter GEMM is ALSO an Arrow stage,
+# but it executes as a build-time job (its partials are collected while
+# constructing the projection plan), so the query's FINAL plan is pure JVM
+# and it intentionally does not appear above.
 
 # Row-at-a-time Python (BatchEvalPython / PythonUDF in a non-Arrow
 # stage) is never acceptable.
