@@ -92,6 +92,57 @@ def snapshot_diff(
     return j.select(F.col("__k").alias(key), change.alias("change"))
 
 
+def maintain_rollup(
+    base_rollup: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sums: list[str],
+    count_col: str = "cnt",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental view maintenance for a distributive rollup: apply a
+    CDC delta to a materialized ``GROUP BY keys`` view holding a row
+    count and per-measure sums, WITHOUT rescanning the base table.
+
+    ``base_rollup`` has columns ``keys + [count_col] + [f"sum_{m}"]``;
+    ``delta`` has ``[op_col] + keys + sums`` with op in
+    {'insert', 'delete'} (an update is a delete+insert pair, the
+    standard CDC encoding). Deletes are assumed to reference rows that
+    exist in the base — the CDC-stream guarantee. Groups whose
+    maintained count reaches 0 are dropped, matching what a recomputed
+    GROUP BY would produce. AVG/derived metrics follow from sum/count.
+
+    Scale: the delta aggregates map-side to |delta groups| rows, then a
+    single full-outer join on the group key against the |groups|-sized
+    view — the 100 TB base is never touched. Full outer join cannot
+    broadcast in Spark, but both sides are rollup-sized (group
+    cardinality), not fact-sized, so the shuffle is bounded by the view
+    itself."""
+    sign = F.when(F.col(op_col) == "insert", F.lit(1)).otherwise(F.lit(-1))
+    d = delta.groupBy(*[F.col(k).alias(f"__k_{k}") for k in keys]).agg(
+        F.sum(sign).alias("__dcnt"),
+        *[F.sum(sign * F.col(m)).alias(f"__d_{m}") for m in sums],
+    )
+    cond = None
+    for k in keys:
+        c = base_rollup[k].eqNullSafe(d[f"__k_{k}"])
+        cond = c if cond is None else cond & c
+    j = base_rollup.join(d, cond, "full_outer")
+    key_cols = [
+        F.coalesce(base_rollup[k], d[f"__k_{k}"]).alias(k) for k in keys
+    ]
+    cnt = (
+        F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(F.col("__dcnt"), F.lit(0))
+    ).alias(count_col)
+    sum_cols = [
+        (
+            F.coalesce(F.col(f"sum_{m}"), F.lit(0)) + F.coalesce(F.col(f"__d_{m}"), F.lit(0))
+        ).alias(f"sum_{m}")
+        for m in sums
+    ]
+    return j.select(*key_cols, cnt, *sum_cols).filter(F.col(count_col) > 0)
+
+
 def merge_into(
     target: DataFrame,
     source: DataFrame,

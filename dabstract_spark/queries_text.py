@@ -3903,3 +3903,50 @@ def q207_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Incremental view maintenance (quality.maintain_rollup): apply a CDC
+# insert/delete delta to a materialized GROUP BY rollup without
+# rescanning the base — the delta aggregates to |delta groups| rows and
+# joins the |groups|-sized view, so a 100 TB base is never touched. The
+# maintained view must equal a full recompute over (base − deletes ∪
+# inserts); base/delta are carved deterministically from orders.
+# --------------------------------------------------------------------- #
+@query(
+    "q217_incremental_rollup",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS cnt,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+    FROM orders
+    WHERE (o_orderkey % 10 >= 8) OR (o_orderkey % 13 <> 0)
+    GROUP BY o_custkey
+    """,
+)
+def q217_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.quality import maintain_rollup
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 10 < 8)
+    view = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("total").alias("sum_total")
+    )
+    delta = (
+        orders.filter(F.col("o_orderkey") % 10 >= 8)
+        .withColumn("op", F.lit("insert"))
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+                "op", F.lit("delete")
+            )
+        )
+        .select("op", "o_custkey", F.col("total").alias("total"))
+    )
+    out = maintain_rollup(view, delta, ["o_custkey"], ["total"])
+    return out.select(
+        "o_custkey", F.col("cnt").cast("bigint").alias("cnt"), "sum_total"
+    )

@@ -104,6 +104,55 @@ def _parallel_layout(spark: SparkSession, path: str) -> str:
     return cached
 
 
+# Hot-table cache: the classic warehouse split — SMALL hot tables
+# (dimensions, the document/embedding working set) live in the block
+# cache and skip parquet decode on every re-read, while LARGE fact
+# tables keep streaming from parquet so predicate pushdown / column
+# pruning stay in play (and stay auditable: an InMemoryRelation has no
+# PushedFilters). DuckDB gets the same effect implicitly from its
+# buffer pool; `.persist()` is Spark's equivalent, applied once per
+# (session, file, mtime). Threshold via SPARK_GRAFT_CACHE_MAX_BYTES;
+# at cluster scale this is the "broadcast-able dims stay resident,
+# facts scan" memory budget, sized per executor.
+_TABLE_CACHE: dict = {}
+_CACHE_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_CACHE_MAX_BYTES", 2_000_000))
+
+
+def table_cache_disabled():
+    """Context manager: build plans as if every table were above the
+    hot-cache budget (i.e. the FACT-table path — straight parquet scans).
+
+    The plan audits use this: predicate-pushdown assertions are about
+    what happens when a table genuinely scans parquet; at smoke scale
+    every fixture is small enough to be cached, which would replace the
+    scan under audit with an InMemoryRelation and test nothing.
+
+    Existing cache entries are unpersisted on entry — Spark's
+    CacheManager substitutes a persisted plan into ANY later
+    logically-matching query, so merely skipping ``load_table``'s
+    persist would not stop the substitution. Entries repopulate lazily
+    after exit."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        global _CACHE_MAX_BYTES
+        old = _CACHE_MAX_BYTES
+        _CACHE_MAX_BYTES = -1
+        for df in _TABLE_CACHE.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # entry from an already-stopped session
+        _TABLE_CACHE.clear()
+        try:
+            yield
+        finally:
+            _CACHE_MAX_BYTES = old
+
+    return _cm()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Load one fixture table, normalizing nano-timestamps to Spark
     TimestampType (microseconds, truncated like DuckDB does on read).
@@ -113,11 +162,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(_parallel_layout(spark, f"{sf_dir}/{name}.parquet"))
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        size, key = st.st_size, (id(spark), path, st.st_mtime_ns)
+    except OSError:
+        size, key = None, None
+    cacheable = size is not None and size <= _CACHE_MAX_BYTES
+    if cacheable:
+        hit = _TABLE_CACHE.get(key)
+        if hit is not None:
+            return hit
+    df = spark.read.parquet(_parallel_layout(spark, path))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             # integer div — float division loses precision on int64 nanos
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if cacheable:
+        df = df.persist()
+        _TABLE_CACHE[key] = df
     return df
 
 

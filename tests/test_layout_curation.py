@@ -213,6 +213,40 @@ def test_merge_into_actions(spark):
     assert (out[4].v, out[4].action) == (40.0, "insert")
 
 
+def test_maintain_rollup_matches_recompute(spark):
+    from dabstract_spark.operators.quality import maintain_rollup
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0), (3, 7.0)], "g bigint, v double"
+    )
+    view = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sum_v")
+    )
+    # update g=1's 10.0 -> 11.0 (delete+insert pair), delete g=3's only
+    # row (group must vanish), insert a brand-new group g=4
+    delta = spark.createDataFrame(
+        [
+            ("delete", 1, 10.0),
+            ("insert", 1, 11.0),
+            ("delete", 3, 7.0),
+            ("insert", 4, 42.0),
+        ],
+        "op string, g bigint, v double",
+    )
+    out = {r.g: r for r in maintain_rollup(view, delta, ["g"], ["v"]).collect()}
+    assert set(out) == {1, 2, 4}  # g=3 dropped at cnt 0
+    assert (out[1].cnt, out[1].sum_v) == (2, 31.0)
+    assert (out[2].cnt, out[2].sum_v) == (1, 5.0)  # untouched group survives
+    assert (out[4].cnt, out[4].sum_v) == (1, 42.0)  # group born from delta
+
+    # empty delta is the identity
+    empty = spark.createDataFrame([], "op string, g bigint, v double")
+    same = {r.g: r for r in maintain_rollup(view, empty, ["g"], ["v"]).collect()}
+    assert {g: (r.cnt, r.sum_v) for g, r in same.items()} == {
+        r.g: (r.cnt, r.sum_v) for r in view.collect()
+    }
+
+
 def test_change_intervals_collapse_and_current(spark):
     from dabstract_spark.operators.events import change_intervals
 

@@ -82,9 +82,16 @@ def test_arrow_stages_only_where_declared(spark):
     ],
 )
 def test_filters_reach_the_scan(spark, qname, expect):
+    """Audited with the hot-table cache bypassed: the pushdown claim is
+    about the fact-table path (tables above the cache budget scan
+    parquet); at smoke scale every fixture would otherwise be cached and
+    the scan under audit would be an InMemoryRelation."""
     from __spark_entry__ import queries
 
-    df = queries()[qname](spark, SF_SMOKE)
+    from dabstract_spark.session import table_cache_disabled
+
+    with table_cache_disabled():
+        df = queries()[qname](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert expect in plan
     if qname == "q11_select_isin":
