@@ -123,6 +123,35 @@ def maintain_rollup(
         F.sum(sign).alias("__dcnt"),
         *[F.sum(sign * F.col(m)).alias(f"__d_{m}") for m in sums],
     )
+    return _apply_signed_delta(base_rollup, d, keys, sums, count_col)
+
+
+def apply_rollup_delta(
+    base_rollup: DataFrame,
+    delta_agg: DataFrame,
+    keys: list[str],
+    sums: list[str],
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Apply a PRE-AGGREGATED signed delta (columns ``keys + ['dcnt'] +
+    [f'd_{m}']``) to a rollup — the merge half of ``maintain_rollup``,
+    exposed for the streaming maintainer whose sink already holds
+    per-batch partials."""
+    d = delta_agg.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.col("dcnt").alias("__dcnt"),
+        *[F.col(f"d_{m}").alias(f"__d_{m}") for m in sums],
+    )
+    return _apply_signed_delta(base_rollup, d, keys, sums, count_col)
+
+
+def _apply_signed_delta(
+    base_rollup: DataFrame,
+    d: DataFrame,
+    keys: list[str],
+    sums: list[str],
+    count_col: str,
+) -> DataFrame:
     cond = None
     for k in keys:
         c = base_rollup[k].eqNullSafe(d[f"__k_{k}"])

@@ -3950,3 +3950,66 @@ def q217_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_custkey", F.col("cnt").cast("bigint").alias("cnt"), "sum_total"
     )
+
+
+# --------------------------------------------------------------------- #
+# Streaming incremental view maintenance (streaming/ops.
+# rollup_maintain_stream): the CDC delta of q217 arrives as a file
+# stream in multiple micro-batches; each batch appends its signed
+# per-group partial to the sink, and the live view is the base rollup
+# plus the summed partials (quality.apply_rollup_delta). Signed deltas
+# are commutative/associative, so the drained view equals the batch
+# recompute regardless of batch boundaries — which is exactly what the
+# oracle checks (same SQL as q217, different execution path).
+# --------------------------------------------------------------------- #
+@query(
+    "q218_stream_rollup",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS cnt,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+    FROM orders
+    WHERE (o_orderkey % 10 >= 8) OR (o_orderkey % 13 <> 0)
+    GROUP BY o_custkey
+    """,
+)
+def q218_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.operators.quality import apply_rollup_delta
+    from dabstract_spark.streaming.ops import rollup_maintain_stream, stream_events
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 10 < 8)
+    view = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("total").alias("sum_total")
+    )
+    delta = (
+        orders.filter(F.col("o_orderkey") % 10 >= 8)
+        .withColumn("op", F.lit("insert"))
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+                "op", F.lit("delete")
+            )
+        )
+        .select("op", "o_custkey", "total")
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkdab_ivm_")
+    # 4 files + maxFilesPerTrigger=1 forces a multi-batch drain, so the
+    # boundary-independence claim is actually exercised
+    delta.repartition(4).write.parquet(f"{tmp}/delta")
+    src = stream_events(spark, f"{tmp}/delta", max_files_per_trigger=1)
+    partials = rollup_maintain_stream(
+        src, ["o_custkey"], ["total"], f"{tmp}/out", f"{tmp}/ckpt"
+    )
+    merged = partials.groupBy("o_custkey").agg(
+        F.sum("dcnt").alias("dcnt"), F.sum("d_total").alias("d_total")
+    )
+    out = apply_rollup_delta(view, merged, ["o_custkey"], ["total"])
+    return out.select(
+        "o_custkey", F.col("cnt").cast("bigint").alias("cnt"), "sum_total"
+    )

@@ -52,6 +52,23 @@ def get_spark(
             builder = builder.config(k, str(v))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Every engine window carries an explicit constant partition key
+    # (enforced by tests/test_plan_audit.py: no bare Window.orderBy in
+    # the source), but Spark 4's EliminateWindowPartitions (SPARK-46941)
+    # folds constant partition specs back to empty, so WindowExec's
+    # "No Partition Defined" warning re-fires at runtime for the
+    # bounded tiny-table windows no matter what the source declares.
+    # The warning channel therefore can't distinguish a 256-row offset
+    # table from a data-scale regression — the source-level audit is
+    # the real guard — so silence this one logger.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments keep the warning; harmless
     return spark
 
 

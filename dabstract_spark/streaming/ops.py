@@ -553,3 +553,52 @@ def bloom_sketch_stream(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out_path)
+
+
+def rollup_maintain_stream(
+    delta_stream: DataFrame,
+    keys: list,
+    sums: list,
+    out_path: str,
+    checkpoint: str,
+    op_col: str = "op",
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming incremental view maintenance (the online twin of
+    quality.maintain_rollup): each CDC micro-batch of insert/delete rows
+    reduces to its SIGNED per-group partial — |batch groups| rows of
+    (keys, dcnt, d_<m>) — appended to the sink; the live view at any
+    time is ``quality.apply_rollup_delta`` of the base rollup against
+    the SUM of sink partials, never a rescan of past batches or of the
+    base table. Signed count/sum deltas are commutative and
+    associative, so the drained result is batch-boundary and
+    arrival-order independent — the maintained view hash-checks against
+    a full batch recompute. Returns the re-read partials table (group
+    by ``keys`` + SUM, then ``apply_rollup_delta`` for the live view).
+    """
+    spark = delta_stream.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        sign = F.when(F.col(op_col) == "insert", F.lit(1)).otherwise(F.lit(-1))
+        partial = batch_df.groupBy(*keys).agg(
+            F.sum(sign).alias("dcnt"),
+            *[F.sum(sign * F.col(m)).alias(f"d_{m}") for m in sums],
+        )
+        partial.write.mode("append").parquet(out_path)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
+    try:
+        q = (
+            delta_stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(f"rollup_maintain_stream drain exceeded {timeout_sec}s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out_path)

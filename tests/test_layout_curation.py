@@ -247,6 +247,48 @@ def test_maintain_rollup_matches_recompute(spark):
     }
 
 
+def test_apply_rollup_delta_batch_boundary_independent(spark):
+    """Summed per-batch signed partials applied once == applying the
+    whole delta directly — the claim the streaming maintainer rests on."""
+    from dabstract_spark.operators.quality import apply_rollup_delta, maintain_rollup
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "g bigint, v double"
+    )
+    view = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sum_v")
+    )
+    delta = spark.createDataFrame(
+        [("delete", 1, 10.0), ("insert", 1, 11.0), ("insert", 3, 9.0)],
+        "op string, g bigint, v double",
+    )
+    direct = {
+        r.g: (r.cnt, r.sum_v)
+        for r in maintain_rollup(view, delta, ["g"], ["v"]).collect()
+    }
+    # split the delta into two "micro-batches", aggregate each to its
+    # signed partial, then merge partials by summing
+    sign = F.when(F.col("op") == "insert", 1).otherwise(-1)
+
+    def partial(df):
+        return df.groupBy("g").agg(
+            F.sum(sign).alias("dcnt"), F.sum(sign * F.col("v")).alias("d_v")
+        )
+
+    b1 = partial(delta.limit(1))
+    b2 = partial(delta.subtract(delta.limit(1)))
+    merged = (
+        b1.unionByName(b2)
+        .groupBy("g")
+        .agg(F.sum("dcnt").alias("dcnt"), F.sum("d_v").alias("d_v"))
+    )
+    streamed = {
+        r.g: (r.cnt, r.sum_v)
+        for r in apply_rollup_delta(view, merged, ["g"], ["v"]).collect()
+    }
+    assert streamed == direct
+
+
 def test_change_intervals_collapse_and_current(spark):
     from dabstract_spark.operators.events import change_intervals
 

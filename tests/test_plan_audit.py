@@ -165,11 +165,17 @@ def test_no_unpartitioned_window_in_source():
     """Every window in the engine must declare a partition spec — the
     bounded-by-construction tiny-table windows (256-row bucket-offset
     tables, super-block totals, fold/decile dictionaries) carry an
-    explicit ``partitionBy(lit(0))`` so Spark's runtime "No Partition
-    Defined for Window operation" warning stays reserved for REAL
-    data-scale regressions. A bare ``Window.orderBy(...)`` anywhere in
-    the source is either a new scale bug or an unannotated tiny-table
-    window; both must be fixed at the source."""
+    explicit ``partitionBy(lit(0))``. A bare ``Window.orderBy(...)``
+    anywhere in the source is either a new scale bug or an unannotated
+    tiny-table window; both must be fixed at the source.
+
+    This SOURCE-level audit is the real guard: Spark 4's
+    EliminateWindowPartitions rule (SPARK-46941) folds constant
+    partition specs back to empty, so the runtime "No Partition
+    Defined" warning re-fires for every annotated tiny-table window
+    regardless of what the source declares — which is why
+    ``session.get_spark`` silences that one logger instead of chasing
+    an unsuppressable warning."""
     import pathlib
     import re
 
