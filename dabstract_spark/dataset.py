@@ -482,7 +482,8 @@ class Dataset:
         if not isinstance(chain, ProcessingChain):
             chain = ProcessingChain().add(chain)
         base = feat_base_dir or os.environ.get(
-            "SPARK_GRAFT_FEAT_DIR", "/root/repo/.scratch/feat"
+            "SPARK_GRAFT_FEAT_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "feat"),
         )
         path = os.path.join(base, self.name, key, fe_name)
         spark = self._df.sparkSession
