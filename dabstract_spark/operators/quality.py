@@ -172,6 +172,65 @@ def _apply_signed_delta(
     return j.select(*key_cols, cnt, *sum_cols).filter(F.col(count_col) > 0)
 
 
+def psi_drift(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column over FROZEN reference bins — the standard drift monitor a
+    training pipeline runs between the corpus it trained on and the
+    corpus it is about to train on.
+
+    Bins are fixed-width over [lo, hi) (out-of-range values clamp to
+    the edge buckets — production PSI freezes the reference binning, it
+    does not re-derive it from the drifted data). Per bucket:
+    ``psi_contrib = (pa - pb) * ln(pa / pb)`` with both proportions
+    clamped to ``eps`` so empty buckets stay finite. Returns one row
+    per bucket: (bucket, cnt_a, cnt_b, psi_contrib rounded to 6);
+    total PSI is the sum.
+
+    Scale: each side reduces map-side to ≤ n_buckets rows; the join is
+    over the constant bucket spine. Nothing data-sized shuffles, so the
+    monitor costs two scans regardless of corpus size."""
+    spark = a.sparkSession
+    width = (hi - lo) / n_buckets
+    bucket = lambda df: df.select(  # noqa: E731
+        F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(F.lit(0), F.floor((F.col(col) - lo) / width).cast("int")),
+        ).alias("bucket")
+    )
+    ca = bucket(a).groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt_a"))
+    cb = bucket(b).groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt_b"))
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    j = (
+        spine.join(ca, "bucket", "left")
+        .join(cb, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+        )
+    )
+    tot = j.agg(
+        F.sum("cnt_a").alias("__ta"), F.sum("cnt_b").alias("__tb")
+    )
+    j = j.crossJoin(F.broadcast(tot))
+    pa = F.greatest(F.col("cnt_a") / F.col("__ta"), F.lit(eps))
+    pb = F.greatest(F.col("cnt_b") / F.col("__tb"), F.lit(eps))
+    return j.select(
+        "bucket",
+        "cnt_a",
+        "cnt_b",
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
+    )
+
+
 def merge_into(
     target: DataFrame,
     source: DataFrame,

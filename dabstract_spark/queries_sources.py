@@ -932,3 +932,49 @@ def q208_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Image resize plumbing (sources/readers.resize_image): nearest-neighbor
+# downscale of the fake-decoded 4x6 matrix to 3x4 — the standard
+# pre-encoder resize, expressed as a pure-JVM gather over the decoded
+# array (the only Python stage in the image path stays the codec).
+# DuckDB reproduces every output pixel by applying the same
+# floor(i*src/dst) index map to the md5 pixel function.
+# --------------------------------------------------------------------- #
+_RSZ_H, _RSZ_W = 3, 4
+
+
+@query(
+    "q219_image_resize",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+           CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           {_PX.format(coords="':' || CAST(FLOOR(i * 4 / 3.0) AS INT) || ':' || CAST(FLOOR(j * 6 / 4.0) AS INT)")} + 0.0 AS px
+    FROM read_blob('{IMAGE_FIXTURE_DIR}/*.png'),
+         UNNEST(generate_series(0, {_RSZ_H - 1})) AS ti(i),
+         UNNEST(generate_series(0, {_RSZ_W - 1})) AS tj(j)
+    """,
+)
+def q219_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.sources.readers import decode_image, resize_image
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(IMAGE_FIXTURE_DIR)
+    )
+    # decode in its own select so resize's HOF lambdas capture a
+    # materialized attribute, not an inlined re-evaluated expression
+    img = files.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        decode_image("content", _IMG_H, _IMG_W, mode="fake").alias("__m"),
+    )
+    rsz = img.select(
+        "fname", resize_image("__m", _IMG_H, _IMG_W, _RSZ_H, _RSZ_W).alias("__r")
+    )
+    return (
+        rsz.select("fname", F.posexplode("__r").alias("i", "__row"))
+        .select("fname", "i", F.posexplode("__row").alias("j", "px"))
+        .select("fname", "i", "j", (F.col("px") + F.lit(0.0)).alias("px"))
+    )

@@ -4013,3 +4013,50 @@ def q218_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_custkey", F.col("cnt").cast("bigint").alias("cnt"), "sum_total"
     )
+
+
+# --------------------------------------------------------------------- #
+# PSI drift monitor (quality.psi_drift): Population Stability Index of
+# the click-events value distribution against purchase events over
+# frozen [0,500)/10 reference bins — the snapshot-to-snapshot drift
+# check a training pipeline runs before retraining. Each side reduces
+# map-side to <= n_buckets rows; nothing data-sized shuffles.
+# --------------------------------------------------------------------- #
+@query(
+    "q220_psi_drift",
+    oracle="""
+    WITH a AS (
+      SELECT LEAST(9, GREATEST(0, CAST(FLOOR((value - 0) / 50.0) AS INT))) AS bucket
+      FROM events WHERE event_type = 'click'),
+    b AS (
+      SELECT LEAST(9, GREATEST(0, CAST(FLOOR((value - 0) / 50.0) AS INT))) AS bucket
+      FROM events WHERE event_type = 'purchase'),
+    ca AS (SELECT bucket, COUNT(*) AS cnt_a FROM a GROUP BY bucket),
+    cb AS (SELECT bucket, COUNT(*) AS cnt_b FROM b GROUP BY bucket),
+    spine AS (SELECT CAST(x AS INT) AS bucket FROM UNNEST(generate_series(0, 9)) t(x)),
+    j AS (
+      SELECT s.bucket, COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+      FROM spine s LEFT JOIN ca USING (bucket) LEFT JOIN cb USING (bucket)),
+    t AS (SELECT SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM j)
+    SELECT bucket, cnt_a, cnt_b,
+           ROUND((GREATEST(cnt_a / ta, 1e-6) - GREATEST(cnt_b / tb, 1e-6))
+                 * LN(GREATEST(cnt_a / ta, 1e-6) / GREATEST(cnt_b / tb, 1e-6)), 6)
+           + 0.0 AS psi_contrib
+    FROM j, t
+    """,
+)
+def q220_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.quality import psi_drift
+
+    events = _t(spark, sf_dir, "events")
+    out = psi_drift(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        n_buckets=10,
+    )
+    return out.select(
+        "bucket", "cnt_a", "cnt_b", (F.col("psi_contrib") + F.lit(0.0)).alias("psi_contrib")
+    )

@@ -187,6 +187,34 @@ def _fake_pixel(seed_hex: str, *coords: int) -> float:
     return round(int(h[:8], 16) / 2**32, 6)
 
 
+def resize_image(
+    col: Column | str,
+    src_h: int,
+    src_w: int,
+    dst_h: int,
+    dst_w: int,
+) -> Column:
+    """Nearest-neighbor resize of a decoded H×W grayscale matrix
+    (``array<array<double>>``): ``dst[i][j] = src[floor(i*src_h/dst_h)]
+    [floor(j*src_w/dst_w)]`` — the standard preprocessing resize before
+    a vision encoder. Pure JVM (a gather over the decoded array; no
+    UDF, no Python stage): the only Python in the image path stays the
+    codec itself. The captured input must be a materialized column
+    attribute (decode in a prior select), never an inlined expression —
+    HOF lambdas re-evaluate captured expressions per element."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dst_h - 1)),
+        lambda i: F.transform(
+            F.sequence(F.lit(0), F.lit(dst_w - 1)),
+            lambda j: F.element_at(
+                F.element_at(c, F.floor(i * src_h / dst_h).cast("int") + 1),
+                F.floor(j * src_w / dst_w).cast("int") + 1,
+            ),
+        ),
+    )
+
+
 def sample_video_frames(col: Column | str, n_frames: int = 4, height: int = 8, width: int = 8, mode: str = "real") -> Column:
     """binary video -> n_frames grayscale frames (uniform temporal
     sampling). Same stub contract as decode_image."""

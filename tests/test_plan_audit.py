@@ -25,6 +25,7 @@ ARROW_OK = {
     "q139_semantic_dedup",  # per-cluster blocked GEMM (BLAS pair search)
     "q175_audio_pipeline",  # wav-decode + np.fft.rfft pandas UDFs (end-to-end chain)
     "q185_image_decode_fake",  # image-decode pandas UDF (md5-fake codec, real plumbing)
+    "q219_image_resize",  # same decode UDF; the resize itself is a pure-JVM gather
     "q186_video_frames_fake",  # video-frame pandas UDF (md5-fake codec, real plumbing)
 }
 # q179_pca_projection's blocked int64 scatter GEMM is ALSO an Arrow stage,

@@ -377,3 +377,50 @@ def test_orc_scan_pushdown_and_pruning(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(v), GreaterThan(v,50)]" in plan
     assert back.count() == df.filter((F.col("p") == 1) & (F.col("v") > 50)).count()
+
+
+def test_resize_image_gather_and_identity(spark):
+    """Nearest-neighbor resize is a pure gather: dst[i][j] =
+    src[floor(i*sh/dh)][floor(j*sw/dw)]; identity dims return the
+    input unchanged, and the resize adds no Python stage."""
+    from dabstract_spark.sources.readers import resize_image
+
+    src = [[float(10 * i + j) for j in range(6)] for i in range(4)]
+    df = spark.createDataFrame([(src,)], "m array<array<double>>")
+    out = df.select(resize_image("m", 4, 6, 3, 4).alias("r")).collect()[0].r
+    expect = [
+        [src[(i * 4) // 3][(j * 6) // 4] for j in range(4)] for i in range(3)
+    ]
+    assert [list(row) for row in out] == expect
+
+    same = df.select(resize_image("m", 4, 6, 4, 6).alias("r")).collect()[0].r
+    assert [list(row) for row in same] == src
+
+    plan = (
+        df.select(resize_image("m", 4, 6, 2, 3).alias("r"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    from dabstract_spark.operators.quality import psi_drift
+
+    a = spark.createDataFrame([(float(v),) for v in range(100)], "v double")
+    same = psi_drift(a, a, "v", lo=0.0, hi=100.0, n_buckets=10).collect()
+    assert len(same) == 10
+    assert all(r.psi_contrib == 0.0 for r in same)
+    assert all(r.cnt_a == 10 and r.cnt_b == 10 for r in same)
+
+    # b shifted up by 50: mass leaves low buckets, enters high ones —
+    # every contribution is >= 0 and the empty-bucket clamp stays finite
+    b = spark.createDataFrame([(float(v + 50),) for v in range(100)], "v double")
+    drift = psi_drift(a, b, "v", lo=0.0, hi=100.0, n_buckets=10).collect()
+    total = sum(r.psi_contrib for r in drift)
+    assert total > 0.5
+    assert all(r.psi_contrib >= 0.0 for r in drift)
+    # out-of-range values clamp into the top bucket, not a new one
+    top = [r for r in drift if r.bucket == 9][0]
+    assert top.cnt_b == 60  # values 90..149 all land in bucket 9
