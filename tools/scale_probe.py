@@ -306,6 +306,49 @@ def main():
         ),
     }
 
+    # pipeline-hygiene ops: IVM (delta agg + groups-sized join — both
+    # sides grow with group cardinality, never with the base fact
+    # table) and PSI (two scans reducing map-side to n_buckets rows)
+    from dabstract_spark.operators.quality import maintain_rollup, psi_drift
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def _ivm(o):
+        o = o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+        )
+        base = o.filter(F.col("o_orderkey") % 10 < 8)
+        view = base.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("total").alias("sum_total")
+        )
+        delta = (
+            o.filter(F.col("o_orderkey") % 10 >= 8)
+            .withColumn("op", F.lit("insert"))
+            .unionByName(
+                base.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+                    "op", F.lit("delete")
+                )
+            )
+            .select("op", "o_custkey", "total")
+        )
+        return maintain_rollup(view, delta, ["o_custkey"], ["total"])
+
+    hygiene_probes = {
+        "ivm_maintain_rollup": _ivm,
+    }
+    psi_probes = {
+        "psi_drift": lambda e: psi_drift(
+            e.filter(F.col("event_type") == "click"),
+            e.filter(F.col("event_type") == "purchase"),
+            "value",
+            lo=0.0,
+            hi=500.0,
+            n_buckets=10,
+        ),
+    }
+
     print(
         f"{'probe':<20} {'1x':>8} {'4x':>8} {'16x':>8}"
         f"  (sec, median of {reps}; input rows scale 1:4:16)"
@@ -317,6 +360,17 @@ def main():
     probe_block(fuzzy_probes, docs, "doc_id", uniquify=fuzzy_uniquify)
     probe_block(emb_probes, emb, "vec_id")
     probe_block(rel_probes, lineitem, "l_orderkey")
+    # IVM scales with GROWING group cardinality (fresh customers per
+    # copy) — the realistic shape: a wider view, not deeper groups
+    probe_block(
+        hygiene_probes,
+        orders,
+        "o_orderkey",
+        uniquify=lambda p, c: p.withColumn(
+            "o_custkey", F.col("o_custkey") + F.lit(c * 1_000_000)
+        ),
+    )
+    probe_block(psi_probes, events, "event_id")
     # events scale with GROWING user cardinality (each copy is a fresh
     # user population) — the realistic 100 TB shape: more users, not
     # deeper per-user history
