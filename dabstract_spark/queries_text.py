@@ -4060,3 +4060,122 @@ def q220_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "bucket", "cnt_a", "cnt_b", (F.col("psi_contrib") + F.lit(0.0)).alias("psi_contrib")
     )
+
+
+# --------------------------------------------------------------------- #
+# FLAGSHIP COMPOSITION: the full pretraining-corpus curation pipeline —
+# quality + language gating, exact dedup, MinHash near-dup
+# canonicalization (capped LSH, quality-top-1 per cluster), and
+# GPT-3-style n-gram decontamination against a held-out test split —
+# composed from the SAME operators the individual queries check, and
+# hash-verified end to end against one DuckDB WITH-chain built from
+# those queries' oracles. Every stage is the capped/scale-safe variant:
+# nothing in the composition adds a shuffle the stages don't already
+# have. (A production run materializes between stages — prepare_feat —
+# which is why the survivor set is persisted at its reuse point.)
+# --------------------------------------------------------------------- #
+_Q_SQL = f"""((5 * least(length(text)::BIGINT * 2500, 1000000)
+             + 3 * least((len(list_filter({_T}, t -> t IN {_SW}))::BIGINT * 1000000
+                          // greatest(len({_T}), 1)) * 5, 1000000)
+             + 2 * (1000000 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::BIGINT * 1000000
+                          // greatest(length(text), 1)) * 10, 1000000))) // 10)
+           / 1000000.0::DOUBLE"""
+
+
+@query(
+    "q221_pretrain_pipeline",
+    oracle=f"""
+    WITH RECURSIVE
+         scored AS (
+           SELECT doc_id, source, text, {_Q_SQL} AS quality, {_EN_CASE} AS lang_pred
+           FROM documents),
+         gated AS (
+           SELECT * FROM scored WHERE quality >= 0.55 AND lang_pred <> 'qy'),
+         surv1 AS (
+           SELECT * FROM gated
+           QUALIFY ROW_NUMBER() OVER (
+             PARTITION BY COALESCE(md5({_NORM.format(c='text')}),
+                                   'null:' || CAST(doc_id AS VARCHAR))
+             ORDER BY doc_id) = 1),
+         tk AS (SELECT doc_id, {_TOKENS.format(c='text')} AS t FROM surv1),
+         ths AS (SELECT doc_id, {_TH} AS th FROM tk),
+         hs2 AS (SELECT doc_id, {_HS3} AS hs FROM ths),
+         sig AS (SELECT doc_id, {_minhash_list(16)} AS mh FROM hs2 WHERE len(hs) > 0),
+         bands AS (
+           SELECT doc_id, b AS band_id,
+                  md5(array_to_string(mh[b*4+1 : b*4+4], ',')) AS band_hash
+           FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+         capped AS (
+           SELECT doc_id, band_id, band_hash FROM bands
+           QUALIFY ROW_NUMBER() OVER (
+             PARTITION BY band_id, band_hash
+             ORDER BY md5('0:' || CAST(doc_id AS VARCHAR))) <= 64),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM capped a JOIN capped b USING (band_id, band_hash)
+           WHERE a.doc_id < b.doc_id),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS comp FROM surv1
+           UNION
+           SELECT e.dst AS id, r.comp
+           FROM reach r JOIN edges e ON e.src = r.id),
+         clusters AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+         canon AS (
+           SELECT s.doc_id, s.source, s.text, s.quality, s.lang_pred
+           FROM surv1 s JOIN clusters c USING (doc_id)
+           QUALIFY ROW_NUMBER() OVER (
+             PARTITION BY c.cluster_id ORDER BY s.quality DESC, s.doc_id) = 1),
+         train AS (SELECT * FROM canon WHERE doc_id % 5 <> 0),
+         sh_tr AS (
+           SELECT doc_id, unnest(list_distinct({_shingles('text', 5)})) AS sh
+           FROM train),
+         sh_te AS (
+           SELECT DISTINCT unnest(list_distinct({_shingles('text', 5)})) AS sh
+           FROM documents WHERE doc_id % 5 = 0),
+         dirty AS (SELECT DISTINCT doc_id FROM sh_tr JOIN sh_te USING (sh))
+    SELECT doc_id, source, lang_pred, quality,
+           CAST(len({_T}) AS INT) AS n_tokens
+    FROM train
+    WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+)
+def q221_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import top_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        tx.quality_score("text").alias("quality"),
+        tx.lang_id("text").alias("lang_pred"),
+    )
+    gated = scored.filter((F.col("quality") >= 0.55) & (F.col("lang_pred") != "qy"))
+    surv = dd.exact_dedup(gated, "doc_id", "text").persist()
+    clusters = dd.minhash_dedup_clusters(
+        surv, "doc_id", "text", n_hashes=16, bands=4, k=3, max_bucket=64
+    )
+    cscored = clusters.join(surv.select("doc_id", "quality"), "doc_id")
+    canon_ids = top_k_per_group(
+        cscored, ["cluster_id"], [F.desc("quality"), F.asc("doc_id")], 1
+    ).select("doc_id")
+    # decontaminate references train twice (shingle explode + anti-join);
+    # persisting here stops the clustering pipeline from running twice —
+    # the same stage boundary a production run would materialize
+    train = (
+        surv.join(canon_ids, "doc_id", "left_semi")
+        .filter(F.col("doc_id") % 5 != 0)
+        .persist()
+    )
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    clean = dd.decontaminate(train, test, "doc_id", "text", k=5)
+    return clean.select(
+        "doc_id",
+        "source",
+        "lang_pred",
+        "quality",
+        F.size(tx.tokens("text")).cast("int").alias("n_tokens"),
+    )

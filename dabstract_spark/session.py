@@ -196,6 +196,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             # integer div — float division loses precision on int64 nanos
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if cacheable:
+        # single-file fixtures are one row group = ONE cached partition,
+        # which serializes every CPU-heavy consumer (tokenize/md5 over
+        # documents) onto one core. Spread the cached working set ~32 KB
+        # per partition up to the core count — a one-time shuffle at
+        # cache fill; tiny dims stay single-partition.
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        n = max(1, min(cpus, size // 32768))
+        if n > 1:
+            df = df.repartition(n)
         df = df.persist()
         _TABLE_CACHE[key] = df
     return df
