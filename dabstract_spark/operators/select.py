@@ -267,3 +267,33 @@ def importance_sample(
 
 
 _REGISTRY["importance_sample"] = importance_sample
+
+
+def training_order(
+    df: DataFrame, key: str, seed: int = 0, n_shards: int | None = None
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    dense position ``pos`` in a seed-reproducible pseudo-random total
+    order (md5 over the key), plus an optional round-robin ``shard``
+    assignment — the "globally shuffle the corpus, then write shard
+    files" step in front of sequence packing / export.
+
+    Distributed end to end: the md5 key range-buckets into 256 groups
+    (`with_row_id`'s hex-prefix buckets), positions come from the
+    broadcast bucket-offset table, and no global window or driver-side
+    count is involved. Round-robin ``pos % n_shards`` gives shards that
+    are balanced to ±1 row BY CONSTRUCTION — a hash-mod shard (pos-free)
+    would be only statistically balanced, and a range shard would put
+    adjacent positions in one shard, defeating intra-shard diversity.
+    """
+    from dabstract_spark.core import ROW_ID, with_row_id
+
+    keyed = df.withColumn("__shuf", md5_order(key, seed))
+    out = with_row_id(keyed, ["__shuf", key]).withColumnRenamed(ROW_ID, "pos")
+    out = out.drop("__shuf")
+    if n_shards is not None:
+        out = out.withColumn("shard", (F.col("pos") % n_shards).cast("int"))
+    return out
+
+
+_REGISTRY["training_order"] = training_order

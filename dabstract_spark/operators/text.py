@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from dabstract_spark.core import bind_once
+
 # Marker stopword sets for the n-gram language heuristic. On real corpora
 # these are per-language function words; the fixture documents are
 # synthetic, so the sets are drawn from the fixture vocabulary to make the
@@ -441,6 +443,37 @@ def c4_clean_lines(
         ),
     )
     return kept
+
+
+def dedup_lines(col: Column | str) -> Column:
+    """text -> lines with later repeats of an identical line removed
+    (first occurrence kept) — the within-document half of boilerplate
+    removal (RefinedWeb line-dedup: nav bars, cookie banners, repeated
+    headers), complementing the cross-corpus `dedup.paragraph_dedup`.
+
+    Scan-fused HOF: per row the cost is O(lines² ) via array_position
+    (first index of the line), which is the right trade for real
+    documents (10–10³ lines); a pathological 10⁶-line blob belongs in
+    the explode + (id, line) groupBy formulation instead. `bind_once`
+    pins the split so the array is materialized once, not per element
+    (the q215 O(n²)-re-evaluation lesson)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return bind_once(
+        F.split(c, r"\n"),
+        lambda ls: F.filter(ls, lambda ln, i: F.array_position(ls, ln) == i + 1),
+    )
+
+
+def dedup_lines_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document line-dedup audit: line count before/after and the
+    md5 of the cleaned (first-occurrence-only) text."""
+    kept = dedup_lines(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), r"\n")).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.md5(F.array_join(kept, "\n")).alias("cleaned_md5"),
+    )
 
 
 def c4_filter_df(

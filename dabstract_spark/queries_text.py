@@ -4179,3 +4179,106 @@ def q221_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         F.size(tx.tokens("text")).cast("int").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Deterministic global training-order shuffle + round-robin shard
+# assignment (the "shuffle the corpus, then write shard files" step in
+# front of packing/export). Distributed via the 256-bucket md5-prefix
+# offset table (core.with_row_id) — no global window, no driver count.
+# --------------------------------------------------------------------- #
+@query(
+    "q222_training_order",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (
+                  ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+                AS BIGINT) AS pos,
+           CAST((ROW_NUMBER() OVER (
+                  ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % 8
+                AS INT) AS shard
+    FROM documents
+    """,
+)
+def q222_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import training_order
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return training_order(docs, "doc_id", seed=7, n_shards=8).select(
+        "doc_id", "source", "pos", "shard"
+    )
+
+
+# --------------------------------------------------------------------- #
+# Within-document duplicate-line removal (RefinedWeb-style boilerplate
+# cleanup — nav bars / footers repeated inside one page). Documents are
+# reshaped into deterministic 5-line form with two injected repeats so
+# the rule demonstrably fires; first occurrence wins.
+# --------------------------------------------------------------------- #
+@query(
+    "q223_dedup_lines",
+    oracle="""
+    WITH lined AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || chr(10) ||
+             'footer: all rights reserved' || chr(10) ||
+             substr(text, 41, 40) || chr(10) ||
+             'footer: all rights reserved' || chr(10) ||
+             substr(text, 1, 40) AS text
+      FROM documents),
+    lx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+    kept AS (
+      SELECT doc_id, len(ls) AS n_lines,
+             list_filter(ls, (ln, i) -> list_position(ls, ln) = i) AS k
+      FROM lx)
+    SELECT doc_id, CAST(n_lines AS INT) AS n_lines, CAST(len(k) AS INT) AS n_kept,
+           md5(array_to_string(k, chr(10))) AS cleaned_md5
+    FROM kept
+    """,
+)
+def q223_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.lit("footer: all rights reserved"),
+            F.substring("text", 41, 40),
+            F.lit("footer: all rights reserved"),
+            F.substring("text", 1, 40),
+        ).alias("text"),
+    )
+    return tx.dedup_lines_df(lined, "doc_id", "text")
+
+
+# --------------------------------------------------------------------- #
+# Corpus-level source-overlap matrix: estimated Jaccard between each
+# pair of sources via MERGED MinHash signatures (union signature =
+# elementwise min) — one data-sized scan, sketch-sized pair join, never
+# doc-vs-doc. Same signature recipe as the per-doc LSH family.
+# --------------------------------------------------------------------- #
+@query(
+    "q224_source_overlap",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, {_T} AS t FROM documents),
+         ths AS (SELECT doc_id, source, {_TH} AS th FROM tk),
+         hs2 AS (SELECT doc_id, source, {_HS3} AS hs FROM ths),
+         sig AS (SELECT source, {_minhash_list(16)} AS mh
+                 FROM hs2 WHERE len(hs) > 0),
+         comp AS (SELECT source, i, MIN(mh[i]) AS mh
+                  FROM sig, UNNEST(generate_series(1, 16)) AS t(i)
+                  GROUP BY source, i),
+         ag AS (SELECT a.source AS group_a, b.source AS group_b,
+                       CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS INT)
+                         AS n_agree
+                FROM comp a JOIN comp b ON a.i = b.i AND a.source < b.source
+                GROUP BY 1, 2)
+    SELECT group_a, group_b, n_agree,
+           CAST(n_agree AS DOUBLE) / 16.0 AS jaccard_est
+    FROM ag
+    """,
+)
+def q224_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dd.source_overlap(docs, "source", "doc_id", "text", n_hashes=16, k=3)

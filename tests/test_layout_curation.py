@@ -467,3 +467,77 @@ def test_heavy_hitter_pruning_recovers_exact_topk(spark):
         assert [(r.token, r['count']) for r in pruned] == [
             (r.token, r['count']) for r in exact
         ], f"seed {seed}: pruning lost a true heavy hitter"
+
+
+def test_training_order_is_permutation_and_sharded(spark):
+    from dabstract_spark.operators.select import training_order
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(100)], "id bigint, v string")
+    out = training_order(df, "id", seed=3, n_shards=8)
+    rows = out.collect()
+    # dense permutation of 0..n-1
+    assert sorted(r["pos"] for r in rows) == list(range(100))
+    # round-robin shards are balanced to within one row BY CONSTRUCTION
+    from collections import Counter
+
+    sizes = Counter(r["shard"] for r in rows)
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # seed-reproducible, and a different seed yields a different order
+    again = {r["id"]: r["pos"] for r in training_order(df, "id", seed=3).collect()}
+    assert again == {r["id"]: r["pos"] for r in rows}
+    other = {r["id"]: r["pos"] for r in training_order(df, "id", seed=4).collect()}
+    assert other != again
+    # the md5 order is not the identity (it actually shuffles)
+    assert [r["pos"] for r in sorted(rows, key=lambda r: r["id"])] != list(range(100))
+
+
+def test_dedup_lines_keeps_first_occurrence_and_is_idempotent(spark):
+    from dabstract_spark.operators.text import dedup_lines_df
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb"),  # repeats of a and b dropped
+            (2, "x\ny"),  # no dups: unchanged
+            (3, "z\nz\nz"),  # all-same: one survivor
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines_df(docs, "doc_id", "text").collect()}
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (5, 3)
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (2, 2)
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (3, 1)
+    import hashlib
+
+    assert out[1]["cleaned_md5"] == hashlib.md5(b"a\nb\nc").hexdigest()
+    # idempotent: running the pass over cleaned text changes nothing
+    cleaned = spark.createDataFrame([(1, "a\nb\nc")], "doc_id bigint, text string")
+    again = dedup_lines_df(cleaned, "doc_id", "text").collect()[0]
+    assert again["n_kept"] == 3 and again["cleaned_md5"] == out[1]["cleaned_md5"]
+
+
+def test_source_overlap_identical_and_disjoint_groups(spark):
+    from dabstract_spark.operators.dedup import source_overlap
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    text_b = "one two three four five six seven eight nine"
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", text_a),
+            (2, "s1", text_a + " iota"),
+            (3, "s2", text_a),  # s2 union == s1's first doc -> high overlap
+            (4, "s3", text_b),  # disjoint vocabulary -> zero overlap
+            (5, "s4", "tiny"),  # < k tokens: group drops out entirely
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in source_overlap(docs, "source", "doc_id", "text", n_hashes=16).collect()
+    }
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    # s3 shares no shingles with anyone
+    assert out[("s1", "s3")]["n_agree"] == 0 and out[("s2", "s3")]["n_agree"] == 0
+    # s2's shingle set is a large subset of s1's union; most mins agree
+    r = out[("s1", "s2")]
+    assert r["n_agree"] >= 12 and abs(r["jaccard_est"] - r["n_agree"] / 16) < 1e-12
