@@ -155,6 +155,23 @@ def main():
             rate_ppm=800000,
             key="doc_id",
         ),
+        # global training-order shuffle: the bucket-offset rank — no
+        # global window, only the 256-row offset table is broadcast
+        "training_order": lambda d: __import__(
+            "dabstract_spark.operators.select", fromlist=["training_order"]
+        ).training_order(d, "doc_id", seed=7, n_shards=64).select(
+            "doc_id", "pos", "shard"
+        ),
+        # within-doc line dedup: scan-fused HOF, per-row cost only
+        "dedup_lines": lambda d: tx.dedup_lines_df(d, "doc_id", "text"),
+        # corpus-overlap sketch: sources fixed at 20, docs per source
+        # grow 16x; shuffle stays one row per source regardless
+        "source_overlap": lambda d: dd.source_overlap(
+            d.withColumn("src", (F.col("doc_id") % 20).cast("string")),
+            "src",
+            "doc_id",
+            "text",
+        ),
     }
 
     def _heavy_hitters(d):
