@@ -4282,3 +4282,54 @@ def q223_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q224_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dd.source_overlap(docs, "source", "doc_id", "text", n_hashes=16, k=3)
+
+
+# --------------------------------------------------------------------- #
+# Streaming merged-MinHash maintenance (streaming/ops.minhash_sigs_stream):
+# each document micro-batch appends its PARTIAL per-source signature
+# (elementwise mins) to the sink; the live source-overlap matrix is
+# merge + sketch self-join — an online corpus-overlap monitor that never
+# rescans past documents. Elementwise min is idempotent/commutative, so
+# a 4-batch drain (maxFilesPerTrigger=1) hash-matches the BATCH q224
+# recompute exactly — same oracle SQL.
+# --------------------------------------------------------------------- #
+@query(
+    "q225_stream_source_overlap",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, {_T} AS t FROM documents),
+         ths AS (SELECT doc_id, source, {_TH} AS th FROM tk),
+         hs2 AS (SELECT doc_id, source, {_HS3} AS hs FROM ths),
+         sig AS (SELECT source, {_minhash_list(16)} AS mh
+                 FROM hs2 WHERE len(hs) > 0),
+         comp AS (SELECT source, i, MIN(mh[i]) AS mh
+                  FROM sig, UNNEST(generate_series(1, 16)) AS t(i)
+                  GROUP BY source, i),
+         ag AS (SELECT a.source AS group_a, b.source AS group_b,
+                       CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS INT)
+                         AS n_agree
+                FROM comp a JOIN comp b ON a.i = b.i AND a.source < b.source
+                GROUP BY 1, 2)
+    SELECT group_a, group_b, n_agree,
+           CAST(n_agree AS DOUBLE) / 16.0 AS jaccard_est
+    FROM ag
+    """,
+)
+def q225_stream_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.operators.dedup import (
+        merge_group_signatures,
+        overlap_from_signatures,
+    )
+    from dabstract_spark.streaming.ops import minhash_sigs_stream, stream_events
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tmp = tempfile.mkdtemp(prefix="sparkdab_mhs_")
+    # 4 files + maxFilesPerTrigger=1 forces a multi-batch drain, so the
+    # boundary-independence claim is actually exercised
+    docs.repartition(4).write.parquet(f"{tmp}/docs")
+    src = stream_events(spark, f"{tmp}/docs", max_files_per_trigger=1)
+    partials = minhash_sigs_stream(
+        src, "source", "doc_id", "text", f"{tmp}/out", f"{tmp}/ckpt"
+    )
+    return overlap_from_signatures(merge_group_signatures(partials))

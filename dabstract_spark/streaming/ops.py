@@ -602,3 +602,55 @@ def rollup_maintain_stream(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out_path)
+
+
+def minhash_sigs_stream(
+    doc_stream: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    out_path: str,
+    checkpoint: str,
+    n_hashes: int = 16,
+    k: int = 3,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming merged-MinHash maintenance (the online twin of
+    dedup.source_overlap): each micro-batch of documents reduces to its
+    PARTIAL per-group signature — |batch groups| rows of elementwise
+    mins — appended to the sink; the live per-source signature at any
+    time is ``dedup.merge_group_signatures`` of the sink, never a rescan
+    of past documents. Elementwise min is idempotent, commutative, and
+    associative, so the drained merge is batch-boundary and
+    arrival-order independent — overlap estimates from the maintained
+    sketch hash-check against the batch recompute. Returns the re-read
+    partial-signature table."""
+    from dabstract_spark.operators.dedup import group_signatures
+
+    spark = doc_stream.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            group_signatures(
+                batch_df, group_col, id_col, text_col, n_hashes=n_hashes, k=k
+            )
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
+    try:
+        q = (
+            doc_stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(f"minhash_sigs_stream drain exceeded {timeout_sec}s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out_path)

@@ -541,3 +541,32 @@ def test_source_overlap_identical_and_disjoint_groups(spark):
     # s2's shingle set is a large subset of s1's union; most mins agree
     r = out[("s1", "s2")]
     assert r["n_agree"] >= 12 and abs(r["jaccard_est"] - r["n_agree"] / 16) < 1e-12
+
+
+def test_group_signature_merge_is_boundary_independent(spark):
+    from dabstract_spark.operators.dedup import (
+        group_signatures,
+        merge_group_signatures,
+        overlap_from_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"s{i % 3}", f"alpha beta gamma doc {i} token{i % 7} more words here")
+            for i in range(30)
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    full = group_signatures(docs, "source", "doc_id", "text")
+    # split on an arbitrary boundary; merged partials must equal the
+    # one-shot signature EXACTLY (elementwise min commutes)
+    p1 = group_signatures(docs.filter("doc_id < 11"), "source", "doc_id", "text")
+    p2 = group_signatures(docs.filter("doc_id >= 11"), "source", "doc_id", "text")
+    merged = merge_group_signatures(p1.unionByName(p2))
+    a = {r["__grp"]: tuple(r)[1:] for r in full.collect()}
+    b = {r["__grp"]: tuple(r)[1:] for r in merged.collect()}
+    assert a == b
+    # and so do the overlap matrices built from them
+    oa = sorted(tuple(r) for r in overlap_from_signatures(full).collect())
+    ob = sorted(tuple(r) for r in overlap_from_signatures(merged).collect())
+    assert oa == ob
