@@ -621,6 +621,34 @@ class Dataset:
             importance_sample(self._df, weight_ppm, rate_ppm, key=ROW_ID, seed=seed)
         )
 
+    def training_order(self, seed: int = 0, n_shards: int | None = None) -> "Dataset":
+        """Attach a deterministic global training-order position (and
+        optional round-robin shard) in a seed-reproducible md5 order
+        (see select.training_order). Also reachable by name through
+        ``add_select('training_order', ...)``."""
+        from dabstract_spark.operators.select import training_order
+
+        return self._evolve(
+            training_order(self._df, ROW_ID, seed=seed, n_shards=n_shards)
+        )
+
+    def dedup_lines(self, key: str = "text") -> "Dataset":
+        """Remove later repeats of identical lines within each document
+        (first occurrence kept; see text.dedup_lines)."""
+        from dabstract_spark.operators.text import dedup_lines
+
+        return self._evolve(
+            self._df.withColumn(key, F.array_join(dedup_lines(key), "\n"))
+        )
+
+    def source_overlap(self, group_key: str, text_key: str = "text", **kw):
+        """Pairwise Jaccard-overlap estimates between groups via merged
+        MinHash signatures (see dedup.source_overlap). Returns a
+        DataFrame (a report, not a row transformation)."""
+        from dabstract_spark.operators import dedup as dd
+
+        return dd.source_overlap(self._df, group_key, ROW_ID, text_key, **kw)
+
     def add_text_stats(self, key: str = "text") -> "Dataset":
         """Attach the full text-analysis column set (token counts,
         ratios, quality, lang-id, fingerprint) with tokens staged once."""

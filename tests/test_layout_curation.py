@@ -570,3 +570,27 @@ def test_group_signature_merge_is_boundary_independent(spark):
     oa = sorted(tuple(r) for r in overlap_from_signatures(full).collect())
     ob = sorted(tuple(r) for r in overlap_from_signatures(merged).collect())
     assert oa == ob
+
+
+def test_dataset_facades_for_r6_ops(spark):
+    from dabstract_spark.dataset import Dataset
+
+    df = spark.createDataFrame(
+        [
+            (0, "a\nb\na", "s1"),
+            (1, "x\ny", "s1"),
+            (2, "alpha beta gamma delta words enough here", "s2"),
+        ],
+        "row_id long, text string, src string",
+    )
+    ds = Dataset(df, name="t")
+    ordered = ds.training_order(seed=1, n_shards=2)
+    got = ordered.full_df.select("pos", "shard").collect()
+    assert sorted(r["pos"] for r in got) == [0, 1, 2]
+    assert all(r["shard"] == r["pos"] % 2 for r in got)
+    cleaned = ds.dedup_lines()
+    texts = {r["row_id"]: r["text"] for r in cleaned.full_df.collect()}
+    assert texts[0] == "a\nb" and texts[1] == "x\ny"
+    # report facade returns a plain DataFrame of pair estimates
+    rep = ds.source_overlap("src")
+    assert set(rep.columns) == {"group_a", "group_b", "n_agree", "jaccard_est"}
