@@ -449,3 +449,46 @@ def test_winnowing_guarantee_shared_run_detected(spark, a_words, b_words):
     for r in fps.collect():
         by_doc[r.doc_id].add(r.fp)
     assert by_doc[0] & by_doc[1], "shared 6-token run produced no shared fingerprint"
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", ""]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_dedup_lines_matches_python_reference(spark, docs):
+    """dedup_lines == the obvious serial first-occurrence filter."""
+    from dabstract_spark.operators.text import dedup_lines_df
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in dedup_lines_df(df, "doc_id", "text").collect()}
+    for i, _ in enumerate(docs):
+        lines = rows[i][1].split("\n")  # NB: "".split -> [""], same as Spark
+        seen, kept = set(), []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        assert got[i]["n_lines"] == len(lines)
+        assert got[i]["n_kept"] == len(kept)
+        import hashlib
+
+        assert got[i]["cleaned_md5"] == hashlib.md5("\n".join(kept).encode()).hexdigest()
+
+
+@given(ids=st.sets(st.integers(0, 10_000), min_size=1, max_size=40), seed=st.integers(0, 3))
+@settings(**_SETTINGS)
+def test_training_order_bijection_any_ids(spark, ids, seed):
+    """positions are a dense 0..n-1 bijection for ARBITRARY id sets
+    (gaps, duplicates of md5 prefixes, any size), and shards follow
+    pos % n_shards."""
+    from dabstract_spark.operators.select import training_order
+
+    df = spark.createDataFrame([(i,) for i in ids], "id bigint")
+    rows = training_order(df, "id", seed=seed, n_shards=3).collect()
+    assert sorted(r["pos"] for r in rows) == list(range(len(ids)))
+    assert all(r["shard"] == r["pos"] % 3 for r in rows)
