@@ -285,12 +285,29 @@ def training_order(
     are balanced to ±1 row BY CONSTRUCTION — a hash-mod shard (pos-free)
     would be only statistically balanced, and a range shard would put
     adjacent positions in one shard, defeating intra-shard diversity.
+
+    ``pos``/``shard`` are ATTACHED: every input column — including a
+    ``row_id`` identity column, even when it is the shuffle key —
+    survives unchanged (``with_row_id`` writes its rank into ``row_id``,
+    so the original is stashed around the call and restored).
     """
     from dabstract_spark.core import ROW_ID, with_row_id
 
+    taken = {"pos"} | ({"shard"} if n_shards is not None else set())
+    clash = sorted(taken & set(df.columns))
+    if clash:
+        raise ValueError(f"training_order would overwrite existing column(s) {clash}")
     keyed = df.withColumn("__shuf", md5_order(key, seed))
-    out = with_row_id(keyed, ["__shuf", key]).withColumnRenamed(ROW_ID, "pos")
+    stash = ROW_ID in keyed.columns
+    k2 = key
+    if stash:
+        keyed = keyed.withColumnRenamed(ROW_ID, "__rid_orig")
+        if key == ROW_ID:
+            k2 = "__rid_orig"
+    out = with_row_id(keyed, ["__shuf", k2]).withColumnRenamed(ROW_ID, "pos")
     out = out.drop("__shuf")
+    if stash:
+        out = out.withColumnRenamed("__rid_orig", ROW_ID)
     if n_shards is not None:
         out = out.withColumn("shard", (F.col("pos") % n_shards).cast("int"))
     return out

@@ -466,13 +466,27 @@ def dedup_lines(col: Column | str) -> Column:
 
 def dedup_lines_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document line-dedup audit: line count before/after and the
-    md5 of the cleaned (first-occurrence-only) text."""
-    kept = dedup_lines(text_col)
-    return df.select(
+    md5 of the cleaned (first-occurrence-only) text.
+
+    The split array and the O(lines²) kept-filter are STAGED as columns
+    (each referenced twice downstream, so Catalyst keeps them un-inlined
+    per SPARK-36718) — inlining the HOF into both size() and md5() would
+    run the quadratic first-occurrence filter twice per row."""
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), r"\n").alias("__ls")
+    ).select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), r"\n")).cast("int").alias("n_lines"),
-        F.size(kept).cast("int").alias("n_kept"),
-        F.md5(F.array_join(kept, "\n")).alias("cleaned_md5"),
+        F.size("__ls").cast("int").alias("n_lines"),
+        F.filter(
+            F.col("__ls"),
+            lambda ln, i: F.array_position(F.col("__ls"), ln) == i + 1,
+        ).alias("__k"),
+    )
+    return staged.select(
+        F.col(id_col),
+        "n_lines",
+        F.size("__k").cast("int").alias("n_kept"),
+        F.md5(F.array_join("__k", "\n")).alias("cleaned_md5"),
     )
 
 

@@ -4256,11 +4256,12 @@ def q223_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Corpus-level source-overlap matrix: estimated Jaccard between each
 # pair of sources via MERGED MinHash signatures (union signature =
 # elementwise min) — one data-sized scan, sketch-sized pair join, never
-# doc-vs-doc. Same signature recipe as the per-doc LSH family.
+# doc-vs-doc. Same signature recipe as the per-doc LSH family. ONE
+# oracle definition serves both the batch query (q224) and its
+# streaming twin (q225) — a fix to the overlap recipe cannot diverge
+# between their gates.
 # --------------------------------------------------------------------- #
-@query(
-    "q224_source_overlap",
-    oracle=f"""
+_OVERLAP_ORACLE = f"""
     WITH tk AS (SELECT doc_id, source, {_T} AS t FROM documents),
          ths AS (SELECT doc_id, source, {_TH} AS th FROM tk),
          hs2 AS (SELECT doc_id, source, {_HS3} AS hs FROM ths),
@@ -4277,7 +4278,12 @@ def q223_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT group_a, group_b, n_agree,
            CAST(n_agree AS DOUBLE) / 16.0 AS jaccard_est
     FROM ag
-    """,
+    """
+
+
+@query(
+    "q224_source_overlap",
+    oracle=_OVERLAP_ORACLE,
 )
 def q224_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -4295,24 +4301,7 @@ def q224_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 @query(
     "q225_stream_source_overlap",
-    oracle=f"""
-    WITH tk AS (SELECT doc_id, source, {_T} AS t FROM documents),
-         ths AS (SELECT doc_id, source, {_TH} AS th FROM tk),
-         hs2 AS (SELECT doc_id, source, {_HS3} AS hs FROM ths),
-         sig AS (SELECT source, {_minhash_list(16)} AS mh
-                 FROM hs2 WHERE len(hs) > 0),
-         comp AS (SELECT source, i, MIN(mh[i]) AS mh
-                  FROM sig, UNNEST(generate_series(1, 16)) AS t(i)
-                  GROUP BY source, i),
-         ag AS (SELECT a.source AS group_a, b.source AS group_b,
-                       CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS INT)
-                         AS n_agree
-                FROM comp a JOIN comp b ON a.i = b.i AND a.source < b.source
-                GROUP BY 1, 2)
-    SELECT group_a, group_b, n_agree,
-           CAST(n_agree AS DOUBLE) / 16.0 AS jaccard_est
-    FROM ag
-    """,
+    oracle=_OVERLAP_ORACLE,
 )
 def q225_stream_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile

@@ -230,6 +230,60 @@ def stateful_sessionizer(
     )
 
 
+def _drain(spark, start_query, timeout_sec: int, drain_partitions: int, label: str):
+    """Run ONE bounded availableNow drain with right-sized shuffle
+    partitions — the scaffold every drain-style op here shares (set
+    conf, start, await with a timeout guard, restore conf).
+
+    ``drain_partitions`` right-sizes the state-store count for the
+    bounded drain: every stateful operator spins one state store PER
+    shuffle partition PER micro-batch, pure overhead on a fixture-sized
+    backlog. The conf binds at query start, so it is set for the drain
+    and restored right after. awaitTermination returns False on timeout
+    — reading a sink then would yield a nondeterministic partial result
+    (or a path-not-found if no micro-batch committed); stop and raise
+    instead. Returns the terminated StreamingQuery so callers can
+    inspect its progress."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
+    try:
+        q = start_query()
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(f"{label} drain exceeded {timeout_sec}s")
+        return q
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _drain_foreach_batch(
+    src: DataFrame,
+    sink_fn,
+    checkpoint: str,
+    out_path: str,
+    timeout_sec: int,
+    drain_partitions: int,
+    label: str,
+) -> DataFrame:
+    """Checkpointed foreachBatch drain through ``sink_fn``, returning
+    the re-read parquet sink — the shared shape of every incremental
+    sketch/view-maintenance op."""
+    spark = src.sparkSession
+    _drain(
+        spark,
+        lambda: (
+            src.writeStream.foreachBatch(sink_fn)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        ),
+        timeout_sec,
+        drain_partitions,
+        label,
+    )
+    return spark.read.parquet(out_path)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str | None = None,
@@ -241,12 +295,8 @@ def run_to_memory(
     sink and return the result as a batch DataFrame — the test harness
     for stream==batch metamorphic checks.
 
-    ``drain_partitions`` right-sizes the state-store count for the
-    bounded drain: every stateful operator spins one state store PER
-    shuffle partition PER micro-batch, which is pure overhead on a
-    fixture-sized backlog (a long-lived production stream sizes
-    partitions to its rate instead). The conf binds at query start, so
-    it is set for the drain and restored right after.
+    ``drain_partitions``: see ``_drain`` (a long-lived production
+    stream sizes partitions to its rate instead).
 
     ``require_single_batch=True`` ENFORCES that all input arrived in
     one micro-batch (recentProgress shows exactly one batch with input
@@ -257,10 +307,9 @@ def run_to_memory(
     the drain shape in a comment."""
     spark = stream_df.sparkSession
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
-    try:
-        q = (
+    q = _drain(
+        spark,
+        lambda: (
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(
@@ -268,19 +317,18 @@ def run_to_memory(
             )
             .trigger(availableNow=True)
             .start()
-        )
-        if not q.awaitTermination(timeout_sec):
-            q.stop()
-            raise TimeoutError(f"stream drain exceeded {timeout_sec}s")
-        if require_single_batch:
-            fed = [p for p in q.recentProgress if (p.get("numInputRows") or 0) > 0]
-            if len(fed) != 1:
-                raise AssertionError(
-                    f"drain delivered input across {len(fed)} micro-batches; "
-                    "the caller's batch oracle assumes exactly one"
-                )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        ),
+        timeout_sec,
+        drain_partitions,
+        "stream",
+    )
+    if require_single_batch:
+        fed = [p for p in q.recentProgress if (p.get("numInputRows") or 0) > 0]
+        if len(fed) != 1:
+            raise AssertionError(
+                f"drain delivered input across {len(fed)} micro-batches; "
+                "the caller's batch oracle assumes exactly one"
+            )
     return spark.table(name)
 
 
@@ -302,24 +350,22 @@ def run_to_parquet(
     where run_to_memory is the test harness. Append output mode — the
     sink receives only FINALIZED results (watermark-closed windows), so
     an aggregate must be watermarked. Returns the re-read DataFrame.
-    ``drain_partitions``: see run_to_memory."""
+    ``drain_partitions``: see ``_drain``."""
     spark = stream_df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
-    try:
-        q = (
+    _drain(
+        spark,
+        lambda: (
             stream_df.writeStream.format("parquet")
             .option("path", path)
             .option("checkpointLocation", checkpoint)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
-        )
-        if not q.awaitTermination(timeout_sec):
-            q.stop()
-            raise TimeoutError(f"stream drain exceeded {timeout_sec}s")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        ),
+        timeout_sec,
+        drain_partitions,
+        "stream",
+    )
     return spark.read.parquet(path)
 
 
@@ -402,7 +448,6 @@ def incremental_dedup_stream(
     """
     from dabstract_spark.operators.dedup import normalize_text
 
-    spark = new_stream.sparkSession
     seen = seen_df.select(F.md5(normalize_text(text_col)).alias("__h")).distinct()
     hashed = new_stream.select(F.md5(normalize_text(text_col)).alias("content_md5"))
     deduped = hashed.dropDuplicates(["content_md5"])
@@ -414,26 +459,15 @@ def incremental_dedup_stream(
             .parquet(out_path)
         )
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
-    try:
-        q = (
-            deduped.writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        # awaitTermination returns False on timeout — reading the sink
-        # then would yield a nondeterministic partial result (or a
-        # path-not-found if no micro-batch committed); stop and raise.
-        if not q.awaitTermination(timeout_sec):
-            q.stop()
-            raise TimeoutError(
-                f"incremental_dedup_stream drain exceeded {timeout_sec}s"
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(out_path)
+    return _drain_foreach_batch(
+        deduped,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "incremental_dedup_stream",
+    )
 
 
 def rolling_distinct_stream(
@@ -482,8 +516,6 @@ def cms_sketch_stream(
     """
     from dabstract_spark.operators.sketches import cms_sketch
 
-    spark = new_stream.sparkSession
-
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         (
             cms_sketch(batch_df, key_col, depth=depth, width=width)
@@ -491,21 +523,15 @@ def cms_sketch_stream(
             .parquet(out_path)
         )
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
-    try:
-        q = (
-            new_stream.writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(timeout_sec):
-            q.stop()
-            raise TimeoutError(f"cms_sketch_stream drain exceeded {timeout_sec}s")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(out_path)
+    return _drain_foreach_batch(
+        new_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "cms_sketch_stream",
+    )
 
 
 def bloom_sketch_stream(
@@ -529,8 +555,6 @@ def bloom_sketch_stream(
     the live filter)."""
     from dabstract_spark.operators.bloom import bloom_sketch
 
-    spark = new_stream.sparkSession
-
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         (
             bloom_sketch(batch_df, key_col, m_bits=m_bits, k_hashes=k_hashes)
@@ -538,21 +562,15 @@ def bloom_sketch_stream(
             .parquet(out_path)
         )
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
-    try:
-        q = (
-            new_stream.writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(timeout_sec):
-            q.stop()
-            raise TimeoutError(f"bloom_sketch_stream drain exceeded {timeout_sec}s")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(out_path)
+    return _drain_foreach_batch(
+        new_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "bloom_sketch_stream",
+    )
 
 
 def rollup_maintain_stream(
@@ -577,8 +595,6 @@ def rollup_maintain_stream(
     a full batch recompute. Returns the re-read partials table (group
     by ``keys`` + SUM, then ``apply_rollup_delta`` for the live view).
     """
-    spark = delta_stream.sparkSession
-
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         sign = F.when(F.col(op_col) == "insert", F.lit(1)).otherwise(F.lit(-1))
         partial = batch_df.groupBy(*keys).agg(
@@ -587,21 +603,15 @@ def rollup_maintain_stream(
         )
         partial.write.mode("append").parquet(out_path)
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
-    try:
-        q = (
-            delta_stream.writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(timeout_sec):
-            q.stop()
-            raise TimeoutError(f"rollup_maintain_stream drain exceeded {timeout_sec}s")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(out_path)
+    return _drain_foreach_batch(
+        delta_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "rollup_maintain_stream",
+    )
 
 
 def minhash_sigs_stream(
@@ -628,8 +638,6 @@ def minhash_sigs_stream(
     partial-signature table."""
     from dabstract_spark.operators.dedup import group_signatures
 
-    spark = doc_stream.sparkSession
-
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         (
             group_signatures(
@@ -639,18 +647,12 @@ def minhash_sigs_stream(
             .parquet(out_path)
         )
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
-    try:
-        q = (
-            doc_stream.writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(timeout_sec):
-            q.stop()
-            raise TimeoutError(f"minhash_sigs_stream drain exceeded {timeout_sec}s")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(out_path)
+    return _drain_foreach_batch(
+        doc_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "minhash_sigs_stream",
+    )

@@ -585,7 +585,9 @@ def test_dataset_facades_for_r6_ops(spark):
     )
     ds = Dataset(df, name="t")
     ordered = ds.training_order(seed=1, n_shards=2)
-    got = ordered.full_df.select("pos", "shard").collect()
+    got = ordered.full_df.select("row_id", "pos", "shard").collect()
+    # pos/shard are ATTACHED: the row_id identity column survives intact
+    assert sorted(r["row_id"] for r in got) == [0, 1, 2]
     assert sorted(r["pos"] for r in got) == [0, 1, 2]
     assert all(r["shard"] == r["pos"] % 2 for r in got)
     cleaned = ds.dedup_lines()

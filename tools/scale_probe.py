@@ -42,7 +42,7 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
     from dabstract_spark.session import get_spark, load_table
-    from dabstract_spark.operators import dedup as dd, events as ev, text as tx
+    from dabstract_spark.operators import dedup as dd, events as ev, select as sel, text as tx
     from dabstract_spark.operators.similarity import (
         embedding_neardup_pairs,
         ivf_assign,
@@ -157,11 +157,9 @@ def main():
         ),
         # global training-order shuffle: the bucket-offset rank — no
         # global window, only the 256-row offset table is broadcast
-        "training_order": lambda d: __import__(
-            "dabstract_spark.operators.select", fromlist=["training_order"]
-        ).training_order(d, "doc_id", seed=7, n_shards=64).select(
-            "doc_id", "pos", "shard"
-        ),
+        "training_order": lambda d: sel.training_order(
+            d, "doc_id", seed=7, n_shards=64
+        ).select("doc_id", "pos", "shard"),
         # within-doc line dedup: scan-fused HOF, per-row cost only
         "dedup_lines": lambda d: tx.dedup_lines_df(d, "doc_id", "text"),
         # corpus-overlap sketch: sources fixed at 20, docs per source
