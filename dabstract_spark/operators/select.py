@@ -314,3 +314,38 @@ def training_order(
 
 
 _REGISTRY["training_order"] = training_order
+
+
+def extend_training_order(
+    base: DataFrame,
+    new_df: DataFrame,
+    key: str,
+    seed: int = 0,
+    pos_col: str = "pos",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Append-only training-order extension: position NEW rows AFTER an
+    already-ordered base (positions continue from max(base.pos) + 1)
+    without touching a single base row — the growing-corpus counterpart
+    of ``training_order``, the same incremental discipline as the
+    sketch/rollup maintenance ops (new data never forces recomputing
+    the old assignment, so already-written shard files stay valid).
+
+    The offset is a one-row broadcast aggregate; the new rows get their
+    own seed-reproducible md5 order via ``training_order``. Returns the
+    NEW rows only (caller unions with base), with ``shard`` recomputed
+    from the offset position when requested."""
+    off = base.agg(
+        F.coalesce(F.max(pos_col).cast("bigint") + 1, F.lit(0)).alias("__off")
+    )
+    out = (
+        training_order(new_df, key, seed=seed)
+        .crossJoin(F.broadcast(off))
+        .withColumn(pos_col, F.col("pos") + F.col("__off"))
+        .drop("__off")
+    )
+    if pos_col != "pos":
+        out = out.withColumnRenamed("pos", pos_col)
+    if n_shards is not None:
+        out = out.withColumn("shard", (F.col(pos_col) % n_shards).cast("int"))
+    return out

@@ -4322,3 +4322,43 @@ def q225_stream_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, "source", "doc_id", "text", f"{tmp}/out", f"{tmp}/ckpt"
     )
     return overlap_from_signatures(merge_group_signatures(partials))
+
+
+# --------------------------------------------------------------------- #
+# Append-only training-order extension: new docs get positions AFTER the
+# ordered base corpus (offset = one-row broadcast aggregate) without
+# repositioning a single base row — already-written shard files stay
+# valid as the corpus grows, the same incremental discipline as the
+# sketch/rollup maintenance family.
+# --------------------------------------------------------------------- #
+@query(
+    "q226_extend_order",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (
+                    ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+                  AS BIGINT) AS pos
+      FROM documents WHERE doc_id % 4 <> 0),
+    mx AS (SELECT MAX(pos) + 1 AS off FROM base),
+    newp AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (
+                    ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 + off
+                  AS BIGINT) AS pos
+      FROM documents, mx WHERE doc_id % 4 = 0),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM newp)
+    SELECT doc_id, pos, CAST(pos % 8 AS INT) AS shard FROM u
+    """,
+)
+def q226_extend_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import extend_training_order, training_order
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = training_order(docs.filter(F.col("doc_id") % 4 != 0), "doc_id", seed=7)
+    new = extend_training_order(
+        base, docs.filter(F.col("doc_id") % 4 == 0), "doc_id", seed=7
+    )
+    return base.unionByName(new).select(
+        "doc_id", "pos", (F.col("pos") % 8).cast("int").alias("shard")
+    )

@@ -596,3 +596,26 @@ def test_dataset_facades_for_r6_ops(spark):
     # report facade returns a plain DataFrame of pair estimates
     rep = ds.source_overlap("src")
     assert set(rep.columns) == {"group_a", "group_b", "n_agree", "jaccard_est"}
+
+
+def test_extend_training_order_appends_without_moving_base(spark):
+    from dabstract_spark.operators.select import extend_training_order, training_order
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "id bigint")
+    base = training_order(df.filter("id < 12"), "id", seed=5)
+    before = {r["id"]: r["pos"] for r in base.collect()}
+    new = extend_training_order(base, df.filter("id >= 12"), "id", seed=5, n_shards=4)
+    got = new.collect()
+    # new rows continue after the base: positions are exactly 12..19
+    assert sorted(r["pos"] for r in got) == list(range(12, 20))
+    assert all(r["shard"] == r["pos"] % 4 for r in got)
+    # base positions are untouched by construction (base is an input,
+    # not recomputed) — and the union is a dense 0..n-1 permutation
+    after = {r["id"]: r["pos"] for r in base.collect()}
+    assert after == before
+    union = base.unionByName(new.drop("shard")).collect()
+    assert sorted(r["pos"] for r in union) == list(range(20))
+    # empty base: offset coalesces to 0
+    empty = base.filter("pos < 0")
+    fresh = extend_training_order(empty, df.filter("id < 3"), "id", seed=5)
+    assert sorted(r["pos"] for r in fresh.collect()) == [0, 1, 2]
