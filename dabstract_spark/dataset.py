@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Callable, Iterable
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from dabstract_spark import core
 from dabstract_spark.core import ROW_ID
@@ -289,15 +289,31 @@ class Dataset:
         return_idx: bool = False,
         set_name: str | None = None,
         fold: int = 0,
+        max_ids: int | None = None,
     ) -> DataFrame:
         """Distinct values of a column; with ``return_idx`` also the sorted
         row_id group per value. ``set_name``/``fold`` restrict to one xval
-        view first (reference dataset.py:636-701's fold/set arguments)."""
+        view first (reference dataset.py:636-701's fold/set arguments).
+
+        ``return_idx`` collects ALL row ids per value — the reference's
+        contract, and unbounded when one value dominates (a 90%-"en"
+        lang column at corpus scale puts 90% of all row ids in one
+        task's array). ``max_ids`` caps each group to its SMALLEST
+        max_ids row ids, rank-filtered BEFORE the collect so the
+        over-full array is never materialized (the same
+        filter-then-collect discipline as the dedup pair miners)."""
         src = (
             self if set_name is None else self.get_xval_set(set_name, fold)
         )._df
         if not return_idx:
             return src.select(key).distinct().orderBy(key)
+        if max_ids is not None:
+            w = Window.partitionBy(key).orderBy(ROW_ID)
+            src = (
+                src.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= max_ids)
+                .drop("__rn")
+            )
         return (
             src.groupBy(key)
             .agg(F.sort_array(F.collect_list(ROW_ID)).alias("row_ids"))

@@ -633,22 +633,29 @@ def q164_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q165_session_entry_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dabstract_spark.operators.events import sessionize
 
+    from pyspark.sql import Window
+
     ev = _t(spark, sf_dir, "events")
     s = sessionize(ev, "ts", "user_id", gap_minutes=30)
+    # rank-filter to the 3 entry events BEFORE collecting: the old
+    # collect-then-slice shape materialized a whole session's events in
+    # one task to keep 3 of them — a never-idle bot session (the gap
+    # never fires) was one task's unbounded array. Byte-identical
+    # output: row_number over (ts, event_id) picks exactly the rows the
+    # sorted slice kept (event_id is unique), and the ≤3-element
+    # collect is then trivially bounded.
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    first3 = s.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= 3)
     paths = (
-        s.groupBy("user_id", "session_id")
+        first3.groupBy("user_id", "session_id")
         .agg(
             F.concat_ws(
                 ">",
-                F.slice(
-                    F.transform(
-                        F.sort_array(
-                            F.collect_list(F.struct("ts", "event_id", "event_type"))
-                        ),
-                        lambda x: x["event_type"],
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
                     ),
-                    1,
-                    3,
+                    lambda x: x["event_type"],
                 ),
             ).alias("path")
         )

@@ -170,3 +170,15 @@ def test_dedup_against_facade_bloom_equals_exact(spark):
     )
     # docs 0..6 collide with the seen corpus ('doc 0'..'doc 6'), 7..11 are new
     assert plain == bloomed == [107, 108, 109, 110, 111]
+
+
+def test_get_unique_max_ids_cap(spark):
+    ds = make_ds(spark, n=10)
+    full = {r["subdb"]: r["row_ids"] for r in ds.get_unique("subdb", return_idx=True).collect()}
+    capped = {
+        r["subdb"]: r["row_ids"]
+        for r in ds.get_unique("subdb", return_idx=True, max_ids=2).collect()
+    }
+    for k, ids in capped.items():
+        # smallest-2 prefix of the full sorted group, never more
+        assert ids == sorted(full[k])[:2]
