@@ -142,3 +142,38 @@ def sequence_pack(
         .withColumn("n_chunks", F.col("last_chunk") - F.col("first_chunk") + F.lit(1))
         .drop("__n", "__end")
     )
+
+
+def chunk_manifest(packed: DataFrame, id_col: str, capacity: int) -> DataFrame:
+    """Per-(chunk, document) segment table from ``sequence_pack`` output
+    — the manifest a packed-pretraining loader needs to build
+    block-diagonal attention masks / per-document loss masks: for every
+    context window, which documents occupy it and at which
+    within-window token range [seg_start, seg_end).
+
+    Pure arithmetic + one bounded explode (a document yields exactly
+    n_chunks rows — output-contract-sized, n_tokens/capacity + 1 at
+    most). Zero-token documents keep their boundary row with an empty
+    segment (seg_start == seg_end), mirroring sequence_pack's
+    zero-width placement."""
+    end = F.col("start_offset") + F.col("n_tokens")
+    return (
+        packed.withColumn(
+            "chunk", F.explode(F.sequence("first_chunk", "last_chunk"))
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk"),
+            F.greatest(
+                F.col("start_offset") - F.col("chunk") * capacity, F.lit(0)
+            )
+            .cast("int")
+            .alias("seg_start"),
+            (
+                F.least(end, (F.col("chunk") + 1) * capacity)
+                - F.col("chunk") * capacity
+            )
+            .cast("int")
+            .alias("seg_end"),
+        )
+    )

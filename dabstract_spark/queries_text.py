@@ -4362,3 +4362,47 @@ def q226_extend_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(new).select(
         "doc_id", "pos", (F.col("pos") % 8).cast("int").alias("shard")
     )
+
+
+# --------------------------------------------------------------------- #
+# Packed-batch manifest (packing.chunk_manifest): per context window,
+# which documents occupy it and at which within-window token range —
+# the block-diagonal attention-mask / per-doc loss-mask metadata of a
+# packed pretraining loader. Pure arithmetic over sequence_pack's
+# offsets + one output-sized explode (n_chunks rows per doc).
+# --------------------------------------------------------------------- #
+@query(
+    "q227_chunk_manifest",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cend
+      FROM toks),
+    p AS (
+      SELECT doc_id, n_tokens, cend - n_tokens AS s,
+             CAST(floor((cend - n_tokens) / 2048.0) AS BIGINT) AS fc,
+             CASE WHEN n_tokens > 0 THEN CAST(floor((cend - 1) / 2048.0) AS BIGINT)
+                  ELSE CAST(floor((cend - n_tokens) / 2048.0) AS BIGINT) END AS lc
+      FROM c)
+    SELECT doc_id, chunk,
+           CAST(GREATEST(s - chunk * 2048, 0) AS INT) AS seg_start,
+           CAST(LEAST(s + n_tokens, (chunk + 1) * 2048) - chunk * 2048 AS INT) AS seg_end
+    FROM p, UNNEST(generate_series(fc, lc)) AS t(chunk)
+    """,
+)
+def q227_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.packing import chunk_manifest, sequence_pack
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = sequence_pack(
+        docs.withColumn("__tok", tx.bpe_token_count("text")),
+        "doc_id",
+        "__tok",
+        capacity=2048,
+        block_size=64,
+    )
+    return chunk_manifest(packed, "doc_id", capacity=2048)

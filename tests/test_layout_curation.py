@@ -619,3 +619,38 @@ def test_extend_training_order_appends_without_moving_base(spark):
     empty = base.filter("pos < 0")
     fresh = extend_training_order(empty, df.filter("id < 3"), "id", seed=5)
     assert sorted(r["pos"] for r in fresh.collect()) == [0, 1, 2]
+
+
+def test_chunk_manifest_segments_tile_each_chunk(spark):
+    from dabstract_spark.operators.packing import chunk_manifest, sequence_pack
+
+    # docs of 5,3,0,4 tokens, capacity 4: stream cuts at 4 and 8
+    df = spark.createDataFrame(
+        [(1, 5), (2, 3), (3, 0), (4, 4)], "doc_id bigint, tok bigint"
+    )
+    packed = sequence_pack(df, "doc_id", "tok", capacity=4)
+    out = sorted(
+        chunk_manifest(packed, "doc_id", capacity=4).collect(),
+        key=lambda r: (r["chunk"], r["seg_start"], r["doc_id"]),
+    )
+    rows = [(r["doc_id"], r["chunk"], r["seg_start"], r["seg_end"]) for r in out]
+    # doc1 tokens 0-4 -> chunk0 [0,4), chunk1 [0,1); doc2 5-7 -> chunk1 [1,4);
+    # doc3 empty at 8 -> chunk2 [0,0); doc4 8-11 -> chunk2 [0,4)
+    assert rows == [
+        (1, 0, 0, 4),
+        (1, 1, 0, 1),
+        (2, 1, 1, 4),
+        (3, 2, 0, 0),
+        (4, 2, 0, 4),
+    ]
+    # within every chunk, non-empty segments tile it without gap/overlap
+    from collections import defaultdict
+
+    by_chunk = defaultdict(list)
+    for d, c, s, e in rows:
+        if e > s:
+            by_chunk[c].append((s, e))
+    for c, segs in by_chunk.items():
+        segs.sort()
+        for (s1, e1), (s2, e2) in zip(segs, segs[1:]):
+            assert e1 == s2
