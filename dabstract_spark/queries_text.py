@@ -4082,9 +4082,10 @@ _Q_SQL = f"""((5 * least(length(text)::BIGINT * 2500, 1000000)
            / 1000000.0::DOUBLE"""
 
 
-@query(
-    "q221_pretrain_pipeline",
-    oracle=f"""
+# ONE definition of the curation WITH-chain serves q221 and the
+# q228 loader-side composition built on top of it — a fix to any
+# curation stage cannot diverge between their gates.
+_PRETRAIN_CHAIN = f"""
     WITH RECURSIVE
          scored AS (
            SELECT doc_id, source, text, {_Q_SQL} AS quality, {_EN_CASE} AS lang_pred
@@ -4135,12 +4136,17 @@ _Q_SQL = f"""((5 * least(length(text)::BIGINT * 2500, 1000000)
          sh_te AS (
            SELECT DISTINCT unnest(list_distinct({_shingles('text', 5)})) AS sh
            FROM documents WHERE doc_id % 5 = 0),
-         dirty AS (SELECT DISTINCT doc_id FROM sh_tr JOIN sh_te USING (sh))
-    SELECT doc_id, source, lang_pred, quality,
-           CAST(len({_T}) AS INT) AS n_tokens
-    FROM train
-    WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
-    """,
+         dirty AS (SELECT DISTINCT doc_id FROM sh_tr JOIN sh_te USING (sh)),
+         clean AS (
+           SELECT doc_id, source, lang_pred, quality,
+                  CAST(len({_T}) AS INT) AS n_tokens
+           FROM train
+           WHERE doc_id NOT IN (SELECT doc_id FROM dirty))"""
+
+
+@query(
+    "q221_pretrain_pipeline",
+    oracle=_PRETRAIN_CHAIN + "\n    SELECT * FROM clean",
 )
 def q221_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dabstract_spark.operators.select import top_k_per_group
@@ -4406,3 +4412,50 @@ def q227_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_size=64,
     )
     return chunk_manifest(packed, "doc_id", capacity=2048)
+
+
+# --------------------------------------------------------------------- #
+# FLAGSHIP PART 2 — the loader side: the q221-curated corpus is given a
+# deterministic global training order, laid out into 512-token context
+# windows (distributed block prefix sum), and rendered as the
+# per-window attention-mask manifest — raw corpus to packed-batch
+# metadata in ONE hash-checked composition (curation chain shared
+# verbatim with q221's oracle via _PRETRAIN_CHAIN).
+# --------------------------------------------------------------------- #
+@query(
+    "q228_curate_pack_pipeline",
+    oracle=_PRETRAIN_CHAIN
+    + """,
+         ord1 AS (
+           SELECT doc_id, n_tokens,
+                  CAST(ROW_NUMBER() OVER (
+                         ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+                       AS BIGINT) AS pos
+           FROM clean),
+         c2 AS (
+           SELECT doc_id, n_tokens, pos,
+                  SUM(CAST(n_tokens AS BIGINT))
+                    OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cend
+           FROM ord1),
+         p2 AS (
+           SELECT doc_id, n_tokens, pos, cend - n_tokens AS s,
+                  CAST(floor((cend - n_tokens) / 512.0) AS BIGINT) AS fc,
+                  CASE WHEN n_tokens > 0 THEN CAST(floor((cend - 1) / 512.0) AS BIGINT)
+                       ELSE CAST(floor((cend - n_tokens) / 512.0) AS BIGINT) END AS lc
+           FROM c2)
+    SELECT doc_id, pos, chunk,
+           CAST(GREATEST(s - chunk * 512, 0) AS INT) AS seg_start,
+           CAST(LEAST(s + n_tokens, (chunk + 1) * 512) - chunk * 512 AS INT) AS seg_end
+    FROM p2, UNNEST(generate_series(fc, lc)) AS t(chunk)
+    """,
+)
+def q228_curate_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.packing import chunk_manifest, sequence_pack
+    from dabstract_spark.operators.select import training_order
+
+    clean = q221_pretrain_pipeline(spark, sf_dir).select("doc_id", "n_tokens")
+    ordered = training_order(clean, "doc_id", seed=7)
+    packed = sequence_pack(ordered, "pos", "n_tokens", capacity=512, block_size=64)
+    return chunk_manifest(packed, "doc_id", capacity=512).join(
+        ordered.select("doc_id", "pos"), "doc_id"
+    ).select("doc_id", "pos", "chunk", "seg_start", "seg_end")
