@@ -118,3 +118,96 @@ def cms_estimate(
     return joined.groupBy(*others).agg(
         F.min(F.coalesce(F.col("__cms_cnt"), F.lit(0))).cast("bigint").alias(est_col)
     )
+
+
+# --------------------------------------------------------------------- #
+# Re-aggregatable equi-width histogram — the QUANTILE member of the
+# sketch family (CMS = frequency, Bloom = membership, HLL = distinct).
+# Values are fixed-point micro-units (bigint, 1e-6 resolution) so the
+# binning is pure integer arithmetic — bit-identical across engines and
+# partitionings, hence DuckDB-oracle-checkable, unlike t-digest whose
+# centroids depend on merge order.
+#
+# Scale shape: building is one groupBy on (group, bin) — the shuffle
+# carries at most |groups|·bins rows after map-side partial aggregation
+# regardless of input size; merging partials is a sum, never a rescan;
+# quantile extraction runs on the ≤|groups|·bins sketch table with a
+# group-partitioned cumulative window (bounded by `bins`, never data-
+# sized). Estimation error is bounded by one bin width, a fixed
+# resolution/size trade chosen up front like CMS width.
+# --------------------------------------------------------------------- #
+
+
+def hist_bin(value_micro: Column, width_micro: int, bins: int) -> Column:
+    """Clamped equi-width bin index for a bigint micro-unit value:
+    floor(v / width) clamped to [0, bins-1] (negatives to 0). Explicit
+    floor() (DuckDB CAST(double AS BIGINT) ROUNDS, Spark truncates);
+    the double division is exact wherever it matters — any v ≥
+    bins·width clamps to the top bin, and below that the quotient is
+    far inside double precision."""
+    raw = F.floor(value_micro / F.lit(width_micro))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+
+
+def hist_sketch(
+    df: DataFrame,
+    value_micro: Column | str,
+    group_cols: tuple[str, ...] = (),
+    width_micro: int = 4_000_000,
+    bins: int = 128,
+) -> DataFrame:
+    """Partial histogram(s): one (``*group_cols``, bin, cnt) row per
+    touched bin. ``value_micro`` must already be bigint micro-units
+    (e.g. ``round(value, 6) * 1e6`` — the q203 fixed-point recipe)."""
+    v = F.col(value_micro) if isinstance(value_micro, str) else value_micro
+    return (
+        df.select(*group_cols, hist_bin(v, width_micro, bins).alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(sketches: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Merge partial histograms by summing bin counters — drop partition
+    columns from ``group_cols`` to roll them up, never rescanning base
+    data (the q176 HLL / cms_merge contract)."""
+    return sketches.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    percentiles: tuple[int, ...] = (50, 95, 99),
+    group_cols: tuple[str, ...] = (),
+    width_micro: int = 4_000_000,
+) -> DataFrame:
+    """Quantile estimates from a (merged) histogram: for each percentile
+    p, the LOWER EDGE (micro-units) of the smallest bin whose cumulative
+    count reaches ceil(p·n/100) — the discrete-quantile rule q203 uses on
+    exact values, applied to bins. True quantile lies within one bin
+    width above the estimate. Output: one row per group with
+    ``p{p}_lo_micro`` columns. The window is partitioned per group and
+    bounded by ``bins`` rows — never data-sized."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(*(group_cols or ())).orderBy("bin")
+        if group_cols
+        else Window.partitionBy(F.lit(0)).orderBy("bin")
+    )
+    cum = sketch.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(w_cum.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(
+            w_cum.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+
+    def pick(p: int) -> Column:
+        return F.min(
+            F.when(100 * F.col("cum") >= p * F.col("n"), F.col("bin"))
+        ) * F.lit(width_micro)
+
+    return cum.groupBy(*group_cols).agg(
+        *[pick(p).alias(f"p{p}_lo_micro") for p in percentiles]
+    )

@@ -4459,3 +4459,97 @@ def q228_curate_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_manifest(packed, "doc_id", capacity=512).join(
         ordered.select("doc_id", "pos"), "doc_id"
     ).select("doc_id", "pos", "chunk", "seg_start", "seg_end")
+
+
+# --------------------------------------------------------------------- #
+# Re-aggregatable equi-width histogram sketch (operators/sketches.py) —
+# the QUANTILE member of the sketch family (CMS frequency / Bloom
+# membership / HLL distinct): per-partition partial histograms persist
+# as tiny (group, bin, cnt) tables, any rollup is merge-by-sum, and
+# quantile extraction touches only the |groups|x128-row sketch. The
+# query builds partials per (event_type, event_id % 4) as a pipeline
+# would per file-partition, merges the partition axis away, estimates
+# p50/p95/p99, and joins the exact discrete quantiles (the grouped-
+# percentile recipe) to certify the one-bin-width error bound.
+# --------------------------------------------------------------------- #
+_HIST_W = 4_000_000  # 4.0-unit bins x 128 bins covers [0, 512)
+
+
+@query(
+    "q229_hist_quantile_sketch",
+    oracle=f"""
+    WITH vm AS (
+      SELECT event_type, event_id % 4 AS part,
+             CAST(CAST(round(value, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+      FROM events),
+    partials AS (
+      SELECT event_type, part,
+             CAST(LEAST(GREATEST(floor(v / {_HIST_W}.0), 0), 127) AS INT) AS bin,
+             COUNT(*) AS cnt
+      FROM vm GROUP BY event_type, part, bin),
+    merged AS (
+      SELECT event_type, bin, SUM(cnt) AS cnt FROM partials
+      GROUP BY event_type, bin),
+    bcum AS (
+      SELECT event_type, bin,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM merged),
+    est AS (
+      SELECT event_type,
+             MIN(CASE WHEN 100 * cum >= 50 * n THEN bin END) * {_HIST_W} AS p50_lo_micro,
+             MIN(CASE WHEN 100 * cum >= 95 * n THEN bin END) * {_HIST_W} AS p95_lo_micro,
+             MIN(CASE WHEN 100 * cum >= 99 * n THEN bin END) * {_HIST_W} AS p99_lo_micro
+      FROM bcum GROUP BY event_type),
+    vc AS (
+      SELECT event_type, v, COUNT(*) AS c FROM vm GROUP BY event_type, v),
+    vcum AS (
+      SELECT event_type, v,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM vc),
+    exact AS (
+      SELECT event_type,
+             MIN(CASE WHEN 100 * cum >= 50 * n THEN v END) AS p50_micro,
+             MIN(CASE WHEN 100 * cum >= 95 * n THEN v END) AS p95_micro,
+             MIN(CASE WHEN 100 * cum >= 99 * n THEN v END) AS p99_micro
+      FROM vcum GROUP BY event_type)
+    SELECT e.event_type,
+           p50_lo_micro, p50_micro,
+           p50_micro - p50_lo_micro BETWEEN 0 AND {_HIST_W - 1} AS p50_ok,
+           p95_lo_micro, p95_micro,
+           p95_micro - p95_lo_micro BETWEEN 0 AND {_HIST_W - 1} AS p95_ok,
+           p99_lo_micro, p99_micro,
+           p99_micro - p99_lo_micro BETWEEN 0 AND {_HIST_W - 1} AS p99_ok
+    FROM est e JOIN exact x USING (event_type)
+    """,
+)
+def q229_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators import sketches as sk
+
+    evd = _t(spark, sf_dir, "events")
+    vm = (
+        (F.round(F.col("value"), 6).cast("decimal(18,6)") * F.lit(1000000))
+        .cast("bigint")
+        .alias("v")
+    )
+    tagged = evd.select(
+        "event_type", (F.col("event_id") % 4).alias("part"), vm
+    )
+    # stage 1: partial histograms a pipeline would persist per partition
+    partials = sk.hist_sketch(
+        tagged, "v", group_cols=("event_type", "part"), width_micro=_HIST_W, bins=128
+    )
+    # stage 2: merge-only rollup — the partition axis collapses by sum
+    merged = sk.hist_merge(partials, group_cols=("event_type",))
+    est = sk.hist_quantiles(
+        merged, (50, 95, 99), group_cols=("event_type",), width_micro=_HIST_W
+    )
+    exact = q203_group_percentiles(spark, sf_dir)
+    out = est.join(exact, "event_type")
+    cols = [F.col("event_type")]
+    for p in (50, 95, 99):
+        lo, ex = F.col(f"p{p}_lo_micro"), F.col(f"p{p}_micro")
+        cols += [lo, ex, ((ex - lo) >= 0) & ((ex - lo) < _HIST_W)]
+        cols[-1] = cols[-1].alias(f"p{p}_ok")
+    return out.select(*cols)

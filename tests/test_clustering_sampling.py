@@ -680,3 +680,39 @@ def test_pca_scatter_handles_huge_magnitudes_and_null_elements(spark):
     )
     with pytest.raises(Exception, match="ragged"):
         pca_power_projection(ragged, iters=1)
+
+
+def test_hist_sketch_merge_and_quantile_bound(spark):
+    """Histogram-sketch properties: (1) merging per-partition partials
+    by sum equals sketching the union; (2) every quantile estimate is a
+    bin lower edge at most one bin width below the exact discrete
+    quantile; (3) out-of-range values clamp to the edge bins instead of
+    corrupting neighbors."""
+    from dabstract_spark.operators.sketches import (
+        hist_merge,
+        hist_quantiles,
+        hist_sketch,
+    )
+
+    w = 1_000_000  # 1.0-unit bins
+    rows = [(i, (i * 37 % 100) * 1_000_000 + 500_000, i % 3) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint, part int")
+
+    partials = hist_sketch(df, "v", group_cols=("part",), width_micro=w, bins=128)
+    merged = hist_merge(partials)
+    direct = hist_sketch(df, "v", width_micro=w, bins=128)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+    est = hist_quantiles(merged, (50, 95, 99), width_micro=w).collect()[0]
+    vals = sorted(r.v for r in df.select("v").collect())
+    n = len(vals)
+    for p in (50, 95, 99):
+        exact = next(v for i, v in enumerate(vals, 1) if 100 * i >= p * n)
+        lo = est[f"p{p}_lo_micro"]
+        assert 0 <= exact - lo < w
+
+    clamped = spark.createDataFrame(
+        [(1, -5_000_000), (2, 10_000_000_000)], "id bigint, v bigint"
+    )
+    bins = {r.bin: r.cnt for r in hist_sketch(clamped, "v", width_micro=w, bins=128).collect()}
+    assert bins == {0: 1, 127: 1}
