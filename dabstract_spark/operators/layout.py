@@ -122,3 +122,70 @@ def compact_parquet(
     ).select(
         "total_rows", "id_sum", F.lit(int(n_files)).cast("int").alias("n_files")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    digest: Column | str,
+) -> DataFrame:
+    """Row-level delta between two corpus snapshots: one
+    (``key_col``, status) row per key, status in
+    added / removed / changed / unchanged.
+
+    ``digest`` is the content fingerprint expression evaluated on BOTH
+    sides (e.g. ``F.md5("text")``) — the comparison shuffles only
+    (key, 32-byte digest) pairs, never the payload, so diffing a 100 TB
+    corpus moves gigabytes, not terabytes. The full-outer join is the
+    one shuffle; with both snapshots written bucketed by key
+    (sources/bucketed.py) it degrades to a co-located zipper with no
+    shuffle at all. This is the discovery half of an incremental rerun:
+    downstream stages reprocess only added/changed keys (see
+    q231_incremental_recuration) instead of rescanning the corpus."""
+    dg = F.col(digest) if isinstance(digest, str) else digest
+    o = old.select(F.col(key_col), dg.alias("__dg_old"), F.lit(1).alias("__in_old"))
+    n = new.select(F.col(key_col), dg.alias("__dg_new"), F.lit(1).alias("__in_new"))
+    j = o.join(n, key_col, "full_outer")
+    # presence comes from the marker columns, not digest nullability, so
+    # a present row with a NULL fingerprint is never misread as added
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.col("__dg_old").eqNullSafe(F.col("__dg_new")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(key_col, status.alias("status"))
+
+
+def shard_manifest(
+    df: DataFrame,
+    key_col: str,
+    digest: Column | str,
+    n_shards: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic output-sharding manifest: assign every row a
+    md5-derived shard in [0, n_shards) and emit one row per shard with
+    (n_rows, checksum) where the checksum is the SUM of each member's
+    digest folded to a 60-bit int, accumulated exactly in decimal(38,0)
+    (the repo-wide overflow-proof accumulator discipline) — order- and
+    partitioning-independent, so
+    two independent runs (or engines) writing the same logical corpus
+    produce bit-identical manifests. This is the reproducibility audit
+    for a 100 TB materialization: re-run the manifest, compare 64 tiny
+    rows instead of re-reading shards. One groupBy on the shard id is
+    the only shuffle, carrying (shard, partial sums) after map-side
+    combine."""
+    from dabstract_spark.functions.hashing import md5_bucket
+
+    dg = F.col(digest) if isinstance(digest, str) else digest
+    fold = F.conv(F.substring(F.md5(dg.cast("string")), 1, 15), 16, 10).cast("bigint")
+    rows = df.select(
+        md5_bucket(F.col(key_col), n_shards, seed=seed).alias("shard"),
+        fold.alias("__h"),
+    )
+    return rows.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("__h").cast("decimal(38,0)")).alias("checksum"),
+    )

@@ -4553,3 +4553,137 @@ def q229_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols += [lo, ex, ((ex - lo) >= 0) & ((ex - lo) < _HIST_W)]
         cols[-1] = cols[-1].alias(f"p{p}_ok")
     return out.select(*cols)
+
+
+# --------------------------------------------------------------------- #
+# Corpus snapshot diff (layout.snapshot_diff): row-level delta between
+# two snapshot versions — the discovery half of every incremental
+# pipeline rerun. Only (key, digest) pairs shuffle; with bucketed
+# snapshots the full-outer join co-locates. The fixture simulates a
+# recrawl: some docs dropped, some added, every doc_id % 11 = 3
+# revised.
+# --------------------------------------------------------------------- #
+_SNAP_OLD = "SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 1"
+_SNAP_NEW = (
+    "SELECT doc_id, CASE WHEN doc_id % 11 = 3 THEN text || ' v2' ELSE text END"
+    " AS text FROM documents WHERE doc_id % 5 <> 2"
+)
+_SNAP_DIFF = f"""
+    oldv AS ({_SNAP_OLD}),
+    newv AS ({_SNAP_NEW}),
+    d AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN md5(o.text) IS NOT DISTINCT FROM md5(n.text)
+                       THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM oldv o FULL JOIN newv n ON o.doc_id = n.doc_id)
+"""
+
+
+@query(
+    "q230_snapshot_diff",
+    oracle=f"""
+    WITH {_SNAP_DIFF}
+    SELECT status, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM d GROUP BY status
+    """,
+)
+def q230_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.layout import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    oldv = docs.filter(F.col("doc_id") % 7 != 1)
+    newv = docs.filter(F.col("doc_id") % 5 != 2).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 3, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    d = snapshot_diff(oldv, newv, "doc_id", F.md5("text"))
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Incremental re-curation (snapshot_diff -> dedup_against): reprocess
+# ONLY the recrawl's added/changed docs, deduping them against the
+# UNCHANGED corpus — the 100 TB rerun story: work is O(delta), the
+# unchanged 99% is touched only as a digest table (at scale: kept
+# materialized + bucketed, so each rerun is one co-located anti-join).
+# --------------------------------------------------------------------- #
+@query(
+    "q231_incremental_recuration",
+    oracle=f"""
+    WITH {_SNAP_DIFF},
+    delta AS (
+      SELECT n.doc_id, n.text, d.status
+      FROM newv n JOIN d USING (doc_id)
+      WHERE d.status IN ('added', 'changed')),
+    seen AS (
+      SELECT DISTINCT md5({_NORM.format(c='n.text')}) AS h
+      FROM newv n JOIN d USING (doc_id) WHERE d.status = 'unchanged')
+    SELECT doc_id, status
+    FROM delta
+    WHERE md5({_NORM.format(c='text')}) NOT IN (SELECT h FROM seen)
+    """,
+)
+def q231_incremental_recuration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.layout import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    oldv = docs.filter(F.col("doc_id") % 7 != 1)
+    newv = docs.filter(F.col("doc_id") % 5 != 2).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 3, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    d = snapshot_diff(oldv, newv, "doc_id", F.md5("text"))
+    delta = newv.join(
+        d.filter(F.col("status").isin("added", "changed")), "doc_id"
+    )
+    seen = newv.join(d.filter(F.col("status") == "unchanged"), "doc_id")
+    out = dd.dedup_against(
+        delta.select("doc_id", "text"), seen.select("doc_id", "text"), "doc_id", "text"
+    )
+    return out.join(delta.select("doc_id", "status"), "doc_id").select(
+        "doc_id", "status"
+    )
+
+
+# --------------------------------------------------------------------- #
+# Shard checksum manifest (layout.shard_manifest): deterministic
+# md5-derived output sharding with ORDER-INDEPENDENT per-shard
+# checksums (sum of digest folds) — two runs, partitionings, or engines
+# materializing the same logical corpus produce bit-identical 64-row
+# manifests, so a 100 TB reproducibility audit compares manifests, not
+# shards.
+# --------------------------------------------------------------------- #
+@query(
+    "q232_shard_manifest",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 64 AS shard,
+             CAST(('0x' || substr(md5(md5(text)), 1, 15)) AS BIGINT) AS h
+      FROM documents)
+    SELECT shard, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+    FROM r GROUP BY shard
+    """,
+)
+def q232_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.layout import shard_manifest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return shard_manifest(docs, "doc_id", F.md5("text"), n_shards=64)

@@ -654,3 +654,47 @@ def test_chunk_manifest_segments_tile_each_chunk(spark):
         segs.sort()
         for (s1, e1), (s2, e2) in zip(segs, segs[1:]):
             assert e1 == s2
+
+
+def test_snapshot_diff_statuses_and_null_digest(spark):
+    """All four statuses classify correctly, and presence is read off
+    the key side: a row present in both snapshots with a NULL
+    fingerprint is 'unchanged' (null-safe compare), never 'added'."""
+    from dabstract_spark.operators.layout import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "k int, t string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (5, "e"), (4, None)], "k int, t string"
+    )
+    out = {r.k: r.status for r in snapshot_diff(old, new, "k", F.md5("t")).collect()}
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        5: "added",
+        4: "unchanged",
+    }
+
+
+def test_shard_manifest_partitioning_invariant_and_sensitive(spark):
+    """The manifest is identical under any physical partitioning (order-
+    independent checksums) and any single-row content change moves
+    exactly one shard's checksum."""
+    from dabstract_spark.operators.layout import shard_manifest
+
+    rows = [(i, f"doc {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(map(tuple, shard_manifest(df.repartition(7), "doc_id", F.md5("text"), 16).collect()))
+    b = sorted(map(tuple, shard_manifest(df.coalesce(1), "doc_id", F.md5("text"), 16).collect()))
+    assert a == b
+
+    mutated = df.withColumn(
+        "text", F.when(F.col("doc_id") == 42, F.lit("tampered")).otherwise(F.col("text"))
+    )
+    c = sorted(map(tuple, shard_manifest(mutated, "doc_id", F.md5("text"), 16).collect()))
+    diff = [(x, y) for x, y in zip(a, c) if x != y]
+    assert len(diff) == 1
+    (x, y), = diff
+    assert x[0] == y[0] and x[1] == y[1] and x[2] != y[2]
