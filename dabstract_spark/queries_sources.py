@@ -978,3 +978,58 @@ def q219_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fname", "i", F.posexplode("__row").alias("j", "px"))
         .select("fname", "i", "j", (F.col("px") + F.lit(0.0)).alias("px"))
     )
+
+
+# --------------------------------------------------------------------- #
+# Streaming histogram maintenance (streaming/ops.hist_sketch_stream):
+# each micro-batch appends its PARTIAL per-type (event_type, bin, cnt)
+# histogram to the sink; the live quantile monitor is hist_merge of the
+# sink + bin-edge extraction — an online latency/size-percentile
+# dashboard that never rescans past batches. Merge-by-sum is batch-
+# boundary independent, so the drained sketch equals the batch sketch
+# and the p50/p95/p99 bin edges hash-check against the batch SQL
+# (whose one-bin-width error bound q229_hist_quantile_sketch certifies
+# against exact discrete quantiles).
+# --------------------------------------------------------------------- #
+@query(
+    "q233_stream_histogram",
+    oracle="""
+    WITH vm AS (
+      SELECT event_type,
+             CAST(CAST(round(value, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+      FROM events),
+    merged AS (
+      SELECT event_type,
+             CAST(LEAST(GREATEST(floor(v / 4000000.0), 0), 127) AS INT) AS bin,
+             COUNT(*) AS cnt
+      FROM vm GROUP BY event_type, bin),
+    bcum AS (
+      SELECT event_type, bin,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM merged)
+    SELECT event_type,
+           MIN(CASE WHEN 100 * cum >= 50 * n THEN bin END) * 4000000 AS p50_lo_micro,
+           MIN(CASE WHEN 100 * cum >= 95 * n THEN bin END) * 4000000 AS p95_lo_micro,
+           MIN(CASE WHEN 100 * cum >= 99 * n THEN bin END) * 4000000 AS p99_lo_micro
+    FROM bcum GROUP BY event_type
+    """,
+)
+def q233_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.operators.sketches import hist_merge, hist_quantiles
+    from dabstract_spark.streaming.ops import hist_sketch_stream, stream_events
+
+    tmp = tempfile.mkdtemp(prefix="sparkdab_hist_")
+    vm = (
+        (F.round(F.col("value"), 6).cast("decimal(18,6)") * F.lit(1000000))
+        .cast("bigint")
+        .alias("v")
+    )
+    src = stream_events(spark, f"{sf_dir}/events.parquet").select("event_type", vm)
+    partials = hist_sketch_stream(
+        src, "v", ("event_type",), f"{tmp}/out", f"{tmp}/ckpt"
+    )
+    merged = hist_merge(partials, ("event_type",))
+    return hist_quantiles(merged, (50, 95, 99), ("event_type",))

@@ -534,6 +534,49 @@ def cms_sketch_stream(
     )
 
 
+def hist_sketch_stream(
+    new_stream: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...],
+    out_path: str,
+    checkpoint: str,
+    width_micro: int = 4_000_000,
+    bins: int = 128,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming histogram maintenance (the online twin of the
+    equi-width quantile sketch in operators/sketches.py): each
+    micro-batch reduces to its PARTIAL (group, bin, cnt) table —
+    ≤ |groups|·bins rows — appended to the sink; the live histogram at
+    any time is ``hist_merge`` of the sink, never a rescan of past
+    batches, and quantiles come off the merged sketch. Merge is a plain
+    SUM, so the drained result is arrival-order and batch-boundary
+    independent — exactly the batch sketch, hash-checkable against the
+    batch SQL oracle. ``value_col`` must already be bigint micro-units.
+    Returns the re-read partial-sketch table."""
+    from dabstract_spark.operators.sketches import hist_sketch
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            hist_sketch(
+                batch_df, value_col, group_cols, width_micro=width_micro, bins=bins
+            )
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return _drain_foreach_batch(
+        new_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "hist_sketch_stream",
+    )
+
+
 def bloom_sketch_stream(
     new_stream: DataFrame,
     key_col: str,

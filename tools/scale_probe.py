@@ -364,6 +364,49 @@ def main():
         ),
     }
 
+    # r6 additions: snapshot diff / shard manifest (digest-only join +
+    # one groupBy — linear by construction) and the histogram sketch
+    # (shuffle bounded at |groups|·bins rows regardless of input size)
+    from dabstract_spark.operators.layout import shard_manifest, snapshot_diff
+    from dabstract_spark.operators.sketches import (
+        hist_merge,
+        hist_quantiles,
+        hist_sketch,
+    )
+
+    def _snapdiff(d):
+        old = d.filter(F.col("doc_id") % 7 != 1)
+        new = d.filter(F.col("doc_id") % 5 != 2).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 11 == 3, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return (
+            snapshot_diff(old, new, "doc_id", F.md5("text"))
+            .groupBy("status")
+            .count()
+        )
+
+    def _hist(e):
+        vm = (
+            (F.round(F.col("value"), 6).cast("decimal(18,6)") * F.lit(1000000))
+            .cast("bigint")
+            .alias("v")
+        )
+        partials = hist_sketch(e.select("event_type", vm), "v", ("event_type",))
+        return hist_quantiles(
+            hist_merge(partials, ("event_type",)), (50, 95, 99), ("event_type",)
+        )
+
+    layout_probes = {
+        "snapshot_diff": _snapdiff,
+        "shard_manifest": lambda d: shard_manifest(d, "doc_id", F.md5("text")),
+    }
+    hist_probes = {
+        "hist_sketch_quantiles": _hist,
+    }
+
     print(
         f"{'probe':<20} {'1x':>8} {'4x':>8} {'16x':>8}"
         f"  (sec, median of {reps}; input rows scale 1:4:16)"
@@ -386,6 +429,8 @@ def main():
         ),
     )
     probe_block(psi_probes, events, "event_id")
+    probe_block(layout_probes, docs, "doc_id")
+    probe_block(hist_probes, events, "event_id")
     # events scale with GROWING user cardinality (each copy is a fresh
     # user population) — the realistic 100 TB shape: more users, not
     # deeper per-user history
