@@ -4687,3 +4687,59 @@ def q232_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return shard_manifest(docs, "doc_id", F.md5("text"), n_shards=64)
+
+
+# --------------------------------------------------------------------- #
+# Cross-table fuzzy join (dedup.fuzzy_join): record linkage between a
+# master table and a typo'd registry — the two-dataset form of
+# q145_fuzzy_pairs (entity resolution, not in-corpus dedup). Both
+# sides stage through the SAME shared prefix-block recipe (md5 per-
+# block caps mirrored by the oracle's QUALIFY), shuffle once on the
+# block key, banded levenshtein only inside blocks. The fixture links
+# parts to a registry whose names lost their final character
+# (edit distance 1, prefix intact).
+# --------------------------------------------------------------------- #
+_FJ_KEY = (
+    "substr(regexp_replace(trim(lower({c})), '\\s+', ' ', 'g'), 1, 40)"
+)
+_FJ_CAP = (
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY blk "
+    "ORDER BY md5('0:' || CAST(id AS VARCHAR))) <= 64"
+)
+
+
+@query(
+    "q234_fuzzy_link",
+    oracle=rf"""
+    WITH lk AS (
+      SELECT p_partkey AS id, {_FJ_KEY.format(c='p_name')} AS k FROM part),
+    lb AS (SELECT id, k, substr(k, 1, 4) AS blk FROM lk {_FJ_CAP}),
+    rk AS (
+      SELECT p_partkey + 1000000 AS id,
+             {_FJ_KEY.format(c='substr(p_name, 1, length(p_name)-1)')} AS k
+      FROM part),
+    rb AS (SELECT id, k, substr(k, 1, 4) AS blk FROM rk {_FJ_CAP})
+    SELECT a.id AS p_partkey, b2.id AS reg_id,
+           CAST(levenshtein(a.k, b2.k) AS INT) AS dist
+    FROM lb a JOIN rb b2 ON a.blk = b2.blk
+    WHERE levenshtein(a.k, b2.k) <= 2
+    """,
+)
+def q234_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    registry = part.select(
+        (F.col("p_partkey") + 1000000).alias("reg_id"),
+        F.expr("substring(p_name, 1, length(p_name)-1)").alias("name"),
+    )
+    return dd.fuzzy_join(
+        part,
+        registry,
+        "p_partkey",
+        "reg_id",
+        "p_name",
+        "name",
+        prefix_len=4,
+        key_len=40,
+        max_dist=2,
+        max_block=64,
+    )

@@ -716,3 +716,37 @@ def test_hist_sketch_merge_and_quantile_bound(spark):
     )
     bins = {r.bin: r.cnt for r in hist_sketch(clamped, "v", width_micro=w, bins=128).collect()}
     assert bins == {0: 1, 127: 1}
+
+
+def test_fuzzy_join_links_typos_and_caps_blocks(spark):
+    """Cross-table linkage: every registry entry with one trailing typo
+    links to its master twin at dist 1; an unrelated name links to
+    nothing; and max_block bounds each side's block membership so a
+    shared-prefix bomb contributes at most cap^2 candidate pairs."""
+    from dabstract_spark.operators.dedup import fuzzy_join
+
+    master = spark.createDataFrame(
+        [(1, "chocolate lace widget"), (2, "lavender spring gear"), (3, "unique thing")],
+        "mid bigint, name string",
+    )
+    reg = spark.createDataFrame(
+        [(11, "chocolate lace widge"), (12, "lavender spring gea"), (13, "zzz different")],
+        "rid bigint, rname string",
+    )
+    out = {
+        (r.mid, r.rid): r.dist
+        for r in fuzzy_join(master, reg, "mid", "rid", "name", "rname", max_dist=2).collect()
+    }
+    assert out == {(1, 11): 1, (2, 12): 1}
+
+    # hot-prefix bomb: 50x50 same-prefix names, cap 8 per side => <= 64 pairs
+    hot_l = spark.createDataFrame(
+        [(i, f"sameprefix item {i}") for i in range(50)], "mid bigint, name string"
+    )
+    hot_r = spark.createDataFrame(
+        [(i, f"sameprefix item {i}") for i in range(50)], "rid bigint, rname string"
+    )
+    capped = fuzzy_join(
+        hot_l, hot_r, "mid", "rid", "name", "rname", max_dist=5, max_block=8
+    )
+    assert capped.count() <= 64
