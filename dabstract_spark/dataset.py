@@ -665,6 +665,44 @@ class Dataset:
 
         return dd.source_overlap(self._df, group_key, ROW_ID, text_key, **kw)
 
+    def snapshot_diff(self, other: "Dataset | DataFrame", key: str = "text"):
+        """Row-level delta vs another snapshot of this dataset: one
+        (row_id, status) row per key with status in added / removed /
+        changed / unchanged (layout.snapshot_diff; self is OLD, other is
+        NEW). Returns a DataFrame (a report, not a row
+        transformation)."""
+        from dabstract_spark.operators.layout import snapshot_diff
+
+        other_df = other.full_df if isinstance(other, Dataset) else other
+        return snapshot_diff(self._df, other_df, ROW_ID, F.md5(key))
+
+    def shard_manifest(self, key: str = "text", n_shards: int = 64, seed: int = 0):
+        """Deterministic shard assignment with order-independent
+        per-shard checksums (layout.shard_manifest) — the materialization
+        reproducibility audit. Returns a DataFrame report."""
+        from dabstract_spark.operators.layout import shard_manifest
+
+        return shard_manifest(self._df, ROW_ID, F.md5(key), n_shards, seed)
+
+    def fuzzy_link(self, other: "Dataset | DataFrame", key: str = "text", **kw):
+        """Record linkage against another table on a fuzzy text key
+        (dedup.fuzzy_join): returns (row_id, other_row_id, dist) for
+        candidate matches within the edit-distance bound. Returns a
+        DataFrame report."""
+        from dabstract_spark.operators.dedup import fuzzy_join
+
+        other_df = other.full_df if isinstance(other, Dataset) else other
+        right_id = "other_" + ROW_ID
+        return fuzzy_join(
+            self._df,
+            other_df.withColumnRenamed(ROW_ID, right_id),
+            ROW_ID,
+            right_id,
+            key,
+            key,
+            **kw,
+        )
+
     def add_text_stats(self, key: str = "text") -> "Dataset":
         """Attach the full text-analysis column set (token counts,
         ratios, quality, lang-id, fingerprint) with tokens staged once."""

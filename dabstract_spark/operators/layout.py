@@ -189,3 +189,30 @@ def shard_manifest(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("__h").cast("decimal(38,0)")).alias("checksum"),
     )
+
+
+def snapshot_apply(
+    old: DataFrame,
+    diff: DataFrame,
+    delta: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Reconstruct the NEW snapshot from the OLD one plus a delta — the
+    apply half of :func:`snapshot_diff`: keep old rows whose diff status
+    is 'unchanged' (one semi-join on the key) and union the delta rows
+    (the new-side content for added/changed keys). Removed keys vanish
+    because only 'unchanged' survives the semi-join.
+
+    Roundtrip law (unit/property-tested, and hash-checked end-to-end by
+    q235_snapshot_roundtrip): ``apply(old, diff(old, new), delta) ==
+    new`` exactly, where delta = new rows with status added/changed.
+    This is what makes incremental reruns safe at 100 TB: the rebuilt
+    corpus is provably identical to a full recompute while touching only
+    O(delta) payload bytes — old content never moves, and the audit
+    compares order-independent checksums, not corpora."""
+    unchanged = old.join(
+        diff.filter(F.col("status") == "unchanged").select(key_col),
+        key_col,
+        "left_semi",
+    )
+    return unchanged.unionByName(delta)

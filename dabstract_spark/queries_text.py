@@ -4743,3 +4743,83 @@ def q234_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=2,
         max_block=64,
     )
+
+
+# --------------------------------------------------------------------- #
+# Snapshot roundtrip audit (layout.snapshot_apply): rebuild the new
+# snapshot as unchanged-old + delta and PROVE equality with a full
+# recompute via order-independent per-group checksums — the apply half
+# of the incremental-rerun story (q230 discovers, q231 reprocesses,
+# q235 applies and audits). Only O(delta) payload moves; the audit
+# compares 8 checksum rows, never corpora.
+# --------------------------------------------------------------------- #
+@query(
+    "q235_snapshot_roundtrip",
+    oracle=f"""
+    WITH {_SNAP_DIFF},
+    delta AS (
+      SELECT n.doc_id, n.text FROM newv n JOIN d USING (doc_id)
+      WHERE d.status IN ('added', 'changed')),
+    rebuilt AS (
+      SELECT o.doc_id, o.text FROM oldv o JOIN d USING (doc_id)
+      WHERE d.status = 'unchanged'
+      UNION ALL
+      SELECT doc_id, text FROM delta),
+    sn AS (
+      SELECT doc_id % 8 AS g, COUNT(*) AS n_new,
+             CAST(SUM(CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ck_new
+      FROM newv GROUP BY g),
+    sr AS (
+      SELECT doc_id % 8 AS g, COUNT(*) AS n_rebuilt,
+             CAST(SUM(CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ck_rebuilt
+      FROM rebuilt GROUP BY g)
+    SELECT g, n_new, n_rebuilt,
+           n_new = n_rebuilt AND ck_new = ck_rebuilt AS equal
+    FROM sn JOIN sr USING (g)
+    """,
+)
+def q235_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.layout import snapshot_apply, snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    oldv = docs.filter(F.col("doc_id") % 7 != 1)
+    newv = docs.filter(F.col("doc_id") % 5 != 2).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 3, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    d = snapshot_diff(oldv, newv, "doc_id", F.md5("text"))
+    delta = newv.join(
+        d.filter(F.col("status").isin("added", "changed")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    rebuilt = snapshot_apply(oldv, d, delta, "doc_id")
+
+    fold = (
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("decimal(38,0)")
+    )
+
+    def summ(df, n_name, ck_name):
+        return df.groupBy((F.col("doc_id") % 8).alias("g")).agg(
+            F.count(F.lit(1)).alias(n_name), F.sum(fold).alias(ck_name)
+        )
+
+    sn = summ(newv, "n_new", "ck_new")
+    sr = summ(rebuilt, "n_rebuilt", "ck_rebuilt")
+    return sn.join(sr, "g").select(
+        "g",
+        "n_new",
+        "n_rebuilt",
+        (
+            (F.col("n_new") == F.col("n_rebuilt"))
+            & (F.col("ck_new") == F.col("ck_rebuilt"))
+        ).alias("equal"),
+    )

@@ -698,3 +698,32 @@ def test_shard_manifest_partitioning_invariant_and_sensitive(spark):
     assert len(diff) == 1
     (x, y), = diff
     assert x[0] == y[0] and x[1] == y[1] and x[2] != y[2]
+
+
+def test_dataset_facades_for_snapshot_and_linkage(spark):
+    from dabstract_spark.dataset import Dataset
+
+    old = Dataset(
+        spark.createDataFrame(
+            [(0, "alpha doc"), (1, "beta doc"), (2, "gone doc")],
+            "row_id long, text string",
+        ),
+        name="old",
+    )
+    new = Dataset(
+        spark.createDataFrame(
+            [(0, "alpha doc"), (1, "beta doc v2"), (3, "fresh doc")],
+            "row_id long, text string",
+        ),
+        name="new",
+    )
+    d = {r.row_id: r.status for r in old.snapshot_diff(new).collect()}
+    assert d == {0: "unchanged", 1: "changed", 2: "removed", 3: "added"}
+
+    man = old.shard_manifest(n_shards=4)
+    assert set(man.columns) == {"shard", "n_rows", "checksum"}
+    assert sum(r.n_rows for r in man.collect()) == 3
+
+    linked = old.fuzzy_link(new, max_dist=3)
+    pairs = {(r.row_id, r.other_row_id) for r in linked.collect()}
+    assert (0, 0) in pairs and (1, 1) in pairs

@@ -492,3 +492,41 @@ def test_training_order_bijection_any_ids(spark, ids, seed):
     rows = training_order(df, "id", seed=seed, n_shards=3).collect()
     assert sorted(r["pos"] for r in rows) == list(range(len(ids)))
     assert all(r["shard"] == r["pos"] % 3 for r in rows)
+
+
+@given(
+    old=st.dictionaries(st.integers(0, 15), st.text("abc", max_size=3), max_size=10),
+    new=st.dictionaries(st.integers(0, 15), st.text("abc", max_size=3), max_size=10),
+)
+@settings(**_SETTINGS)
+def test_snapshot_diff_apply_roundtrip(spark, old, new):
+    """Diff/apply laws on arbitrary snapshots: statuses match the
+    set-theoretic reference model, and apply(old, diff, delta)
+    reconstructs new EXACTLY."""
+    from dabstract_spark.operators.layout import snapshot_apply, snapshot_diff
+
+    old_df = spark.createDataFrame(
+        list(old.items()) or [(None, None)], "k int, t string"
+    ).filter("k is not null")
+    new_df = spark.createDataFrame(
+        list(new.items()) or [(None, None)], "k int, t string"
+    ).filter("k is not null")
+    d = snapshot_diff(old_df, new_df, "k", F.md5("t"))
+    got = {r.k: r.status for r in d.collect()}
+    expect = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            expect[k] = "added"
+        elif k not in new:
+            expect[k] = "removed"
+        else:
+            expect[k] = "unchanged" if old[k] == new[k] else "changed"
+    assert got == expect
+
+    delta = new_df.join(
+        d.filter(F.col("status").isin("added", "changed")).select("k"),
+        "k",
+        "left_semi",
+    )
+    rebuilt = snapshot_apply(old_df, d, delta, "k")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(new.items())
