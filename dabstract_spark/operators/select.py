@@ -349,3 +349,125 @@ def extend_training_order(
     if n_shards is not None:
         out = out.withColumn("shard", (F.col(pos_col) % n_shards).cast("int"))
     return out
+
+
+def curriculum_order(
+    df: DataFrame,
+    stage: str,
+    key: str,
+    seed: int = 0,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Stage-major deterministic training order (curriculum learning):
+    every row of stage ``s`` gets a position before every row of stage
+    ``s+1``, and WITHIN a stage the order is the same seed-reproducible
+    md5 shuffle ``training_order`` uses — "high-quality data first, each
+    difficulty band internally shuffled".
+
+    ``with_row_id`` can't be used directly here: it range-buckets on the
+    FIRST sort column, and a curriculum has only a handful of stages, so
+    each window task would hold an entire stage. Instead the bucket key
+    is COMPOSITE — (stage, 256-way md5-hex prefix of the shuffle key) —
+    which keeps the broadcast offset table tiny (n_stages × 256 rows)
+    while bounding every local window at ~1/256 of one stage. Same
+    discipline at 100 TB: no data-sized window, no count() job, offsets
+    move as one broadcast.
+    """
+    taken = {"pos"} | ({"shard"} if n_shards is not None else set())
+    clash = sorted(taken & set(df.columns))
+    if clash:
+        raise ValueError(f"curriculum_order would overwrite existing column(s) {clash}")
+    keyed = df.withColumn("__shuf", md5_order(key, seed)).withColumn(
+        "__b", F.conv(F.substring("__shuf", 1, 2), 16, 10).cast("int")
+    )
+    counts = keyed.groupBy(stage, "__b").agg(F.count(F.lit(1)).alias("__n"))
+    # bounded by construction: n_stages × 256 rows
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(stage, "__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        stage, "__b", F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off")
+    )
+    w_local = Window.partitionBy(stage, "__b").orderBy("__shuf", key)
+    out = (
+        keyed.join(F.broadcast(offsets), [stage, "__b"])
+        .withColumn(
+            "pos", (F.col("__off") + F.row_number().over(w_local) - 1).cast("bigint")
+        )
+        .drop("__shuf", "__b", "__off")
+    )
+    if n_shards is not None:
+        out = out.withColumn("shard", (F.col("pos") % n_shards).cast("int"))
+    return out
+
+
+_REGISTRY["curriculum_order"] = curriculum_order
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source: str,
+    size_col: str | None = None,
+    budget: int | None = None,
+) -> DataFrame:
+    """Temperature-scaled source sampling weights (the multilingual /
+    multi-corpus mixing rule of XLM-R / mBERT: draw source ``i`` with
+    probability ``w_i ∝ n_i^(1/T)``, here T=2): upweights tail sources
+    relative to proportional sampling without letting head sources
+    drown them.
+
+    One row per source — ``n`` (row count, or ``sum(size_col)`` e.g.
+    tokens), ``weight_ppm``, and, when a token ``budget`` is given,
+    ``draw`` (expected share of the budget) and ``epochs_ppm``
+    (draw / n — how many times that source is repeated; >1e6 means
+    upsampled). Exact across engines by construction: sqrt is the one
+    power IEEE requires correctly rounded (so ``floor(sqrt(n·10¹²))``
+    is bit-identical in Spark and the oracle — general ``pow`` is NOT
+    and would hash-mismatch), and every division is integer. The whole
+    op reduces map-side to ≤ n_sources rows; the normalizer joins back
+    as a one-row broadcast."""
+    n = (
+        df.groupBy(source).agg(
+            (
+                F.sum(size_col) if size_col is not None else F.count(F.lit(1))
+            ).cast("bigint").alias("n")
+        )
+    ).withColumn(
+        "__s", F.floor(F.sqrt(F.col("n").cast("double") * F.lit(1e12))).cast("bigint")
+    )
+    tot = n.agg(F.sum("__s").alias("__tot"))
+    out = n.crossJoin(F.broadcast(tot)).select(
+        source,
+        "n",
+        # decimal(38,0) products so a 100 TB corpus (n ~ 1e13 rows,
+        # budget ~ 1e13 tokens → s·budget ~ 1e25) can't overflow int64;
+        # results are ≤ budget so the bigint output cast is safe
+        F.expr(
+            "CAST((CAST(__s AS DECIMAL(38,0)) * 1000000)"
+            " div CAST(__tot AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("weight_ppm"),
+        *(
+            [
+                F.expr(
+                    f"CAST((CAST(__s AS DECIMAL(38,0)) * {int(budget)})"
+                    " div CAST(__tot AS DECIMAL(38,0)) AS BIGINT)"
+                ).alias("draw")
+            ]
+            if budget is not None
+            else []
+        ),
+    )
+    if budget is not None:
+        out = out.withColumn(
+            "epochs_ppm",
+            F.expr(
+                "CAST((CAST(draw AS DECIMAL(38,0)) * 1000000)"
+                " div CAST(n AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        )
+    return out
+
+
+_REGISTRY["temperature_mixture"] = temperature_mixture

@@ -4823,3 +4823,77 @@ def q235_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ck_new") == F.col("ck_rebuilt"))
         ).alias("equal"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Curriculum training order (select.curriculum_order): stage-major
+# deterministic shuffle — highest-quality band first, each band
+# internally md5-shuffled. with_row_id's single-column bucketing would
+# put a whole stage in one window task; the operator buckets on the
+# COMPOSITE (stage, 256-way md5 prefix), so the offset table stays tiny
+# and no window exceeds ~1/256 of a stage.
+# --------------------------------------------------------------------- #
+@query(
+    "q236_curriculum_order",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             ((5 * least(length(text)::BIGINT * 2500, 1000000)
+               + 3 * least((len(list_filter({_T}, t -> t IN {_SW}))::BIGINT * 1000000
+                            // greatest(len({_T}), 1)) * 5, 1000000)
+               + 2 * (1000000 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::BIGINT * 1000000
+                            // greatest(length(text), 1)) * 10, 1000000))) // 10) AS quality_ppm
+      FROM documents),
+    staged AS (
+      SELECT doc_id, CAST((1000000 - quality_ppm) // 100000 AS INT) AS stage FROM q)
+    SELECT doc_id, stage,
+           CAST(ROW_NUMBER() OVER (
+                  ORDER BY stage, md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+                AS BIGINT) AS pos,
+           CAST((ROW_NUMBER() OVER (
+                  ORDER BY stage, md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % 4
+                AS INT) AS shard
+    FROM staged
+    """,
+)
+def q236_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.quality_score_ppm("text").alias("quality_ppm")
+    )
+    staged = docs.select(
+        "doc_id",
+        F.expr("CAST((1000000 - quality_ppm) div 100000 AS INT)").alias("stage"),
+    )
+    return curriculum_order(staged, "stage", "doc_id", seed=7, n_shards=4)
+
+
+# --------------------------------------------------------------------- #
+# Temperature-scaled source mixture (select.temperature_mixture): the
+# XLM-R/mBERT multilingual sampling rule w_i ∝ n_i^(1/2) as exact
+# integers — sqrt is the one power IEEE requires correctly rounded, so
+# floor(sqrt(n·1e12)) is bit-identical across engines where a general
+# pow() would hash-mismatch. Map-side reduction to ≤ n_sources rows; the
+# normalizer is a one-row broadcast.
+# --------------------------------------------------------------------- #
+@query(
+    "q237_temperature_mixture",
+    oracle="""
+    WITH n AS (
+      SELECT source, COUNT(*)::BIGINT AS n,
+             CAST(floor(sqrt(COUNT(*)::DOUBLE * 1e12)) AS BIGINT) AS s
+      FROM documents GROUP BY source),
+    t AS (SELECT SUM(s) AS tot FROM n)
+    SELECT source, n,
+           CAST((s * 1000000) // tot AS BIGINT) AS weight_ppm,
+           CAST((s * 50000000) // tot AS BIGINT) AS draw,
+           CAST((((s * 50000000) // tot) * 1000000) // n AS BIGINT) AS epochs_ppm
+    FROM n, t
+    """,
+)
+def q237_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents").select("source")
+    return temperature_mixture(docs, "source", budget=50_000_000)

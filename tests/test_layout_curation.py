@@ -727,3 +727,72 @@ def test_dataset_facades_for_snapshot_and_linkage(spark):
     linked = old.fuzzy_link(new, max_dist=3)
     pairs = {(r.row_id, r.other_row_id) for r in linked.collect()}
     assert (0, 0) in pairs and (1, 1) in pairs
+
+
+def test_curriculum_order_stage_major_md5_within(spark):
+    import hashlib
+
+    from dabstract_spark.operators.select import curriculum_order, training_order
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(90)], "id bigint, stage int"
+    )
+    rows = curriculum_order(df, "stage", "id", seed=5, n_shards=4).collect()
+    # dense permutation, stage-major: every stage-s pos < every stage-(s+1) pos
+    assert sorted(r["pos"] for r in rows) == list(range(90))
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], []).append(r["pos"])
+    assert max(by_stage[0]) < min(by_stage[1]) < max(by_stage[1]) < min(by_stage[2])
+    # within a stage the order IS the seeded md5 shuffle (training_order's)
+    def md5k(i):
+        return hashlib.md5(f"5:{i}".encode()).hexdigest()
+
+    for s, poss in by_stage.items():
+        ids = [r["id"] for r in sorted(rows, key=lambda r: r["pos"]) if r["stage"] == s]
+        assert ids == sorted(ids, key=lambda i: (md5k(i), i))
+    # round-robin shard balance to within one row
+    from collections import Counter
+
+    sizes = Counter(r["shard"] for r in rows)
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # one stage degenerates to training_order's permutation semantics
+    one = spark.createDataFrame([(i, 0) for i in range(40)], "id bigint, stage int")
+    cur = {r["id"]: r["pos"] for r in curriculum_order(one, "stage", "id", seed=5).collect()}
+    ref = {r["id"]: r["pos"] for r in training_order(one.drop("stage"), "id", seed=5).collect()}
+    assert cur == ref
+    # column-clash guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curriculum_order(df.withColumn("pos", F.lit(0)), "stage", "id")
+
+
+def test_temperature_mixture_sqrt_exact_and_budget(spark):
+    import math
+
+    from dabstract_spark.operators.select import temperature_mixture
+
+    # sources s0..s3 with perfect-square counts 1/4/9/16
+    df = spark.createDataFrame(
+        [(f"s{k}",) for k, c in enumerate([1, 4, 9, 16]) for _ in range(c)],
+        "source string",
+    )
+    rows = {r["source"]: r for r in temperature_mixture(df, "source", budget=1000).collect()}
+    # perfect squares: s_i = sqrt(n)·1e6 exactly, weights 1:2:3:4
+    s = {k: math.isqrt(rows[k]["n"] * 10**12) for k in rows}
+    tot = sum(s.values())
+    for k, r in rows.items():
+        assert r["weight_ppm"] == s[k] * 10**6 // tot
+        assert r["draw"] == s[k] * 1000 // tot
+        assert r["epochs_ppm"] == r["draw"] * 10**6 // r["n"]
+    assert rows["s3"]["weight_ppm"] == 4 * 10**6 // 10  # 4/(1+2+3+4)
+    # tail upweighting: smallest source's epochs > largest source's
+    assert rows["s0"]["epochs_ppm"] > rows["s3"]["epochs_ppm"]
+    # size_col (token-weighted) variant
+    tdf = spark.createDataFrame(
+        [("a", 9), ("a", 16), ("b", 100)], "source string, toks int"
+    )
+    trows = {r["source"]: r for r in temperature_mixture(tdf, "source", size_col="toks").collect()}
+    assert trows["a"]["n"] == 25 and trows["b"]["n"] == 100
+    assert trows["a"]["weight_ppm"] == 5 * 10**6 // 15

@@ -530,3 +530,34 @@ def test_snapshot_diff_apply_roundtrip(spark, old, new):
     )
     rebuilt = snapshot_apply(old_df, d, delta, "k")
     assert sorted(map(tuple, rebuilt.collect())) == sorted(new.items())
+
+
+@given(
+    items=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 3)),
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    seed=st.integers(0, 5),
+)
+@settings(**_SETTINGS)
+def test_curriculum_order_reference_model(spark, items, seed):
+    """curriculum_order on ARBITRARY (id, stage) sets equals the serial
+    reference model: sort by (stage, md5(seed:id), id), positions dense
+    0..n-1 — i.e. the composite-bucket distributed rank is EXACTLY the
+    stage-major total order, for any stage skew (including all rows in
+    one stage and one row per stage)."""
+    import hashlib
+
+    from dabstract_spark.operators.select import curriculum_order
+
+    if not items:
+        return
+    df = spark.createDataFrame(items, "id bigint, stage int")
+    rows = curriculum_order(df, "stage", "id", seed=seed).collect()
+    expect = sorted(
+        items, key=lambda t: (t[1], hashlib.md5(f"{seed}:{t[0]}".encode()).hexdigest(), t[0])
+    )
+    got = sorted(rows, key=lambda r: r["pos"])
+    assert [r["pos"] for r in got] == list(range(len(items)))
+    assert [(r["id"], r["stage"]) for r in got] == expect

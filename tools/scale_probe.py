@@ -160,6 +160,23 @@ def main():
         "training_order": lambda d: sel.training_order(
             d, "doc_id", seed=7, n_shards=64
         ).select("doc_id", "pos", "shard"),
+        # curriculum order: composite (stage, 256-hex-prefix) bucketing —
+        # the offset table stays n_stages×256 rows at any corpus size,
+        # no window task ever holds a whole stage
+        "curriculum_order": lambda d: sel.curriculum_order(
+            d.withColumn("stage", (F.col("doc_id") % 10).cast("int")),
+            "stage",
+            "doc_id",
+            seed=7,
+            n_shards=64,
+        ).select("doc_id", "pos", "shard"),
+        # temperature mixture: map-side reduction to ≤ n_sources rows,
+        # one-row broadcast normalizer — flat by construction
+        "temperature_mixture": lambda d: sel.temperature_mixture(
+            d.withColumn("src", (F.col("doc_id") % 20).cast("string")),
+            "src",
+            budget=10**12,
+        ),
         # within-doc line dedup: scan-fused HOF, per-row cost only
         "dedup_lines": lambda d: tx.dedup_lines_df(d, "doc_id", "text"),
         # corpus-overlap sketch: sources fixed at 20, docs per source
