@@ -710,6 +710,34 @@ class Dataset:
 
         return self._evolve(add_text_stats(self._df, key))
 
+    def curriculum_order(
+        self, stage: str, seed: int = 0, n_shards: int | None = None
+    ) -> "Dataset":
+        """Attach a stage-major curriculum position: all rows of stage s
+        precede stage s+1, md5-shuffled within a stage (see
+        select.curriculum_order)."""
+        from dabstract_spark.operators.select import curriculum_order
+
+        return self._evolve(
+            curriculum_order(self._df, stage, ROW_ID, seed=seed, n_shards=n_shards)
+        )
+
+    def temperature_mixture(self, source: str, **kw):
+        """Temperature-scaled per-source sampling weights (XLM-R rule,
+        w ∝ sqrt(n); see select.temperature_mixture). Returns a
+        DataFrame report, one row per source."""
+        from dabstract_spark.operators.select import temperature_mixture
+
+        return temperature_mixture(self._df, source, **kw)
+
+    def gopher_rules(self, key: str = "text", **kw):
+        """Per-document Gopher/MassiveText quality-rule verdicts (Rae
+        2021 A1.1; see text.gopher_rules). Returns a DataFrame report
+        keyed by row_id."""
+        from dabstract_spark.operators.text import gopher_rules
+
+        return gopher_rules(self._df, ROW_ID, key, **kw)
+
     # ------------------------------------------------------------------ #
     # driver-side access (DataAbstract, abstract.py:252-472: multi-index
     # fetch / np-stacking / prefetching generator — Spark-native forms)

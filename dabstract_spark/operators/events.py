@@ -541,3 +541,52 @@ def time_weighted_avg(
             ).otherwise(F.expr("__num div __den")).cast("bigint").alias("twa_micro"),
         )
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str = "ts",
+    period_sec: int = 604_800,
+) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by the epoch period
+    (default week) of their FIRST event; for every (cohort, offset) the
+    output counts the distinct users active ``offset`` periods after
+    their cohort period, plus the cohort size and retention in exact
+    integer ppm — the classic activation/retention analytics rollup.
+
+    Periods are pure integer epoch buckets (``floor(epoch) div
+    period``), not calendar weeks — engine-portable and DST-free. Two
+    key-hashed shuffles, both on small keys: per-user min (map-side
+    combinable) and a distinct over (user, period) pairs; the final
+    rollup is (cohort, offset)-sized. No windows, no collects — at
+    100 TB the heavy stage is the (user, period) distinct, exactly as
+    dense as the raw activity and perfectly partitionable."""
+    wk = F.expr(f"CAST(floor(unix_timestamp({ts_col})) AS BIGINT) div {period_sec}")
+    active = df.select(F.col(user_col).alias("u"), wk.alias("wk")).distinct()
+    return retention_from_activity(active)
+
+
+def retention_from_activity(active: DataFrame) -> DataFrame:
+    """The retention rollup over a DISTINCT (u, wk) activity table —
+    shared verbatim by the batch op above and the streaming maintainer
+    (one recipe, no drift). Input must already be distinct."""
+    cohort = active.groupBy("u").agg(F.min("wk").alias("cohort"))
+    sizes = cohort.groupBy("cohort").agg(F.countDistinct("u").alias("cohort_size"))
+    ret = (
+        active.join(cohort, "u")
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("offset"))
+        .agg(F.countDistinct("u").alias("n_users"))
+    )
+    return (
+        ret.join(sizes, "cohort")
+        .select(
+            "cohort",
+            "offset",
+            "n_users",
+            "cohort_size",
+            F.expr("CAST((n_users * 1000000) div cohort_size AS BIGINT)").alias(
+                "retention_ppm"
+            ),
+        )
+    )

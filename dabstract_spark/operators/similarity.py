@@ -894,3 +894,65 @@ def pca_power_projection(
             F.col("__dot") < 0, -F.expr("(-__dot) div 1000000")
         ).otherwise(F.expr("__dot div 1000000")).cast("bigint").alias("proj_micro"),
     )
+
+
+def jl_signs(in_dim: int, out_dim: int, seed: int = 0) -> list[list[int]]:
+    """Deterministic ±1 Johnson-Lindenstrauss sign matrix (out_dim ×
+    in_dim) from md5 parity — a driver-side constant of a few KB that
+    ships to executors as plan literals (and interpolates verbatim into
+    the SQL oracle), never a shuffled table."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{seed}:{k}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for i in range(in_dim)
+        ]
+        for k in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random-sign projection (Achlioptas 2003):
+    reduce embeddings to ``out_dim`` components y_k = Σ_i s_ki·x_i with
+    a deterministic ±1 sign matrix — the cheap dimensionality-reduction
+    stage in front of clustering/ANN when PCA's covariance pass is
+    overkill.
+
+    Exact across engines: components become micro-unit int64 via the
+    repo's round(x,6)·1e6 decimal staging, and each output is a SIGNED
+    INTEGER sum per row (no float accumulation order anywhere). The
+    conventional 1/√out_dim scale is omitted — a common positive factor
+    changes no distance ranking or cosine, and keeping integers keeps
+    the oracle bit-exact.
+
+    Shape at 100 TB: one zip_with/aggregate HOF per output component,
+    fused into the scan — zero shuffle, zero UDF, plan size
+    O(out_dim), work O(rows·in_dim·out_dim). Returns exploded
+    (id, k, y_ppm) rows."""
+    signs = jl_signs(in_dim, out_dim, seed)
+    enc = lambda c: (  # noqa: E731
+        F.round(c.cast("double"), 6).cast("decimal(18,6)") * F.lit(1000000)
+    ).cast("bigint")
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(s) for s in signs[k]]),
+                lambda x, s: s.cast("bigint") * enc(x),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, y: a + y,
+        )
+        for k in range(out_dim)
+    ]
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*comps)).alias("k", "y_ppm")
+    ).select(id_col, F.col("k").cast("int").alias("k"), "y_ppm")

@@ -882,3 +882,162 @@ def bpe_encode_counts(
             F.sum("__n").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_wlen_ppm: int = 3_000_000,
+    max_wlen_ppm: int = 10_000_000,
+    min_alpha_ppm: int = 800_000,
+    min_stopwords: int = 2,
+    max_symbol_ppm: int = 100_000,
+    max_bullet_ppm: int = 900_000,
+    max_ellipsis_ppm: int = 300_000,
+    stopwords: tuple = ("the", "a", "of", "and", "to", "in", "is", "it"),
+) -> DataFrame:
+    """The Gopher/MassiveText document quality rules (Rae et al. 2021,
+    appendix A1.1) as one scan-fused audit: per document, each named
+    rule's boolean plus the overall ``keep`` conjunction. Defaults are
+    the published thresholds; every ratio is exact integer ppm so the
+    verdicts are engine-portable (no float thresholds).
+
+    Rules — word count in [min,max]; mean word length in [min,max];
+    ≥ min_alpha_ppm of words contain an alphabetic character;
+    ≥ min_stopwords distinct-occurrence stopword hits; symbol
+    ('#'/'...')-to-word ratio ≤ max_symbol_ppm; ≤ max_bullet_ppm of
+    lines starting with a bullet; ≤ max_ellipsis_ppm of lines ending
+    with an ellipsis.
+
+    All whole-stage-codegen HOFs over the tokens array: zero shuffle,
+    zero UDF — at 100 TB this is a pure map stage fused into the scan,
+    the cheapest possible shape for a corpus-wide gate."""
+    toks = tokens(text_col)
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    n = F.size(toks).cast("bigint")
+    chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    stops = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).cast(
+        "bigint"
+    )
+    hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    dots = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbols = (hashes + dots).cast("bigint")
+    nl = F.size(lines).cast("bigint")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("-") | x.startswith("*") | x.startswith("•"),
+        )
+    ).cast("bigint")
+    ell = F.size(
+        F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
+    ).cast("bigint")
+
+    staged = df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        chars.alias("__chars"),
+        alpha.alias("__alpha"),
+        stops.alias("__stops"),
+        symbols.alias("__sym"),
+        nl.alias("__nl"),
+        bullet.alias("__bullet"),
+        ell.alias("__ell"),
+    )
+    out = staged.select(
+        id_col,
+        "n_words",
+        F.expr("CAST((__chars * 1000000) div greatest(n_words, 1) AS BIGINT)").alias(
+            "wlen_ppm"
+        ),
+        (F.col("n_words").between(min_words, max_words)).alias("r_wordcount"),
+        (
+            F.expr("(__chars * 1000000) div greatest(n_words, 1)").between(
+                min_wlen_ppm, max_wlen_ppm
+            )
+        ).alias("r_wordlen"),
+        (
+            F.expr("(__alpha * 1000000) div greatest(n_words, 1)") >= min_alpha_ppm
+        ).alias("r_alpha"),
+        (F.col("__stops") >= min_stopwords).alias("r_stopwords"),
+        (F.expr("(__sym * 1000000) div greatest(n_words, 1)") <= max_symbol_ppm).alias(
+            "r_symbol"
+        ),
+        (F.expr("(__bullet * 1000000) div greatest(__nl, 1)") <= max_bullet_ppm).alias(
+            "r_bullet"
+        ),
+        (F.expr("(__ell * 1000000) div greatest(__nl, 1)") <= max_ellipsis_ppm).alias(
+            "r_ellipsis"
+        ),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("r_wordcount")
+        & F.col("r_wordlen")
+        & F.col("r_alpha")
+        & F.col("r_stopwords")
+        & F.col("r_symbol")
+        & F.col("r_bullet")
+        & F.col("r_ellipsis"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus-trained bigram LM
+    (:func:`bigram_coherence`) and cut the corpus into ``n_buckets``
+    quality tiers — bucket 0 = "head" (most coherent), last = "tail" —
+    the split CCNet uses to keep/downweight/drop web text.
+
+    Exact and engine-portable: scores are integer ppm, and the tier cut
+    is value-level — every doc with the same score lands in the same
+    bucket, assigned by the cumulative count of STRICTLY better scores
+    (``bucket = min(n_buckets-1, before*n_buckets div n)``) — so no
+    float quantiles and no tie ambiguity. The only window runs over the
+    DISTINCT score values (≤ 1e6 rows by the ppm codomain, usually far
+    fewer), never the corpus; the doc→bucket assignment is a hash join
+    on the score value. Docs with fewer than 2 tokens have no bigrams
+    and no score — excluded, like the scorer itself.
+
+    Returns per-doc (id, coherence_ppm, bucket)."""
+    from pyspark.sql import Window
+
+    sc = bigram_coherence(df, id_col, text_col).select(
+        id_col, F.col("coherence_ppm").alias("__s")
+    )
+    vals = sc.groupBy("__s").agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.desc("__s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = vals.agg(F.sum("__c").alias("__n"))
+    bk = (
+        vals.withColumn("__before", F.coalesce(F.sum("__c").over(w), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__s",
+            F.expr(
+                f"CAST(least({n_buckets - 1},"
+                f" (__before * {n_buckets}) div __n) AS INT)"
+            ).alias("bucket"),
+        )
+    )
+    return sc.join(bk, "__s").select(
+        id_col, F.col("__s").alias("coherence_ppm"), "bucket"
+    )

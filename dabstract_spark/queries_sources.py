@@ -1033,3 +1033,72 @@ def q233_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = hist_merge(partials, ("event_type",))
     return hist_quantiles(merged, (50, 95, 99), ("event_type",))
+
+
+# --------------------------------------------------------------------- #
+# Perceptual image near-dup (readers.with_ahash + ahash_neardup_pairs):
+# aHash fingerprints over the decoded matrices of TWO albums — the
+# originals and brightness-shifted copies (+1/64, an exact binary
+# fraction) — then 4x16-band Hamming LSH pairs at distance <= 3. The
+# shifted copy lands at hamming 0 BY THE HASH'S INVARIANCE (every pixel
+# and the mean move together), while unrelated images sit near ~32;
+# banding is pigeonhole-exhaustive at radius 3, so the pair set is
+# complete and the tiny-fixture oracle can brute-force all pairs.
+# --------------------------------------------------------------------- #
+@query(
+    "q241_image_ahash_neardup",
+    oracle=f"""
+    WITH base AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS f, content
+      FROM read_blob('{IMAGE_FIXTURE_DIR}/*.png')),
+    cells AS (
+      SELECT alb.pre || f AS fname, i * 8 + j AS idx,
+             CAST(round(({_PX.format(coords="':' || i || ':' || j")} + alb.shift)
+                        * 1000000) AS BIGINT) AS pxi
+      FROM base,
+           UNNEST(generate_series(0, 7)) AS ti(i),
+           UNNEST(generate_series(0, 7)) AS tj(j),
+           (VALUES ('', 0.0), ('bright_', 0.015625)) AS alb(pre, shift)),
+    summed AS (
+      SELECT fname, idx, pxi, SUM(pxi) OVER (PARTITION BY fname) AS s
+      FROM cells),
+    hs AS (
+      SELECT fname,
+             SUM(CASE WHEN pxi * 64 >= s AND idx < 32
+                      THEN CAST(2**idx AS BIGINT) ELSE 0 END) AS w0,
+             SUM(CASE WHEN pxi * 64 >= s AND idx >= 32
+                      THEN CAST(2**(idx - 32) AS BIGINT) ELSE 0 END) AS w1
+      FROM summed GROUP BY fname)
+    SELECT a.fname AS id_a, b.fname AS id_b,
+           CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INT)
+             AS hamming
+    FROM hs a JOIN hs b ON a.fname < b.fname
+    WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+    """,
+)
+def q241_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.sources.readers import (
+        ahash_neardup_pairs,
+        decode_image,
+        with_ahash,
+    )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(IMAGE_FIXTURE_DIR)
+    )
+    imgs = files.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        decode_image("content", 8, 8, mode="fake").alias("__m"),
+    )
+    bright = imgs.select(
+        F.concat(F.lit("bright_"), F.col("fname")).alias("fname"),
+        F.transform(
+            "__m", lambda row: F.transform(row, lambda x: x + F.lit(0.015625))
+        ).alias("__m"),
+    )
+    album = imgs.unionByName(bright)
+    hashed = with_ahash(album, "__m").select("fname", "ahash_w0", "ahash_w1")
+    pairs = ahash_neardup_pairs(hashed, "fname", max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

@@ -4897,3 +4897,258 @@ def q237_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("source")
     return temperature_mixture(docs, "source", budget=50_000_000)
+
+
+# --------------------------------------------------------------------- #
+# Streaming decontamination (streaming/ops.decontaminate_stream): the
+# online twin of q204 — new train docs stream in, each micro-batch runs
+# the SAME batch decontaminate against the persisted test split, clean
+# docs append to the sink. Keep/drop is per-document, so the drained
+# sink equals the batch gate exactly — which is what this hash-checks.
+# --------------------------------------------------------------------- #
+@query(
+    "q238_stream_decontaminate",
+    oracle=f"""
+    WITH sh_tr AS (
+      SELECT doc_id, unnest(list_distinct({_shingles('text', 5)})) AS sh
+      FROM documents WHERE doc_id % 5 <> 0),
+    sh_te AS (
+      SELECT DISTINCT unnest(list_distinct({_shingles('text', 5)})) AS sh
+      FROM documents WHERE doc_id % 5 = 0),
+    dirty AS (SELECT DISTINCT doc_id FROM sh_tr JOIN sh_te USING (sh))
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id % 5 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+)
+def q238_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.streaming.ops import decontaminate_stream, stream_events
+
+    src = stream_events(spark, f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 5 != 0
+    )
+    test = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    tmp = tempfile.mkdtemp(prefix="sparkdab_decon_")
+    return decontaminate_stream(
+        src,
+        test,
+        "doc_id",
+        "text",
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        k=5,
+        select_cols=["doc_id", "lang"],
+    )
+
+
+# --------------------------------------------------------------------- #
+# Gopher/MassiveText quality rules (text.gopher_rules; Rae et al. 2021
+# A1.1): the published per-document rule battery — word count, mean
+# word length, alpha-word ratio, stopword floor, symbol/bullet/ellipsis
+# ceilings — as one scan-fused audit with exact integer-ppm ratios.
+# Thresholds here are tightened to the fixture's 10-99-word docs so the
+# word-count and word-length rules actually discriminate.
+# --------------------------------------------------------------------- #
+@query(
+    "q239_gopher_rules",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_T} AS tk, text FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(tk)::BIGINT AS n_words,
+             COALESCE(list_sum(list_transform(tk, t -> length(t))), 0)::BIGINT AS chars,
+             len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))::BIGINT AS alpha,
+             len(list_filter(tk, t -> t IN {_SW}))::BIGINT AS stops,
+             (length(text) - length(replace(text, '#', '')))::BIGINT
+               + (length(text) - length(replace(text, '...', ''))) // 3 AS sym,
+             len(string_split(text, chr(10)))::BIGINT AS nl,
+             len(list_filter(string_split(text, chr(10)),
+                             x -> x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%'))::BIGINT AS bullet,
+             len(list_filter(string_split(text, chr(10)),
+                             x -> x LIKE '%...' OR x LIKE '%…'))::BIGINT AS ell
+      FROM s)
+    SELECT doc_id, n_words,
+           CAST((chars * 1000000) // greatest(n_words, 1) AS BIGINT) AS wlen_ppm,
+           n_words BETWEEN 20 AND 80 AS r_wordcount,
+           (chars * 1000000) // greatest(n_words, 1) BETWEEN 3500000 AND 6000000 AS r_wordlen,
+           (alpha * 1000000) // greatest(n_words, 1) >= 800000 AS r_alpha,
+           stops >= 2 AS r_stopwords,
+           (sym * 1000000) // greatest(n_words, 1) <= 100000 AS r_symbol,
+           (bullet * 1000000) // greatest(nl, 1) <= 900000 AS r_bullet,
+           (ell * 1000000) // greatest(nl, 1) <= 300000 AS r_ellipsis,
+           (n_words BETWEEN 20 AND 80)
+             AND ((chars * 1000000) // greatest(n_words, 1) BETWEEN 3500000 AND 6000000)
+             AND ((alpha * 1000000) // greatest(n_words, 1) >= 800000)
+             AND (stops >= 2)
+             AND ((sym * 1000000) // greatest(n_words, 1) <= 100000)
+             AND ((bullet * 1000000) // greatest(nl, 1) <= 900000)
+             AND ((ell * 1000000) // greatest(nl, 1) <= 300000) AS keep
+    FROM m
+    """,
+)
+def q239_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.gopher_rules(
+        docs,
+        "doc_id",
+        "text",
+        min_words=20,
+        max_words=80,
+        min_wlen_ppm=3_500_000,
+        max_wlen_ppm=6_000_000,
+    )
+
+
+# --------------------------------------------------------------------- #
+# Cohort retention triangle (events.cohort_retention): users cohorted by
+# the epoch week of their first event; per (cohort, offset) the distinct
+# users still active, cohort size, and retention ppm. Pure integer epoch
+# periods — engine-portable, DST-free; shuffles only on (user, period)
+# keys.
+# --------------------------------------------------------------------- #
+@query(
+    "q240_cohort_retention",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+      FROM events),
+    c AS (SELECT u, MIN(wk) AS cohort FROM a GROUP BY u),
+    s AS (SELECT cohort, COUNT(DISTINCT u) AS cohort_size FROM c GROUP BY cohort),
+    r AS (SELECT c.cohort, a.wk - c.cohort AS "offset", COUNT(DISTINCT a.u) AS n_users
+          FROM a JOIN c USING (u) GROUP BY 1, 2)
+    SELECT r.cohort, r."offset", r.n_users, s.cohort_size,
+           CAST((r.n_users * 1000000) // s.cohort_size AS BIGINT) AS retention_ppm
+    FROM r JOIN s USING (cohort)
+    """,
+)
+def q240_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.events import cohort_retention
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return cohort_retention(ev, "user_id", "ts")
+
+
+# --------------------------------------------------------------------- #
+# Johnson-Lindenstrauss sign projection (similarity.jl_project,
+# Achlioptas 2003): embeddings reduced 64→16 dims with a deterministic
+# md5-parity ±1 matrix shipped as plan literals. Every output is an
+# exact signed-integer sum of micro-unit components — zero shuffle,
+# zero UDF, bit-exact across engines.
+# --------------------------------------------------------------------- #
+def _jl_oracle() -> str:
+    from dabstract_spark.operators.similarity import jl_signs
+
+    signs = jl_signs(64, 16, seed=3)
+    comps = ", ".join(
+        "list_sum(list_transform(embedding, (x, i) -> ("
+        + "[" + ", ".join(str(s) for s in row) + "]"
+        + ")[i] * CAST(CAST(round(x::DOUBLE, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)))"
+        for row in signs
+    )
+    return f"""
+    WITH p AS (SELECT vec_id, [{comps}] AS ys
+               FROM embeddings)
+    SELECT vec_id, CAST(k AS INT) AS k, CAST(ys[k + 1] AS BIGINT) AS y_ppm
+    FROM p, UNNEST(generate_series(0, 15)) AS t(k)
+    """
+
+
+@query("q242_jl_projection", oracle=_jl_oracle())
+def q242_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.similarity import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return jl_project(emb, "vec_id", "embedding", in_dim=64, out_dim=16, seed=3)
+
+
+# --------------------------------------------------------------------- #
+# Streaming cohort-retention maintenance (streaming/ops.
+# cohort_activity_stream): micro-batches append DISTINCT (user, period)
+# pairs; the live triangle is the SAME retention_from_activity rollup
+# the batch op uses, over the distinct sink — set union's algebra makes
+# the drained result equal the batch q240 exactly, which is what this
+# hash-checks (same oracle).
+# --------------------------------------------------------------------- #
+@query(
+    "q243_stream_cohort",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+      FROM events),
+    c AS (SELECT u, MIN(wk) AS cohort FROM a GROUP BY u),
+    s AS (SELECT cohort, COUNT(DISTINCT u) AS cohort_size FROM c GROUP BY cohort),
+    r AS (SELECT c.cohort, a.wk - c.cohort AS "offset", COUNT(DISTINCT a.u) AS n_users
+          FROM a JOIN c USING (u) GROUP BY 1, 2)
+    SELECT r.cohort, r."offset", r.n_users, s.cohort_size,
+           CAST((r.n_users * 1000000) // s.cohort_size AS BIGINT) AS retention_ppm
+    FROM r JOIN s USING (cohort)
+    """,
+)
+def q243_stream_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.operators.events import retention_from_activity
+    from dabstract_spark.streaming.ops import cohort_activity_stream, stream_events
+
+    src = stream_events(spark, f"{sf_dir}/events.parquet").select("user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="sparkdab_cohort_")
+    active = cohort_activity_stream(
+        src, "user_id", "ts", f"{tmp}/out", f"{tmp}/ckpt"
+    )
+    return retention_from_activity(active)
+
+
+# --------------------------------------------------------------------- #
+# CCNet perplexity bucketing (text.perplexity_buckets; Wenzek 2020):
+# the corpus cut into head/middle/tail tiers by the corpus-trained
+# bigram-LM score, summarized per (bucket, source) — the
+# keep/downweight/drop split of the CCNet pipeline. Value-level tie-safe
+# cuts in exact integer ppm; the only window runs over DISTINCT scores.
+# --------------------------------------------------------------------- #
+@query(
+    "q244_ccnet_buckets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS.format(c='text')} AS ts FROM documents),
+    big AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+    ctx AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+    sc AS (
+      SELECT b.doc_id,
+             CAST(SUM(1000000 * c2.c2 // ctx.c1) // COUNT(*) AS BIGINT) AS s
+      FROM big b JOIN c2 USING (w1, w2) JOIN ctx USING (w1)
+      GROUP BY b.doc_id),
+    vals AS (SELECT s, COUNT(*) AS c FROM sc GROUP BY s),
+    tot AS (SELECT SUM(c) AS n FROM vals),
+    bk AS (
+      SELECT s,
+             CAST(least(2, (COALESCE(SUM(c) OVER (
+                    ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) * 3) // n) AS INT) AS bucket
+      FROM vals, tot),
+    db AS (SELECT sc.doc_id, sc.s, bk.bucket FROM sc JOIN bk USING (s))
+    SELECT bucket, d.source, COUNT(*) AS n_docs,
+           CAST(SUM(db.s) // COUNT(*) AS BIGINT) AS mean_coherence_ppm
+    FROM db JOIN documents d USING (doc_id)
+    GROUP BY bucket, d.source
+    """,
+)
+def q244_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = tx.perplexity_buckets(docs, "doc_id", "text", n_buckets=3)
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("bucket", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("CAST(sum(coherence_ppm) div count(1) AS BIGINT)").alias(
+                "mean_coherence_ppm"
+            ),
+        )
+    )

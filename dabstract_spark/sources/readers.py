@@ -24,7 +24,7 @@ import struct
 import wave
 
 import numpy as np
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
 
@@ -313,3 +313,107 @@ def image_metadata(col: Column | str) -> Column:
             be_int(26, 1).cast("int").alias("color_type"),
         ),
     )
+
+
+def with_ahash(df: DataFrame, matrix_col: str, out_prefix: str = "ahash") -> DataFrame:
+    """Average-hash (aHash) of a decoded grayscale matrix, the classic
+    perceptual image fingerprint: bit_i = pixel_i >= mean, packed as TWO
+    32-bit words ``{prefix}_w0/w1`` (bit 63 of a single int64 would
+    overflow the sign in one engine and wrap in the other).
+
+    Exact integer arithmetic end to end so the hash is engine-portable:
+    pixels become ppm ints, and the mean threshold ``px >= sum/N`` is
+    evaluated as ``px*N >= sum`` — no float division, no summation-order
+    sensitivity. By construction the hash is invariant under any
+    constant brightness shift (every side of the comparison moves by
+    the same amount), which is the property that makes aHash a
+    *perceptual* near-dup key rather than a byte digest.
+
+    Pure whole-stage-codegen HOFs over the (already decoded) matrix —
+    the only Python in the image path stays the codec UDF."""
+    d = (
+        df.withColumn(
+            "__pxi",
+            F.expr(
+                f"transform(flatten({matrix_col}),"
+                " x -> CAST(round(x * 1000000) AS BIGINT))"
+            ),
+        )
+        .withColumn("__n", F.size("__pxi").cast("bigint"))
+        .withColumn("__s", F.expr("aggregate(__pxi, 0L, (a, x) -> a + x)"))
+    )
+    word = (
+        "aggregate(transform(__pxi, (x, i) ->"
+        " IF(x * __n >= __s AND i >= {lo} AND i < {hi},"
+        " CAST(pow(2, i - {lo}) AS BIGINT), 0L)), 0L, (a, x) -> a + x)"
+    )
+    return (
+        d.withColumn(f"{out_prefix}_w0", F.expr(word.format(lo=0, hi=32)))
+        .withColumn(f"{out_prefix}_w1", F.expr(word.format(lo=32, hi=64)))
+        .drop("__pxi", "__n", "__s")
+    )
+
+
+def ahash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    w0: str = "ahash_w0",
+    w1: str = "ahash_w1",
+    max_hamming: int = 3,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Hamming-LSH candidate pairs over aHash fingerprints: the 64 bits
+    split into 4 bands of 16; two images sharing ANY band value become
+    candidates, verified by exact popcount distance. Pigeonhole makes
+    the banding EXHAUSTIVE for ``max_hamming <= 3`` (4 disjoint bands
+    can absorb at most 3 bit errors without one band matching exactly),
+    so the output is the complete <= max_hamming pair set, not a
+    sample — while the join only ever touches same-band buckets.
+
+    ``max_bucket`` caps any single band bucket with the md5-rank
+    keep-set discipline every other pair miner here uses (a solid-black
+    album at web scale would otherwise funnel into one bucket)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16 banding is only exhaustive for max_hamming <= 3; "
+            "raise the band count to widen the radius"
+        )
+    bands = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(w0).alias("__w0"),
+        F.col(w1).alias("__w1"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("b"),
+                        F.expr(f"(({w}) div {1 << s}) % 65536").alias("v"),
+                    )
+                    for k, (w, s) in enumerate(
+                        [(w0, 0), (w0, 16), (w1, 0), (w1, 16)]
+                    )
+                ]
+            )
+        ).alias("__band"),
+    ).select("__id", "__w0", "__w1", "__band.b", "__band.v")
+    if max_bucket is not None:
+        keep = Window.partitionBy("b", "v").orderBy(F.md5(F.col("__id").cast("string")))
+        bands = bands.withColumn("__rk", F.row_number().over(keep)).filter(
+            F.col("__rk") <= max_bucket
+        ).drop("__rk")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["b", "v"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            (
+                F.bit_count(F.expr("a.__w0 ^ b.__w0"))
+                + F.bit_count(F.expr("a.__w1 ^ b.__w1"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand

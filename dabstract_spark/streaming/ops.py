@@ -699,3 +699,89 @@ def minhash_sigs_stream(
         drain_partitions,
         "minhash_sigs_stream",
     )
+
+
+def decontaminate_stream(
+    doc_stream: DataFrame,
+    test_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 5,
+    max_df: int | None = None,
+    select_cols: list[str] | None = None,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming twin of dedup.decontaminate: continuously ingest new
+    train documents and append only the CLEAN ones — those sharing no
+    distinct k-shingle with the static test split — to the sink (the
+    online enforcement gate a crawl pipeline runs in front of the
+    corpus).
+
+    Each micro-batch runs the batch ``decontaminate`` verbatim inside
+    foreachBatch (ONE staging recipe, no drift — the same shared-helper
+    discipline as minhash_bands/minhash_profile), against a test table
+    persisted once. The keep/drop decision is per-document and
+    independent of batching, so the drained sink equals the batch
+    decontaminate EXACTLY regardless of micro-batch boundaries or
+    arrival order. Returns the re-read sink."""
+    from dabstract_spark.operators.dedup import decontaminate
+
+    test_static = test_df.persist()
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        clean = decontaminate(
+            batch_df, test_static, id_col, text_col, k=k, max_df=max_df
+        )
+        if select_cols is not None:
+            clean = clean.select(*select_cols)
+        clean.write.mode("append").parquet(out_path)
+
+    return _drain_foreach_batch(
+        doc_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "decontaminate_stream",
+    )
+
+
+def cohort_activity_stream(
+    event_stream: DataFrame,
+    user_col: str,
+    ts_col: str,
+    out_path: str,
+    checkpoint: str,
+    period_sec: int = 604_800,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming maintenance of the cohort-retention activity table:
+    each micro-batch appends its DISTINCT (user, epoch-period) pairs to
+    the sink; the live retention triangle at any time is
+    ``events.retention_from_activity`` over the DISTINCT of the sink —
+    never a rescan of past events. Set union is idempotent, commutative
+    and associative, so the drained triangle equals the batch
+    ``cohort_retention`` exactly, regardless of micro-batch boundaries
+    or arrival order (the same algebra as the Bloom/histogram
+    maintainers). Returns the re-read DISTINCT activity table."""
+    wk = F.expr(f"CAST(floor(unix_timestamp({ts_col})) AS BIGINT) div {period_sec}")
+    pairs = event_stream.select(F.col(user_col).alias("u"), wk.alias("wk"))
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.distinct().write.mode("append").parquet(out_path)
+
+    sink = _drain_foreach_batch(
+        pairs,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "cohort_activity_stream",
+    )
+    return sink.distinct()

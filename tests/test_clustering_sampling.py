@@ -750,3 +750,50 @@ def test_fuzzy_join_links_typos_and_caps_blocks(spark):
         hot_l, hot_r, "mid", "rid", "name", "rname", max_dist=5, max_block=8
     )
     assert capped.count() <= 64
+
+
+def test_jl_project_matches_numpy_reference(spark):
+    import numpy as np
+
+    from dabstract_spark.operators.similarity import jl_project, jl_signs
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(5, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    out = jl_project(df, "vec_id", "embedding", in_dim=8, out_dim=4, seed=3)
+    got = {(r.vec_id, r.k): r.y_ppm for r in out.collect()}
+    S = np.array(jl_signs(8, 4, seed=3))
+    for i in range(5):
+        x_ppm = np.array([round(float(np.round(float(v), 6)) * 1e6) for v in vecs[i]], dtype=np.int64)
+        for k in range(4):
+            assert got[(i, k)] == int((S[k] * x_ppm).sum())
+    assert len(got) == 20
+
+
+def test_perplexity_buckets_tiers_and_tie_safety(spark):
+    from dabstract_spark.operators.text import perplexity_buckets
+
+    # 30 docs: 10 identical highly-coherent, 10 mid, 10 incoherent-ish
+    rows = (
+        [(i, "the cat sat on the mat " * 4) for i in range(10)]
+        + [(10 + i, f"alpha beta gamma delta w{i} " * 3) for i in range(10)]
+        + [(20 + i, f"u{i} v{i} w{i} x{i} y{i} z{i}") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(df, "doc_id", "text", n_buckets=3).collect()
+    assert len(out) == 30
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert set(by_bucket) == {0, 1, 2}
+    # tie safety: equal scores share a bucket — the 10 identical docs
+    # must all land together
+    first10 = {r.bucket for r in out if r.doc_id < 10}
+    assert len(first10) == 1
+    # monotone: bucket 0 scores >= bucket 2 scores
+    assert min(r.coherence_ppm for r in by_bucket[0]) >= max(
+        r.coherence_ppm for r in by_bucket[2]
+    )

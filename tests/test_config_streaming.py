@@ -286,3 +286,46 @@ def test_interval_join_left_outer_brackets_batch(spark, sf_dir):
     assert matched <= got_pairs <= batch_pairs
     # the lag affects at most the final flush cycle, not wholesale loss
     assert len(batch_pairs) - len(got_pairs) <= 2
+
+
+def test_stream_decontaminate_equals_batch(spark, tmp_path):
+    from dabstract_spark.operators.dedup import decontaminate
+    from dabstract_spark.streaming.ops import decontaminate_stream, stream_events
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    train_b = docs.filter(F.col("doc_id") % 5 != 0)
+    test_b = docs.filter(F.col("doc_id") % 5 == 0)
+    batch_ids = sorted(
+        r.doc_id for r in decontaminate(train_b, test_b, "doc_id", "text", k=5).collect()
+    )
+    src = stream_events(spark, f"{SF}/documents.parquet").filter(
+        F.col("doc_id") % 5 != 0
+    )
+    got = decontaminate_stream(
+        src,
+        test_b,
+        "doc_id",
+        "text",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        k=5,
+        select_cols=["doc_id"],
+    )
+    assert sorted(r.doc_id for r in got.collect()) == batch_ids
+    assert len(batch_ids) > 0
+
+
+def test_stream_cohort_equals_batch(spark, tmp_path):
+    from dabstract_spark.operators.events import cohort_retention
+    from dabstract_spark.streaming.ops import cohort_activity_stream, stream_events
+
+    ev_b = load_table(spark, SF, "events").select("user_id", "ts")
+    batch = sorted(map(tuple, cohort_retention(ev_b, "user_id", "ts").collect()))
+    src = stream_events(spark, f"{SF}/events.parquet").select("user_id", "ts")
+    active = cohort_activity_stream(
+        src, "user_id", "ts", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    from dabstract_spark.operators.events import retention_from_activity
+
+    got = sorted(map(tuple, retention_from_activity(active).collect()))
+    assert got == batch and len(got) > 0

@@ -182,3 +182,23 @@ def test_get_unique_max_ids_cap(spark):
     for k, ids in capped.items():
         # smallest-2 prefix of the full sorted group, never more
         assert ids == sorted(full[k])[:2]
+
+
+def test_dataset_facades_curriculum_gopher_mixture(spark):
+    from dabstract_spark.dataset import Dataset
+
+    rows = [
+        (i, f"s{i % 2}", "the cat sat of the mat and it is a fine day " * 2)
+        for i in range(20)
+    ]
+    ds = Dataset(
+        spark.createDataFrame(rows, "row_id long, source string, text string"),
+        name="d",
+    )
+    cur = ds.curriculum_order(stage="source", seed=1, n_shards=2)
+    got = sorted(r.pos for r in cur.full_df.collect())
+    assert got == list(range(20))
+    mix = {r.source: r for r in ds.temperature_mixture("source").collect()}
+    assert set(mix) == {"s0", "s1"} and mix["s0"].weight_ppm == 500_000
+    gr = ds.gopher_rules(min_words=5, max_words=50)
+    assert {r.row_id for r in gr.collect()} == set(range(20))

@@ -796,3 +796,90 @@ def test_temperature_mixture_sqrt_exact_and_budget(spark):
     trows = {r["source"]: r for r in temperature_mixture(tdf, "source", size_col="toks").collect()}
     assert trows["a"]["n"] == 25 and trows["b"]["n"] == 100
     assert trows["a"]["weight_ppm"] == 5 * 10**6 // 15
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from dabstract_spark.operators.text import gopher_rules
+
+    good = "the cat sat of the mat and it is a fine day in the sun " * 3
+    rows = [
+        (0, good),                                  # passes everything
+        (1, "the a of"),                            # too few words
+        (2, "the " + "a " * 200),                   # mean word length too low
+        (3, good + " ##### ### ## # ####"),         # symbol ratio
+        (4, "- " + good.replace(" ", "\n- ")[:200]),  # bullet lines
+        (5, "word " * 30),                          # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            df, "doc_id", "text", min_words=10, max_words=100,
+            min_wlen_ppm=2_000_000, max_wlen_ppm=8_000_000,
+        ).collect()
+    }
+    assert out[0]["keep"]
+    assert not out[1]["r_wordcount"]
+    assert not out[2]["r_wordlen"]
+    assert not out[3]["r_symbol"]
+    assert not out[4]["r_bullet"]
+    assert not out[5]["r_stopwords"]
+    assert all(not out[k]["keep"] for k in (1, 2, 3, 4, 5))
+
+
+def test_cohort_retention_toy_triangle(spark):
+    import datetime as dt
+
+    from dabstract_spark.operators.events import cohort_retention
+
+    W = 604_800
+    base = dt.datetime(2024, 1, 4, tzinfo=dt.timezone.utc)  # inside some epoch week
+
+    def t(weeks):
+        return base + dt.timedelta(seconds=weeks * W)
+
+    # u1: weeks 0,1,2 · u2: weeks 0,2 · u3: week 1 only
+    rows = [("u1", t(0)), ("u1", t(1)), ("u1", t(2)),
+            ("u2", t(0)), ("u2", t(2)), ("u3", t(1))]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {(r["cohort"], r["offset"]): r for r in cohort_retention(df, "user_id").collect()}
+    c0 = min(k[0] for k in out)
+    assert out[(c0, 0)]["n_users"] == 2 and out[(c0, 0)]["cohort_size"] == 2
+    assert out[(c0, 1)]["n_users"] == 1  # only u1 returned in week 1
+    assert out[(c0, 2)]["n_users"] == 2
+    assert out[(c0, 1)]["retention_ppm"] == 500_000
+    assert out[(c0 + 1, 0)]["cohort_size"] == 1  # u3's own cohort
+
+
+def test_ahash_invariance_and_hamming_pairs(spark):
+    from dabstract_spark.sources.readers import ahash_neardup_pairs, with_ahash
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    m1 = rng.rand(8, 8).round(6)
+    m2 = rng.rand(8, 8).round(6)
+
+    def rows(name, m, shift=0.0):
+        return (name, [[float(x) + shift for x in row] for row in m])
+
+    df = spark.createDataFrame(
+        [rows("a", m1), rows("a_bright", m1, 0.015625), rows("b", m2)],
+        "fname string, m array<array<double>>",
+    )
+    hashed = with_ahash(df, "m")
+    hs = {r["fname"]: (r["ahash_w0"], r["ahash_w1"]) for r in hashed.collect()}
+    # brightness invariance: identical words
+    assert hs["a"] == hs["a_bright"]
+    assert hs["a"] != hs["b"]
+    assert all(0 <= w < 2**32 for pair in hs.values() for w in pair)
+    pairs = ahash_neardup_pairs(
+        hashed.select("fname", "ahash_w0", "ahash_w1"), "fname", max_hamming=3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got == {("a", "a_bright"): 0}
+    # radius guard: 4x16 banding is only exhaustive to hamming 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ahash_neardup_pairs(hashed, "fname", max_hamming=4)

@@ -26,6 +26,7 @@ ARROW_OK = {
     "q175_audio_pipeline",  # wav-decode + np.fft.rfft pandas UDFs (end-to-end chain)
     "q185_image_decode_fake",  # image-decode pandas UDF (md5-fake codec, real plumbing)
     "q219_image_resize",  # same decode UDF; the resize itself is a pure-JVM gather
+    "q241_image_ahash_neardup",  # same decode UDF; aHash + banding are pure JVM
     "q186_video_frames_fake",  # video-frame pandas UDF (md5-fake codec, real plumbing)
 }
 # q179_pca_projection's blocked int64 scatter GEMM is ALSO an Arrow stage,

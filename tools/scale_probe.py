@@ -177,6 +177,11 @@ def main():
             "src",
             budget=10**12,
         ),
+        # Gopher rule battery: scan-fused HOFs, per-row cost only
+        "gopher_rules": lambda d: tx.gopher_rules(d, "doc_id", "text"),
+        # CCNet bucketing: bigram-LM staging + a window over DISTINCT
+        # scores (ppm codomain) + a score-keyed assignment join
+        "ccnet_buckets": lambda d: tx.perplexity_buckets(d, "doc_id", "text"),
         # within-doc line dedup: scan-fused HOF, per-row cost only
         "dedup_lines": lambda d: tx.dedup_lines_df(d, "doc_id", "text"),
         # corpus-overlap sketch: sources fixed at 20, docs per source
@@ -213,6 +218,11 @@ def main():
         "embedding_neardup": lambda e: embedding_neardup_pairs(
             e, threshold=0.8, n_bits=8, dim=64, seed=0, exact=False
         ),
+        # JL sign projection: per-component HOFs fused into the scan,
+        # zero shuffle — linear by construction
+        "jl_project": lambda e: __import__(
+            "dabstract_spark.operators.similarity", fromlist=["jl_project"]
+        ).jl_project(e, "vec_id", "embedding", in_dim=64, out_dim=16),
         # ...and max_bucket is the production guard that bounds it
         "embedding_neardup_cap": lambda e: embedding_neardup_pairs(
             e, threshold=0.8, n_bits=8, dim=64, seed=0, exact=False, max_bucket=64
@@ -260,6 +270,9 @@ def main():
             *_clicks_views(e), before_sec=1800, after_sec=1800, right_cols=("value",)
         ),
         "multires_rollup": lambda e: ev.multires_rollup(e),
+        # cohort retention: shuffles only (user, period) keys; rollup is
+        # (cohort, offset)-sized — linear in the activity scan
+        "cohort_retention": lambda e: ev.cohort_retention(e, "user_id", "ts"),
     }
 
     # median-of-REPS per cell: single-run numbers in a long sequential
