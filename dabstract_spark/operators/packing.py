@@ -177,3 +177,66 @@ def chunk_manifest(packed: DataFrame, id_col: str, capacity: int) -> DataFrame:
             .alias("seg_end"),
         )
     )
+
+
+def span_corruption_manifest(
+    df: DataFrame,
+    id_col: str,
+    ntok_col: str,
+    noise_ppm: int = 150_000,
+    mean_span: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """T5-style span-corruption manifest (Raffel et al. 2020: 15% noise
+    density, mean span 3): for every document emit the deterministic
+    token spans ``[start, end)`` a denoising loader would mask.
+
+    Placement is STRATIFIED-deterministic: the doc's n_spans =
+    max(1, n·noise div (mean_span·1e6)) strata each contribute one
+    span of ``min(mean_span, n)`` tokens at an md5-derived offset inside
+    the stratum — non-overlapping by construction (stratum length ≥
+    span length whenever n ≥ n_spans·mean_span, which the span-count
+    formula guarantees), reproducible by (seed, id, span_id) like every
+    other sampler here, no RNG state.
+
+    Pure expression over (id, token-count) — a sequence explode sized by
+    the noise budget; the text itself is never touched, so at 100 TB
+    the manifest costs one scan of the token-count column. Returns
+    (id, span_id, start, end, n_tokens)."""
+    from dabstract_spark.functions.hashing import md5_order
+
+    n = F.col(ntok_col).cast("bigint")
+    n_spans = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr(f"CAST({ntok_col} AS BIGINT) * {noise_ppm} div {mean_span * 1_000_000}"),
+    )
+    d = (
+        df.select(F.col(id_col), n.alias("__n"), n_spans.alias("__k"))
+        .filter(F.col("__n") > 0)
+        .withColumn("span_id", F.explode(F.sequence(F.lit(0), (F.col("__k") - 1).cast("int"))))
+    )
+    # stratum [lo, hi): equal integer strata; span sits at an md5 offset
+    lo = F.expr("(__n * span_id) div __k")
+    hi = F.expr("(__n * (span_id + 1)) div __k")
+    span = F.least(F.lit(mean_span).cast("bigint"), F.col("__n"))
+    slack = F.greatest(hi - lo - span + 1, F.lit(1).cast("bigint"))
+    u = F.conv(
+        F.substring(
+            md5_order(
+                F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("span_id").cast("string")),
+                seed,
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    start = lo + (u % slack)
+    return d.select(
+        id_col,
+        "span_id",
+        start.alias("start"),
+        F.least(start + span, F.col("__n")).alias("end"),
+        F.col("__n").alias("n_tokens"),
+    )

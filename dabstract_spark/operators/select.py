@@ -471,3 +471,57 @@ def temperature_mixture(
 
 
 _REGISTRY["temperature_mixture"] = temperature_mixture
+
+
+def materialize_mixture(
+    df: DataFrame,
+    source: str,
+    key: str,
+    budget: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Materialize the temperature mixture (the enforcement twin of
+    :func:`temperature_mixture`, the audit): expand every source to
+    EXACTLY its ``draw`` share of ``budget`` rows — ``draw div n`` full
+    epochs of the whole source plus one extra epoch for the first
+    ``draw mod n`` documents in the seeded md5 order (deterministic
+    fractional top-up, the multi-epoch upsampling a mixture schedule
+    actually executes). Σ_source rows ≡ Σ_source draw by construction.
+
+    Within-source rank comes from :func:`curriculum_order`'s composite
+    (source, 256-hex-prefix) bucketing minus a broadcast per-source
+    offset — no data-sized window for a huge source, the same
+    discipline everywhere else. Epoch expansion is a per-row
+    ``sequence`` explode: output size is the mixture's, input is
+    scanned once. Returns the input columns plus ``epoch``."""
+    draws = temperature_mixture(df, source, budget=budget).select(
+        source, "n", "draw"
+    )
+    per = draws.select(
+        source,
+        F.expr("draw div n").alias("__full"),
+        F.expr("draw - (draw div n) * n").alias("__frac"),
+    )
+    pos = curriculum_order(df, source, key, seed=seed)
+    offs = pos.groupBy(source).agg(F.min("pos").alias("__o"))
+    ranked = (
+        pos.join(F.broadcast(offs), source)
+        .withColumn("__rn", F.col("pos") - F.col("__o") + 1)
+        .drop("pos", "__o")
+        .join(F.broadcast(per), source)
+        .withColumn(
+            "__copies",
+            F.col("__full") + (F.col("__rn") <= F.col("__frac")).cast("bigint"),
+        )
+    )
+    return (
+        ranked.filter(F.col("__copies") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0), (F.col("__copies") - 1).cast("int"))),
+        )
+        .drop("__rn", "__full", "__frac", "__copies")
+    )
+
+
+_REGISTRY["materialize_mixture"] = materialize_mixture

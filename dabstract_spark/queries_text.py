@@ -4950,12 +4950,12 @@ def q238_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Thresholds here are tightened to the fixture's 10-99-word docs so the
 # word-count and word-length rules actually discriminate.
 # --------------------------------------------------------------------- #
-@query(
-    "q239_gopher_rules",
-    oracle=f"""
-    WITH s AS (
+# ONE definition of the Gopher-metric CTE chain and keep-conjunction
+# serves q239 (the per-rule audit) and q247 (the streaming curation
+# gate) — a threshold change cannot drift between their oracles.
+_GOPHER_CTES = f"""gs AS (
       SELECT doc_id, {_T} AS tk, text FROM documents),
-    m AS (
+    gm AS (
       SELECT doc_id,
              len(tk)::BIGINT AS n_words,
              COALESCE(list_sum(list_transform(tk, t -> length(t))), 0)::BIGINT AS chars,
@@ -4968,7 +4968,21 @@ def q238_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                              x -> x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%'))::BIGINT AS bullet,
              len(list_filter(string_split(text, chr(10)),
                              x -> x LIKE '%...' OR x LIKE '%…'))::BIGINT AS ell
-      FROM s)
+      FROM gs)"""
+
+_GOPHER_KEEP = """(n_words BETWEEN 20 AND 80)
+             AND ((chars * 1000000) // greatest(n_words, 1) BETWEEN 3500000 AND 6000000)
+             AND ((alpha * 1000000) // greatest(n_words, 1) >= 800000)
+             AND (stops >= 2)
+             AND ((sym * 1000000) // greatest(n_words, 1) <= 100000)
+             AND ((bullet * 1000000) // greatest(nl, 1) <= 900000)
+             AND ((ell * 1000000) // greatest(nl, 1) <= 300000)"""
+
+
+@query(
+    "q239_gopher_rules",
+    oracle=f"""
+    WITH {_GOPHER_CTES}
     SELECT doc_id, n_words,
            CAST((chars * 1000000) // greatest(n_words, 1) AS BIGINT) AS wlen_ppm,
            n_words BETWEEN 20 AND 80 AS r_wordcount,
@@ -4978,14 +4992,8 @@ def q238_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
            (sym * 1000000) // greatest(n_words, 1) <= 100000 AS r_symbol,
            (bullet * 1000000) // greatest(nl, 1) <= 900000 AS r_bullet,
            (ell * 1000000) // greatest(nl, 1) <= 300000 AS r_ellipsis,
-           (n_words BETWEEN 20 AND 80)
-             AND ((chars * 1000000) // greatest(n_words, 1) BETWEEN 3500000 AND 6000000)
-             AND ((alpha * 1000000) // greatest(n_words, 1) >= 800000)
-             AND (stops >= 2)
-             AND ((sym * 1000000) // greatest(n_words, 1) <= 100000)
-             AND ((bullet * 1000000) // greatest(nl, 1) <= 900000)
-             AND ((ell * 1000000) // greatest(nl, 1) <= 300000) AS keep
-    FROM m
+           {_GOPHER_KEEP} AS keep
+    FROM gm
     """,
 )
 def q239_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5151,4 +5159,140 @@ def q244_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_coherence_ppm"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Mixture materialization (select.materialize_mixture): the enforcement
+# twin of the q237 audit — every source expanded to EXACTLY its
+# temperature draw: floor(draw/n) full epochs plus an md5-ranked
+# fractional top-up. Multi-epoch upsampling as a training pipeline
+# actually executes it; output rows == Σ draws by construction.
+# --------------------------------------------------------------------- #
+@query(
+    "q245_mixture_materialize",
+    oracle="""
+    WITH n AS (
+      SELECT source, COUNT(*)::BIGINT AS n,
+             CAST(floor(sqrt(COUNT(*)::DOUBLE * 1e12)) AS BIGINT) AS s
+      FROM documents GROUP BY source),
+    t AS (SELECT SUM(s) AS tot FROM n),
+    p AS (SELECT source, n, (s * 1000) // tot AS draw FROM n, t),
+    q AS (SELECT source, n, draw, draw // n AS f,
+                 draw - (draw // n) * n AS frac FROM p),
+    r AS (SELECT doc_id, source,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY md5('5:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents),
+    x AS (SELECT r.doc_id, r.source,
+            q.f + CASE WHEN r.rn <= q.frac THEN 1 ELSE 0 END AS copies
+          FROM r JOIN q USING (source))
+    SELECT doc_id, source, CAST(e AS INT) AS epoch
+    FROM x, UNNEST(generate_series(CAST(0 AS BIGINT),
+                                   CAST(copies - 1 AS BIGINT))) AS t2(e)
+    """,
+)
+def q245_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import materialize_mixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = materialize_mixture(docs, "source", "doc_id", budget=1000, seed=5)
+    return out.select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
+
+
+# --------------------------------------------------------------------- #
+# T5 span-corruption manifest (packing.span_corruption_manifest; Raffel
+# 2020): deterministic non-overlapping mask spans at 15% noise density,
+# mean span 3 — stratified md5 placement, one scan of the token-count
+# column, the text never moves. The denoising-objective companion to
+# the q227/q228 causal-LM packing manifests.
+# --------------------------------------------------------------------- #
+@query(
+    "q246_span_corruption",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), {_BPE_SQL})) AS BIGINT) AS n
+      FROM documents),
+    kk AS (SELECT doc_id, n, GREATEST(1, n * 150000 // 3000000) AS k
+           FROM toks WHERE n > 0),
+    sp AS (SELECT doc_id, n, k, CAST(sid AS INT) AS span_id
+           FROM kk, UNNEST(generate_series(CAST(0 AS BIGINT), k - 1)) AS t(sid)),
+    c AS (SELECT doc_id, n, span_id,
+            (n * span_id) // k AS lo,
+            GREATEST((n * (span_id + 1)) // k - (n * span_id) // k
+                     - LEAST(3, n) + 1, 1) AS slack,
+            LEAST(3, n) AS span
+          FROM sp),
+    u AS (SELECT *,
+            CAST(('0x' || substr(md5('9:' || CAST(doc_id AS VARCHAR) || ':'
+                                  || CAST(span_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) AS uu
+          FROM c)
+    SELECT doc_id, span_id, lo + (uu % slack) AS start,
+           LEAST(lo + (uu % slack) + span, n) AS "end", n AS n_tokens
+    FROM u
+    """,
+)
+def q246_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.packing import span_corruption_manifest
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.bpe_token_count("text").alias("__tok")
+    )
+    return span_corruption_manifest(docs, "doc_id", "__tok", seed=9)
+
+
+# --------------------------------------------------------------------- #
+# Streaming curation gate (streaming/ops.curate_stream): the ONLINE twin
+# of the q221 curation core — per micro-batch Gopher gate (q239's rules,
+# shared _GOPHER_CTES/_GOPHER_KEEP oracle fragments) + decontamination
+# against the static test split, emitting normalized-content digests;
+# the live membership is the DISTINCT of the sink. Per-doc decisions +
+# set output => drained == batch for any batching/arrival order.
+# --------------------------------------------------------------------- #
+@query(
+    "q247_stream_curate",
+    oracle=f"""
+    WITH {_GOPHER_CTES},
+    kept AS (
+      SELECT doc_id FROM gm WHERE {_GOPHER_KEEP}),
+    sh_tr AS (
+      SELECT doc_id, unnest(list_distinct({_shingles('text', 5)})) AS sh
+      FROM documents WHERE doc_id % 5 <> 0),
+    sh_te AS (
+      SELECT DISTINCT unnest(list_distinct({_shingles('text', 5)})) AS sh
+      FROM documents WHERE doc_id % 5 = 0),
+    dirty AS (SELECT DISTINCT doc_id FROM sh_tr JOIN sh_te USING (sh))
+    SELECT DISTINCT md5({_NORM.format(c='text')}) AS content_md5
+    FROM documents
+    WHERE doc_id % 5 <> 0
+      AND doc_id IN (SELECT doc_id FROM kept)
+      AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+)
+def q247_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.streaming.ops import curate_stream, stream_events
+
+    src = stream_events(spark, f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 5 != 0
+    )
+    test = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    tmp = tempfile.mkdtemp(prefix="sparkdab_curate_")
+    return curate_stream(
+        src,
+        test,
+        "doc_id",
+        "text",
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        k=5,
+        gopher_kwargs=dict(
+            min_words=20,
+            max_words=80,
+            min_wlen_ppm=3_500_000,
+            max_wlen_ppm=6_000_000,
+        ),
     )

@@ -785,3 +785,62 @@ def cohort_activity_stream(
         "cohort_activity_stream",
     )
     return sink.distinct()
+
+
+def curate_stream(
+    doc_stream: DataFrame,
+    test_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 5,
+    gopher_kwargs: dict | None = None,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming curation gate — the ONLINE twin of the q221 curation
+    core: every micro-batch of crawled documents passes the Gopher
+    quality rules (text.gopher_rules, verbatim), is decontaminated
+    against the static test split (dedup.decontaminate, verbatim), and
+    appends the surviving normalized-content digests to the sink; the
+    live clean-corpus membership at any time is the DISTINCT of the
+    sink.
+
+    Every per-document decision (quality rules, shingle overlap,
+    content digest) is independent of batching, and the output is a
+    digest SET — so the drained result equals the batch gate exactly,
+    for any micro-batch boundaries and any arrival order (set-union
+    algebra, like the Bloom/cohort maintainers; no stream state at
+    all). Returns the re-read DISTINCT digest table."""
+    from dabstract_spark.operators.dedup import decontaminate, normalize_text
+    from dabstract_spark.operators.text import gopher_rules
+
+    test_static = test_df.persist()
+    gkw = gopher_kwargs or {}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        keep = (
+            gopher_rules(batch_df, id_col, text_col, **gkw)
+            .filter(F.col("keep"))
+            .select(id_col)
+        )
+        gated = batch_df.join(keep, id_col, "left_semi")
+        clean = decontaminate(gated, test_static, id_col, text_col, k=k)
+        (
+            clean.select(F.md5(normalize_text(text_col)).alias("content_md5"))
+            .distinct()
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    sink = _drain_foreach_batch(
+        doc_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "curate_stream",
+    )
+    return sink.distinct()

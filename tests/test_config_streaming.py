@@ -329,3 +329,31 @@ def test_stream_cohort_equals_batch(spark, tmp_path):
 
     got = sorted(map(tuple, retention_from_activity(active).collect()))
     assert got == batch and len(got) > 0
+
+
+def test_stream_curate_equals_batch(spark, tmp_path):
+    from dabstract_spark.operators.dedup import decontaminate, normalize_text
+    from dabstract_spark.operators.text import gopher_rules
+    from dabstract_spark.streaming.ops import curate_stream, stream_events
+
+    gkw = dict(min_words=10, max_words=90, min_wlen_ppm=3_000_000, max_wlen_ppm=8_000_000)
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    keep = gopher_rules(train, "doc_id", "text", **gkw).filter(F.col("keep")).select("doc_id")
+    batch = sorted(
+        r.content_md5
+        for r in decontaminate(
+            train.join(keep, "doc_id", "left_semi"), test, "doc_id", "text", k=5
+        )
+        .select(F.md5(normalize_text("text")).alias("content_md5"))
+        .distinct()
+        .collect()
+    )
+    src = stream_events(spark, f"{SF}/documents.parquet").filter(F.col("doc_id") % 5 != 0)
+    got = curate_stream(
+        src, test, "doc_id", "text",
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), k=5, gopher_kwargs=gkw,
+    )
+    assert sorted(r.content_md5 for r in got.collect()) == batch
+    assert len(batch) > 0

@@ -883,3 +883,70 @@ def test_ahash_invariance_and_hamming_pairs(spark):
 
     with _pytest.raises(ValueError):
         ahash_neardup_pairs(hashed, "fname", max_hamming=4)
+
+
+def test_materialize_mixture_exact_draws_and_epochs(spark):
+    from dabstract_spark.operators.select import (
+        materialize_mixture,
+        temperature_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{k}") for k, c in enumerate([4, 16, 36]) for i in range(100 * k, 100 * k + c)],
+        "doc_id long, source string",
+    )
+    budget = 100
+    draws = {r.source: r.draw for r in temperature_mixture(df, "source", budget=budget).collect()}
+    out = materialize_mixture(df, "source", "doc_id", budget=budget, seed=2).collect()
+    # every source lands EXACTLY its draw; total == sum of draws
+    from collections import Counter
+
+    per_source = Counter(r.source for r in out)
+    assert dict(per_source) == {k: v for k, v in draws.items() if v > 0}
+    assert len(out) == sum(draws.values())
+    # per doc: epochs are 0..copies-1 dense, copies in {floor, floor+1}
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault((r.source, r.doc_id), []).append(r.epoch)
+    for (src, _), es in per_doc.items():
+        n_src = {"s0": 4, "s1": 16, "s2": 36}[src]
+        f = draws[src] // n_src
+        assert sorted(es) == list(range(len(es)))
+        assert len(es) in (f, f + 1)
+    # deterministic
+    again = materialize_mixture(df, "source", "doc_id", budget=budget, seed=2).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_span_corruption_nonoverlap_and_budget(spark):
+    from dabstract_spark.operators.packing import span_corruption_manifest
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate([1, 2, 3, 19, 20, 60, 200])],
+        "doc_id long, ntok long",
+    )
+    rows = span_corruption_manifest(df, "doc_id", "ntok", seed=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(7))  # every doc with n>0 emits spans
+    for doc, spans in by_doc.items():
+        n = spans[0].n_tokens
+        spans = sorted(spans, key=lambda r: r.span_id)
+        # spans inside the doc, end > start, non-overlapping in order
+        prev_end = 0
+        for s in spans:
+            assert 0 <= s.start < s.end <= n
+            assert s.start >= prev_end - 0  # strata are disjoint
+            prev_end = s.end
+        # span count = max(1, n * 0.15 / 3)
+        assert len(spans) == max(1, n * 150000 // 3000000)
+        # mask budget ~15%: each span is min(3, n) tokens
+        for s in spans:
+            assert s.end - s.start <= 3
+    # deterministic
+    again = span_corruption_manifest(df, "doc_id", "ntok", seed=1).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    # different seed moves spans for a big doc
+    other = span_corruption_manifest(df, "doc_id", "ntok", seed=2).collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, rows))

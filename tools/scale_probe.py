@@ -182,6 +182,23 @@ def main():
         # CCNet bucketing: bigram-LM staging + a window over DISTINCT
         # scores (ppm codomain) + a score-keyed assignment join
         "ccnet_buckets": lambda d: tx.perplexity_buckets(d, "doc_id", "text"),
+        # mixture materialization: composite-bucket in-source rank +
+        # two broadcast joins; output sized by the (fixed) budget
+        "materialize_mixture": lambda d: sel.materialize_mixture(
+            d.withColumn("src", (F.col("doc_id") % 20).cast("string")),
+            "src",
+            "doc_id",
+            budget=10_000,
+        ),
+        # span-corruption manifest: one scan of the token-count column,
+        # explode sized by the noise budget — linear
+        "span_corruption": lambda d: __import__(
+            "dabstract_spark.operators.packing", fromlist=["span_corruption_manifest"]
+        ).span_corruption_manifest(
+            d.select("doc_id", tx.bpe_token_count("text").alias("__tok")),
+            "doc_id",
+            "__tok",
+        ),
         # within-doc line dedup: scan-fused HOF, per-row cost only
         "dedup_lines": lambda d: tx.dedup_lines_df(d, "doc_id", "text"),
         # corpus-overlap sketch: sources fixed at 20, docs per source
