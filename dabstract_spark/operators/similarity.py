@@ -956,3 +956,49 @@ def jl_project(
     return df.select(
         F.col(id_col), F.posexplode(F.array(*comps)).alias("k", "y_ppm")
     ).select(id_col, F.col("k").cast("int").alias("k"), "y_ppm")
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/metric training: per query,
+    the ``k`` MOST similar corpus items carrying a DIFFERENT label —
+    the negatives that actually move an embedding model, as opposed to
+    random negatives the model already separates.
+
+    Same plan shape as :func:`topk_bruteforce` (stage norms per side,
+    broadcast the query set, rank within query partitions) with the
+    label-mismatch predicate pushed into the join — the filter prunes
+    pairs BEFORE scoring, not after ranking, so same-label neighbors
+    never occupy candidate slots. Returns
+    (query_id, query_label, vec_id, label, sim, rank)."""
+    q = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(label_col).alias("__qlab"),
+        F.col(vec_col).alias("__qvec"),
+    ).withColumn("__qn", norm(F.col("__qvec")))
+    staged = corpus.withColumn("__cn", norm(F.col(vec_col)))
+    joined = staged.join(
+        F.broadcast(q),
+        (F.col(query_id) != F.col(id_col))
+        & (F.col("__qlab") != F.col(label_col)),
+    )
+    scored = joined.select(
+        query_id,
+        F.col("__qlab").alias("query_label"),
+        id_col,
+        label_col,
+        F.round(
+            dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qn") * F.col("__cn")), 6
+        ).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

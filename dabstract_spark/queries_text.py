@@ -5296,3 +5296,131 @@ def q247_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_wlen_ppm=6_000_000,
         ),
     )
+
+
+# --------------------------------------------------------------------- #
+# Hard-negative mining (similarity.hard_negatives): per query, the k
+# most-similar DIFFERENT-label items — contrastive training's useful
+# negatives. topk_bruteforce's plan shape with the label-mismatch
+# predicate pushed into the broadcast join.
+# --------------------------------------------------------------------- #
+@query(
+    "q248_hard_negatives",
+    oracle=f"""
+    WITH s AS (
+      SELECT a.vec_id AS query_id, a.label AS query_label,
+             b.vec_id, b.label,
+             ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS sim
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id <> b.vec_id AND a.label <> b.label
+      WHERE a.vec_id < 20)
+    SELECT query_id, query_label, vec_id, label, sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+    FROM s
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 3
+    """,
+)
+def q248_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = hard_negatives(emb, emb.filter(F.col("vec_id") < 20), k=3)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --------------------------------------------------------------------- #
+# JL-space retrieval recall (eval twin of q242_jl_projection, the
+# q167_lsh_recall pattern): top-10 by exact cosine in the original
+# 64-dim space vs top-10 by integer dot product in the 16-dim JL space
+# — measures how much neighborhood the projection preserves. JL dots
+# are exact bigint sums, so the projected ranking is engine-exact.
+# --------------------------------------------------------------------- #
+def _jl_recall_oracle() -> str:
+    from dabstract_spark.operators.similarity import jl_signs
+
+    signs = jl_signs(64, 16, seed=3)
+    comps = ", ".join(
+        "list_sum(list_transform(embedding, (x, i) -> ("
+        + "[" + ", ".join(str(s) for s in row) + "]"
+        + ")[i] * CAST(CAST(round(x::DOUBLE, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)))"
+        for row in signs
+    )
+    return f"""
+    WITH p AS (SELECT vec_id, [{comps}] AS ys FROM embeddings),
+    exact_s AS (
+      SELECT a.vec_id AS query_id, b.vec_id,
+             ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20),
+    exact_k AS (
+      SELECT query_id, vec_id FROM exact_s
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 10),
+    jd AS (
+      SELECT a.vec_id AS query_id, b.vec_id,
+             list_sum(list_transform(generate_series(1, 16),
+                                     j -> a.ys[j] * b.ys[j])) AS d
+      FROM p a JOIN p b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20),
+    jl_k AS (
+      SELECT query_id, vec_id FROM jd
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) <= 10),
+    hits AS (
+      SELECT e.query_id, COUNT(*) AS n
+      FROM exact_k e JOIN jl_k l ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+      GROUP BY e.query_id)
+    SELECT q.vec_id AS query_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(h.n, 0) * 100000 AS BIGINT) AS recall_ppm
+    FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 20) q
+    LEFT JOIN hits h ON q.vec_id = h.query_id
+    """
+
+
+@query("q249_jl_recall", oracle=_jl_recall_oracle())
+def q249_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.similarity import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    exact_k = sim.topk_bruteforce(emb, queries_df, k=10).select("query_id", "vec_id")
+    proj = jl_project(emb, "vec_id", "embedding", in_dim=64, out_dim=16, seed=3)
+    ys = proj.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("k", "y_ppm"))), lambda s: s.y_ppm
+        ).alias("ys")
+    )
+    q = ys.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("ys").alias("__qys")
+    )
+    jd = ys.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("__qys"), F.col("ys"), lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        ).alias("d"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("d"), F.asc("vec_id"))
+    jl_k = (
+        jd.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        exact_k.join(jl_k, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    base = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id")
+    ).distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_hit"),
+        (F.coalesce(F.col("n"), F.lit(0)) * 100000).cast("bigint").alias("recall_ppm"),
+    )

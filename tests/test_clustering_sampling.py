@@ -797,3 +797,20 @@ def test_perplexity_buckets_tiers_and_tie_safety(spark):
     assert min(r.coherence_ppm for r in by_bucket[0]) >= max(
         r.coherence_ppm for r in by_bucket[2]
     )
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from dabstract_spark.operators.similarity import hard_negatives
+
+    # label 0: two near-identical vectors; label 1: one similar, one far
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),   # same label: must never appear
+        (2, [0.9, 0.2, 0.0, 0.0], 1),    # different label, similar: the hard negative
+        (3, [0.0, 0.0, 1.0, 0.0], 1),    # different label, far
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negatives(df, df.filter("vec_id = 0"), k=2).collect()
+    ids = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ids == [2, 3]  # hard negative first, same-label vec 1 excluded
+    assert all(r.label != r.query_label for r in out)
