@@ -56,3 +56,57 @@ def replicated_broadcast_join(
     (Thin wrapper that documents the intent; at 100 TB prefer this over
     a shuffle join whenever the small side fits the broadcast budget.)"""
     return big.join(F.broadcast(small), on, how)
+
+
+def key_skew_profile(
+    df: DataFrame, key_cols: list[str], top_k: int = 10
+) -> DataFrame:
+    """Key-distribution diagnostics for a prospective join/agg key — the
+    measurement that decides whether a key needs salting, an AQE skew
+    hint, or a broadcast BEFORE the 100 TB job runs: the ``top_k``
+    heaviest keys with their exact ppm share, plus corpus-level
+    concentration constants on every row — ``n_keys``, ``total``,
+    ``max_share_ppm``, and ``hhi_ppm`` (Herfindahl index,
+    1e6·Σcnt²/total² — ~1e6/n_keys when uniform, →1e6 as one key
+    dominates; exact integers via decimal(38,0) products).
+
+    Plan shape: one map-side-combinable count per key, a 1-row global
+    aggregate, and a small-k TakeOrdered (per-partition top-k merged on
+    the driver — the one place sort-limit IS the scale-correct tool).
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("__mx"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).alias("__sq"),
+    )
+    top = counts.orderBy(F.desc("cnt"), *[F.asc(c) for c in key_cols]).limit(top_k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("cnt"), *[F.asc(c) for c in key_cols]
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            *key_cols,
+            "cnt",
+            F.expr(
+                "CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000)"
+                " div CAST(total AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("share_ppm"),
+            "n_keys",
+            "total",
+            F.expr(
+                "CAST((CAST(__mx AS DECIMAL(38,0)) * 1000000)"
+                " div CAST(total AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("max_share_ppm"),
+            F.expr(
+                "CAST((__sq * 1000000) div (CAST(total AS DECIMAL(38,0))"
+                " * CAST(total AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("hhi_ppm"),
+        )
+    )

@@ -5424,3 +5424,38 @@ def q249_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_hit"),
         (F.coalesce(F.col("n"), F.lit(0)) * 100000).cast("bigint").alias("recall_ppm"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Key-skew profiler (skew.key_skew_profile): the measurement half of the
+# salting story (q82_salted_agg is the mitigation) — top-10 heaviest
+# keys with exact ppm shares plus Herfindahl concentration, the numbers
+# that decide salting/broadcast/AQE-hint choices before a 100 TB join.
+# --------------------------------------------------------------------- #
+@query(
+    "q250_key_skew",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+    s AS (SELECT COUNT(*) AS n_keys, SUM(cnt) AS total, MAX(cnt) AS mx,
+                 SUM(CAST(cnt AS DECIMAL(38,0)) * cnt) AS sq
+          FROM c),
+    t AS (SELECT user_id, cnt,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS INT) AS rank
+          FROM c
+          QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) <= 10)
+    SELECT t.rank, t.user_id, t.cnt,
+           CAST((CAST(t.cnt AS DECIMAL(38,0)) * 1000000)
+                // CAST(s.total AS DECIMAL(38,0)) AS BIGINT) AS share_ppm,
+           s.n_keys, s.total,
+           CAST((CAST(s.mx AS DECIMAL(38,0)) * 1000000)
+                // CAST(s.total AS DECIMAL(38,0)) AS BIGINT) AS max_share_ppm,
+           CAST((s.sq * 1000000) // (CAST(s.total AS DECIMAL(38,0))
+                * CAST(s.total AS DECIMAL(38,0))) AS BIGINT) AS hhi_ppm
+    FROM t, s
+    """,
+)
+def q250_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.skew import key_skew_profile
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    return key_skew_profile(ev, ["user_id"], top_k=10)

@@ -266,3 +266,23 @@ def test_new_r6_operators_on_empty_input(spark):
         [], "event_id long, ts timestamp, user_id long, event_type string"
     )
     assert funnel_stages(empty_events, max_events=5).count() == 0
+
+
+def test_key_skew_profile_hhi_bounds(spark):
+    from dabstract_spark.operators.skew import key_skew_profile
+
+    # uniform: 4 keys x 5 rows -> hhi = 1e6/4
+    uni = spark.createDataFrame([(i % 4,) for i in range(20)], "k int")
+    u = key_skew_profile(uni, ["k"], top_k=2).collect()
+    assert all(r.hhi_ppm == 250_000 for r in u)
+    assert [r.rank for r in sorted(u, key=lambda r: r.rank)] == [1, 2]
+    assert all(r.share_ppm == 250_000 for r in u)
+    # degenerate: one key -> hhi = 1e6, max share = 1e6
+    one = spark.createDataFrame([(7,)] * 9, "k int")
+    o = key_skew_profile(one, ["k"]).collect()
+    assert len(o) == 1 and o[0].hhi_ppm == 1_000_000 and o[0].max_share_ppm == 1_000_000
+    # skewed: 96 rows of one key + 4 singles -> that key leads ranking
+    sk = spark.createDataFrame([(0,)] * 96 + [(i,) for i in range(1, 5)], "k int")
+    s = sorted(key_skew_profile(sk, ["k"], top_k=3).collect(), key=lambda r: r.rank)
+    assert s[0].k == 0 and s[0].share_ppm == 960_000
+    assert s[0].hhi_ppm > 900_000
