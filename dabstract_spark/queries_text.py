@@ -5459,3 +5459,48 @@ def q250_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("user_id")
     return key_skew_profile(ev, ["user_id"], top_k=10)
+
+
+# --------------------------------------------------------------------- #
+# Streaming near-dup ingest gate (streaming/ops.neardup_ingest_stream):
+# the LSH sibling of q162_stream_incremental_dedup — new docs banded
+# with the SAME minhash_bands staging and joined per micro-batch against
+# a persisted, hot-band-capped corpus index; per-doc decisions against a
+# fixed index + set output => drained == batch join exactly.
+# --------------------------------------------------------------------- #
+@query(
+    "q251_stream_neardup_ingest",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKENS.format(c='text')} AS t FROM documents),
+         ths AS (SELECT doc_id, {_TH} AS th FROM tk),
+         hs2 AS (SELECT doc_id, {_HS3} AS hs FROM ths),
+         sig AS (SELECT doc_id, {_minhash_list(16)} AS mh FROM hs2 WHERE len(hs) > 0),
+         bands AS (
+           SELECT doc_id, b AS band_id,
+                  md5(array_to_string(mh[b*4+1 : b*4+4], ',')) AS band_hash
+           FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+         cb AS (
+           SELECT doc_id, band_id, band_hash FROM bands WHERE doc_id % 3 = 0
+           QUALIFY ROW_NUMBER() OVER (
+             PARTITION BY band_id, band_hash
+             ORDER BY md5('0:' || CAST(doc_id AS VARCHAR))) <= 64),
+         nb AS (
+           SELECT doc_id, band_id, band_hash FROM bands WHERE doc_id % 3 <> 0)
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM nb n JOIN cb c USING (band_id, band_hash)
+    """,
+)
+def q251_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.streaming.ops import neardup_ingest_stream, stream_events
+
+    src = stream_events(spark, f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 3 != 0
+    )
+    corpus = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="sparkdab_ndi_")
+    return neardup_ingest_stream(
+        src, corpus, "doc_id", "text", f"{tmp}/out", f"{tmp}/ckpt",
+        n_hashes=16, bands=4, k=3, max_bucket=64,
+    )

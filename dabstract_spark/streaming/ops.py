@@ -844,3 +844,75 @@ def curate_stream(
         "curate_stream",
     )
     return sink.distinct()
+
+
+def neardup_ingest_stream(
+    doc_stream: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_path: str,
+    checkpoint: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    max_bucket: int | None = 64,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming NEAR-dup ingest gate (the LSH sibling of the exact
+    incremental_dedup_stream): the static corpus is banded ONCE into a
+    persisted LSH index — md5-rank capped at ``max_bucket`` members per
+    band bucket, the q46 hot-band discipline applied to the index side —
+    and every micro-batch of new documents is banded with the SAME
+    minhash_bands staging and hash-joined against it; emitted
+    (new_id, corpus_id) candidate pairs append to the sink, live
+    membership = DISTINCT of the sink.
+
+    Each new document's candidates depend only on the fixed index, so
+    the drained pair set equals the batch join exactly under any
+    batching/arrival order. At scale the index is bucket-bounded
+    (≤ max_bucket rows per (band, hash)) and the per-batch join touches
+    only matching buckets. Returns the re-read DISTINCT pair table."""
+    from pyspark.sql import Window
+
+    from dabstract_spark.functions.hashing import md5_order
+    from dabstract_spark.operators.dedup import minhash_bands
+
+    idx = minhash_bands(corpus_df, id_col, text_col, n_hashes=n_hashes, bands=bands, k=k)
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_hash").orderBy(
+            md5_order(F.col(id_col), 0)
+        )
+        idx = (
+            idx.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_bucket)
+            .drop("__rk")
+        )
+    idx = idx.withColumnRenamed(id_col, "__corpus_id").persist()
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        nb = minhash_bands(
+            batch_df, id_col, text_col, n_hashes=n_hashes, bands=bands, k=k
+        )
+        (
+            nb.join(idx, ["band_id", "band_hash"])
+            .select(
+                F.col(id_col).alias("new_id"),
+                F.col("__corpus_id").alias("corpus_id"),
+            )
+            .distinct()
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    sink = _drain_foreach_batch(
+        doc_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "neardup_ingest_stream",
+    )
+    return sink.distinct()

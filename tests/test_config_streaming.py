@@ -357,3 +357,25 @@ def test_stream_curate_equals_batch(spark, tmp_path):
     )
     assert sorted(r.content_md5 for r in got.collect()) == batch
     assert len(batch) > 0
+
+
+def test_stream_neardup_ingest_equals_batch(spark, tmp_path):
+    from dabstract_spark.operators.dedup import minhash_bands
+    from dabstract_spark.streaming.ops import neardup_ingest_stream, stream_events
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    new_b = docs.filter(F.col("doc_id") % 3 != 0)
+    cb = minhash_bands(corpus, "doc_id", "text").withColumnRenamed("doc_id", "cid")
+    nb = minhash_bands(new_b, "doc_id", "text")
+    batch = sorted(
+        (r.doc_id, r.cid)
+        for r in nb.join(cb, ["band_id", "band_hash"]).select("doc_id", "cid").distinct().collect()
+    )
+    src = stream_events(spark, f"{SF}/documents.parquet").filter(F.col("doc_id") % 3 != 0)
+    got = neardup_ingest_stream(
+        src, corpus, "doc_id", "text",
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), max_bucket=None,
+    )
+    assert sorted((r.new_id, r.corpus_id) for r in got.collect()) == batch
+    assert len(batch) > 0
