@@ -1102,3 +1102,67 @@ def q241_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = with_ahash(album, "__m").select("fname", "ahash_w0", "ahash_w1")
     pairs = ahash_neardup_pairs(hashed, "fname", max_hamming=3)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# --------------------------------------------------------------------- #
+# Energy-based activity segmentation (readers.energy_segments): the
+# VAD-style front gate of an audio curation pipeline — exact-integer
+# frame energies over the REAL decoded PCM, above-mean voicing (integer
+# cross-multiply, no float threshold), gaps-and-islands segments. The
+# oracle re-derives every segment from the WAV bytes alone (q122's
+# 16-bit LE decode), so the whole decode→frame→energy→segment chain is
+# hash-checked end to end.
+# --------------------------------------------------------------------- #
+@query(
+    "q252_vad_segments",
+    oracle=f"""
+    WITH f AS (
+      SELECT filename AS fpath,
+             regexp_extract(filename, '([^/]+)/[^/]+$', 1) AS subdb,
+             regexp_extract(filename, '([^/]+)$', 1) AS fname,
+             size, hex(content) AS hx
+      FROM read_blob('{FIXTURE_DIR}/*/*.wav')),
+    hdr AS (SELECT fpath, subdb, fname, hx, (size - 44) // 2 AS n_samples FROM f),
+    samp AS (
+      SELECT fpath, subdb, fname, i,
+             CAST(('0x' || substr(hx, 2*(44 + 2*i) + 1, 2)) AS BIGINT)
+             + 256 * CAST(('0x' || substr(hx, 2*(45 + 2*i) + 1, 2)) AS BIGINT) AS v
+      FROM hdr,
+           UNNEST(generate_series(0, CAST(((n_samples // 32) * 32) AS INT) - 1)) AS t(i)),
+    fr AS (
+      SELECT fpath, subdb, fname, i // 32 AS frame,
+             SUM(CASE WHEN v >= 32768 THEN (v - 65536) * (v - 65536)
+                      ELSE v * v END) AS energy
+      FROM samp GROUP BY fpath, subdb, fname, i // 32),
+    st AS (SELECT fpath, SUM(energy) AS tot, COUNT(*) AS nf FROM fr GROUP BY fpath),
+    vv AS (SELECT fr.* FROM fr JOIN st USING (fpath)
+           WHERE fr.energy * st.nf > st.tot),
+    isl AS (SELECT fpath, subdb, fname, frame,
+                   frame - ROW_NUMBER() OVER (PARTITION BY fpath ORDER BY frame) AS g
+            FROM vv),
+    seg AS (SELECT fpath, subdb, fname, MIN(frame) AS s, MAX(frame) + 1 AS e,
+                   COUNT(*) AS n
+            FROM isl GROUP BY fpath, subdb, fname, g)
+    SELECT subdb, fname,
+           CAST(ROW_NUMBER() OVER (PARTITION BY fpath ORDER BY s) AS INT) AS seg_id,
+           CAST(s AS BIGINT) AS start_frame,
+           CAST(e AS BIGINT) AS end_frame,
+           CAST(n AS BIGINT) AS n_frames
+    FROM seg
+    """,
+)
+def q252_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.sources.readers import decode_wav, energy_segments
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .option("recursiveFileLookup", "true")
+        .load(FIXTURE_DIR)
+    )
+    decoded = files.select(
+        F.element_at(F.split("path", "/"), -2).alias("subdb"),
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        decode_wav("content").alias("__s"),
+    )
+    return energy_segments(decoded, ["subdb", "fname"], "__s", frame=32)

@@ -417,3 +417,53 @@ def ahash_neardup_pairs(
         .distinct()
     )
     return cand
+
+
+def energy_segments(
+    df: DataFrame, name_cols: list[str], pcm_col: str, frame: int = 256
+) -> DataFrame:
+    """Energy-based activity segmentation over decoded PCM (the VAD-style
+    front gate of an audio curation pipeline): non-overlapping frames of
+    ``frame`` samples (tail dropped), per-frame energy as the EXACT
+    integer Σ(pcm16²) (decode_wav yields v/32768, so ×32768 recovers the
+    int16 losslessly), voiced = frames strictly above the recording's
+    mean energy (``energy·n_frames > total`` — integer cross-multiply,
+    no float threshold), and contiguous voiced runs folded into segments
+    by gaps-and-islands. Returns (*name_cols, seg_id, start_frame,
+    end_frame, n_frames).
+
+    Scale shape: framing + energy are HOFs fused over the decoded array
+    (no sample-level explode); only frame-level rows (samples/frame
+    fewer) reach the shuffle, and every window partitions by the
+    recording — the natural bounded unit."""
+    d = (
+        df.withColumn(
+            "__pcm",
+            F.expr(f"transform({pcm_col}, x -> CAST(round(x * 32768) AS BIGINT))"),
+        )
+        .withColumn("__nf", F.expr(f"size({pcm_col}) div {frame}"))
+        .filter(F.col("__nf") > 0)
+    )
+    energies = F.expr(
+        f"transform(sequence(0, CAST(__nf AS INT) - 1),"
+        f" i -> aggregate(slice(__pcm, i * {frame} + 1, {frame}),"
+        f" 0L, (a, v) -> a + v * v))"
+    )
+    e = d.select(*name_cols, F.posexplode(energies).alias("frame", "energy"))
+    st = e.groupBy(*name_cols).agg(
+        F.sum("energy").alias("__tot"), F.count(F.lit(1)).alias("__n")
+    )
+    v = e.join(st, list(name_cols)).filter(
+        F.col("energy") * F.col("__n") > F.col("__tot")
+    )
+    w = Window.partitionBy(*name_cols).orderBy("frame")
+    isl = v.withColumn("__g", F.col("frame") - F.row_number().over(w))
+    seg = isl.groupBy(*name_cols, "__g").agg(
+        F.min("frame").cast("bigint").alias("start_frame"),
+        (F.max("frame") + 1).cast("bigint").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+    )
+    w2 = Window.partitionBy(*name_cols).orderBy("start_frame")
+    return seg.withColumn("seg_id", F.row_number().over(w2).cast("int")).select(
+        *name_cols, "seg_id", "start_frame", "end_frame", "n_frames"
+    )

@@ -424,3 +424,22 @@ def test_psi_drift_identical_and_shifted(spark):
     # out-of-range values clamp into the top bucket, not a new one
     top = [r for r in drift if r.bucket == 9][0]
     assert top.cnt_b == 60  # values 90..149 all land in bucket 9
+
+
+def test_energy_segments_islands_and_threshold(spark):
+    from dabstract_spark.sources.readers import energy_segments
+
+    # 3 frames of 4 samples: quiet / loud / loud  -> one segment [1, 3)
+    pcm = [0.0] * 4 + [0.5] * 4 + [0.5] * 4
+    df = spark.createDataFrame([("a", pcm), ("b", [0.25] * 8)], "fname string, s array<double>")
+    out = {r.fname: r for r in energy_segments(df, ["fname"], "s", frame=4).collect()}
+    assert out["a"].start_frame == 1 and out["a"].end_frame == 3 and out["a"].n_frames == 2
+    # uniform energy: nothing strictly above the mean -> no segments
+    assert "b" not in out
+    # two separated islands
+    pcm2 = [0.5] * 4 + [0.0] * 4 + [0.5] * 4
+    df2 = spark.createDataFrame([("c", pcm2)], "fname string, s array<double>")
+    rows = sorted(
+        energy_segments(df2, ["fname"], "s", frame=4).collect(), key=lambda r: r.seg_id
+    )
+    assert [(r.start_frame, r.end_frame) for r in rows] == [(0, 1), (2, 3)]
