@@ -1166,3 +1166,61 @@ def q252_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_wav("content").alias("__s"),
     )
     return energy_segments(decoded, ["subdb", "fname"], "__s", frame=32)
+
+
+# --------------------------------------------------------------------- #
+# Audio fingerprint dedup (readers.audio_fingerprint_dedup): the audio
+# member of the modality-dedup family — md5 of the exact integer
+# frame-energy profile (shared staging with q252_vad_segments), min-name
+# canonical per group. The oracle recomputes every fingerprint from the
+# WAV bytes.
+# --------------------------------------------------------------------- #
+@query(
+    "q253_audio_fingerprint_dedup",
+    oracle=f"""
+    WITH f AS (
+      SELECT filename AS fpath,
+             regexp_extract(filename, '([^/]+)/[^/]+$', 1) AS subdb,
+             regexp_extract(filename, '([^/]+)$', 1) AS fname,
+             size, hex(content) AS hx
+      FROM read_blob('{FIXTURE_DIR}/*/*.wav')),
+    hdr AS (SELECT fpath, subdb, fname, hx, (size - 44) // 2 AS n_samples FROM f),
+    samp AS (
+      SELECT fpath, subdb, fname, i,
+             CAST(('0x' || substr(hx, 2*(44 + 2*i) + 1, 2)) AS BIGINT)
+             + 256 * CAST(('0x' || substr(hx, 2*(45 + 2*i) + 1, 2)) AS BIGINT) AS v
+      FROM hdr,
+           UNNEST(generate_series(0, CAST(((n_samples // 32) * 32) AS INT) - 1)) AS t(i)),
+    fr AS (
+      SELECT fpath, subdb, fname, i // 32 AS frame,
+             SUM(CASE WHEN v >= 32768 THEN (v - 65536) * (v - 65536)
+                      ELSE v * v END) AS energy
+      FROM samp GROUP BY fpath, subdb, fname, i // 32),
+    fp AS (
+      SELECT subdb, fname,
+             md5(array_to_string(list(energy ORDER BY frame), ',')) AS fingerprint
+      FROM fr GROUP BY fpath, subdb, fname),
+    g AS (
+      SELECT fingerprint, COUNT(*) AS group_size,
+             MIN(subdb || '/' || fname) AS keep
+      FROM fp GROUP BY fingerprint)
+    SELECT fp.subdb, fp.fname, fp.fingerprint, g.group_size,
+           (fp.subdb || '/' || fp.fname) = g.keep AS is_canonical
+    FROM fp JOIN g USING (fingerprint)
+    """,
+)
+def q253_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.sources.readers import audio_fingerprint_dedup, decode_wav
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .option("recursiveFileLookup", "true")
+        .load(FIXTURE_DIR)
+    )
+    decoded = files.select(
+        F.element_at(F.split("path", "/"), -2).alias("subdb"),
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        decode_wav("content").alias("__s"),
+    )
+    return audio_fingerprint_dedup(decoded, ["subdb", "fname"], "__s", frame=32)

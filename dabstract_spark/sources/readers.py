@@ -419,6 +419,30 @@ def ahash_neardup_pairs(
     return cand
 
 
+def _with_frame_energies(df: DataFrame, pcm_col: str, frame: int) -> DataFrame:
+    """Stage exact-integer per-frame energies (Σ pcm16² over
+    non-overlapping ``frame``-sample windows, tail dropped) as an
+    ``__energies`` array column — one recipe shared by the VAD
+    segmenter and the audio fingerprint so the framing cannot drift.
+    HOFs over the decoded array: no sample-level explode."""
+    return (
+        df.withColumn(
+            "__pcm",
+            F.expr(f"transform({pcm_col}, x -> CAST(round(x * 32768) AS BIGINT))"),
+        )
+        .withColumn("__nf", F.expr(f"size({pcm_col}) div {frame}"))
+        .filter(F.col("__nf") > 0)
+        .withColumn(
+            "__energies",
+            F.expr(
+                f"transform(sequence(0, CAST(__nf AS INT) - 1),"
+                f" i -> aggregate(slice(__pcm, i * {frame} + 1, {frame}),"
+                f" 0L, (a, v) -> a + v * v))"
+            ),
+        )
+    )
+
+
 def energy_segments(
     df: DataFrame, name_cols: list[str], pcm_col: str, frame: int = 256
 ) -> DataFrame:
@@ -436,20 +460,8 @@ def energy_segments(
     (no sample-level explode); only frame-level rows (samples/frame
     fewer) reach the shuffle, and every window partitions by the
     recording — the natural bounded unit."""
-    d = (
-        df.withColumn(
-            "__pcm",
-            F.expr(f"transform({pcm_col}, x -> CAST(round(x * 32768) AS BIGINT))"),
-        )
-        .withColumn("__nf", F.expr(f"size({pcm_col}) div {frame}"))
-        .filter(F.col("__nf") > 0)
-    )
-    energies = F.expr(
-        f"transform(sequence(0, CAST(__nf AS INT) - 1),"
-        f" i -> aggregate(slice(__pcm, i * {frame} + 1, {frame}),"
-        f" 0L, (a, v) -> a + v * v))"
-    )
-    e = d.select(*name_cols, F.posexplode(energies).alias("frame", "energy"))
+    d = _with_frame_energies(df, pcm_col, frame)
+    e = d.select(*name_cols, F.posexplode("__energies").alias("frame", "energy"))
     st = e.groupBy(*name_cols).agg(
         F.sum("energy").alias("__tot"), F.count(F.lit(1)).alias("__n")
     )
@@ -466,4 +478,38 @@ def energy_segments(
     w2 = Window.partitionBy(*name_cols).orderBy("start_frame")
     return seg.withColumn("seg_id", F.row_number().over(w2).cast("int")).select(
         *name_cols, "seg_id", "start_frame", "end_frame", "n_frames"
+    )
+
+
+def audio_fingerprint_dedup(
+    df: DataFrame, name_cols: list[str], pcm_col: str, frame: int = 256
+) -> DataFrame:
+    """Exact audio dedup by energy-profile fingerprint — the audio member
+    of the modality-dedup family (text exact/minhash, image aHash):
+    fingerprint = md5 of the comma-joined exact integer frame energies
+    (shared ``_with_frame_energies`` staging with the VAD segmenter), so
+    two recordings collide iff their full energy profiles match sample-
+    exactly at the frame resolution. Returns one row per recording with
+    its fingerprint, duplicate-group size, and a deterministic
+    ``is_canonical`` keeper flag (min name per group — groupBy-min, no
+    bucket collect). Shuffle carries 32-byte digests only."""
+    d = _with_frame_energies(df, pcm_col, frame).select(
+        *name_cols,
+        F.md5(F.array_join(F.col("__energies").cast("array<string>"), ",")).alias(
+            "fingerprint"
+        ),
+    )
+    key = F.concat_ws("/", *[F.col(c) for c in name_cols])
+    keyed = d.withColumn("__k", key)
+    groups = keyed.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("group_size"), F.min("__k").alias("__keep")
+    )
+    return (
+        keyed.join(groups, "fingerprint")
+        .select(
+            *name_cols,
+            "fingerprint",
+            "group_size",
+            (F.col("__k") == F.col("__keep")).alias("is_canonical"),
+        )
     )

@@ -29,6 +29,7 @@ ARROW_OK = {
     "q241_image_ahash_neardup",  # same decode UDF; aHash + banding are pure JVM
     "q186_video_frames_fake",  # video-frame pandas UDF (md5-fake codec, real plumbing)
     "q252_vad_segments",  # same wav-decode UDF; framing/energy/segments are pure JVM
+    "q253_audio_fingerprint_dedup",  # same wav-decode UDF; fingerprint is pure JVM
 }
 # q179_pca_projection's blocked int64 scatter GEMM is ALSO an Arrow stage,
 # but it executes as a build-time job (its partials are collected while
