@@ -5443,14 +5443,17 @@ def q249_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS INT) AS rank
           FROM c
           QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) <= 10)
+    -- HUGEINT // HUGEINT is true integer division; DECIMAL // DECIMAL
+    -- is plain division in DuckDB and the BIGINT cast then ROUNDS,
+    -- flipping values near .5 vs Spark's truncating decimal div
     SELECT t.rank, t.user_id, t.cnt,
-           CAST((CAST(t.cnt AS DECIMAL(38,0)) * 1000000)
-                // CAST(s.total AS DECIMAL(38,0)) AS BIGINT) AS share_ppm,
+           CAST((CAST(t.cnt AS HUGEINT) * 1000000)
+                // CAST(s.total AS HUGEINT) AS BIGINT) AS share_ppm,
            s.n_keys, s.total,
-           CAST((CAST(s.mx AS DECIMAL(38,0)) * 1000000)
-                // CAST(s.total AS DECIMAL(38,0)) AS BIGINT) AS max_share_ppm,
-           CAST((s.sq * 1000000) // (CAST(s.total AS DECIMAL(38,0))
-                * CAST(s.total AS DECIMAL(38,0))) AS BIGINT) AS hhi_ppm
+           CAST((CAST(s.mx AS HUGEINT) * 1000000)
+                // CAST(s.total AS HUGEINT) AS BIGINT) AS max_share_ppm,
+           CAST((CAST(s.sq AS HUGEINT) * 1000000) // (CAST(s.total AS HUGEINT)
+                * CAST(s.total AS HUGEINT)) AS BIGINT) AS hhi_ppm
     FROM t, s
     """,
 )
