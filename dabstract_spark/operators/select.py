@@ -525,3 +525,68 @@ def materialize_mixture(
 
 
 _REGISTRY["materialize_mixture"] = materialize_mixture
+
+
+#: Poisson(1) CDF in exact ppm — P(X <= k) for k = 0..7; weights beyond 8
+#: are astronomically rare and truncated (P ~ 1e-6 covered by the last
+#: threshold). Literals so Spark and the SQL oracle share one table.
+POISSON1_CDF_PPM = (367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989)
+
+
+def bootstrap_means(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    n_boot: int = 32,
+    seed: int = 0,
+) -> DataFrame:
+    """Distributed Poisson bootstrap of mean(``value_col``) — error bars
+    for corpus metrics at scale: per replicate ``b``, every row draws an
+    independent Poisson(1) weight (the standard streaming/distributed
+    approximation of multinomial resampling — no global count, no
+    sequential draws), and the replicate's weighted mean is one
+    bootstrap sample of the statistic; the spread across replicates IS
+    the sampling error.
+
+    Exact and engine-portable: the Poisson draw is an inverse-CDF walk
+    over ppm-integer thresholds (weight = #thresholds <= an md5-derived
+    uniform ppm, deterministic per (seed, b, key)), and the mean is
+    integer ``Σw·v div Σw`` (``value_col`` must be integer-valued, e.g.
+    a ppm score). Plan: one explode by n_boot (output-sized), one
+    map-side-combinable groupBy(b) — Σ-shaped at any corpus size.
+    Returns (b, n_eff, mean_ppm)."""
+    reps = df.select(
+        F.col(key).cast("string").alias("__k"),
+        F.col(value_col).cast("bigint").alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.lit(str(seed)), F.col("b").cast("string"), F.col("__k"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    w = sum(
+        (u >= F.lit(t)).cast("bigint") for t in POISSON1_CDF_PPM
+    )
+    return (
+        reps.withColumn("__w", w)
+        .groupBy("b")
+        .agg(
+            F.sum("__w").alias("n_eff"),
+            F.expr("CAST(sum(__w * __v) div greatest(sum(__w), 1) AS BIGINT)").alias(
+                "mean_ppm"
+            ),
+        )
+    )
+
+
+_REGISTRY["bootstrap_means"] = bootstrap_means

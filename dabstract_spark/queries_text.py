@@ -5507,3 +5507,49 @@ def q251_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, corpus, "doc_id", "text", f"{tmp}/out", f"{tmp}/ckpt",
         n_hashes=16, bands=4, k=3, max_bucket=64,
     )
+
+
+# --------------------------------------------------------------------- #
+# Distributed Poisson bootstrap (select.bootstrap_means): 32 replicate
+# means of the corpus quality score with per-(seed, b, doc) md5
+# inverse-CDF Poisson(1) weights — error bars for corpus metrics with
+# no global count and no sequential resampling. Exact ppm integers end
+# to end.
+# --------------------------------------------------------------------- #
+def _poisson_w_sql(u: str) -> str:
+    from dabstract_spark.operators.select import POISSON1_CDF_PPM
+
+    return " + ".join(f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)" for t in POISSON1_CDF_PPM)
+
+
+@query(
+    "q254_bootstrap_quality",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             ((5 * least(length(text)::BIGINT * 2500, 1000000)
+               + 3 * least((len(list_filter({_T}, t -> t IN {_SW}))::BIGINT * 1000000
+                            // greatest(len({_T}), 1)) * 5, 1000000)
+               + 2 * (1000000 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::BIGINT * 1000000
+                            // greatest(length(text), 1)) * 10, 1000000))) // 10) AS qp
+      FROM documents),
+    reps AS (
+      SELECT doc_id, qp, b,
+             CAST(('0x' || substr(md5('7:' || CAST(b AS VARCHAR) || ':'
+                                   || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000000 AS u
+      FROM q, UNNEST(generate_series(0, 31)) AS t(b)),
+    w AS (SELECT b, qp, {_poisson_w_sql('u')} AS w FROM reps)
+    SELECT CAST(b AS INT) AS b, CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * qp) // greatest(SUM(w), 1) AS BIGINT) AS mean_ppm
+    FROM w GROUP BY b
+    """,
+)
+def q254_bootstrap_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import bootstrap_means
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.quality_score_ppm("text").alias("qp")
+    )
+    out = bootstrap_means(docs, "doc_id", "qp", n_boot=32, seed=7)
+    return out.select(F.col("b").cast("int").alias("b"), "n_eff", "mean_ppm")

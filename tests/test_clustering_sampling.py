@@ -814,3 +814,25 @@ def test_hard_negatives_excludes_same_label(spark):
     ids = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
     assert ids == [2, 3]  # hard negative first, same-label vec 1 excluded
     assert all(r.label != r.query_label for r in out)
+
+
+def test_bootstrap_means_poisson_properties(spark):
+    from dabstract_spark.operators.select import bootstrap_means
+
+    df = spark.createDataFrame(
+        [(i, 1000) for i in range(400)], "id long, v long"
+    )
+    rows = bootstrap_means(df, "id", "v", n_boot=16, seed=3).collect()
+    assert len(rows) == 16
+    # constant metric: every replicate mean is exactly the constant
+    assert all(r.mean_ppm == 1000 for r in rows)
+    # Poisson(1) weights: n_eff concentrates around n (well within 4*sqrt(n))
+    import math
+
+    for r in rows:
+        assert abs(r.n_eff - 400) < 4 * math.sqrt(400) + 20
+    # replicates differ (the resampling actually varies)
+    assert len({r.n_eff for r in rows}) > 1
+    # deterministic under the same seed
+    again = bootstrap_means(df, "id", "v", n_boot=16, seed=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
