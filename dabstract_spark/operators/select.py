@@ -533,14 +533,15 @@ _REGISTRY["materialize_mixture"] = materialize_mixture
 POISSON1_CDF_PPM = (367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989)
 
 
-def bootstrap_means(
+def bootstrap_partials(
     df: DataFrame,
     key: str,
     value_col: str,
     n_boot: int = 32,
     seed: int = 0,
 ) -> DataFrame:
-    """Distributed Poisson bootstrap of mean(``value_col``) — error bars
+    """MERGEABLE partial sums (b, n_eff=Σw, s=Σw·v) of the distributed
+    Poisson bootstrap of mean(``value_col``) — error bars
     for corpus metrics at scale: per replicate ``b``, every row draws an
     independent Poisson(1) weight (the standard streaming/distributed
     approximation of multinomial resampling — no global count, no
@@ -582,10 +583,25 @@ def bootstrap_means(
         .groupBy("b")
         .agg(
             F.sum("__w").alias("n_eff"),
-            F.expr("CAST(sum(__w * __v) div greatest(sum(__w), 1) AS BIGINT)").alias(
-                "mean_ppm"
-            ),
+            F.sum(F.expr("__w * __v")).alias("s"),
         )
+    )
+
+
+def bootstrap_means(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    n_boot: int = 32,
+    seed: int = 0,
+) -> DataFrame:
+    """Replicate means from :func:`bootstrap_partials` — the batch
+    surface; the streaming maintainer merges the same partials by sum
+    before this identical div (one staging recipe, no drift)."""
+    return bootstrap_partials(df, key, value_col, n_boot=n_boot, seed=seed).select(
+        "b",
+        "n_eff",
+        F.expr("CAST(s div greatest(n_eff, 1) AS BIGINT)").alias("mean_ppm"),
     )
 
 

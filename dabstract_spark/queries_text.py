@@ -5553,3 +5553,48 @@ def q254_bootstrap_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = bootstrap_means(docs, "doc_id", "qp", n_boot=32, seed=7)
     return out.select(F.col("b").cast("int").alias("b"), "n_eff", "mean_ppm")
+
+
+# --------------------------------------------------------------------- #
+# Streaming bootstrap maintenance (streaming/ops.bootstrap_stream): each
+# micro-batch appends its mergeable (b, Σw, Σw·v) partials from the
+# SAME bootstrap_partials staging as q254; live means = merge-by-sum +
+# the identical div. Deterministic per-(seed, b, key) weights + plain
+# sums => drained == batch bootstrap exactly (same oracle as q254).
+# --------------------------------------------------------------------- #
+@query(
+    "q255_stream_bootstrap",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             ((5 * least(length(text)::BIGINT * 2500, 1000000)
+               + 3 * least((len(list_filter({_T}, t -> t IN {_SW}))::BIGINT * 1000000
+                            // greatest(len({_T}), 1)) * 5, 1000000)
+               + 2 * (1000000 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::BIGINT * 1000000
+                            // greatest(length(text), 1)) * 10, 1000000))) // 10) AS qp
+      FROM documents),
+    reps AS (
+      SELECT doc_id, qp, b,
+             CAST(('0x' || substr(md5('7:' || CAST(b AS VARCHAR) || ':'
+                                   || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000000 AS u
+      FROM q, UNNEST(generate_series(0, 31)) AS t(b)),
+    w AS (SELECT b, qp, {_poisson_w_sql('u')} AS w FROM reps)
+    SELECT CAST(b AS INT) AS b, CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * qp) // greatest(SUM(w), 1) AS BIGINT) AS mean_ppm
+    FROM w GROUP BY b
+    """,
+)
+def q255_stream_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.streaming.ops import bootstrap_stream, stream_events
+
+    src = stream_events(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", tx.quality_score_ppm("text").alias("qp")
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkdab_boot_")
+    out = bootstrap_stream(
+        src, "doc_id", "qp", f"{tmp}/out", f"{tmp}/ckpt", n_boot=32, seed=7
+    )
+    return out.select(F.col("b").cast("int").alias("b"), "n_eff", "mean_ppm")

@@ -916,3 +916,48 @@ def neardup_ingest_stream(
         "neardup_ingest_stream",
     )
     return sink.distinct()
+
+
+def bootstrap_stream(
+    doc_stream: DataFrame,
+    key: str,
+    value_col: str,
+    out_path: str,
+    checkpoint: str,
+    n_boot: int = 32,
+    seed: int = 0,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming maintenance of the Poisson-bootstrap metric (the online
+    twin of select.bootstrap_means): each micro-batch appends its
+    PARTIAL per-replicate sums (b, Σw, Σw·v) — n_boot rows per batch,
+    from the SAME bootstrap_partials staging as the batch op — and the
+    live replicate means at any time are one merge-by-sum over the
+    sink, never a rescan of past documents. Weights are per-(seed, b,
+    key) deterministic and the partials are plain sums, so the drained
+    means equal the batch bootstrap EXACTLY under any batching or
+    arrival order (the CMS/histogram maintenance algebra). Returns the
+    merged (b, n_eff, mean_ppm) table."""
+    from dabstract_spark.operators.select import bootstrap_partials
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            bootstrap_partials(batch_df, key, value_col, n_boot=n_boot, seed=seed)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    sink = _drain_foreach_batch(
+        doc_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "bootstrap_stream",
+    )
+    return sink.groupBy("b").agg(
+        F.sum("n_eff").alias("n_eff"),
+        F.expr("CAST(sum(s) div greatest(sum(n_eff), 1) AS BIGINT)").alias("mean_ppm"),
+    )
