@@ -738,6 +738,21 @@ class Dataset:
 
         return gopher_rules(self._df, ROW_ID, key, **kw)
 
+    def bootstrap_means(self, value_col: str, n_boot: int = 32, seed: int = 0):
+        """Poisson-bootstrap replicate means of an integer metric column
+        (see select.bootstrap_means) — error bars for corpus statistics.
+        Returns a DataFrame report (b, n_eff, mean_ppm)."""
+        from dabstract_spark.operators.select import bootstrap_means
+
+        return bootstrap_means(self._df, ROW_ID, value_col, n_boot=n_boot, seed=seed)
+
+    def collocations(self, key: str = "text", **kw):
+        """Top adjacent-token collocations by exact-integer lift (see
+        text.collocations). Returns a DataFrame report."""
+        from dabstract_spark.operators.text import collocations
+
+        return collocations(self._df, ROW_ID, key, **kw)
+
     # ------------------------------------------------------------------ #
     # driver-side access (DataAbstract, abstract.py:252-472: multi-index
     # fetch / np-stacking / prefetching generator — Spark-native forms)

@@ -1041,3 +1041,62 @@ def perplexity_buckets(
     return sc.join(bk, "__s").select(
         id_col, F.col("__s").alias("coherence_ppm"), "bucket"
     )
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining (corpus analytics): adjacent token pairs
+    ranked by LIFT — ``1e6·N·c(w1,w2) div (c(w1)·c(w2))``, the PMI
+    argument without the log (log is monotone, so the ranking is
+    PMI's; exact integers keep it engine-portable where IEEE log would
+    not be). ``min_count`` drops rare pairs whose lift is noise — the
+    standard collocation significance floor.
+
+    Plan shape: one token explode feeds the bigram counts (shuffle on
+    (w1, w2) — vocabulary-sized) and the unigram counts (vocabulary-
+    sized); N is a 1-row broadcast; final ranking is a small-k
+    TakeOrdered. Returns (rank, w1, w2, pair_cnt, lift_ppm)."""
+    from pyspark.sql import Window
+
+    d = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__t"))
+    big = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("__t", 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                F.slice("__t", 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+            )
+        ).alias("__z")
+    ).select(F.col("__z.0").alias("w1"), F.col("__z.1").alias("w2"))
+    pairs = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    toks = d.select(F.explode("__t").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("__c"))
+    n = toks.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        pairs.filter(F.col("pair_cnt") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("__c", "__c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("__c", "__c2"), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "pair_cnt",
+            F.expr(
+                "CAST((CAST(pair_cnt AS DECIMAL(38,0)) * __n * 1000000)"
+                " div (CAST(__c1 AS DECIMAL(38,0)) * __c2) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("lift_ppm"), F.desc("pair_cnt"), F.asc("w1"), F.asc("w2")
+    ).limit(top_k)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("lift_ppm"), F.desc("pair_cnt"), F.asc("w1"), F.asc("w2")
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "w1", "w2", "pair_cnt", "lift_ppm"
+    )

@@ -5598,3 +5598,44 @@ def q255_stream_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, "doc_id", "qp", f"{tmp}/out", f"{tmp}/ckpt", n_boot=32, seed=7
     )
     return out.select(F.col("b").cast("int").alias("b"), "n_eff", "mean_ppm")
+
+
+# --------------------------------------------------------------------- #
+# Collocation mining (text.collocations): adjacent-pair LIFT ranking —
+# the PMI argument without the log (monotone-equivalent ranking, exact
+# integers where IEEE log would drift across engines). Vocabulary-sized
+# shuffles; N is a 1-row broadcast; small-k TakeOrdered.
+# --------------------------------------------------------------------- #
+@query(
+    "q256_collocations",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS.format(c='text')} AS ts FROM documents),
+    big AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)),
+    pairs AS (SELECT w1, w2, COUNT(*) AS pair_cnt FROM big GROUP BY w1, w2),
+    uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(ts) AS w FROM tok) GROUP BY w),
+    n AS (SELECT SUM(c) AS n FROM uni),
+    scored AS (
+      SELECT p.w1, p.w2, p.pair_cnt,
+             CAST((CAST(p.pair_cnt AS HUGEINT) * n.n * 1000000)
+                  // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS lift_ppm
+      FROM pairs p
+      JOIN uni u1 ON u1.w = p.w1
+      JOIN uni u2 ON u2.w = p.w2
+      CROSS JOIN n
+      WHERE p.pair_cnt >= 5)
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY lift_ppm DESC, pair_cnt DESC, w1, w2) AS INT) AS rank,
+           w1, w2, pair_cnt, lift_ppm
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+      ORDER BY lift_ppm DESC, pair_cnt DESC, w1, w2) <= 20
+    """,
+)
+def q256_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.collocations(docs, "doc_id", "text", top_k=20, min_count=5)

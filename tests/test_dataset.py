@@ -202,3 +202,20 @@ def test_dataset_facades_curriculum_gopher_mixture(spark):
     assert set(mix) == {"s0", "s1"} and mix["s0"].weight_ppm == 500_000
     gr = ds.gopher_rules(min_words=5, max_words=50)
     assert {r.row_id for r in gr.collect()} == set(range(20))
+
+
+def test_dataset_facades_bootstrap_collocations(spark):
+    from dabstract_spark.dataset import Dataset
+
+    ds = Dataset(
+        spark.createDataFrame(
+            [(i, "the cat sat on the mat the cat sat", 500000 + i) for i in range(30)],
+            "row_id long, text string, q long",
+        ),
+        name="d",
+    )
+    boots = ds.bootstrap_means("q", n_boot=4, seed=1).collect()
+    assert len(boots) == 4 and all(r.n_eff > 0 for r in boots)
+    col = ds.collocations(min_count=2, top_k=5).collect()
+    assert 0 < len(col) <= 5
+    assert ("the", "cat") in {(r.w1, r.w2) for r in col}
