@@ -286,7 +286,7 @@ class Dataset:
     def get_unique(
         self,
         key: str,
-        return_idx: bool = False,
+        return_idx: bool | str = False,
         set_name: str | None = None,
         fold: int = 0,
         max_ids: int | None = None,
@@ -295,18 +295,24 @@ class Dataset:
         row_id group per value. ``set_name``/``fold`` restrict to one xval
         view first (reference dataset.py:636-701's fold/set arguments).
 
-        ``return_idx`` collects ALL row ids per value — the reference's
-        contract, and unbounded when one value dominates (a 90%-"en"
-        lang column at corpus scale puts 90% of all row ids in one
-        task's array). ``max_ids`` caps each group to its SMALLEST
-        max_ids row ids, rank-filtered BEFORE the collect so the
-        over-full array is never materialized (the same
-        filter-then-collect discipline as the dedup pair miners)."""
+        ``return_idx=True`` collects ALL row ids per value — the
+        reference's contract (the group ARRAY is the output), and
+        therefore bounded by the hottest value's cardinality: a value
+        covering 10⁹ rows is one task's array. Scale callers have two
+        outs: ``max_ids`` caps each group to its SMALLEST max_ids row
+        ids, rank-filtered BEFORE the collect so the over-full array is
+        never materialized (the same filter-then-collect discipline as
+        the dedup pair miners); ``return_idx="long"`` skips the array
+        entirely and returns the relational long form — one
+        ``(value, row_id)`` row per member, a plain shuffle-free
+        projection with no per-value state at all."""
         src = (
             self if set_name is None else self.get_xval_set(set_name, fold)
         )._df
         if not return_idx:
             return src.select(key).distinct().orderBy(key)
+        if return_idx == "long":
+            return src.select(key, ROW_ID)
         if max_ids is not None:
             w = Window.partitionBy(key).orderBy(ROW_ID)
             src = (

@@ -327,7 +327,7 @@ def funnel_stages(
     ts_col: str = "ts",
     user_col: str = "user_id",
     type_col: str = "event_type",
-    max_events: int | None = None,
+    max_events: int | None = 1_000_000,
 ) -> DataFrame:
     """Ordered-funnel analysis: the deepest stage each key reached, where
     stage k counts only if it happened STRICTLY AFTER the key's entry
@@ -352,9 +352,12 @@ def funnel_stages(
     a deterministic cap keeping each user's EARLIEST max_events stage
     events (rank-filtered before the collect — nothing over-cap is ever
     materialized; ties on (ts, type) are struct-identical so the kept
-    multiset is deterministic). Documented trade: a capped user's
-    funnel can only under-report progression that first happens after
-    its max_events-th stage event.
+    multiset is deterministic). The cap DEFAULTS ON at 10⁶ — no human
+    emits a million funnel events, so the default is output-invisible
+    for real users while bounding the bot-grade array by construction;
+    pass ``max_events=None`` to opt out explicitly. Documented trade: a
+    capped user's funnel can only under-report progression that first
+    happens after its max_events-th stage event.
     """
     us = _epoch_us(ts_col)
     stage_events = df.filter(F.col(type_col).isin(list(stages)))

@@ -188,7 +188,11 @@ def psi_drift(
 
     Bins are fixed-width over [lo, hi) (out-of-range values clamp to
     the edge buckets — production PSI freezes the reference binning, it
-    does not re-derive it from the drifted data). Per bucket:
+    does not re-derive it from the drifted data). NULL values of the
+    monitored column are EXCLUDED on both sides (a missing measurement
+    is not evidence about the distribution; without the filter Spark's
+    greatest() would silently fold NULL into bucket 0, inflating the
+    lowest bin). Per bucket:
     ``psi_contrib = (pa - pb) * ln(pa / pb)`` with both proportions
     clamped to ``eps`` so empty buckets stay finite. Returns one row
     per bucket: (bucket, cnt_a, cnt_b, psi_contrib rounded to 6);
@@ -199,7 +203,7 @@ def psi_drift(
     monitor costs two scans regardless of corpus size."""
     spark = a.sparkSession
     width = (hi - lo) / n_buckets
-    bucket = lambda df: df.select(  # noqa: E731
+    bucket = lambda df: df.filter(F.col(col).isNotNull()).select(  # noqa: E731
         F.least(
             F.lit(n_buckets - 1),
             F.greatest(F.lit(0), F.floor((F.col(col) - lo) / width).cast("int")),

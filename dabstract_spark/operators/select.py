@@ -110,15 +110,32 @@ def sample_per_group(
 ) -> DataFrame:
     """Keep at most ``n`` pseudo-random rows per ``group_key`` value —
     balanced class sampling for training sets. Deterministic (md5-ranked
-    within each group) so it is oracle-expressible; one shuffle on the
-    group key. Groups smaller than n pass through whole."""
-    from pyspark.sql import Window
+    within each group) so it is oracle-expressible. Groups smaller than
+    n pass through whole.
 
-    w = Window.partitionBy(group_key).orderBy(md5_order(key, seed))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
+    Two-level rank (``curriculum_order``'s composite-bucket discipline):
+    first rank within (group, 256-way md5-hex prefix) — each window task
+    holds ~1/256 of one group, so a corpus-dominating group never lands
+    in a single task's sort — and keep the per-bucket top n. A row in
+    the true per-group top n is in its bucket's top n a fortiori, so the
+    ≤ 256·n survivors per group contain the answer; one tiny second rank
+    over the bounded survivor set merges them. Byte-identical to the
+    single-window form (md5 over distinct keys is a total order)."""
+    shuffled = df.withColumn("__shuf", md5_order(key, seed)).withColumn(
+        "__b", F.conv(F.substring("__shuf", 1, 2), 16, 10).cast("int")
+    )
+    w1 = Window.partitionBy(group_key, "__b").orderBy("__shuf", key)
+    pruned = (
+        shuffled.withColumn("__rn", F.row_number().over(w1))
         .filter(F.col("__rn") <= n)
-        .drop("__rn")
+        .drop("__rn", "__b")
+    )
+    # bounded by construction: ≤ 256·n rows per group reach this window
+    w2 = Window.partitionBy(group_key).orderBy("__shuf", key)
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn", "__shuf")
     )
 
 
@@ -223,15 +240,40 @@ def top_k_per_group(
     df: DataFrame, group_cols: list[str], order_cols: list, k: int
 ) -> DataFrame:
     """Top-k rows per group (curriculum/quality selection: "best k docs
-    per domain"). One shuffle on the group key; rank state is per-group
-    and map-local after the exchange. ``order_cols`` should end with a
-    unique tiebreaker so the result is deterministic and replayable.
-    """
-    from pyspark.sql import Window
+    per domain"). ``order_cols`` must end with a unique tiebreaker so
+    the result is deterministic and replayable.
 
-    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    Two-level rank (``curriculum_order``'s composite-bucket discipline):
+    rank within (group, 256-way deterministic hash bucket) first and
+    keep each bucket's top k — a row in the true per-group top k is in
+    its bucket's top k a fortiori — then merge the ≤ 256·k survivors per
+    group with one second rank over that bounded set. A dominant group
+    (one domain owning most of a 100 TB corpus) never lands in a single
+    task's sort. The bucket key is xxhash64 over the row's hashable
+    columns — it only routes rows, it never orders them, so the output
+    is identical to the single-window form under a total order.
+    """
+    hashable = [
+        f.name
+        for f in df.schema.fields
+        if not f.dataType.typeName().startswith("map")
+    ]
+    bucket = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(256)).cast("int")
+        if hashable
+        else F.lit(0)
+    )
+    bucketed = df.withColumn("__b", bucket)
+    w1 = Window.partitionBy(*group_cols, "__b").orderBy(*order_cols)
+    pruned = (
+        bucketed.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__b")
+    )
+    # bounded by construction: ≤ 256·k rows per group reach this window
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        pruned.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
@@ -345,7 +387,9 @@ def extend_training_order(
         .drop("__off")
     )
     if pos_col != "pos":
-        out = out.withColumnRenamed("pos", pos_col)
+        # the offset positions already live in pos_col; drop the raw
+        # training_order column (a rename here would duplicate the name)
+        out = out.drop("pos")
     if n_shards is not None:
         out = out.withColumn("shard", (F.col(pos_col) % n_shards).cast("int"))
     return out

@@ -344,6 +344,29 @@ def q18_get_unique_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q257_get_unique_long",
+    # the scale-safe long form of get_unique(return_idx): one
+    # (value, row_id) row per member instead of a per-value array —
+    # no per-value state, so a 90%-hot value costs nothing special
+    oracle="""
+    SELECT o_orderpriority, o_orderkey AS row_id
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def q257_get_unique_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # get_unique(return_idx="long") emits the relational membership
+    # table; the %7 filter keeps the compare set small while still
+    # exercising the xval-free path end to end
+    ds = Dataset(
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("row_id", F.col("o_orderkey")),
+        name="orders",
+    )
+    return ds.get_unique("o_orderpriority", return_idx="long")
+
+
+@query(
     "q19_summary_counts",
     oracle="""
     SELECT 0 AS dataset_id, 'orders' AS dataset_str, COUNT(*) AS n_rows FROM orders

@@ -4027,10 +4027,10 @@ def q218_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH a AS (
       SELECT LEAST(9, GREATEST(0, CAST(FLOOR((value - 0) / 50.0) AS INT))) AS bucket
-      FROM events WHERE event_type = 'click'),
+      FROM events WHERE event_type = 'click' AND value IS NOT NULL),
     b AS (
       SELECT LEAST(9, GREATEST(0, CAST(FLOOR((value - 0) / 50.0) AS INT))) AS bucket
-      FROM events WHERE event_type = 'purchase'),
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
     ca AS (SELECT bucket, COUNT(*) AS cnt_a FROM a GROUP BY bucket),
     cb AS (SELECT bucket, COUNT(*) AS cnt_b FROM b GROUP BY bucket),
     spine AS (SELECT CAST(x AS INT) AS bucket FROM UNNEST(generate_series(0, 9)) t(x)),

@@ -60,15 +60,21 @@ def get_spark(
     # bounded tiny-table windows no matter what the source declares.
     # The warning channel therefore can't distinguish a 256-row offset
     # table from a data-scale regression — the source-level audit is
-    # the real guard — so silence this one logger.
-    try:
-        jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.sql.execution.window.WindowExec",
-            jvm.org.apache.logging.log4j.Level.ERROR,
-        )
-    except Exception:
-        pass  # non-log4j2 deployments keep the warning; harmless
+    # the real guard — so silence this one logger. Session-wide
+    # suppression also hides the warning for AD-HOC user plans this
+    # repo's audit never saw, so it is opt-out: set
+    # SPARK_GRAFT_KEEP_WINDOW_WARN=1 to keep WindowExec's warning (the
+    # audited in-repo windows then re-warn too; they are all
+    # constant-size tables by construction).
+    if not os.environ.get("SPARK_GRAFT_KEEP_WINDOW_WARN"):
+        try:
+            jvm = spark.sparkContext._jvm
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                "org.apache.spark.sql.execution.window.WindowExec",
+                jvm.org.apache.logging.log4j.Level.ERROR,
+            )
+        except Exception:
+            pass  # non-log4j2 deployments keep the warning; harmless
     return spark
 
 

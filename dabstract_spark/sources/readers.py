@@ -366,13 +366,17 @@ def ahash_neardup_pairs(
     split into 4 bands of 16; two images sharing ANY band value become
     candidates, verified by exact popcount distance. Pigeonhole makes
     the banding EXHAUSTIVE for ``max_hamming <= 3`` (4 disjoint bands
-    can absorb at most 3 bit errors without one band matching exactly),
-    so the output is the complete <= max_hamming pair set, not a
-    sample — while the join only ever touches same-band buckets.
+    can absorb at most 3 bit errors without one band matching exactly)
+    — with ``max_bucket=None`` (or no bucket over the cap) the output
+    is the complete <= max_hamming pair set, not a sample — while the
+    join only ever touches same-band buckets.
 
-    ``max_bucket`` caps any single band bucket with the md5-rank
-    keep-set discipline every other pair miner here uses (a solid-black
-    album at web scale would otherwise funnel into one bucket)."""
+    ``max_bucket`` (default 64) caps any single band bucket with the
+    md5-rank keep-set discipline every other pair miner here uses (a
+    solid-black album at web scale would otherwise funnel into one
+    bucket). Under the cap a hot bucket's dropped members can lose true
+    pairs — the same capped-recall trade ``fuzzy_pairs`` documents —
+    so exhaustiveness holds only when no bucket exceeds the cap."""
     if max_hamming > 3:
         raise ValueError(
             "4x16 banding is only exhaustive for max_hamming <= 3; "

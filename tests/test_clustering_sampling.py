@@ -138,6 +138,45 @@ def test_sample_per_group_small_group_passes_through(spark):
     assert sample_per_group(df, "grp", n=10).count() == 2
 
 
+def test_two_level_rank_matches_single_window_on_giant_group(spark):
+    """The composite-bucket two-level rank in sample_per_group /
+    top_k_per_group must be byte-identical to the naive single
+    Window.partitionBy(group) form — checked on a one-giant-group
+    corpus (the exact skew shape the two-level form exists for)."""
+    from pyspark.sql import Window, functions as F
+
+    from dabstract_spark.functions.hashing import md5_order
+    from dabstract_spark.operators.select import top_k_per_group
+
+    rows = [(i, "mega" if i < 990 else "tail", float(i % 37)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "row_id bigint, grp string, score double")
+
+    naive_w = Window.partitionBy("grp").orderBy(md5_order("row_id", 0), "row_id")
+    naive = sorted(
+        (r.grp, r.row_id)
+        for r in df.withColumn("__rn", F.row_number().over(naive_w))
+        .filter("__rn <= 7")
+        .collect()
+    )
+    got = sorted((r.grp, r.row_id) for r in sample_per_group(df, "grp", n=7).collect())
+    assert got == naive
+
+    naive_w2 = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("row_id"))
+    naive2 = sorted(
+        (r.grp, r.row_id)
+        for r in df.withColumn("__rn", F.row_number().over(naive_w2))
+        .filter("__rn <= 7")
+        .collect()
+    )
+    got2 = sorted(
+        (r.grp, r.row_id)
+        for r in top_k_per_group(
+            df, ["grp"], [F.desc("score"), F.asc("row_id")], k=7
+        ).collect()
+    )
+    assert got2 == naive2
+
+
 def test_minhash_exact_duplicate_always_pairs(spark):
     """Identical text ⇒ identical signature ⇒ identical bands ⇒ the pair
     MUST surface (LSH has false positives but never false negatives for

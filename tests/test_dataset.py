@@ -184,6 +184,20 @@ def test_get_unique_max_ids_cap(spark):
         assert ids == sorted(full[k])[:2]
 
 
+def test_get_unique_long_form_matches_array_form(spark):
+    """return_idx='long' is the scale-safe relational twin of the array
+    form: exploding the arrays reproduces it exactly, and no per-value
+    array (hot-value bound) exists in the long plan."""
+    ds = make_ds(spark, n=10)
+    arr = {r["subdb"]: r["row_ids"] for r in ds.get_unique("subdb", return_idx=True).collect()}
+    long_rows = ds.get_unique("subdb", return_idx="long").collect()
+    got = {}
+    for r in long_rows:
+        got.setdefault(r["subdb"], []).append(r["row_id"])
+    assert {k: sorted(v) for k, v in got.items()} == arr
+    assert ds.get_unique("subdb", return_idx="long").columns == ["subdb", "row_id"]
+
+
 def test_dataset_facades_curriculum_gopher_mixture(spark):
     from dabstract_spark.dataset import Dataset
 

@@ -621,6 +621,49 @@ def test_extend_training_order_appends_without_moving_base(spark):
     assert sorted(r["pos"] for r in fresh.collect()) == [0, 1, 2]
 
 
+def test_extend_training_order_custom_pos_col(spark):
+    """A non-default pos_col yields exactly ONE position column (no
+    duplicate-named schema) and the shard derives from the offset
+    position — with and without n_shards."""
+    from dabstract_spark.operators.select import extend_training_order, training_order
+
+    df = spark.createDataFrame([(i,) for i in range(16)], "id bigint")
+    base = training_order(df.filter("id < 10"), "id", seed=3).withColumnRenamed(
+        "pos", "ord"
+    )
+    new = extend_training_order(base, df.filter("id >= 10"), "id", seed=3, pos_col="ord")
+    assert new.columns.count("ord") == 1 and "pos" not in new.columns
+    assert sorted(r["ord"] for r in new.collect()) == list(range(10, 16))
+    sharded = extend_training_order(
+        base, df.filter("id >= 10"), "id", seed=3, pos_col="ord", n_shards=4
+    )
+    got = sharded.collect()
+    assert sharded.columns.count("ord") == 1
+    assert all(r["shard"] == r["ord"] % 4 for r in got)
+
+
+def test_funnel_default_cap_is_on_and_output_invisible(spark):
+    """max_events now DEFAULTS to 10⁶ (bot-grade arrays bounded by
+    construction); for any human-scale user the default is
+    output-identical to the explicit opt-out."""
+    import inspect
+
+    assert inspect.signature(funnel_stages).parameters["max_events"].default == 1_000_000
+    rows = [
+        (1, _ts(0), 1, "view"),
+        (2, _ts(1), 1, "click"),
+        (3, _ts(2), 1, "purchase"),
+        (4, _ts(0), 2, "click"),  # click before any view: stage 0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    dflt = sorted(funnel_stages(df).collect())
+    uncapped = sorted(funnel_stages(df, max_events=None).collect())
+    assert dflt == uncapped
+    assert {r.user_id: r.stage_reached for r in dflt} == {1: 3, 2: 0}
+
+
 def test_chunk_manifest_segments_tile_each_chunk(spark):
     from dabstract_spark.operators.packing import chunk_manifest, sequence_pack
 

@@ -425,6 +425,14 @@ def test_psi_drift_identical_and_shifted(spark):
     top = [r for r in drift if r.bucket == 9][0]
     assert top.cnt_b == 60  # values 90..149 all land in bucket 9
 
+    # NULL measurements are excluded, not folded into bucket 0: adding
+    # NULL rows to either side changes nothing
+    with_nulls = a.unionByName(
+        spark.createDataFrame([(None,), (None,)], "v double")
+    )
+    same2 = psi_drift(with_nulls, a, "v", lo=0.0, hi=100.0, n_buckets=10).collect()
+    assert sorted(map(tuple, same2)) == sorted(map(tuple, same))
+
 
 def test_energy_segments_islands_and_threshold(spark):
     from dabstract_spark.sources.readers import energy_segments
