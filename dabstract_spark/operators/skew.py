@@ -58,6 +58,56 @@ def replicated_broadcast_join(
     return big.join(F.broadcast(small), on, how)
 
 
+def skew_advice(
+    df: DataFrame,
+    key_cols: list[str],
+    n_partitions: int = 32,
+    broadcast_max_keys: int = 100_000,
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-flight skew ADVISORY for a prospective join/groupBy key — the
+    actionable half of :func:`key_skew_profile`: for each of the
+    ``top_k`` heaviest keys, what to do about it BEFORE launching the
+    100 TB job.
+
+    Decision rules (exact integer arithmetic, so the advice is
+    deterministic and oracle-checkable):
+
+    - ``broadcast`` — the key's distinct-value table is small
+      (``n_keys <= broadcast_max_keys``): join against it via
+      ``replicated_broadcast_join`` and no shuffle of the big side
+      happens at all; skew becomes irrelevant.
+    - ``salt(k)`` — the key alone overflows a reducer's fair share
+      (suggested salts ``k = ceil(cnt·n_partitions/total) > 1``): shard
+      it across ``k`` sub-keys via :func:`salted_count_sum`'s two-phase
+      shape (q82's mitigation). ``k`` is exactly the number of
+      fair-share partitions the key's rows occupy.
+    - ``ok`` — the key fits one reducer's fair share; hash partitioning
+      already balances it.
+
+    Returns one row per profiled hot key: (rank, *key_cols, cnt,
+    share_ppm, n_salts, advice). Plan shape is the profiler's: one
+    map-side-combinable count per key, a 1-row broadcast of the global
+    stats, a small-k TakeOrdered."""
+    prof = key_skew_profile(df, key_cols, top_k=top_k)
+    n_salts = F.expr(
+        f"CAST((CAST(cnt AS DECIMAL(38,0)) * {int(n_partitions)}"
+        " + CAST(total AS DECIMAL(38,0)) - 1)"
+        " div CAST(total AS DECIMAL(38,0)) AS INT)"
+    )
+    return prof.withColumn("n_salts", n_salts).select(
+        "rank",
+        *key_cols,
+        "cnt",
+        "share_ppm",
+        "n_salts",
+        F.when(F.col("n_keys") <= broadcast_max_keys, F.lit("broadcast"))
+        .when(F.col("n_salts") > 1, F.concat(F.lit("salt("), F.col("n_salts"), F.lit(")")))
+        .otherwise(F.lit("ok"))
+        .alias("advice"),
+    )
+
+
 def key_skew_profile(
     df: DataFrame, key_cols: list[str], top_k: int = 10
 ) -> DataFrame:

@@ -5465,6 +5465,48 @@ def q250_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Skew pre-flight ADVISORY (skew.skew_advice): the actionable half of
+# q250_key_skew — per hot key, broadcast / salt(k) / ok, with k =
+# ceil(cnt·n_partitions/total) the exact number of fair-share reducers
+# the key's rows occupy (q82_salted_agg's mitigation, sized from the
+# measurement). All-integer decision arithmetic so the advice strings
+# hash-check across engines.
+# --------------------------------------------------------------------- #
+@query(
+    "q258_skew_advice",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    s AS (SELECT COUNT(*) AS n_keys, SUM(cnt) AS total FROM c),
+    t AS (SELECT lang, cnt,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, lang) AS INT) AS rank
+          FROM c
+          QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, lang) <= 5),
+    a AS (SELECT t.rank, t.lang, t.cnt,
+                 CAST((CAST(t.cnt AS HUGEINT) * 1000000)
+                      // CAST(s.total AS HUGEINT) AS BIGINT) AS share_ppm,
+                 CAST((CAST(t.cnt AS HUGEINT) * 32 + CAST(s.total AS HUGEINT) - 1)
+                      // CAST(s.total AS HUGEINT) AS INT) AS n_salts,
+                 s.n_keys
+          FROM t, s)
+    SELECT rank, lang, cnt, share_ppm, n_salts,
+           CASE WHEN n_keys <= 2 THEN 'broadcast'
+                WHEN n_salts > 1 THEN 'salt(' || CAST(n_salts AS VARCHAR) || ')'
+                ELSE 'ok' END AS advice
+    FROM a
+    """,
+)
+def q258_skew_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.skew import skew_advice
+
+    docs = _t(spark, sf_dir, "documents").select("lang")
+    # broadcast_max_keys=2 forces the decision past the broadcast
+    # shortcut so the salt-sizing arithmetic itself is what hash-checks
+    return skew_advice(
+        docs, ["lang"], n_partitions=32, broadcast_max_keys=2, top_k=5
+    )
+
+
+# --------------------------------------------------------------------- #
 # Streaming near-dup ingest gate (streaming/ops.neardup_ingest_stream):
 # the LSH sibling of q162_stream_incremental_dedup — new docs banded
 # with the SAME minhash_bands staging and joined per micro-batch against

@@ -286,3 +286,28 @@ def test_key_skew_profile_hhi_bounds(spark):
     s = sorted(key_skew_profile(sk, ["k"], top_k=3).collect(), key=lambda r: r.rank)
     assert s[0].k == 0 and s[0].share_ppm == 960_000
     assert s[0].hhi_ppm > 900_000
+
+
+def test_skew_advice_branches(spark):
+    """The pre-flight advisory on a synthetic skewed corpus: a dominant
+    key gets salt(k) with k = ceil(cnt·P/total), a fair-share key gets
+    'ok', and a small distinct-key table short-circuits to 'broadcast'
+    regardless of skew."""
+    from dabstract_spark.operators.skew import skew_advice
+
+    # 64 rows of hot key + 32 singletons = 96 rows, P=8 partitions:
+    # hot needs ceil(64*8/96) = 6 salts; singles ceil(8/96) = 1 -> ok
+    rows = [("hot",)] * 64 + [(f"u{i}",) for i in range(32)]
+    df = spark.createDataFrame(rows, "k string")
+    out = {
+        r.k: r
+        for r in skew_advice(
+            df, ["k"], n_partitions=8, broadcast_max_keys=2, top_k=3
+        ).collect()
+    }
+    assert out["hot"].advice == "salt(6)" and out["hot"].n_salts == 6
+    assert all(r.advice == "ok" for k, r in out.items() if k != "hot")
+    # 33 distinct keys <= broadcast_max_keys=100 -> broadcast wins even
+    # for the hot key (no shuffle of the big side at all)
+    bc = skew_advice(df, ["k"], n_partitions=8, broadcast_max_keys=100, top_k=3)
+    assert all(r.advice == "broadcast" for r in bc.collect())
