@@ -759,6 +759,21 @@ class Dataset:
 
         return collocations(self._df, ROW_ID, key, **kw)
 
+    def dsir_select(self, target: "Dataset", k: int, key: str = "text", **kw):
+        """DSIR importance selection (Xie 2023; see text.dsir_select):
+        keep this dataset's ``k`` rows whose hashed-n-gram distribution
+        best matches ``target``'s. Returns a DataFrame report
+        (rank, row_id, n_feats, score_units)."""
+        from dabstract_spark.operators.text import dsir_logratio_table, dsir_select
+
+        nb = kw.pop("n_buckets", 4096)
+        seed = kw.pop("seed", 0)  # one seed for BOTH sides: the score
+        # join is only meaningful when table and scorer bucket alike
+        table = dsir_logratio_table(
+            target._df, self._df, key, n_buckets=nb, seed=seed, **kw
+        )
+        return dsir_select(self._df, table, ROW_ID, key, k=k, n_buckets=nb, seed=seed)
+
     # ------------------------------------------------------------------ #
     # driver-side access (DataAbstract, abstract.py:252-472: multi-index
     # fetch / np-stacking / prefetching generator — Spark-native forms)

@@ -522,13 +522,17 @@ def topk_lsh_multiprobe(
     joined = cb.withColumn("__cn", norm(F.col(vec_col))).join(qb, "bucket").filter(
         F.col("query_id") != F.col(id_col)
     )
+    # no dedup needed: a corpus vector lives in exactly ONE bucket and a
+    # query's probe set {b0, b0^1, b0^2, ...} is pairwise distinct, so a
+    # (query, corpus) pair can match at most one probe — the join output
+    # is already unique and the dropDuplicates shuffle would be pure waste
     scored = joined.select(
         "query_id",
         id_col,
         F.round(
             dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qn") * F.col("__cn")), 6
         ).alias("sim"),
-    ).dropDuplicates(["query_id", id_col])
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

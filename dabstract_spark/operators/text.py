@@ -1043,6 +1043,128 @@ def perplexity_buckets(
     )
 
 
+def dsir_features(col: Column | str) -> Column:
+    """DSIR's hashed n-gram feature list: word unigrams + adjacent
+    bigrams, tagged so 'u:x' can never collide with 'b:x y' before
+    hashing. A document's importance evidence is the multiset of these
+    strings; bucketing (below) fixes the feature dimension regardless of
+    vocabulary size — the memory bound that makes the method run at
+    web scale."""
+    t = tokens(col)
+    uni = F.transform(t, lambda x: F.concat(F.lit("u:"), x))
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
+    big = F.zip_with(
+        F.slice(t, 1, n1),
+        F.slice(t, 2, n1),
+        lambda a, b: F.concat(F.lit("b:"), a, F.lit(" "), b),
+    )
+    return F.concat(uni, big)
+
+
+def dsir_logratio_table(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str,
+    n_buckets: int = 4096,
+    smoothing: int = 1,
+    quantize: int = 6,
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR importance-weight table (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hash unigram+bigram
+    features into ``n_buckets`` buckets and estimate, per bucket, the
+    log-ratio ``ln p_target(b) - ln p_raw(b)`` with add-``smoothing``
+    Laplace estimates. A raw document's importance weight is the sum of
+    its buckets' log-ratios — how much more the TARGET distribution
+    (e.g. wikipedia/books) likes its n-grams than the raw crawl does.
+
+    Returns the ≤ n_buckets-row table (bucket, w_units) with the ratio
+    floored to integer 10^-quantize units (``nb_score``'s recipe: exact
+    bigint sums downstream, so per-doc scores are reproducible across
+    partitionings and engines).
+
+    Scale shape: two corpus scans reducing map-side to ≤ n_buckets rows
+    each; the table itself is broadcast-sized by construction."""
+    from dabstract_spark.functions.hashing import md5_bucket
+
+    def bucket_counts(df, name):
+        return (
+            df.select(
+                F.explode(dsir_features(text_col)).alias("__f")
+            )
+            .select(md5_bucket(F.col("__f"), n_buckets, seed).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    spark = target.sparkSession
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    ct = bucket_counts(target, "__ct")
+    cr = bucket_counts(raw, "__cr")
+    j = (
+        spine.join(ct, "bucket", "left")
+        .join(cr, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("__ct", F.lit(0)).alias("__ct"),
+            F.coalesce("__cr", F.lit(0)).alias("__cr"),
+        )
+    )
+    tot = j.agg(F.sum("__ct").alias("__tt"), F.sum("__cr").alias("__tr"))
+    s = F.lit(smoothing)
+    b = F.lit(n_buckets)
+    w = F.log((F.col("__ct") + s) / (F.col("__tt") + s * b)) - F.log(
+        (F.col("__cr") + s) / (F.col("__tr") + s * b)
+    )
+    unit = 10 ** quantize
+    return j.crossJoin(F.broadcast(tot)).select(
+        "bucket", F.floor(w * F.lit(unit)).cast("bigint").alias("w_units")
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    table: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    n_buckets: int = 4096,
+    seed: int = 0,
+) -> DataFrame:
+    """Select the ``k`` most target-like raw documents by DSIR
+    importance weight (the deterministic top-k variant of the paper's
+    Gumbel resampling — same scores, reproducible pick): per document,
+    the exact-integer sum of its hashed features' ``w_units``
+    (multiplicity counts, as in the paper's bag-of-hashed-ngrams
+    model), then a small-k TakeOrdered.
+
+    One explode + one broadcast join on the ≤ n_buckets-row table + one
+    map-side-combinable groupBy(doc) — nothing data-sized shuffles, so
+    the selection is a single pass over the raw corpus. Returns
+    (rank, id, n_feats, score_units)."""
+    from pyspark.sql import Window
+
+    from dabstract_spark.functions.hashing import md5_bucket
+
+    feats = raw.select(
+        F.col(id_col).alias("__id"),
+        F.explode(dsir_features(text_col)).alias("__f"),
+    ).select("__id", md5_bucket(F.col("__f"), n_buckets, seed).alias("bucket"))
+    scored = (
+        feats.join(F.broadcast(table), "bucket", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.coalesce("w_units", F.lit(0))).alias("score_units"),
+        )
+    )
+    top = scored.orderBy(F.desc("score_units"), F.asc("__id")).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score_units"), F.asc("__id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", F.col("__id").alias(id_col), "n_feats", "score_units"
+    )
+
+
 def collocations(
     df: DataFrame,
     id_col: str,

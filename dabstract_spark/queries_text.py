@@ -5681,3 +5681,64 @@ def q255_stream_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q256_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.collocations(docs, "doc_id", "text", top_k=20, min_count=5)
+
+
+# --------------------------------------------------------------------- #
+# DSIR data selection (text.dsir_logratio_table / dsir_select — Xie et
+# al. 2023, importance resampling over hashed n-grams): estimate
+# per-bucket ln p_target/p_raw over 1024 md5-hashed unigram+bigram
+# buckets (target = src0/src1 docs, raw = the rest) and keep the 50
+# most target-like raw docs by exact-integer score sum. The bucket
+# table reduces map-side to <= n_buckets rows (broadcast-sized by
+# construction); scoring is one explode + broadcast join + groupBy(doc)
+# — a single pass over the raw corpus at any scale. Log-ratios are
+# floored to 1e-6 units (nb_score's recipe) so the per-doc sums are
+# exact bigints, reproducible across partitionings and engines.
+# --------------------------------------------------------------------- #
+@query(
+    "q259_dsir_selection",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source, {_TOKENS.format(c='text')} AS t FROM documents),
+    feats AS (
+      SELECT doc_id, source, f
+      FROM tk, UNNEST(list_concat(
+        list_transform(t, x -> 'u:' || x),
+        list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                       i -> 'b:' || t[i] || ' ' || t[i + 1]))) AS u(f)),
+    b AS (
+      SELECT doc_id, source,
+             CAST(CAST(('0x' || substr(md5('0:' || f), 1, 8)) AS BIGINT)
+                  % 1024 AS INT) AS bucket
+      FROM feats),
+    ct AS (SELECT bucket, COUNT(*) AS c FROM b
+           WHERE source IN ('src0', 'src1') GROUP BY bucket),
+    cr AS (SELECT bucket, COUNT(*) AS c FROM b
+           WHERE source NOT IN ('src0', 'src1') GROUP BY bucket),
+    spine AS (SELECT CAST(x AS INT) AS bucket
+              FROM UNNEST(generate_series(0, 1023)) s(x)),
+    j AS (SELECT spine.bucket, COALESCE(ct.c, 0) AS ct, COALESCE(cr.c, 0) AS cr
+          FROM spine LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket)),
+    tt AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM j),
+    w AS (SELECT bucket,
+                 CAST(FLOOR((LN((ct + 1) / CAST(tt + 1024 AS DOUBLE))
+                             - LN((cr + 1) / CAST(tr + 1024 AS DOUBLE)))
+                            * 1000000) AS BIGINT) AS w_units
+          FROM j, tt),
+    sc AS (SELECT b.doc_id, COUNT(*) AS n_feats,
+                  SUM(COALESCE(w.w_units, 0)) AS score_units
+           FROM b JOIN w USING (bucket)
+           WHERE b.source NOT IN ('src0', 'src1') GROUP BY b.doc_id)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_units DESC, doc_id) AS INT)
+             AS rank,
+           doc_id, n_feats, score_units
+    FROM sc
+    QUALIFY ROW_NUMBER() OVER (ORDER BY score_units DESC, doc_id) <= 50
+    """,
+)
+def q259_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    raw = docs.filter(~F.col("source").isin("src0", "src1"))
+    table = tx.dsir_logratio_table(target, raw, "text", n_buckets=1024)
+    return tx.dsir_select(raw, table, "doc_id", "text", k=50, n_buckets=1024)

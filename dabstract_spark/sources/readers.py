@@ -428,22 +428,34 @@ def _with_frame_energies(df: DataFrame, pcm_col: str, frame: int) -> DataFrame:
     non-overlapping ``frame``-sample windows, tail dropped) as an
     ``__energies`` array column — one recipe shared by the VAD
     segmenter and the audio fingerprint so the framing cannot drift.
-    HOFs over the decoded array: no sample-level explode."""
-    return (
-        df.withColumn(
-            "__pcm",
-            F.expr(f"transform({pcm_col}, x -> CAST(round(x * 32768) AS BIGINT))"),
-        )
-        .withColumn("__nf", F.expr(f"size({pcm_col}) div {frame}"))
-        .filter(F.col("__nf") > 0)
-        .withColumn(
-            "__energies",
-            F.expr(
-                f"transform(sequence(0, CAST(__nf AS INT) - 1),"
-                f" i -> aggregate(slice(__pcm, i * {frame} + 1, {frame}),"
-                f" 0L, (a, v) -> a + v * v))"
+    HOFs over the decoded array: no sample-level explode.
+
+    The int16-recovery array is bound through ``bind_once`` before the
+    per-frame fold: a staged ``__pcm`` column referenced from inside
+    the frame lambda gets INLINED there by CollapseProject and
+    re-evaluated once per FRAME (O(frames·samples) interpreted work per
+    row — the same multiply-in-lambda trap source_overlap hit); the
+    binding forces one evaluation per row no matter how many frames
+    slice it."""
+    from dabstract_spark.core import bind_once
+
+    pcm = F.expr(f"transform({pcm_col}, x -> CAST(round(x * 32768) AS BIGINT))")
+    energies = bind_once(
+        pcm,
+        lambda p: F.transform(
+            F.sequence(F.lit(0), (F.size(p) / frame).cast("int") - 1),
+            lambda i: F.aggregate(
+                F.slice(p, i * frame + 1, frame),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v * v,
             ),
-        )
+        ),
+    )
+    # cheap early guard on the raw column (≥1 whole frame), so the
+    # sequence upper bound is always ≥ 0 — no filter ever touches the
+    # staged energies expression
+    return df.filter(F.size(F.col(pcm_col)) >= frame).withColumn(
+        "__energies", energies
     )
 
 

@@ -516,6 +516,29 @@ def test_nb_classifier_separates_weak_labels(spark):
     assert scored == scored2
 
 
+def test_dsir_selects_target_like_docs(spark):
+    """DSIR importance selection must rank raw docs that share the
+    target distribution's n-grams above off-distribution docs, and the
+    exact-integer score sums must be partition-order invariant."""
+    from dabstract_spark.operators.text import dsir_logratio_table, dsir_select
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma delta prose") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    raw_like = [(100 + i, "alpha beta gamma words here") for i in range(5)]
+    raw_off = [(200 + i, "zzz qqq spam click buy now") for i in range(5)]
+    raw = spark.createDataFrame(raw_like + raw_off, "doc_id bigint, text string")
+    table = dsir_logratio_table(target, raw, "text", n_buckets=256)
+    assert table.count() == 256  # spine covers every bucket
+    top = dsir_select(raw, table, "doc_id", "text", k=5, n_buckets=256)
+    ids = {r.doc_id for r in top.collect()}
+    assert ids == {100, 101, 102, 103, 104}
+    # exact bigint sums: repartitioned input is bit-identical
+    top2 = dsir_select(raw.repartition(7), table, "doc_id", "text", k=5, n_buckets=256)
+    assert sorted(map(tuple, top.collect())) == sorted(map(tuple, top2.collect()))
+
+
 def test_semantic_dedup_gemm_matches_expr(spark):
     """The BLAS (applyInPandas) and pure-JVM pair-join implementations
     must agree on every keep decision (float summation order differs by

@@ -209,6 +209,21 @@ def main():
             "doc_id",
             "text",
         ),
+        # Poisson bootstrap: one ×32 explode (output-sized) + one
+        # map-side-combinable groupBy(b) — Σ-shaped by construction
+        "bootstrap_means": lambda d: sel.bootstrap_means(
+            d.select("doc_id", tx.quality_score_ppm("text").alias("qp")),
+            "doc_id",
+            "qp",
+            n_boot=32,
+            seed=7,
+        ),
+        # collocation mining: vocab grows with the bijection copies, so
+        # the unigram/bigram count tables (the only shuffles) grow too —
+        # the honest corpus-analytics shape; top-k is a TakeOrdered
+        "collocations": lambda d: tx.collocations(
+            d, "doc_id", "text", top_k=20, min_count=5
+        ),
     }
 
     def _heavy_hitters(d):
@@ -265,6 +280,11 @@ def main():
         "pca_projection": lambda e: __import__(
             "dabstract_spark.operators.similarity", fromlist=["pca_power_projection"]
         ).pca_power_projection(e),
+        # contrastive hard negatives: corpus grows, query set fixed at
+        # the base 20 — label mismatch pushed into the broadcast join
+        "hard_negatives": lambda e: __import__(
+            "dabstract_spark.operators.similarity", fromlist=["hard_negatives"]
+        ).hard_negatives(e, e.filter(F.col("vec_id") < 20), k=3),
     }
     rel_probes = {
         "pricing_summary": lambda li: li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -368,6 +388,82 @@ def main():
         ),
     }
 
+    # modality dedup probes: the decode UDF is a fixed per-row cost (and
+    # the image/WAV fixtures are tiny), so the SCALE question is the
+    # post-decode miner shape — synthesize fingerprints/PCM JVM-side at
+    # growing row counts and drive the same operators the queries use.
+    from dabstract_spark.sources.readers import (
+        ahash_neardup_pairs,
+        audio_fingerprint_dedup,
+        energy_segments,
+    )
+
+    # pseudo-aHash words: md5-derived 32-bit ints per image id — random
+    # words model a diverse album (bucket sizes ~ n/65536 per band)
+    def _ahash_base(d):
+        w = lambda tag: F.conv(  # noqa: E731
+            F.substring(F.md5(F.concat(F.lit(tag), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        return d.select(
+            F.col("doc_id").alias("img_id"),
+            w("w0:").alias("ahash_w0"),
+            w("w1:").alias("ahash_w1"),
+        )
+
+    ahash_probes = {
+        "ahash_neardup": lambda d: ahash_neardup_pairs(
+            _ahash_base(d), "img_id", max_hamming=3
+        ),
+    }
+    # adversarial all-identical album: every image shares one (w0, w1),
+    # so all 4 band buckets hold the whole corpus — uncapped the join
+    # emits C(n,2) pairs (quadratic BY CONSTRUCTION); max_bucket=64
+    # bounds every bucket's contribution
+    def _ahash_const(d):
+        return d.select(
+            F.col("doc_id").alias("img_id"),
+            F.lit(123456789).cast("bigint").alias("ahash_w0"),
+            F.lit(987654321).cast("bigint").alias("ahash_w1"),
+        )
+
+    hot_ahash_base = docs.filter(F.col("doc_id") < 500)
+    hot_ahash_probes = {
+        "ahash_hotbucket_uncap": lambda d: ahash_neardup_pairs(
+            _ahash_const(d), "img_id", max_hamming=3, max_bucket=None
+        ),
+        "ahash_hotbucket_cap64": lambda d: ahash_neardup_pairs(
+            _ahash_const(d), "img_id", max_hamming=3, max_bucket=64
+        ),
+    }
+
+    # synthetic PCM: 2048 deterministic samples per recording (same
+    # array shape decode_wav emits) — a 32-sample per-row varying head
+    # (the only interpreted lambda) + a literal constant tail, so the
+    # generator stays far cheaper than the probed operator's own
+    # frame-energy fold
+    def _pcm_base(d):
+        return d.select(
+            F.col("doc_id").cast("string").alias("fname"),
+            F.expr(
+                "concat("
+                "transform(sequence(1, 32), i -> "
+                "cast((pmod(doc_id * 2654435761 + i * 40503, 65536) - 32768)"
+                " / 32768.0 as double)), "
+                "array_repeat(cast(0.25 as double), 2016))"
+            ).alias("__s"),
+        )
+
+    audio_probes = {
+        "energy_segments": lambda d: energy_segments(
+            _pcm_base(d), ["fname"], "__s", frame=32
+        ),
+        "audio_fingerprint": lambda d: audio_fingerprint_dedup(
+            _pcm_base(d), ["fname"], "__s", frame=32
+        ),
+    }
+
     # pipeline-hygiene ops: IVM (delta agg + groups-sized join — both
     # sides grow with group cardinality, never with the base fact
     # table) and PSI (two scans reducing map-side to n_buckets rows)
@@ -461,6 +557,12 @@ def main():
     probe_block(hot_probes, hot_base, "doc_id")
     probe_block(boiler_probes, boiler_docs, "doc_id")
     probe_block(hot_prefix_probes, hot_prefix_base, "doc_id")
+    probe_block(hot_ahash_probes, hot_ahash_base, "doc_id")
+    probe_block(ahash_probes, docs, "doc_id")
+    # filter, NOT limit(2000): GlobalLimit collapses the scan to one
+    # partition and serializes the interpreted HOF staging into a
+    # single task (measured 70s/row vs seconds parallel)
+    probe_block(audio_probes, docs.filter(F.col("doc_id") < 2000), "doc_id")
     probe_block(probes, docs, "doc_id")
     probe_block(fuzzy_probes, docs, "doc_id", uniquify=fuzzy_uniquify)
     probe_block(emb_probes, emb, "vec_id")
