@@ -388,6 +388,36 @@ def main():
         ),
     }
 
+    # adversarial ONE-GIANT-GROUP rank: every lineitem row in a single
+    # group (a dominant domain at 100 TB), 600k -> 9.6M rows. The naive
+    # Window.partitionBy(group) rank holds the WHOLE group in one
+    # task's sort — the straggler shape; the r7 two-level composite
+    # (group, 256-way md5-prefix) rank bounds every window task at
+    # ~1/256 of the group and merges <= 256·n survivors.
+    from pyspark.sql import Window
+
+    from dabstract_spark.functions.hashing import md5_order
+
+    giant_base = lineitem.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("row_id"),
+        F.lit("mega").alias("grp"),
+    )
+
+    def _rank_naive(d):
+        w = Window.partitionBy("grp").orderBy(md5_order("row_id", 0), "row_id")
+        return (
+            d.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 50)
+            .drop("__rn")
+        )
+
+    giant_probes = {
+        "rank_giantgroup_naive": _rank_naive,
+        "rank_giantgroup_twolevel": lambda d: sel.sample_per_group(
+            d, "grp", n=50, key="row_id"
+        ),
+    }
+
     # modality dedup probes: the decode UDF is a fixed per-row cost (and
     # the image/WAV fixtures are tiny), so the SCALE question is the
     # post-decode miner shape — synthesize fingerprints/PCM JVM-side at
@@ -558,6 +588,7 @@ def main():
     probe_block(boiler_probes, boiler_docs, "doc_id")
     probe_block(hot_prefix_probes, hot_prefix_base, "doc_id")
     probe_block(hot_ahash_probes, hot_ahash_base, "doc_id")
+    probe_block(giant_probes, giant_base, "row_id")
     probe_block(ahash_probes, docs, "doc_id")
     # filter, NOT limit(2000): GlobalLimit collapses the scan to one
     # partition and serializes the interpreted HOF staging into a
