@@ -5695,10 +5695,10 @@ def q256_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # floored to 1e-6 units (nb_score's recipe) so the per-doc sums are
 # exact bigints, reproducible across partitionings and engines.
 # --------------------------------------------------------------------- #
-@query(
-    "q259_dsir_selection",
-    oracle=f"""
-    WITH tk AS (
+#: shared DSIR oracle staging (q259 top-k selection + q260 streaming
+#: scorer): hashed unigram+bigram buckets, smoothed log-ratio table,
+#: exact-bigint per-doc scores over the raw (non-target) split
+_DSIR_CTES = f"""tk AS (
       SELECT doc_id, source, {_TOKENS.format(c='text')} AS t FROM documents),
     feats AS (
       SELECT doc_id, source, f
@@ -5728,7 +5728,13 @@ def q256_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc AS (SELECT b.doc_id, COUNT(*) AS n_feats,
                   SUM(COALESCE(w.w_units, 0)) AS score_units
            FROM b JOIN w USING (bucket)
-           WHERE b.source NOT IN ('src0', 'src1') GROUP BY b.doc_id)
+           WHERE b.source NOT IN ('src0', 'src1') GROUP BY b.doc_id)"""
+
+
+@query(
+    "q259_dsir_selection",
+    oracle=f"""
+    WITH {_DSIR_CTES}
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_units DESC, doc_id) AS INT)
              AS rank,
            doc_id, n_feats, score_units
@@ -5742,3 +5748,41 @@ def q259_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = docs.filter(~F.col("source").isin("src0", "src1"))
     table = tx.dsir_logratio_table(target, raw, "text", n_buckets=1024)
     return tx.dsir_select(raw, table, "doc_id", "text", k=50, n_buckets=1024)
+
+
+# --------------------------------------------------------------------- #
+# Streaming DSIR scorer (streaming/ops.dsir_score_stream): micro-batches
+# of incoming raw docs scored against the FIXED log-ratio table trained
+# on the static corpora — per-doc scores are batching-independent and
+# the output is one row per document, so drained == the batch scorer
+# exactly (same oracle staging as q259, no top-k).
+# --------------------------------------------------------------------- #
+@query(
+    "q260_stream_dsir",
+    oracle=f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, n_feats, score_units FROM sc
+    """,
+)
+def q260_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.streaming.ops import dsir_score_stream, stream_events
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    raw_static = docs.filter(~F.col("source").isin("src0", "src1"))
+    table = tx.dsir_logratio_table(target, raw_static, "text", n_buckets=1024)
+    src = stream_events(spark, f"{sf_dir}/documents.parquet").filter(
+        ~F.col("source").isin("src0", "src1")
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkdab_dsir_")
+    return dsir_score_stream(
+        src,
+        table,
+        "doc_id",
+        "text",
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        n_buckets=1024,
+    )

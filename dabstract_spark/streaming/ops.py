@@ -961,3 +961,58 @@ def bootstrap_stream(
         F.sum("n_eff").alias("n_eff"),
         F.expr("CAST(sum(s) div greatest(sum(n_eff), 1) AS BIGINT)").alias("mean_ppm"),
     )
+
+
+def dsir_score_stream(
+    doc_stream: DataFrame,
+    table: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_path: str,
+    checkpoint: str,
+    n_buckets: int = 1024,
+    seed: int = 0,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming DSIR scorer — the ONLINE twin of q259's selection
+    stage: every micro-batch of incoming raw documents is scored
+    against a FIXED hashed-n-gram log-ratio ``table`` (trained once on
+    static target/raw corpora by ``text.dsir_logratio_table``) and the
+    (id, n_feats, score_units) rows append to the sink; downstream
+    admission thresholds read the live sink.
+
+    Per-document scores depend only on the document's own n-grams and
+    the fixed broadcast table — independent of batching and arrival
+    order — and the output is one row per distinct document, so the
+    drained sink equals the batch scorer exactly (the curate_stream /
+    cohort set-algebra argument; no stream state at all)."""
+    from dabstract_spark.functions.hashing import md5_bucket
+    from dabstract_spark.operators.text import dsir_features
+
+    table_static = table.persist()
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        feats = batch_df.select(
+            F.col(id_col), F.explode(dsir_features(text_col)).alias("__f")
+        ).select(id_col, md5_bucket(F.col("__f"), n_buckets, seed).alias("bucket"))
+        scored = (
+            feats.join(F.broadcast(table_static), "bucket", "left")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_feats"),
+                F.sum(F.coalesce("w_units", F.lit(0))).alias("score_units"),
+            )
+        )
+        scored.write.mode("append").parquet(out_path)
+
+    sink = _drain_foreach_batch(
+        doc_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "dsir_score_stream",
+    )
+    return sink.distinct()
