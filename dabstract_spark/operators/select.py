@@ -571,6 +571,79 @@ def materialize_mixture(
 _REGISTRY["materialize_mixture"] = materialize_mixture
 
 
+def grouped_rank_ppm(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    max_score: int = 1_000_000,
+    out_rank: str = "rank_in_group",
+    out_pct: str = "pct_ppm",
+) -> DataFrame:
+    """EXACT per-group rank and percentile of an integer score WITHOUT a
+    group-sized window — per-source quality calibration (the CCNet move:
+    compare documents against their own language/domain's distribution,
+    since a 600-ppm score means different things in different sources).
+
+    Rank 1 = lowest score; ``pct_ppm = (rank-1)·10⁶ div (n_group-1)``
+    (0 for the group's minimum, 10⁶ for its maximum; single-row groups
+    get 0). Ties break by ``id_col`` so the rank is total and
+    reproducible.
+
+    Scale shape — the composite-bucket offset discipline
+    (``curriculum_order``): scores live in [0, max_score], so 256
+    fixed-width VALUE buckets (``score div ceil(max_score/256)``) are
+    ranges of the global order; per-(group, bucket) counts fold into a
+    broadcast cumulative-offset table (n_groups×256 rows) carrying the
+    group totals, and each row's rank = its bucket's offset + a local
+    row_number bounded by the bucket. No window ever holds a whole
+    group, no count() job, offsets move as one broadcast."""
+    width = max(1, -(-int(max_score) // 256))  # ceil division
+    keyed = df.withColumn(
+        "__b",
+        F.least(
+            F.lit(255), F.greatest(F.lit(0), (F.col(score_col) / width).cast("int"))
+        ),
+    )
+    counts = keyed.groupBy(group_col, "__b").agg(F.count(F.lit(1)).alias("__n"))
+    # bounded by construction: n_groups × 256 rows
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = (
+        Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offsets = counts.select(
+        group_col,
+        "__b",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__n").over(w_tot).alias("__ng"),
+    )
+    w_local = Window.partitionBy(group_col, "__b").orderBy(score_col, id_col)
+    return (
+        keyed.join(F.broadcast(offsets), [group_col, "__b"])
+        .withColumn(
+            out_rank,
+            (F.col("__off") + F.row_number().over(w_local)).cast("bigint"),
+        )
+        .withColumn(
+            out_pct,
+            F.expr(
+                f"CAST((CAST({out_rank} - 1 AS DECIMAL(38,0)) * 1000000)"
+                " div CAST(greatest(__ng - 1, 1) AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        )
+        .drop("__b", "__off", "__ng")
+    )
+
+
+_REGISTRY["grouped_rank_ppm"] = grouped_rank_ppm
+
+
 #: Poisson(1) CDF in exact ppm — P(X <= k) for k = 0..7; weights beyond 8
 #: are astronomically rare and truncated (P ~ 1e-6 covered by the last
 #: threshold). Literals so Spark and the SQL oracle share one table.

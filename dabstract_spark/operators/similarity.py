@@ -1006,3 +1006,63 @@ def hard_negatives(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) diversity selection over an
+    embedding column — the classic 2-approximation coreset picker
+    ("cover the embedding space with k exemplars"), the diversity
+    counterpart of similarity dedup: at each step select the point
+    whose distance to the already-selected set is LARGEST.
+
+    Deterministic and engine-exact: components quantize to ppm ints
+    (round→decimal→×10⁶, the topk_quantized recipe), distances are
+    exact integer squared L2 (≤ 64·(2·10⁶)² ≈ 2.6e14, well inside
+    bigint), the seed is the minimum id, and argmax ties break by id.
+    Returns (sel_order, id, dist_sq) — dist_sq is the point's distance
+    to the set selected BEFORE it (0 for the seed).
+
+    Scale shape (the fixed-iteration Lloyd pattern of ivf_refine): the
+    per-point min-distance state stays distributed; each of the k
+    rounds folds ONE literal center into the running min (64-element
+    HOF vs a plan literal — no join, no shuffle) and collects exactly
+    one argmax row via TakeOrdered(1). Driver traffic is k rows total;
+    lineage is truncated per round with a lazy localCheckpoint.
+    k·scan cost is the honest price of the sequential greedy — each
+    pick depends on all previous picks (Gonzalez 1985)."""
+    enc = lambda c: (  # noqa: E731
+        F.round(c.cast("double"), 6).cast("decimal(18,6)") * F.lit(1000000)
+    ).cast("bigint")
+    pts = df.select(
+        F.col(id_col).alias("__id"), F.transform(vec_col, enc).alias("__v")
+    ).localCheckpoint(eager=False)
+
+    def d2(center_vals):
+        arr = F.array(*[F.lit(int(c)).cast("bigint") for c in center_vals])
+        return F.aggregate(
+            F.zip_with("__v", arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    seed = pts.orderBy(F.asc("__id")).limit(1).collect()[0]
+    selected = [(0, seed["__id"], 0)]
+    state = pts.withColumn("__mind", d2(seed["__v"]))
+    for step in range(1, k):
+        state = state.localCheckpoint(eager=False)
+        top = state.orderBy(F.desc("__mind"), F.asc("__id")).limit(1).collect()[0]
+        selected.append((step, top["__id"], top["__mind"]))
+        if step < k - 1:
+            state = state.withColumn(
+                "__mind", F.least(F.col("__mind"), d2(top["__v"]))
+            )
+    spark = df.sparkSession
+    id_type = dict(df.dtypes)[id_col]
+    return spark.createDataFrame(
+        selected, f"sel_order int, {id_col} {id_type}, dist_sq bigint"
+    )

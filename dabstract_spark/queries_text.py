@@ -5786,3 +5786,93 @@ def q260_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{tmp}/ckpt",
         n_buckets=1024,
     )
+
+
+# --------------------------------------------------------------------- #
+# Per-group quality calibration (select.grouped_rank_ppm): EXACT
+# within-language percentile of the quality score WITHOUT a group-sized
+# window — the CCNet per-language calibration move, built on the
+# composite-bucket offset discipline: 256 fixed-width VALUE buckets of
+# the ppm score are ranges of the order, so per-(lang, bucket) counts
+# fold into a broadcast offset table and every local window is bounded
+# at one bucket's slice of one group. The dominant language never lands
+# in a single task's sort.
+# --------------------------------------------------------------------- #
+@query(
+    "q261_grouped_rank_calibration",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             ((5 * least(length(text)::BIGINT * 2500, 1000000)
+               + 3 * least((len(list_filter({_T}, t -> t IN {_SW}))::BIGINT * 1000000
+                            // greatest(len({_T}), 1)) * 5, 1000000)
+               + 2 * (1000000 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::BIGINT * 1000000
+                            // greatest(length(text), 1)) * 10, 1000000))) // 10) AS qp
+      FROM documents)
+    SELECT doc_id, lang, qp,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY qp, doc_id)
+                AS BIGINT) AS rank_in_group,
+           CAST((CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY qp, doc_id)
+                      - 1 AS HUGEINT) * 1000000)
+                // GREATEST(COUNT(*) OVER (PARTITION BY lang) - 1, 1)
+                AS BIGINT) AS pct_ppm
+    FROM q
+    """,
+)
+def q261_grouped_rank_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import grouped_rank_ppm
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tx.quality_score_ppm("text").alias("qp")
+    )
+    return grouped_rank_ppm(docs, "lang", "qp", "doc_id").select(
+        "doc_id", "lang", "qp", "rank_in_group", "pct_ppm"
+    )
+
+
+# --------------------------------------------------------------------- #
+# Greedy k-center diversity selection (similarity.kcenter_select,
+# Gonzalez 1985 farthest-point coreset): 6 exemplars covering the
+# embedding space — exact integer squared-L2 over ppm-quantized
+# components, min-id seed, id tiebreak. The oracle replays the greedy
+# as a recursive CTE carrying the per-point min-distance state; Spark
+# runs the fixed-iteration distributed form (state stays distributed,
+# one literal-center HOF fold + one TakeOrdered(1) per round).
+# --------------------------------------------------------------------- #
+@query(
+    "q262_kcenter_coreset",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(CAST(round(x::DOUBLE, 6) AS DECIMAL(18,6)) * 1000000
+                    AS BIGINT)) AS v
+      FROM embeddings),
+    sd AS (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+    st AS (
+      SELECT 1 AS step, e.vec_id, e.v,
+             list_sum(list_transform(generate_series(1, 64),
+               j -> (e.v[j] - sd.v[j]) * (e.v[j] - sd.v[j]))) AS mind
+      FROM e, sd
+      UNION ALL
+      SELECT step + 1, vec_id, v,
+             least(mind, list_sum(list_transform(generate_series(1, 64),
+               j -> (v[j] - cv[j]) * (v[j] - cv[j]))))
+      FROM (SELECT step, vec_id, v, mind,
+                   first_value(v) OVER (ORDER BY mind DESC, vec_id) AS cv
+            FROM st)
+      WHERE step < 5)
+    SELECT CAST(0 AS INT) AS sel_order,
+           (SELECT min(vec_id) FROM e) AS vec_id,
+           CAST(0 AS BIGINT) AS dist_sq
+    UNION ALL
+    SELECT CAST(step AS INT) AS sel_order, vec_id, CAST(mind AS BIGINT) AS dist_sq
+    FROM st
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY step ORDER BY mind DESC, vec_id) = 1
+    """,
+)
+def q262_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.similarity import kcenter_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, k=6)

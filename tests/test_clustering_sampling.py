@@ -516,7 +516,74 @@ def test_nb_classifier_separates_weak_labels(spark):
     assert scored == scored2
 
 
-def test_dsir_selects_target_like_docs(spark):
+def test_kcenter_select_greedy_known_answer(spark):
+    """Greedy farthest-point on a crafted 2-D set (padded to dim 4):
+    seed = min id, then the known Gonzalez order; dist_sq sequence is
+    non-increasing and exact-integer."""
+    from dabstract_spark.operators.similarity import kcenter_select
+
+    pts = [
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [10.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 10.0, 0.0, 0.0]),
+        (4, [5.0, 5.0, 0.0, 0.0]),
+        (5, [1.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id bigint, embedding array<double>")
+    out = sorted(kcenter_select(df, k=4).collect(), key=lambda r: r.sel_order)
+    assert [r.vec_id for r in out] == [1, 2, 3, 4]
+    # ppm-quantized integer squared L2: 10 -> 1e7, d2 = 1e14
+    assert out[0].dist_sq == 0
+    assert out[1].dist_sq == 100 * 10**12
+    assert out[2].dist_sq == 100 * 10**12  # to {1,2}: min(100,200)=100 units²
+    assert out[3].dist_sq == 50 * 10**12
+    ds = [r.dist_sq for r in out[1:]]
+    assert ds == sorted(ds, reverse=True)  # greedy radii never increase
+    # deterministic: same selection on a repartitioned input
+    out2 = sorted(
+        kcenter_select(df.repartition(5), k=4).collect(), key=lambda r: r.sel_order
+    )
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+
+
+def test_grouped_rank_ppm_matches_naive_window(spark):
+    """The composite value-bucket rank must equal the naive
+    per-group window rank exactly, including ties broken by id,
+    single-row groups (pct 0), and boundary scores 0 / max_score."""
+    from pyspark.sql import Window, functions as F
+
+    from dabstract_spark.operators.select import grouped_rank_ppm
+
+    rows = (
+        [(i, "big", (i * 37) % 1_000_001) for i in range(300)]
+        + [(1000, "solo", 500_000)]
+        + [(2000, "tie", 7), (2001, "tie", 7), (2002, "tie", 7)]
+        + [(3000, "edge", 0), (3001, "edge", 1_000_000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string, qp bigint")
+    got = {
+        r.doc_id: (r.rank_in_group, r.pct_ppm)
+        for r in grouped_rank_ppm(df, "grp", "qp", "doc_id").collect()
+    }
+    w = Window.partitionBy("grp").orderBy("qp", "doc_id")
+    ng = Window.partitionBy("grp")
+    naive = {
+        r.doc_id: (r.rk, r.pct)
+        for r in df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .withColumn("cnt", F.count(F.lit(1)).over(ng))
+        .withColumn(
+            "pct",
+            F.expr(
+                "CAST((CAST(rk - 1 AS DECIMAL(38,0)) * 1000000)"
+                " div CAST(greatest(cnt - 1, 1) AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        )
+        .select("doc_id", "rk", "pct")
+        .collect()
+    }
+    assert got == naive
+    assert got[1000] == (1, 0)  # single-row group: rank 1, pct 0
+    assert got[3000][1] == 0 and got[3001][1] == 1_000_000
     """DSIR importance selection must rank raw docs that share the
     target distribution's n-grams above off-distribution docs, and the
     exact-integer score sums must be partition-order invariant."""
