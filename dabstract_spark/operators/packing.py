@@ -240,3 +240,52 @@ def span_corruption_manifest(
         F.least(start + span, F.col("__n")).alias("end"),
         F.col("__n").alias("n_tokens"),
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    batch_tokens: int = 4096,
+    seed: int = 0,
+) -> DataFrame:
+    """Length-bucketed dynamic batching (the padding-efficient loader
+    layout: group similar-length sequences so a batch's padded cost
+    ``n_rows·max_len`` stays near its real token count): documents land
+    in power-of-2 length buckets (``cap = 2^ceil(log2(len))``, min 1),
+    and each bucket is cut into batches of ``batch_tokens div cap``
+    docs in a seed-reproducible md5 order. Returns
+    (id, n_tokens, bucket_cap, batch_id, slot) — ``slot`` is the
+    document's position inside its batch, so the manifest fully
+    determines the loader's layout.
+
+    Scale shape: the within-bucket index comes from
+    ``curriculum_order``'s composite (bucket, 256-way md5-prefix)
+    bucketing minus a broadcast per-bucket min(pos) — the
+    ``materialize_mixture`` recipe, so one dominant length bucket (most
+    web text is short) never lands in a single task's sort; batch/slot
+    are pure arithmetic on the index. Docs longer than ``batch_tokens``
+    still get cap-sized singleton batches (``div`` clamps to ≥ 1)."""
+    from dabstract_spark.operators.select import curriculum_order
+
+    n = F.greatest(F.col(token_col).cast("bigint"), F.lit(1))
+    capped = df.withColumn(
+        "__cap", F.pow(F.lit(2.0), F.ceil(F.log2(n))).cast("bigint")
+    ).withColumn("__cap", F.greatest(F.col("__cap"), F.lit(1)))
+    pos = curriculum_order(capped, "__cap", id_col, seed=seed)
+    offs = pos.groupBy("__cap").agg(F.min("pos").alias("__o"))
+    per = F.greatest(F.expr(f"CAST({int(batch_tokens)} AS BIGINT) div __cap"), F.lit(1))
+    return (
+        pos.join(F.broadcast(offs), "__cap")
+        .withColumn("__idx", F.col("pos") - F.col("__o"))
+        .select(
+            id_col,
+            F.col(token_col).cast("bigint").alias("n_tokens"),
+            F.col("__cap").alias("bucket_cap"),
+            F.expr(
+                f"CAST(__idx div greatest(CAST({int(batch_tokens)} AS BIGINT)"
+                " div __cap, 1) AS BIGINT)"
+            ).alias("batch_id"),
+            (F.col("__idx") % per).cast("int").alias("slot"),
+        )
+    )

@@ -5876,3 +5876,124 @@ def q262_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return kcenter_select(emb, k=6)
+
+
+def _poly_sql(k: int) -> str:
+    """k-token polynomial window fold over a CTE column named th
+    (generalizes _POLY3 — identical arithmetic to
+    dedup._poly_shingle_hashes)."""
+    expr = "th[i]"
+    for j in range(1, k):
+        expr = f"(({expr}) * 131 + th[i+{j}]) % 2147483647"
+    return expr
+
+
+# --------------------------------------------------------------------- #
+# Memorization-risk audit (dedup.ngram_dup_stats — Lee et al. 2022):
+# per document, the fraction of its 8-token windows that also appear in
+# ANOTHER document. Shared shingle-hash staging; the gram
+# document-frequency table arrives at the join pre-aggregated
+# (vocabulary-sized), so a corpus-hot gram is one row, never a hot
+# join side.
+# --------------------------------------------------------------------- #
+@query(
+    "q263_memorization_audit",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKENS.format(c='text')} AS t FROM documents
+      WHERE len({_TOKENS.format(c='text')}) >= 8),
+    ths AS (SELECT doc_id, {_TH} AS th FROM tk),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(th) - 7),
+                                   i -> {_poly_sql(8)})) AS gr
+      FROM ths),
+    dfq AS (SELECT gr, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gr)
+    SELECT g.doc_id, COUNT(*) AS n_windows,
+           CAST(SUM(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST((CAST(SUM(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS HUGEINT)
+                 * 1000000) // CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS dup_ppm
+    FROM g JOIN dfq USING (gr)
+    GROUP BY g.doc_id
+    """,
+)
+def q263_memorization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.ngram_dup_stats(docs, "doc_id", "text", k=8)
+
+
+# --------------------------------------------------------------------- #
+# Streaming calibration maintenance (streaming/ops.calibration_stream):
+# the ONLINE twin of q261's offset state — per-(lang, 256-way value
+# bucket) quality counts appended per micro-batch, live table =
+# merge-by-sum (counts are mergeable partials, the IVM/CMS argument, so
+# drained == batch bucket counts for any batching). width = ceil(1e6/256)
+# = 3907; FLOOR division in the oracle mirrors Spark's truncating cast.
+# --------------------------------------------------------------------- #
+@query(
+    "q264_stream_calibration",
+    oracle=f"""
+    WITH q AS (
+      SELECT lang,
+             ((5 * least(length(text)::BIGINT * 2500, 1000000)
+               + 3 * least((len(list_filter({_T}, t -> t IN {_SW}))::BIGINT * 1000000
+                            // greatest(len({_T}), 1)) * 5, 1000000)
+               + 2 * (1000000 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::BIGINT * 1000000
+                            // greatest(length(text), 1)) * 10, 1000000))) // 10) AS qp
+      FROM documents)
+    SELECT lang,
+           LEAST(255, GREATEST(0, CAST(FLOOR(qp / 3907.0) AS INT))) AS bucket,
+           COUNT(*) AS n
+    FROM q GROUP BY 1, 2
+    """,
+)
+def q264_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.streaming.ops import calibration_stream, stream_events
+
+    src = stream_events(spark, f"{sf_dir}/documents.parquet").select(
+        "lang", tx.quality_score_ppm("text").alias("qp")
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkdab_calib_")
+    return calibration_stream(
+        src, "lang", "qp", f"{tmp}/out", f"{tmp}/ckpt", max_score=1_000_000
+    )
+
+
+# --------------------------------------------------------------------- #
+# Length-bucketed dynamic batching (packing.length_bucket_batches): the
+# padding-efficient loader layout — power-2 length buckets, batches of
+# batch_tokens div cap docs per bucket in a seed-reproducible md5
+# order. Within-bucket index via curriculum_order's composite bucketing
+# (no bucket-sized window: most web text shares a few length buckets).
+# --------------------------------------------------------------------- #
+@query(
+    "q265_length_batches",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, CAST(len({_T}) AS BIGINT) AS nt FROM documents),
+    caps AS (
+      SELECT doc_id, nt,
+             GREATEST(CAST(pow(2, ceil(log2(GREATEST(nt, 1)))) AS BIGINT),
+                      1) AS cap
+      FROM q),
+    idx AS (
+      SELECT doc_id, nt, cap,
+             ROW_NUMBER() OVER (
+               PARTITION BY cap
+               ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS i
+      FROM caps)
+    SELECT doc_id, nt AS n_tokens, cap AS bucket_cap,
+           CAST(i // GREATEST(4096 // cap, 1) AS BIGINT) AS batch_id,
+           CAST(i % GREATEST(4096 // cap, 1) AS INT) AS slot
+    FROM idx
+    """,
+)
+def q265_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.packing import length_bucket_batches
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count("text").alias("nt")
+    )
+    return length_bucket_batches(docs, "doc_id", "nt", batch_tokens=4096, seed=0)

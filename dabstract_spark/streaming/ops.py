@@ -1016,3 +1016,51 @@ def dsir_score_stream(
         "dsir_score_stream",
     )
     return sink.distinct()
+
+
+def calibration_stream(
+    doc_stream: DataFrame,
+    group_col: str,
+    score_col: str,
+    out_path: str,
+    checkpoint: str,
+    max_score: int = 1_000_000,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming maintenance of the per-group calibration table — the
+    ONLINE twin of ``select.grouped_rank_ppm``'s offset state: each
+    micro-batch appends its per-(group, 256-way value-bucket) counts
+    (map-side combinable partials), and the live table is the merge-by-
+    sum of the sink. Counts are mergeable by construction (the IVM /
+    CMS partials argument), so the drained table equals the batch
+    bucket counts exactly for any micro-batch boundaries; percentile
+    assignment for new documents is then one broadcast join against
+    the ≤ n_groups×256-row merged table."""
+    width = max(1, -(-int(max_score) // 256))
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.col(group_col),
+                F.least(
+                    F.lit(255),
+                    F.greatest(F.lit(0), (F.col(score_col) / width).cast("int")),
+                ).alias("bucket"),
+            )
+            .groupBy(group_col, "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    sink = _drain_foreach_batch(
+        doc_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "calibration_stream",
+    )
+    return sink.groupBy(group_col, "bucket").agg(F.sum("n").alias("n"))

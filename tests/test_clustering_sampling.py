@@ -516,6 +516,59 @@ def test_nb_classifier_separates_weak_labels(spark):
     assert scored == scored2
 
 
+def test_ngram_dup_stats_flags_shared_windows(spark):
+    """Docs sharing an 8-token run are mutually flagged; a unique doc
+    scores 0; docs under 8 tokens yield no row (shingle parity)."""
+    from dabstract_spark.operators.dedup import ngram_dup_stats
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, shared + " tail a b c"),
+        (2, "head x y " + shared),
+        (3, "totally different words with no overlap at all here ok"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in ngram_dup_stats(df, "doc_id", "text", k=8).collect()}
+    assert 4 not in out  # < 8 tokens
+    assert out[1].n_dup >= 1 and out[2].n_dup >= 1
+    assert out[3].n_dup == 0 and out[3].dup_ppm == 0
+    assert all(0 <= r.dup_ppm <= 1_000_000 for r in out.values())
+    # identical docs: every window duplicated
+    dup = spark.createDataFrame(
+        [(1, shared), (2, shared)], "doc_id bigint, text string"
+    )
+    full = ngram_dup_stats(dup, "doc_id", "text", k=8).collect()
+    assert all(r.dup_ppm == 1_000_000 for r in full)
+
+
+def test_length_bucket_batches_layout(spark):
+    """Caps are powers of two >= length, per-bucket batches never exceed
+    batch_tokens div cap docs, slots tile 0..per-1, and the layout is
+    deterministic."""
+    from dabstract_spark.operators.packing import length_bucket_batches
+
+    rows = [(i, (i % 60) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, nt bigint")
+    out = length_bucket_batches(df, "doc_id", "nt", batch_tokens=256, seed=1).collect()
+    assert len(out) == 200
+    by_batch = {}
+    for r in out:
+        assert r.bucket_cap >= max(r.n_tokens, 1)
+        assert r.bucket_cap & (r.bucket_cap - 1) == 0  # power of two
+        per = max(256 // r.bucket_cap, 1)
+        assert 0 <= r.slot < per
+        by_batch.setdefault((r.bucket_cap, r.batch_id), []).append(r.slot)
+    for (cap, _), slots in by_batch.items():
+        per = max(256 // cap, 1)
+        assert len(slots) <= per
+        assert sorted(slots) == list(range(len(slots)))  # slots tile densely
+    out2 = length_bucket_batches(
+        df.repartition(7), "doc_id", "nt", batch_tokens=256, seed=1
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
 def test_kcenter_select_greedy_known_answer(spark):
     """Greedy farthest-point on a crafted 2-D set (padded to dim 4):
     seed = min id, then the known Gonzalez order; dist_sq sequence is
