@@ -201,6 +201,29 @@ def main():
         ),
         # within-doc line dedup: scan-fused HOF, per-row cost only
         "dedup_lines": lambda d: tx.dedup_lines_df(d, "doc_id", "text"),
+        # per-group percentile calibration: 256 value buckets fold into
+        # a broadcast offset table (n_groups×256) — no group-sized window
+        # even with en dominating the lang column
+        "grouped_rank": lambda d: sel.grouped_rank_ppm(
+            d.select(
+                "doc_id",
+                (F.col("doc_id") % 3).cast("string").alias("grp"),
+                (F.length("text") % 1000001).cast("bigint").alias("qp"),
+            ),
+            "grp",
+            "qp",
+            "doc_id",
+        ),
+        # length-bucketed batching: curriculum_order composite bucketing
+        # + broadcast per-bucket offsets + pure arithmetic
+        "length_batches": lambda d: __import__(
+            "dabstract_spark.operators.packing", fromlist=["length_bucket_batches"]
+        ).length_bucket_batches(
+            d.select("doc_id", (F.length("text") % 512).alias("nt")),
+            "doc_id",
+            "nt",
+            batch_tokens=4096,
+        ),
         # corpus-overlap sketch: sources fixed at 20, docs per source
         # grow 16x; shuffle stays one row per source regardless
         "source_overlap": lambda d: dd.source_overlap(
@@ -209,6 +232,28 @@ def main():
             "doc_id",
             "text",
         ),
+        # DSIR selection: bucket tables reduce map-side to <= n_buckets
+        # rows; scoring is one explode + broadcast join + groupBy(doc)
+        "dsir_select": lambda d: __import__(
+            "dabstract_spark.operators.text", fromlist=["dsir_select"]
+        ).dsir_select(
+            d.filter(F.col("doc_id") % 5 != 0),
+            __import__(
+                "dabstract_spark.operators.text", fromlist=["dsir_logratio_table"]
+            ).dsir_logratio_table(
+                d.filter(F.col("doc_id") % 5 == 0),
+                d.filter(F.col("doc_id") % 5 != 0),
+                "text",
+                n_buckets=1024,
+            ),
+            "doc_id",
+            "text",
+            k=50,
+            n_buckets=1024,
+        ),
+        # memorization audit: window explode + vocabulary-sized gram-df
+        # table joined back pre-aggregated — linear in tokens
+        "ngram_dup": lambda d: dd.ngram_dup_stats(d, "doc_id", "text", k=8),
         # Poisson bootstrap: one ×32 explode (output-sized) + one
         # map-side-combinable groupBy(b) — Σ-shaped by construction
         "bootstrap_means": lambda d: sel.bootstrap_means(
@@ -285,6 +330,11 @@ def main():
         "hard_negatives": lambda e: __import__(
             "dabstract_spark.operators.similarity", fromlist=["hard_negatives"]
         ).hard_negatives(e, e.filter(F.col("vec_id") < 20), k=3),
+        # greedy k-center: 6 rounds of literal-center HOF fold +
+        # TakeOrdered(1); per-round cost linear in corpus, k fixed
+        "kcenter": lambda e: __import__(
+            "dabstract_spark.operators.similarity", fromlist=["kcenter_select"]
+        ).kcenter_select(e, k=6),
     }
     rel_probes = {
         "pricing_summary": lambda li: li.groupBy("l_returnflag", "l_linestatus").agg(
