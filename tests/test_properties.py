@@ -561,3 +561,53 @@ def test_curriculum_order_reference_model(spark, items, seed):
     got = sorted(rows, key=lambda r: r["pos"])
     assert [r["pos"] for r in got] == list(range(len(items)))
     assert [(r["id"], r["stage"]) for r in got] == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),  # (group, score)
+        min_size=1,
+        max_size=60,
+    ),
+    n=st.integers(1, 5),
+)
+@settings(**_SETTINGS)
+def test_two_level_rank_law_vs_naive(spark, rows, n):
+    """Law: the composite-bucket two-level sample_per_group /
+    top_k_per_group equal the naive single Window.partitionBy(group)
+    rank on ARBITRARY corpora (any group-size distribution, any n) —
+    the r7 de-skew rewrite must be invisible in output."""
+    from pyspark.sql import Window
+
+    from dabstract_spark.functions.hashing import md5_order
+    from dabstract_spark.operators.select import sample_per_group, top_k_per_group
+
+    data = [(i, f"g{g}", s) for i, (g, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "row_id long, grp string, score long")
+
+    w1 = Window.partitionBy("grp").orderBy(md5_order("row_id", 0), "row_id")
+    naive_samp = sorted(
+        (r.grp, r.row_id)
+        for r in df.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= n)
+        .collect()
+    )
+    got_samp = sorted(
+        (r.grp, r.row_id) for r in sample_per_group(df, "grp", n=n).collect()
+    )
+    assert got_samp == naive_samp
+
+    w2 = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("row_id"))
+    naive_topk = sorted(
+        (r.grp, r.row_id)
+        for r in df.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= n)
+        .collect()
+    )
+    got_topk = sorted(
+        (r.grp, r.row_id)
+        for r in top_k_per_group(
+            df, ["grp"], [F.desc("score"), F.asc("row_id")], k=n
+        ).collect()
+    )
+    assert got_topk == naive_topk
