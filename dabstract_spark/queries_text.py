@@ -5744,9 +5744,12 @@ _DSIR_CTES = f"""tk AS (
 )
 def q259_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    target = docs.filter(F.col("source").isin("src0", "src1"))
     raw = docs.filter(~F.col("source").isin("src0", "src1"))
-    table = tx.dsir_logratio_table(target, raw, "text", n_buckets=1024)
+    # single-pass flagged builder: target and raw share this corpus, so
+    # the table comes from ONE scan (conditional agg) instead of two
+    table = tx.dsir_logratio_table_flagged(
+        docs, F.col("source").isin("src0", "src1"), "text", n_buckets=1024
+    )
     return tx.dsir_select(raw, table, "doc_id", "text", k=50, n_buckets=1024)
 
 

@@ -637,6 +637,9 @@ def test_grouped_rank_ppm_matches_naive_window(spark):
     assert got == naive
     assert got[1000] == (1, 0)  # single-row group: rank 1, pct 0
     assert got[3000][1] == 0 and got[3001][1] == 1_000_000
+
+
+def test_dsir_selects_target_like_docs(spark):
     """DSIR importance selection must rank raw docs that share the
     target distribution's n-grams above off-distribution docs, and the
     exact-integer score sums must be partition-order invariant."""
@@ -657,6 +660,19 @@ def test_grouped_rank_ppm_matches_naive_window(spark):
     # exact bigint sums: repartitioned input is bit-identical
     top2 = dsir_select(raw.repartition(7), table, "doc_id", "text", k=5, n_buckets=256)
     assert sorted(map(tuple, top.collect())) == sorted(map(tuple, top2.collect()))
+    # the single-pass flagged builder is bit-identical to the
+    # two-corpus form on the same split
+    from pyspark.sql import functions as F
+
+    from dabstract_spark.operators.text import dsir_logratio_table_flagged
+
+    both = target.withColumn("is_t", F.lit(True)).unionByName(
+        raw.withColumn("is_t", F.lit(False))
+    )
+    flagged = dsir_logratio_table_flagged(both, "is_t", "text", n_buckets=256)
+    assert sorted(map(tuple, flagged.collect())) == sorted(
+        map(tuple, table.collect())
+    )
 
 
 def test_semantic_dedup_gemm_matches_expr(spark):
