@@ -774,6 +774,39 @@ class Dataset:
         )
         return dsir_select(self._df, table, ROW_ID, key, k=k, n_buckets=nb, seed=seed)
 
+    def grouped_rank(self, group_key: str, score_col: str, **kw):
+        """Exact per-group rank/percentile of an integer ppm score with
+        no group-sized window (see select.grouped_rank_ppm) — CCNet-style
+        per-source quality calibration. Returns a DataFrame report."""
+        from dabstract_spark.operators.select import grouped_rank_ppm
+
+        return grouped_rank_ppm(self._df, group_key, score_col, ROW_ID, **kw)
+
+    def ngram_dup_stats(self, key: str = "text", k: int = 8):
+        """Per-row duplicated-k-gram exposure (Lee 2022 memorization
+        audit; see dedup.ngram_dup_stats). Returns a DataFrame report
+        keyed by row_id."""
+        from dabstract_spark.operators.dedup import ngram_dup_stats
+
+        return ngram_dup_stats(self._df, ROW_ID, key, k=k)
+
+    def length_bucket_batches(self, token_col: str, batch_tokens: int = 4096, seed: int = 0):
+        """Padding-efficient loader layout (see
+        packing.length_bucket_batches). Returns a DataFrame manifest
+        keyed by row_id."""
+        from dabstract_spark.operators.packing import length_bucket_batches
+
+        return length_bucket_batches(
+            self._df, ROW_ID, token_col, batch_tokens=batch_tokens, seed=seed
+        )
+
+    def kcenter_select(self, k: int = 8, vec_col: str = "embedding"):
+        """Greedy k-center diversity coreset over an embedding column
+        (see similarity.kcenter_select). Returns the k-row selection."""
+        from dabstract_spark.operators.similarity import kcenter_select
+
+        return kcenter_select(self._df, k=k, id_col=ROW_ID, vec_col=vec_col)
+
     # ------------------------------------------------------------------ #
     # driver-side access (DataAbstract, abstract.py:252-472: multi-index
     # fetch / np-stacking / prefetching generator — Spark-native forms)

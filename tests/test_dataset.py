@@ -218,6 +218,46 @@ def test_dataset_facades_curriculum_gopher_mixture(spark):
     assert {r.row_id for r in gr.collect()} == set(range(20))
 
 
+def test_dataset_facades_r7_ops(spark):
+    """Round-7 facades wire through to the operators with row_id as the
+    identity column: grouped_rank, ngram_dup_stats, length batches,
+    k-center, and dsir_select."""
+    from dabstract_spark.dataset import Dataset
+
+    rows = [
+        (i, "alpha beta gamma delta epsilon zeta eta theta common run " * 2,
+         (i * 31) % 1_000_001)
+        for i in range(12)
+    ]
+    ds = Dataset(
+        spark.createDataFrame(rows, "row_id long, text string, q long"), name="d"
+    )
+    gr = ds.grouped_rank("text", "q")  # every row same text -> one group
+    assert sorted(r.rank_in_group for r in gr.collect()) == list(range(1, 13))
+    nd = ds.ngram_dup_stats(k=8).collect()
+    assert all(r.dup_ppm == 1_000_000 for r in nd)  # identical docs
+    lb = ds.length_bucket_batches("q", batch_tokens=1 << 21).collect()
+    assert len(lb) == 12 and all(r.bucket_cap >= max(r.n_tokens, 1) for r in lb)
+    emb = Dataset(
+        spark.createDataFrame(
+            [(i, [float(i), 0.0, 0.0, 0.0]) for i in range(8)],
+            "row_id long, embedding array<double>",
+        ),
+        name="e",
+    )
+    kc = emb.kcenter_select(k=3).collect()
+    assert len(kc) == 3 and kc[0].dist_sq == 0
+    tgt = Dataset(
+        spark.createDataFrame(
+            [(100 + i, "alpha beta gamma prose") for i in range(4)],
+            "row_id long, text string",
+        ),
+        name="t",
+    )
+    sel = ds.dsir_select(tgt, k=3, n_buckets=128)
+    assert sel.count() == 3
+
+
 def test_dataset_facades_bootstrap_collocations(spark):
     from dabstract_spark.dataset import Dataset
 
