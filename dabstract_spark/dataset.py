@@ -305,14 +305,19 @@ class Dataset:
         the dedup pair miners); ``return_idx="long"`` skips the array
         entirely and returns the relational long form — one
         ``(value, row_id)`` row per member, a plain shuffle-free
-        projection with no per-value state at all."""
+        projection with no per-value state at all (``max_ids`` composes
+        with it: the same smallest-max_ids rank filter applies first).
+        Any other mode string raises."""
         src = (
             self if set_name is None else self.get_xval_set(set_name, fold)
         )._df
+        if isinstance(return_idx, str) and return_idx != "long":
+            raise ValueError(
+                f"unknown return_idx mode {return_idx!r}; use True, False,"
+                " or 'long'"
+            )
         if not return_idx:
             return src.select(key).distinct().orderBy(key)
-        if return_idx == "long":
-            return src.select(key, ROW_ID)
         if max_ids is not None:
             w = Window.partitionBy(key).orderBy(ROW_ID)
             src = (
@@ -320,6 +325,8 @@ class Dataset:
                 .filter(F.col("__rn") <= max_ids)
                 .drop("__rn")
             )
+        if return_idx == "long":
+            return src.select(key, ROW_ID)
         return (
             src.groupBy(key)
             .agg(F.sort_array(F.collect_list(ROW_ID)).alias("row_ids"))

@@ -253,11 +253,21 @@ def top_k_per_group(
     columns — it only routes rows, it never orders them, so the output
     is identical to the single-window form under a total order.
     """
-    hashable = [
-        f.name
-        for f in df.schema.fields
-        if not f.dataType.typeName().startswith("map")
-    ]
+    def _has_map(dt) -> bool:
+        # xxhash64 rejects MapType RECURSIVELY (map nested in
+        # array/struct too), so the bucket columns must be map-free all
+        # the way down
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    hashable = [f.name for f in df.schema.fields if not _has_map(f.dataType)]
     bucket = (
         F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(256)).cast("int")
         if hashable

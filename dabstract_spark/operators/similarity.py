@@ -495,7 +495,10 @@ def topk_lsh_multiprobe(
     away. Candidates grow ×(1+n_probes) per query (explode on the SMALL
     query side only); the corpus is still scanned once and shuffled once
     on the bucket key. ``n_probes`` defaults to n_bits (all distance-1
-    buckets).
+    buckets). ``id_col`` must be unique per side (the identity contract
+    every ANN op here assumes): the pair-uniqueness argument below that
+    makes a dedup shuffle unnecessary — and the meaning of "top-k
+    neighbors" itself — presume one row per id.
     """
     probes = n_bits if n_probes is None else min(n_probes, n_bits)
     cb = corpus.withColumn("bucket", hyperplane_bits(vec_col, n_bits, dim, seed))
@@ -1034,7 +1037,14 @@ def kcenter_select(
     one argmax row via TakeOrdered(1). Driver traffic is k rows total;
     lineage is truncated per round with a lazy localCheckpoint.
     k·scan cost is the honest price of the sequential greedy — each
-    pick depends on all previous picks (Gonzalez 1985)."""
+    pick depends on all previous picks (Gonzalez 1985).
+
+    Degenerate inputs: an empty ``df`` returns an empty selection, and
+    when fewer than ``k`` distinct points exist the later rounds
+    re-select the minimum-id zero-distance point (every remaining
+    distance is 0, argmax ties break by id) — the same fixed-k
+    semantics the recursive-CTE oracle replays, kept deliberately so
+    the two stay hash-identical; size the coreset with k ≤ n."""
     enc = lambda c: (  # noqa: E731
         F.round(c.cast("double"), 6).cast("decimal(18,6)") * F.lit(1000000)
     ).cast("bigint")
@@ -1050,7 +1060,13 @@ def kcenter_select(
             lambda acc, v: acc + v,
         )
 
-    seed = pts.orderBy(F.asc("__id")).limit(1).collect()[0]
+    spark = df.sparkSession
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"sel_order int, {id_col} {id_type}, dist_sq bigint"
+    seeds = pts.orderBy(F.asc("__id")).limit(1).collect()
+    if not seeds:
+        return spark.createDataFrame([], schema)
+    seed = seeds[0]
     selected = [(0, seed["__id"], 0)]
     state = pts.withColumn("__mind", d2(seed["__v"]))
     for step in range(1, k):
@@ -1061,8 +1077,4 @@ def kcenter_select(
             state = state.withColumn(
                 "__mind", F.least(F.col("__mind"), d2(top["__v"]))
             )
-    spark = df.sparkSession
-    id_type = dict(df.dtypes)[id_col]
-    return spark.createDataFrame(
-        selected, f"sel_order int, {id_col} {id_type}, dist_sq bigint"
-    )
+    return spark.createDataFrame(selected, schema)

@@ -2017,7 +2017,12 @@ def q132_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q133_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
-    return ev.funnel_stages(events, stages=("view", "click", "purchase"))
+    # explicit opt-out: this query's oracle is the UNCAPPED funnel, so
+    # it must not inherit the defensive max_events default (q214 is the
+    # capped twin whose oracle applies the identical QUALIFY cap)
+    return ev.funnel_stages(
+        events, stages=("view", "click", "purchase"), max_events=None
+    )
 
 
 # --------------------------------------------------------------------- #

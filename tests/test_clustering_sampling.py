@@ -597,6 +597,10 @@ def test_kcenter_select_greedy_known_answer(spark):
         kcenter_select(df.repartition(5), k=4).collect(), key=lambda r: r.sel_order
     )
     assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+    # empty input -> empty selection (schema intact), no crash
+    empty = kcenter_select(df.filter("vec_id < 0"), k=3)
+    assert empty.count() == 0
+    assert empty.columns == ["sel_order", "vec_id", "dist_sq"]
 
 
 def test_grouped_rank_ppm_matches_naive_window(spark):
