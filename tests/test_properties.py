@@ -611,3 +611,43 @@ def test_two_level_rank_law_vs_naive(spark, rows, n):
         ).collect()
     )
     assert got_topk == naive_topk
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1_000_000)),  # (group, ppm score)
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_grouped_rank_ppm_law_vs_naive(spark, rows):
+    """Law: the composite value-bucket grouped_rank_ppm equals the naive
+    per-group ROW_NUMBER rank/percentile for arbitrary score
+    distributions — including boundary scores, ties, and single-row
+    groups."""
+    from pyspark.sql import Window
+
+    from dabstract_spark.operators.select import grouped_rank_ppm
+
+    data = [(i, f"g{g}", s) for i, (g, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "row_id long, grp string, qp long")
+    got = {
+        r.row_id: (r.rank_in_group, r.pct_ppm)
+        for r in grouped_rank_ppm(df, "grp", "qp", "row_id").collect()
+    }
+    w = Window.partitionBy("grp").orderBy("qp", "row_id")
+    naive = {
+        r.row_id: (r.rk, r.pct)
+        for r in df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+        .withColumn(
+            "pct",
+            F.expr(
+                "CAST((CAST(rk - 1 AS DECIMAL(38,0)) * 1000000)"
+                " div CAST(greatest(cnt - 1, 1) AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        )
+        .collect()
+    }
+    assert got == naive
