@@ -277,3 +277,66 @@ def merge_into(
         for c in cols
     ]
     return j.select(F.col("__k").alias(key), *picked, action.alias("action"))
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str | None = None,
+    short_tokens: int = 20,
+) -> DataFrame:
+    """Corpus data card — the one-page summary a curation run ships with
+    its output (Gebru et al., "Datasheets for Datasets"): a tall
+    (metric, value) table of exact-integer corpus facts — document and
+    token counts, language cardinality, short-document and PII-bearing
+    counts, exact-duplicate exposure (docs whose normalized content
+    digest is shared), and the integer-div mean quality score.
+
+    One staged projection feeds everything: the scalar facts reduce in
+    a single global aggregate (map-side combined to one row) and the
+    duplicate count is one digest-keyed groupBy — nothing else
+    shuffles, so the datasheet costs ~one scan at any corpus size.
+    All values are exact integers (counts and a truncating integer-div
+    mean), so the card is reproducible bit for bit."""
+    from dabstract_spark.operators.dedup import normalize_text
+    from dabstract_spark.operators.text import pii_count, quality_score_ppm, tokens
+
+    staged = df.select(
+        F.size(tokens(text_col)).cast("bigint").alias("__nt"),
+        quality_score_ppm(text_col).alias("__q"),
+        F.md5(normalize_text(text_col)).alias("__dg"),
+        pii_count(text_col, "email").alias("__pe"),
+        *([F.col(lang_col).alias("__lang")] if lang_col else []),
+    )
+    scalars = staged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.sum((F.col("__nt") < short_tokens).cast("bigint")).alias("short_docs"),
+        F.sum((F.col("__pe") > 0).cast("bigint")).alias("pii_docs"),
+        F.expr("CAST(sum(__q) div count(1) AS BIGINT)").alias("mean_quality_ppm"),
+        *(
+            [F.countDistinct("__lang").alias("n_langs")]
+            if lang_col
+            else [F.lit(0).cast("bigint").alias("n_langs")]
+        ),
+    )
+    dups = (
+        staged.groupBy("__dg")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("dup_docs"))
+    )
+    metrics = [
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "short_docs",
+        "pii_docs",
+        "dup_docs",
+        "mean_quality_ppm",
+    ]
+    stack = ", ".join(f"'{m}', CAST({m} AS BIGINT)" for m in metrics)
+    return scalars.crossJoin(F.broadcast(dups)).select(
+        F.expr(f"stack({len(metrics)}, {stack})").alias("metric", "value")
+    )

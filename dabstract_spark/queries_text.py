@@ -6005,3 +6005,53 @@ def q265_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tx.token_count("text").alias("nt")
     )
     return length_bucket_batches(docs, "doc_id", "nt", batch_tokens=4096, seed=0)
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+# --------------------------------------------------------------------- #
+# Corpus datasheet (quality.corpus_datasheet — Gebru 2018 "Datasheets
+# for Datasets"): the tall (metric, value) data card a curation run
+# ships — doc/token counts, language cardinality, short-doc and
+# PII-bearing counts, exact-duplicate exposure, integer-div mean
+# quality. One staged projection; scalars reduce in a single global
+# aggregate, duplicates in one digest groupBy.
+# --------------------------------------------------------------------- #
+@query(
+    "q266_corpus_datasheet",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(len({_T}) AS BIGINT) AS nt,
+             ((5 * least(length(text)::BIGINT * 2500, 1000000)
+               + 3 * least((len(list_filter({_T}, t -> t IN {_SW}))::BIGINT * 1000000
+                            // greatest(len({_T}), 1)) * 5, 1000000)
+               + 2 * (1000000 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::BIGINT * 1000000
+                            // greatest(length(text), 1)) * 10, 1000000))) // 10) AS qp,
+             md5({_NORM.format(c='text')}) AS dg,
+             len(regexp_extract_all(text, '{_EMAIL_RE}')) AS pe,
+             lang
+      FROM documents),
+    sc AS (SELECT COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
+                  COUNT(DISTINCT lang) AS n_langs,
+                  SUM(CASE WHEN nt < 20 THEN 1 ELSE 0 END) AS short_docs,
+                  SUM(CASE WHEN pe > 0 THEN 1 ELSE 0 END) AS pii_docs,
+                  CAST(CAST(SUM(qp) AS HUGEINT) // COUNT(*) AS BIGINT)
+                    AS mean_quality_ppm
+           FROM s),
+    du AS (SELECT COALESCE(SUM(c), 0) AS dup_docs FROM
+           (SELECT COUNT(*) AS c FROM s GROUP BY dg HAVING COUNT(*) >= 2))
+    SELECT 'n_docs' AS metric, CAST(n_docs AS BIGINT) AS value FROM sc
+    UNION ALL SELECT 'n_tokens', CAST(n_tokens AS BIGINT) FROM sc
+    UNION ALL SELECT 'n_langs', CAST(n_langs AS BIGINT) FROM sc
+    UNION ALL SELECT 'short_docs', CAST(short_docs AS BIGINT) FROM sc
+    UNION ALL SELECT 'pii_docs', CAST(pii_docs AS BIGINT) FROM sc
+    UNION ALL SELECT 'dup_docs', CAST(dup_docs AS BIGINT) FROM du
+    UNION ALL SELECT 'mean_quality_ppm', mean_quality_ppm FROM sc
+    """,
+)
+def q266_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.quality import corpus_datasheet
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_datasheet(docs, "doc_id", "text", lang_col="lang")
