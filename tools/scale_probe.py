@@ -254,6 +254,16 @@ def main():
         # memorization audit: window explode + vocabulary-sized gram-df
         # table joined back pre-aggregated — linear in tokens
         "ngram_dup": lambda d: dd.ngram_dup_stats(d, "doc_id", "text", k=8),
+        # corpus datasheet: one staged projection -> one global agg +
+        # one digest groupBy; output fixed at 7 rows at any size
+        "corpus_datasheet": lambda d: __import__(
+            "dabstract_spark.operators.quality", fromlist=["corpus_datasheet"]
+        ).corpus_datasheet(
+            d.withColumn("lang", (F.col("doc_id") % 5).cast("string")),
+            "doc_id",
+            "text",
+            lang_col="lang",
+        ),
         # Poisson bootstrap: one ×32 explode (output-sized) + one
         # map-side-combinable groupBy(b) — Σ-shaped by construction
         "bootstrap_means": lambda d: sel.bootstrap_means(
