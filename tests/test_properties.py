@@ -651,3 +651,31 @@ def test_grouped_rank_ppm_law_vs_naive(spark, rows):
         .collect()
     }
     assert got == naive
+
+
+@given(
+    lens=st.lists(st.integers(0, 300), min_size=1, max_size=40),
+    budget=st.sampled_from([64, 256, 1024]),
+)
+@settings(**_SETTINGS)
+def test_length_bucket_batches_conservation_law(spark, lens, budget):
+    """Laws: every doc appears exactly once; caps are powers of two
+    covering the length; no batch exceeds budget div cap docs; slots
+    tile 0..m-1 densely within each batch."""
+    from dabstract_spark.operators.packing import length_bucket_batches
+
+    df = spark.createDataFrame(
+        list(enumerate(lens)), "doc_id long, nt long"
+    )
+    out = length_bucket_batches(df, "doc_id", "nt", batch_tokens=budget).collect()
+    assert sorted(r.doc_id for r in out) == list(range(len(lens)))
+    batches = {}
+    for r in out:
+        cap = r.bucket_cap
+        assert cap >= max(r.n_tokens, 1) and cap & (cap - 1) == 0
+        per = max(budget // cap, 1)
+        assert 0 <= r.slot < per
+        batches.setdefault((cap, r.batch_id), []).append(r.slot)
+    for (cap, _), slots in batches.items():
+        assert len(slots) <= max(budget // cap, 1)
+        assert sorted(slots) == list(range(len(slots)))
