@@ -210,6 +210,7 @@ def token_budget_per_group(
     order_cols: list,
     budget: int,
     cum_col: str = "cum_tokens",
+    order_key=None,
 ) -> DataFrame:
     """Quota sampling to a per-group TOKEN budget (the corpus-curation
     step after quality ranking: "take the best docs per domain until the
@@ -217,23 +218,92 @@ def token_budget_per_group(
     cumulative token count in ``order_cols`` order stays <= ``budget``.
 
     ``order_cols`` must end in a unique tiebreaker for determinism.
+    ``order_key`` is a NUMERIC column (name or Column) that is monotone
+    non-decreasing along ``order_cols`` — for an ascending primary sort
+    column it is that column (the default when ``order_cols[0]`` names
+    one); for a descending primary sort pass its negation. Only its
+    ORDER is used (never its values), so any monotone surrogate works.
 
-    Scale shape: one shuffle on the group key, then a per-group window
-    cumsum — domains are the unit of parallelism, which fits corpus
-    mixtures (tens of domains, each internally huge but scanned
-    map-side after the exchange). For a budget over ONE giant domain use
-    packing.block_prefix_sum on a precomputed rank instead — it breaks
-    the single-partition window this form would degenerate to.
+    Scale shape — the two-level prefix-sum discipline
+    (``packing.block_prefix_sum`` / ``grouped_rank_ppm``): rows land in
+    256 per-group VALUE-RANGE buckets of ``order_key`` (ranges of the
+    group's order, so bucket b wholly precedes bucket b+1); per-(group,
+    bucket) token sums fold into an offsets table of <= n_groups x 256
+    rows whose cumulative window is bounded by construction; each row's
+    inclusive cumsum = its bucket's offset + a bucket-local running sum.
+    No window ever holds a whole group — one dominant domain in a 100 TB
+    mixture spreads over 256 tasks instead of serializing into one
+    external sort. Bucket boundaries come from a per-group min/max
+    aggregate (map-side combined to n_groups rows, no driver job), so
+    the bucketing is deterministic and the result is byte-identical to
+    the naive per-group window cumsum under a total order. Caveat: the
+    buckets inherit the KEY distribution — a group whose order key is
+    one constant degenerates to one bucket (ties are unorderable anyway
+    without the tiebreaker); and the two side tables are broadcast, so
+    group cardinality is assumed human-scale (domains/sources, not URLs
+    — see ``grouped_rank_ppm``'s threshold pattern otherwise).
     """
     from pyspark.sql import Window
 
-    tok = F.col(token_col) if isinstance(token_col, str) else token_col
-    w = (
+    tok = (F.col(token_col) if isinstance(token_col, str) else token_col).cast(
+        "bigint"
+    )
+    if order_key is None:
+        if not (order_cols and isinstance(order_cols[0], str)):
+            raise ValueError(
+                "token_budget_per_group: pass order_key= (a numeric column "
+                "monotone along order_cols) when order_cols[0] is not a "
+                "plain ascending column name"
+            )
+        order_key = order_cols[0]
+    k = (F.col(order_key) if isinstance(order_key, str) else order_key).cast(
+        "double"
+    )
+
+    keyed = df.withColumn("__k", k)
+    # per-group key range: one map-side-combined aggregate, n_groups rows
+    stats = keyed.groupBy(group_col).agg(
+        F.min("__k").alias("__kmin"), F.max("__k").alias("__kmax")
+    )
+    span = F.col("__kmax") - F.col("__kmin")
+    # floor of a monotone map of __k -> monotone bucket; equal keys share
+    # a bucket, __k == __kmax clamps from 256 back to 255
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(255),
+            F.floor((F.col("__k") - F.col("__kmin")) * 256.0 / span).cast("int"),
+        )
+    )
+    bucketed = keyed.join(F.broadcast(stats), group_col).withColumn(
+        "__b", bucket
+    ).drop("__kmin", "__kmax")
+
+    sums = bucketed.groupBy(group_col, "__b").agg(
+        F.sum(tok).alias("__t")
+    )
+    # bounded by construction: <= n_groups x 256 rows
+    w_off = (
         Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        group_col,
+        "__b",
+        F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
+    )
+    # bucket-local running sum: each task holds <= 1/256 of one group
+    w_loc = (
+        Window.partitionBy(group_col, "__b")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return df.withColumn(cum_col, F.sum(tok).over(w)).filter(F.col(cum_col) <= budget)
+    return (
+        bucketed.join(F.broadcast(offsets), [group_col, "__b"])
+        .withColumn(cum_col, F.col("__off") + F.sum(tok).over(w_loc))
+        .filter(F.col(cum_col) <= budget)
+        .drop("__k", "__b", "__off")
+    )
 
 
 def top_k_per_group(
@@ -589,6 +659,8 @@ def grouped_rank_ppm(
     max_score: int = 1_000_000,
     out_rank: str = "rank_in_group",
     out_pct: str = "pct_ppm",
+    n_groups_hint: int | None = None,
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """EXACT per-group rank and percentile of an integer score WITHOUT a
     group-sized window — per-source quality calibration (the CCNet move:
@@ -607,7 +679,20 @@ def grouped_rank_ppm(
     broadcast cumulative-offset table (n_groups×256 rows) carrying the
     group totals, and each row's rank = its bucket's offset + a local
     row_number bounded by the bucket. No window ever holds a whole
-    group, no count() job, offsets move as one broadcast."""
+    group, no count() job, offsets move as one broadcast.
+
+    Broadcast bound: the offsets table is <= n_groups x 256 rows, fine
+    for the stated use (languages/domains, 10^2-10^3 groups) but a
+    driver bomb for a high-cardinality group column (per-URL-host over
+    the open web: 10^7 groups -> 2.5e9 broadcast rows). The join
+    therefore broadcasts ONLY when the offsets table is known to hold
+    <= ``broadcast_threshold`` rows: pass ``n_groups_hint`` (an upper
+    bound on group cardinality; hint x 256 vs the threshold, zero extra
+    jobs) when you know it, else ONE count() job over the same
+    map-side-combined aggregate decides. Past the threshold the plan
+    falls back to a plain shuffle join on (group, bucket) — output
+    identical, and the join exchange is reused by the bucket-local
+    window that follows on the same keys."""
     width = max(1, -(-int(max_score) // 256))  # ceil division
     keyed = df.withColumn(
         "__b",
@@ -633,9 +718,13 @@ def grouped_rank_ppm(
         F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
         F.sum("__n").over(w_tot).alias("__ng"),
     )
+    if n_groups_hint is not None:
+        small = int(n_groups_hint) * 256 <= broadcast_threshold
+    else:
+        small = counts.count() <= broadcast_threshold
     w_local = Window.partitionBy(group_col, "__b").orderBy(score_col, id_col)
     return (
-        keyed.join(F.broadcast(offsets), [group_col, "__b"])
+        keyed.join(F.broadcast(offsets) if small else offsets, [group_col, "__b"])
         .withColumn(
             out_rank,
             (F.col("__off") + F.row_number().over(w_local)).cast("bigint"),

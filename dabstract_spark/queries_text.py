@@ -1931,6 +1931,7 @@ def q130_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = token_budget_per_group(
         scored, "source", "n_tokens",
         [F.col("n_chars").desc(), F.col("doc_id")], budget=800,
+        order_key=-F.col("n_chars"),
     )
     return out.select("doc_id", "source", "n_tokens", "cum_tokens")
 
@@ -5833,7 +5834,9 @@ def q261_grouped_rank_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", tx.quality_score_ppm("text").alias("qp")
     )
-    return grouped_rank_ppm(docs, "lang", "qp", "doc_id").select(
+    # languages are a human-scale domain: the hint keeps the offsets
+    # broadcast decision job-free and the physical plan unchanged
+    return grouped_rank_ppm(docs, "lang", "qp", "doc_id", n_groups_hint=64).select(
         "doc_id", "lang", "qp", "rank_in_group", "pct_ppm"
     )
 

@@ -643,6 +643,32 @@ def test_grouped_rank_ppm_matches_naive_window(spark):
     assert got[3000][1] == 0 and got[3001][1] == 1_000_000
 
 
+def test_grouped_rank_ppm_high_cardinality_shuffle_path(spark):
+    """Past broadcast_threshold the offsets join must fall back to a
+    plain shuffle join (no driver-side broadcast of an n_groups x 256
+    table) with IDENTICAL output — the high-cardinality-group guard
+    (per-URL-host calibration over the open web)."""
+    from dabstract_spark.operators.select import grouped_rank_ppm
+
+    # every doc its own "host" group except a few collisions
+    rows = [(i, f"host{i % 40}", (i * 7919) % 1_000_001) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string, qp bigint")
+
+    broad = grouped_rank_ppm(df, "grp", "qp", "doc_id", n_groups_hint=40)
+    shuf = grouped_rank_ppm(df, "grp", "qp", "doc_id", broadcast_threshold=1)
+    assert "ResolvedHint" not in shuf._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in broad._jdf.queryExecution().analyzed().toString()
+    want = sorted(map(tuple, broad.collect()))
+    assert sorted(map(tuple, shuf.collect())) == want
+
+    # hint path past the threshold also declines to broadcast, no jobs
+    hinted = grouped_rank_ppm(
+        df, "grp", "qp", "doc_id", n_groups_hint=10_000_000
+    )
+    assert "ResolvedHint" not in hinted._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, hinted.collect())) == want
+
+
 def test_dsir_selects_target_like_docs(spark):
     """DSIR importance selection must rank raw docs that share the
     target distribution's n-grams above off-distribution docs, and the

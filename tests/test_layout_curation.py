@@ -54,10 +54,20 @@ def test_token_budget_per_group_inclusive_boundary(spark):
         [("a", 1, 40), ("a", 2, 40), ("a", 3, 40), ("b", 4, 100)],
         "g string, id bigint, tok bigint",
     )
-    out = token_budget_per_group(df, "g", "tok", [F.col("id")], budget=80)
+    out = token_budget_per_group(df, "g", "tok", ["id"], budget=80)
     kept = sorted(r.id for r in out.collect())
     # a: 40, 80 kept; 120 crosses. b: 100 > 80 -> dropped entirely
     assert kept == [1, 2]
+
+
+def test_token_budget_per_group_requires_order_key_for_exprs(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1, 1)], "g string, id bigint, tok bigint")
+    # a Column/sort-expression primary order needs an explicit monotone
+    # order_key; silently guessing would risk a wrong (non-aligned) bucket
+    with pytest.raises(ValueError, match="order_key"):
+        token_budget_per_group(df, "g", "tok", [F.col("id").desc()], budget=1)
 
 
 def _ts(minute):

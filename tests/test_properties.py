@@ -654,6 +654,50 @@ def test_grouped_rank_ppm_law_vs_naive(spark, rows):
 
 
 @given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 50), st.integers(0, 20)
+        ),  # (group, order key, tokens)
+        min_size=1,
+        max_size=60,
+    ),
+    budget=st.integers(0, 200),
+)
+@settings(**_SETTINGS)
+def test_token_budget_two_level_law_vs_naive(spark, rows, budget):
+    """Law: the two-level (group, 256-value-bucket) token_budget_per_group
+    equals the naive per-group window cumsum for ARBITRARY corpora —
+    any group sizes, tied order keys, zero-token rows, budget edge
+    cases — including a DESCENDING primary sort via order_key
+    negation. The r8 de-skew rewrite must be invisible in output."""
+    from pyspark.sql import Window
+
+    from dabstract_spark.operators.select import token_budget_per_group
+
+    data = [(i, f"g{g}", k, t) for i, (g, k, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "row_id long, grp string, k long, tok long")
+    order = [F.desc("k"), F.asc("row_id")]
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = sorted(
+        (r.grp, r.row_id, r.cum)
+        for r in df.withColumn("cum", F.sum("tok").over(w))
+        .filter(F.col("cum") <= budget)
+        .collect()
+    )
+    got = sorted(
+        (r.grp, r.row_id, r.cum_tokens)
+        for r in token_budget_per_group(
+            df, "grp", "tok", order, budget, order_key=-F.col("k")
+        ).collect()
+    )
+    assert got == naive
+
+
+@given(
     lens=st.lists(st.integers(0, 300), min_size=1, max_size=40),
     budget=st.sampled_from([64, 256, 1024]),
 )
