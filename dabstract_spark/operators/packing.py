@@ -252,8 +252,12 @@ def length_bucket_batches(
     """Length-bucketed dynamic batching (the padding-efficient loader
     layout: group similar-length sequences so a batch's padded cost
     ``n_rows·max_len`` stays near its real token count): documents land
-    in power-of-2 length buckets (``cap = 2^ceil(log2(len))``, min 1),
-    and each bucket is cut into batches of ``batch_tokens div cap``
+    in power-of-2 length buckets (``cap = 2^ceil(log2(len))``, min 1 —
+    derived with INTEGER bit arithmetic, ``1 << bitlength(len-1)``,
+    because float ``log2`` returns 29.000000000000004 for 2^29 on
+    engines that compute it as ln/ln2, doubling an exact power-of-2
+    length's cap), and each bucket is cut into batches of
+    ``batch_tokens div cap``
     docs in a seed-reproducible md5 order. Returns
     (id, n_tokens, bucket_cap, batch_id, slot) — ``slot`` is the
     document's position inside its batch, so the manifest fully
@@ -268,10 +272,17 @@ def length_bucket_batches(
     still get cap-sized singleton batches (``div`` clamps to ≥ 1)."""
     from dabstract_spark.operators.select import curriculum_order
 
-    n = F.greatest(F.col(token_col).cast("bigint"), F.lit(1))
+    # 2^ceil(log2(n)) == 1 << bitlength(n-1): exact bigint for every n
+    # up to 2^62, no float log anywhere
+    n_sql = f"greatest(CAST({token_col} AS BIGINT), CAST(1 AS BIGINT))"
     capped = df.withColumn(
-        "__cap", F.pow(F.lit(2.0), F.ceil(F.log2(n))).cast("bigint")
-    ).withColumn("__cap", F.greatest(F.col("__cap"), F.lit(1)))
+        "__cap",
+        F.expr(
+            f"CASE WHEN {n_sql} <= 1 THEN CAST(1 AS BIGINT)"
+            f" ELSE shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(length(bin({n_sql} - 1)) AS INT)) END"
+        ),
+    )
     pos = curriculum_order(capped, "__cap", id_col, seed=seed)
     offs = pos.groupBy("__cap").agg(F.min("pos").alias("__o"))
     per = F.greatest(F.expr(f"CAST({int(batch_tokens)} AS BIGINT) div __cap"), F.lit(1))

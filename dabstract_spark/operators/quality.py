@@ -309,12 +309,21 @@ def corpus_datasheet(
         pii_count(text_col, "email").alias("__pe"),
         *([F.col(lang_col).alias("__lang")] if lang_col else []),
     )
+    # every sum coalesces to 0 and the mean divides by greatest(n, 1):
+    # sum/div over ZERO rows is NULL in Spark, and the card's contract
+    # ("exact integers, bit for bit") must hold for an empty corpus too
     scalars = staged.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("__nt").alias("n_tokens"),
-        F.sum((F.col("__nt") < short_tokens).cast("bigint")).alias("short_docs"),
-        F.sum((F.col("__pe") > 0).cast("bigint")).alias("pii_docs"),
-        F.expr("CAST(sum(__q) div count(1) AS BIGINT)").alias("mean_quality_ppm"),
+        F.coalesce(F.sum("__nt"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(
+            F.sum((F.col("__nt") < short_tokens).cast("bigint")), F.lit(0)
+        ).alias("short_docs"),
+        F.coalesce(
+            F.sum((F.col("__pe") > 0).cast("bigint")), F.lit(0)
+        ).alias("pii_docs"),
+        F.expr(
+            "CAST(coalesce(sum(__q), 0) div greatest(count(1), 1) AS BIGINT)"
+        ).alias("mean_quality_ppm"),
         *(
             [F.countDistinct("__lang").alias("n_langs")]
             if lang_col

@@ -1035,7 +1035,10 @@ def kcenter_select(
     rounds folds ONE literal center into the running min (64-element
     HOF vs a plan literal — no join, no shuffle) and collects exactly
     one argmax row via TakeOrdered(1). Driver traffic is k rows total;
-    lineage is truncated per round with a lazy localCheckpoint.
+    lineage is truncated per round with a lazy localCheckpoint, and
+    each round's checkpoint blocks are RELEASED as soon as the next
+    round's checkpoint has materialized from them — block-manager
+    residency stays one generation deep instead of k deep.
     k·scan cost is the honest price of the sequential greedy — each
     pick depends on all previous picks (Gonzalez 1985).
 
@@ -1060,21 +1063,39 @@ def kcenter_select(
             lambda acc, v: acc + v,
         )
 
+    def _release(chk_df):
+        # drop a materialized localCheckpoint's cached blocks: the
+        # analyzed plan of a checkpointed frame is one LogicalRDD node
+        # whose RDD the block manager holds at MEMORY_AND_DISK
+        try:
+            chk_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass  # best-effort hygiene; never fail the selection
+
     spark = df.sparkSession
     id_type = dict(df.dtypes)[id_col]
     schema = f"sel_order int, {id_col} {id_type}, dist_sq bigint"
     seeds = pts.orderBy(F.asc("__id")).limit(1).collect()
     if not seeds:
+        _release(pts)
         return spark.createDataFrame([], schema)
     seed = seeds[0]
     selected = [(0, seed["__id"], 0)]
     state = pts.withColumn("__mind", d2(seed["__v"]))
+    prev_chk = pts
     for step in range(1, k):
         state = state.localCheckpoint(eager=False)
         top = state.orderBy(F.desc("__mind"), F.asc("__id")).limit(1).collect()[0]
+        # this round's checkpoint just materialized from prev_chk's
+        # blocks; nothing references the older generation anymore
+        _release(prev_chk)
+        prev_chk = state
         selected.append((step, top["__id"], top["__mind"]))
         if step < k - 1:
             state = state.withColumn(
                 "__mind", F.least(F.col("__mind"), d2(top["__v"]))
             )
+    # the returned selection is a driver-side literal table — the last
+    # checkpoint generation is dead too
+    _release(prev_chk)
     return spark.createDataFrame(selected, schema)

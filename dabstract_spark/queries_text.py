@@ -5986,8 +5986,8 @@ def q264_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, CAST(len({_T}) AS BIGINT) AS nt FROM documents),
     caps AS (
       SELECT doc_id, nt,
-             GREATEST(CAST(pow(2, ceil(log2(GREATEST(nt, 1)))) AS BIGINT),
-                      1) AS cap
+             CASE WHEN nt <= 1 THEN 1
+                  ELSE (1::BIGINT << length(bin(nt - 1))) END AS cap
       FROM q),
     idx AS (
       SELECT doc_id, nt, cap,

@@ -739,15 +739,21 @@ def decontaminate_stream(
             clean = clean.select(*select_cols)
         clean.write.mode("append").parquet(out_path)
 
-    return _drain_foreach_batch(
-        doc_stream,
-        _sink,
-        checkpoint,
-        out_path,
-        timeout_sec,
-        drain_partitions,
-        "decontaminate_stream",
-    )
+    # unpersist once the drain completes: the returned sink is
+    # parquet-backed, and a leaked CacheManager entry would substitute
+    # this plan into later logically-matching queries in the session
+    try:
+        return _drain_foreach_batch(
+            doc_stream,
+            _sink,
+            checkpoint,
+            out_path,
+            timeout_sec,
+            drain_partitions,
+            "decontaminate_stream",
+        )
+    finally:
+        test_static.unpersist()
 
 
 def cohort_activity_stream(
@@ -834,15 +840,19 @@ def curate_stream(
             .parquet(out_path)
         )
 
-    sink = _drain_foreach_batch(
-        doc_stream,
-        _sink,
-        checkpoint,
-        out_path,
-        timeout_sec,
-        drain_partitions,
-        "curate_stream",
-    )
+    # drain-scoped persist: see decontaminate_stream
+    try:
+        sink = _drain_foreach_batch(
+            doc_stream,
+            _sink,
+            checkpoint,
+            out_path,
+            timeout_sec,
+            drain_partitions,
+            "curate_stream",
+        )
+    finally:
+        test_static.unpersist()
     return sink.distinct()
 
 
@@ -906,15 +916,19 @@ def neardup_ingest_stream(
             .parquet(out_path)
         )
 
-    sink = _drain_foreach_batch(
-        doc_stream,
-        _sink,
-        checkpoint,
-        out_path,
-        timeout_sec,
-        drain_partitions,
-        "neardup_ingest_stream",
-    )
+    # drain-scoped persist: see decontaminate_stream
+    try:
+        sink = _drain_foreach_batch(
+            doc_stream,
+            _sink,
+            checkpoint,
+            out_path,
+            timeout_sec,
+            drain_partitions,
+            "neardup_ingest_stream",
+        )
+    finally:
+        idx.unpersist()
     return sink.distinct()
 
 
@@ -1006,15 +1020,19 @@ def dsir_score_stream(
         )
         scored.write.mode("append").parquet(out_path)
 
-    sink = _drain_foreach_batch(
-        doc_stream,
-        _sink,
-        checkpoint,
-        out_path,
-        timeout_sec,
-        drain_partitions,
-        "dsir_score_stream",
-    )
+    # drain-scoped persist: see decontaminate_stream
+    try:
+        sink = _drain_foreach_batch(
+            doc_stream,
+            _sink,
+            checkpoint,
+            out_path,
+            timeout_sec,
+            drain_partitions,
+            "dsir_score_stream",
+        )
+    finally:
+        table_static.unpersist()
     return sink.distinct()
 
 
@@ -1036,7 +1054,16 @@ def calibration_stream(
     CMS partials argument), so the drained table equals the batch
     bucket counts exactly for any micro-batch boundaries; percentile
     assignment for new documents is then one broadcast join against
-    the ≤ n_groups×256-row merged table."""
+    the ≤ n_groups×256-row merged table.
+
+    Replay safety: foreachBatch is AT-LEAST-ONCE — a micro-batch
+    replayed after a failure between the parquet append and the
+    checkpoint commit lands in the sink twice, and unlike the SET
+    sinks (curate/cohort/dsir) a sum cannot absorb the duplicate. Each
+    partial row therefore carries its ``batch_id``, and the merge
+    drops duplicate (batch_id, group, bucket) rows before summing —
+    the sink is idempotent per batch_id, so the exactness claim above
+    survives replays, not just clean availableNow drains."""
     width = max(1, -(-int(max_score) // 256))
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -1050,6 +1077,7 @@ def calibration_stream(
             )
             .groupBy(group_col, "bucket")
             .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("append")
             .parquet(out_path)
         )
@@ -1063,4 +1091,8 @@ def calibration_stream(
         drain_partitions,
         "calibration_stream",
     )
-    return sink.groupBy(group_col, "bucket").agg(F.sum("n").alias("n"))
+    return (
+        sink.dropDuplicates(["batch_id", group_col, "bucket"])
+        .groupBy(group_col, "bucket")
+        .agg(F.sum("n").alias("n"))
+    )

@@ -569,6 +569,28 @@ def test_length_bucket_batches_layout(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_length_bucket_cap_exact_at_large_powers_of_two(spark):
+    """The cap is INTEGER bit arithmetic, not float log2: engines that
+    compute log2(2^29) as ln/ln2 get 29.000000000000004 and double the
+    cap at exact power-of-2 lengths 2^29/2^31/2^39. The cap must equal
+    the length exactly there, and length+1 must bump to the next power."""
+    from dabstract_spark.operators.packing import length_bucket_batches
+
+    lens = [1, 2, 3, 2**29, 2**29 + 1, 2**31, 2**39, 2**39 + 1]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id bigint, nt bigint"
+    )
+    got = {
+        r.n_tokens: r.bucket_cap
+        for r in length_bucket_batches(df, "doc_id", "nt").collect()
+    }
+    assert got == {
+        1: 1, 2: 2, 3: 4,
+        2**29: 2**29, 2**29 + 1: 2**30,
+        2**31: 2**31, 2**39: 2**39, 2**39 + 1: 2**40,
+    }
+
+
 def test_kcenter_select_greedy_known_answer(spark):
     """Greedy farthest-point on a crafted 2-D set (padded to dim 4):
     seed = min id, then the known Gonzalez order; dist_sq sequence is

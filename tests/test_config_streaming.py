@@ -315,6 +315,47 @@ def test_stream_decontaminate_equals_batch(spark, tmp_path):
     assert len(batch_ids) > 0
 
 
+def test_drain_ops_release_persisted_side_tables(spark, tmp_path):
+    """Drain-style ops persist a static side table for the duration of
+    the drain ONLY: repeated drains must not accumulate CacheManager /
+    block-manager entries (a leaked cached plan gets substituted into
+    later logically-matching queries in the session), and kcenter's
+    per-round localCheckpoints must be released as rounds retire."""
+    from dabstract_spark.operators.similarity import kcenter_select
+    from dabstract_spark.streaming.ops import decontaminate_stream, stream_events
+
+    # snapshot AFTER materializing load_table's session-scoped hot-table
+    # caches (they register in the block manager at first use, not at
+    # persist() time) so only the ops under test move the counters
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    docs.count(), emb.count()
+    jsc = spark.sparkContext._jsc.sc()
+    before_rdds = jsc.getPersistentRDDs().size()
+    before_cached = len(
+        [t for t in spark.catalog.listTables() if spark.catalog.isCached(t.name)]
+    )
+
+    test_b = docs.filter(F.col("doc_id") % 5 == 0)
+    src = stream_events(spark, f"{SF}/documents.parquet").filter(
+        F.col("doc_id") % 5 != 0
+    )
+    out = decontaminate_stream(
+        src, test_b, "doc_id", "text",
+        str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
+        k=5, select_cols=["doc_id"],
+    )
+    assert out.count() > 0
+
+    assert kcenter_select(emb, k=4).count() == 4
+
+    assert jsc.getPersistentRDDs().size() == before_rdds
+    assert (
+        len([t for t in spark.catalog.listTables() if spark.catalog.isCached(t.name)])
+        == before_cached
+    )
+
+
 def test_stream_cohort_equals_batch(spark, tmp_path):
     from dabstract_spark.operators.events import cohort_retention
     from dabstract_spark.streaming.ops import cohort_activity_stream, stream_events

@@ -268,6 +268,22 @@ def test_new_r6_operators_on_empty_input(spark):
     assert funnel_stages(empty_events, max_events=5).count() == 0
 
 
+def test_corpus_datasheet_total_on_empty_corpus(spark):
+    """The data card is TOTAL on the degenerate input: an empty corpus
+    yields the full 7-row card with exact-integer ZEROS (Spark's
+    sum/div over zero rows is NULL — the card coalesces)."""
+    from dabstract_spark.operators.quality import corpus_datasheet
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    got = {r.metric: r.value for r in corpus_datasheet(
+        empty, "doc_id", "text", lang_col="lang"
+    ).collect()}
+    assert got == {
+        "n_docs": 0, "n_tokens": 0, "n_langs": 0, "short_docs": 0,
+        "pii_docs": 0, "dup_docs": 0, "mean_quality_ppm": 0,
+    }
+
+
 def test_key_skew_profile_hhi_bounds(spark):
     from dabstract_spark.operators.skew import key_skew_profile
 
