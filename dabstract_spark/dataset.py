@@ -814,6 +814,23 @@ class Dataset:
 
         return kcenter_select(self._df, k=k, id_col=ROW_ID, vec_col=vec_col)
 
+    def preflight(self, keys: list[str] | str, n_partitions: int = 32, **kw):
+        """Pre-flight skew advisory for a prospective join/groupBy on
+        ``keys`` (see skew.skew_advice): profiles the named key columns
+        over the ACTIVE projection and returns one advisory row per hot
+        key — ``broadcast`` (distinct-key table is small: join against
+        it replicated, no shuffle of the big side), ``salt(k)`` (the key
+        overflows a reducer's fair share of ``n_partitions``: shard it
+        across exactly k sub-keys), or ``ok`` — so a pipeline author
+        gets the mitigation verdict BEFORE launching the 100 TB job.
+        Advice is exact integer arithmetic on one map-side-combinable
+        count per key; nothing here scans more than the profiler does."""
+        from dabstract_spark.operators.skew import skew_advice
+
+        if isinstance(keys, str):
+            keys = [keys]
+        return skew_advice(self.df, list(keys), n_partitions=n_partitions, **kw)
+
     # ------------------------------------------------------------------ #
     # driver-side access (DataAbstract, abstract.py:252-472: multi-index
     # fetch / np-stacking / prefetching generator — Spark-native forms)

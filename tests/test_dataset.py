@@ -285,3 +285,29 @@ def test_dataset_facades_bootstrap_collocations(spark):
     col = ds.collocations(min_count=2, top_k=5).collect()
     assert 0 < len(col) <= 5
     assert ("the", "cat") in {(r.w1, r.w2) for r in col}
+
+
+def test_dataset_preflight_skew_advisory(spark):
+    """Dataset.preflight profiles the named join/groupBy keys over the
+    ACTIVE projection and returns the broadcast/salt(k)/ok verdicts —
+    the ergonomic hook in front of skew.skew_advice."""
+    from dabstract_spark.dataset import Dataset
+
+    rows = [(i, "hot", 1.0) for i in range(64)] + [
+        (1000 + i, f"u{i}", 1.0) for i in range(32)
+    ]
+    ds = Dataset(
+        spark.createDataFrame(rows, "row_id long, host string, v double"),
+        name="d",
+    )
+    out = {
+        r.host: r
+        for r in ds.preflight(
+            "host", n_partitions=8, broadcast_max_keys=2, top_k=3
+        ).collect()
+    }
+    assert out["hot"].advice == "salt(6)" and out["hot"].n_salts == 6
+    assert all(r.advice == "ok" for k, r in out.items() if k != "hot")
+    # small distinct-key table short-circuits to broadcast for every key
+    bc = ds.preflight(["host"], n_partitions=8, broadcast_max_keys=100)
+    assert all(r.advice == "broadcast" for r in bc.collect())

@@ -65,25 +65,45 @@ def main():
     # same process — measured ~2x inflation on the Spark cells (e.g.
     # q166 5.2s interleaved vs 3.3s clean). Each engine runs its full
     # loop back to back, the way either would actually be deployed.
+    # cold/warm split: the first execution of a plan pays one-time
+    # costs (janino codegen compile — ~2.5 s for q106's two 512-term
+    # sign projections — plus Python-worker spinup for Arrow stages);
+    # the second execution of the SAME plan isolates the recurring
+    # cost. Comparing rounds on cold cells lets compile floors
+    # masquerade as plan regressions; the warm column is the
+    # plan-shaped number. Set BENCH_ORACLE_WARM=0 to skip the second
+    # pass (halves the Spark phase).
+    import os
+
+    warm_pass = os.environ.get("BENCH_ORACLE_WARM", "1") != "0"
     names = sorted(oracles)
     t_spark = {}
     for name in names:
         t0 = time.time()
         spark_run(qs[name](spark, sf_dir))
         t_spark[name] = time.time() - t0
+    t_warm = {}
+    if warm_pass:
+        for name in names:
+            t0 = time.time()
+            spark_run(qs[name](spark, sf_dir))
+            t_warm[name] = time.time() - t0
     t_duck = {}
     for name in names:
         t0 = time.time()
         con.execute(oracles[name]).fetchall()
         t_duck[name] = time.time() - t0
-    rows = [(n, t_spark[n], t_duck[n]) for n in names]
+    rows = [(n, t_spark[n], t_warm.get(n), t_duck[n]) for n in names]
 
-    print(f"{'query':<32} {'spark':>8} {'duckdb':>8}")
-    for name, ts, td in rows:
-        print(f"{name:<32} {ts:>8.2f} {td:>8.2f}")
+    print(f"{'query':<32} {'sp_cold':>8} {'sp_warm':>8} {'duckdb':>8}")
+    for name, ts, tw, td in rows:
+        w = f"{tw:>8.2f}" if tw is not None else f"{'-':>8}"
+        print(f"{name:<32} {ts:>8.2f} {w} {td:>8.2f}")
     total_s = sum(r[1] for r in rows)
-    total_d = sum(r[2] for r in rows)
-    print(f"{'TOTAL':<32} {total_s:>8.2f} {total_d:>8.2f}")
+    total_w = sum(r[2] for r in rows if r[2] is not None)
+    total_d = sum(r[3] for r in rows)
+    w = f"{total_w:>8.2f}" if warm_pass else f"{'-':>8}"
+    print(f"{'TOTAL':<32} {total_s:>8.2f} {w} {total_d:>8.2f}")
 
 
 if __name__ == "__main__":

@@ -471,10 +471,34 @@ def main():
             .drop("__rn")
         )
 
+    # same adversarial one-giant-domain corpus through the r8 two-level
+    # token-budget cumsum vs the old single per-group window form: a
+    # budget over one dominant domain is the shape the rewrite de-skews
+    def _budget_naive(d):
+        w = (
+            Window.partitionBy("grp")
+            .orderBy(F.desc("tok"), F.asc("row_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return d.withColumn("cum", F.sum("tok").over(w)).filter(
+            F.col("cum") <= 1_000_000
+        )
+
     giant_probes = {
         "rank_giantgroup_naive": _rank_naive,
         "rank_giantgroup_twolevel": lambda d: sel.sample_per_group(
             d, "grp", n=50, key="row_id"
+        ),
+        "budget_giantdom_naive": lambda d: _budget_naive(
+            d.withColumn("tok", (F.col("row_id") % 997).cast("bigint"))
+        ),
+        "budget_giantdom_twolevel": lambda d: sel.token_budget_per_group(
+            d.withColumn("tok", (F.col("row_id") % 997).cast("bigint")),
+            "grp",
+            "tok",
+            [F.desc("tok"), F.asc("row_id")],
+            budget=1_000_000,
+            order_key=-F.col("tok"),
         ),
     }
 
@@ -682,6 +706,60 @@ def main():
             "user_id", F.col("user_id") + F.lit(c * 1_000_000)
         ),
     )
+
+    # streaming-sink MERGE growth (q260/q264 read side): the per-drain
+    # micro-batch floor is documented, but the merge a caller runs over
+    # an EVER-GROWING appended sink needed its own growth row. Drain
+    # each twin once at this sf, then self-append the raw sink 1x/4x/
+    # 16x — batch_id offsets per copy for the calibration partials
+    # (later drains of the same groups), doc_id offsets for the dsir
+    # scores (fresh documents) — and time ONLY the merge query.
+    merge_names = {"calib_sink_merge", "dsir_sink_merge"}
+    if not only or (only & merge_names):
+        import tempfile
+
+        from dabstract_spark.streaming import ops as sops
+
+        tmp = tempfile.mkdtemp(prefix="sparkdab_probe_sink_")
+        qsrc = sops.stream_events(spark, f"{sf_dir}/documents.parquet").select(
+            "lang", tx.quality_score_ppm("text").alias("qp")
+        )
+        sops.calibration_stream(
+            qsrc, "lang", "qp", f"{tmp}/calib", f"{tmp}/calib_ck"
+        ).count()
+        calib_sink = spark.read.parquet(f"{tmp}/calib")
+
+        docs_src = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        target = docs_src.filter(F.col("source").isin("src0", "src1"))
+        raw_static = docs_src.filter(~F.col("source").isin("src0", "src1"))
+        table = tx.dsir_logratio_table(target, raw_static, "text", n_buckets=1024)
+        dsrc = sops.stream_events(spark, f"{sf_dir}/documents.parquet").filter(
+            ~F.col("source").isin("src0", "src1")
+        )
+        sops.dsir_score_stream(
+            dsrc, table, "doc_id", "text", f"{tmp}/dsir", f"{tmp}/dsir_ck",
+            n_buckets=1024,
+        ).count()
+        dsir_sink = spark.read.parquet(f"{tmp}/dsir")
+
+        probe_block(
+            {
+                "calib_sink_merge": lambda d: d.dropDuplicates(
+                    ["batch_id", "lang", "bucket"]
+                )
+                .groupBy("lang", "bucket")
+                .agg(F.sum("n").alias("n"))
+            },
+            calib_sink,
+            "batch_id",
+        )
+        probe_block(
+            {"dsir_sink_merge": lambda d: d.distinct()},
+            dsir_sink,
+            "doc_id",
+        )
 
 
 if __name__ == "__main__":
