@@ -1,0 +1,140 @@
+"""Corpus-mixture planning operators.
+
+``token_budget_per_group`` (operators/select.py) answers "WHICH
+documents fill a given per-domain budget"; the planner here answers the
+question before it: "what should each domain's budget BE" given one
+global token budget — exact max-min-fair water-filling with an optional
+repeat cap (the Muennighoff 2023 "scaling data-constrained LMs" regime,
+where a domain may be repeated at most ``max_repeat`` epochs before its
+marginal value collapses).
+
+Everything is exact bigint arithmetic on an n_groups-sized table
+(domains/sources — human-scale by contract, the grouped_rank_ppm
+bound), so the plan is deterministic, engine-portable, and
+DuckDB-oracle-checkable with plain window functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def budget_allocation(
+    df: DataFrame,
+    group_col: str,
+    token_col,
+    total_budget: int,
+    max_repeat: int = 1,
+) -> DataFrame:
+    """Split one global token budget across groups by exact water-
+    filling (max-min fairness): every group gets its full capacity
+    ``cap = n_tokens·max_repeat`` if the budget covers it, otherwise
+    capped groups share the remainder as evenly as integer tokens allow
+    (levels differ by at most 1).
+
+    Returns (group, n_tokens, cap_tokens, alloc_tokens, epochs_ppm,
+    capped) where ``epochs_ppm = alloc·10⁶ div max(n_tokens, 1)`` is the
+    implied repeat factor and ``capped`` is 1 when the group did not
+    receive its full capacity. Invariants (property-tested):
+    ``sum(alloc) == min(total_budget, sum(cap))``, ``alloc <= cap``,
+    and every capped group's alloc is within 1 token of every other
+    capped group's.
+
+    Algorithm (one pass over the sorted group table): sort groups by
+    (cap asc, group asc); with exclusive prefix sums P and remaining
+    counts r, the water level is ``c = (B - P_k) div r_k`` at the FIRST
+    index k where that level is below the group's own cap; groups
+    before k keep their cap, groups from k get c — plus one extra token
+    each for the first ``(B - P_k) mod r_k`` of them in sort order, so
+    the plan sums to the budget exactly.
+
+    Scale shape: one map-side-combined groupBy to n_groups rows; every
+    window after that runs on that tiny table (explicit constant
+    partition key, the block_prefix_sum idiom); the 1-row waterline
+    table and the offsets rejoin by broadcast. The 100 TB input is
+    touched exactly once.
+    """
+    budget = int(total_budget)
+    if budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    if int(max_repeat) < 1:
+        raise ValueError("max_repeat must be >= 1")
+    tok = (F.col(token_col) if isinstance(token_col, str) else token_col).cast(
+        "bigint"
+    )
+    counts = df.groupBy(group_col).agg(
+        F.coalesce(F.sum(tok), F.lit(0)).alias("n_tokens")
+    ).withColumn("cap_tokens", F.col("n_tokens") * F.lit(int(max_repeat)))
+
+    w_ord = Window.partitionBy(F.lit(0)).orderBy("cap_tokens", group_col)
+    w_pre = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        counts.withColumn("__i", F.row_number().over(w_ord))
+        .withColumn("__p", F.coalesce(F.sum("cap_tokens").over(w_pre), F.lit(0)))
+        .withColumn("__r", F.count(F.lit(1)).over(w_all) - F.col("__i") + 1)
+        .withColumn(
+            "__level",
+            F.expr(f"CAST(({budget} - __p) AS BIGINT) div __r"),
+        )
+    )
+    # the waterline: first sorted index whose fair level is below its
+    # own cap (NULL when the budget covers every cap). By construction
+    # B - P is non-negative at that index, so the level is a real token
+    # count. One row; broadcast back.
+    line = ranked.agg(
+        F.min(F.when(F.col("__level") < F.col("cap_tokens"), F.col("__i"))).alias(
+            "__k"
+        )
+    )
+    at_k = ranked.join(
+        F.broadcast(line), F.col("__i") == F.col("__k"), "inner"
+    ).select(
+        F.col("__k").alias("__kk"),
+        F.col("__level").alias("__c"),
+        (
+            F.lit(budget).cast("bigint")
+            - F.col("__p")
+            - F.col("__level") * F.col("__r")
+        ).alias("__rem"),
+    )
+    # LEFT semantics for the uncapped case: at_k is EMPTY when no group
+    # is capped, which would empty a plain cross join — join on a
+    # constant key with "left" instead.
+    out = ranked.withColumn("__j", F.lit(0)).join(
+        F.broadcast(at_k.withColumn("__j", F.lit(0))), "__j", "left"
+    )
+    alloc = (
+        F.when(F.col("__kk").isNull() | (F.col("__i") < F.col("__kk")), F.col("cap_tokens"))
+        .otherwise(
+            F.col("__c")
+            + F.when(
+                F.col("__i") - F.col("__kk") < F.col("__rem"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+    )
+    return (
+        out.withColumn("alloc_tokens", alloc)
+        .withColumn(
+            "epochs_ppm",
+            F.expr(
+                "CAST(CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000"
+                " div CAST(greatest(n_tokens, 1) AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "capped",
+            (F.col("alloc_tokens") < F.col("cap_tokens")).cast("int"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "cap_tokens",
+            "alloc_tokens",
+            "epochs_ppm",
+            "capped",
+        )
+    )

@@ -1,0 +1,197 @@
+"""Corpus-analytics operators: character-class profiles, n-gram
+diversity, cross-group keyness, and OOV-rate evaluation.
+
+These are the descriptive-statistics half of the curation toolkit (the
+reports a corpus owner reads next to the quality filters in
+operators/text.py and the data card in operators/quality.py). The
+reference has no analog — this is training-data-pipeline surface — but
+the same discipline applies: exact integer arithmetic (ppm with
+truncating decimal ``div``, never float division whose rounding can
+flip a boundary) so every report is engine-portable and
+DuckDB-oracle-checkable, and scan-fused / vocabulary-sized plans only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F  # noqa: F401
+
+from dabstract_spark.operators.text import shingles_from_tokens, tokens
+
+
+def _ppm(num_sql: str, den_sql: str) -> Column:
+    """Exact truncating parts-per-million over two SQL legs:
+    ``num·10⁶ div greatest(den, 1)`` with DECIMAL(38,0) integral
+    division (Spark ``div`` == divideToIntegralValue == DuckDB HUGEINT
+    ``//`` for the non-negative counts used here)."""
+    return F.expr(
+        f"CAST(CAST({num_sql} AS DECIMAL(38,0)) * 1000000"
+        f" div CAST(greatest({den_sql}, 1) AS DECIMAL(38,0)) AS BIGINT)"
+    )
+
+
+def charclass_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document character-class mix in exact ppm — the cheap script/
+    encoding screen a multilingual crawl runs before language-ID (a page
+    that is 40% digits or 30% "other" chars is markup/data, not prose;
+    CCNet and Gopher both gate on symbol ratios).
+
+    Classes are deliberately ASCII-portable (identical in Java regex and
+    RE2/DuckDB): letters ``[A-Za-z]``, digits ``[0-9]``, whitespace
+    ``\\s``; ``other`` is the remainder (all non-ASCII scripts land
+    there, making it the "foreign script or binary junk" signal on an
+    ASCII-expected corpus). ppm values are truncating integer div over
+    ``greatest(n_chars, 1)`` so the row is total on empty text.
+    Character counts are length(text) - length(class-stripped text) —
+    one JVM regexp_replace per class, no per-char explode. Each staged
+    count is referenced twice (its own ppm + other_ppm), which keeps
+    the staging projection un-inlined (SPARK-36718).
+
+    Scale shape: scan-fused per-row projection, zero shuffle at any
+    corpus size.
+    """
+    text = F.col(text_col)
+    n = F.length(text).cast("bigint")
+    strip = lambda cc: (  # noqa: E731
+        n - F.length(F.regexp_replace(text, cc, "")).cast("bigint")
+    )
+    staged = df.select(
+        F.col(id_col),
+        n.alias("__n"),
+        strip("[A-Za-z]").alias("__l"),
+        strip("[0-9]").alias("__d"),
+        strip(r"\s").alias("__s"),
+    )
+    return staged.select(
+        id_col,
+        F.col("__n").alias("n_chars"),
+        _ppm("__l", "__n").alias("letter_ppm"),
+        _ppm("__d", "__n").alias("digit_ppm"),
+        _ppm("__s", "__n").alias("space_ppm"),
+        _ppm("__n - __l - __d - __s", "__n").alias("other_ppm"),
+    )
+
+
+def ngram_diversity(
+    df: DataFrame, group_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-group n-gram type-token ratio in exact ppm — the standard
+    corpus-diversity screen (a source whose bigram TTR collapses is
+    template/boilerplate text; self-BLEU's cheap relational cousin).
+
+    Returns (group, total_ngrams, distinct_ngrams, ttr_ppm) with
+    ``ttr_ppm = distinct·10⁶ div max(total, 1)``.
+
+    Scale shape: tokens stage once per row; n-grams explode and
+    pre-aggregate to (group, gram, count) with map-side combine — the
+    shuffle is vocabulary-sized, not corpus-sized — then one tiny
+    per-group rollup. No countDistinct Expand, no per-group state.
+    """
+    staged = df.select(F.col(group_col), tokens(text_col).alias("__t"))
+    grams = staged.select(
+        group_col, F.explode(shingles_from_tokens(F.col("__t"), n)).alias("__g")
+    )
+    per_gram = grams.groupBy(group_col, "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return per_gram.groupBy(group_col).agg(
+        F.sum("__c").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        _ppm("count(1)", "sum(__c)").alias("ttr_ppm"),
+    )
+
+
+def keyness_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    top_k: int = 10,
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-group SALIENT terms — the cross-group keyness report ("what
+    words make this source different from the rest of the corpus"), the
+    between-corpus counterpart of ``text.collocations``' within-corpus
+    PMI. Term weight is an exact-integer relative-risk lift in ppm:
+
+        lift_ppm = c_gw·(T_rest + 1)·10⁶  div  (T_g·(c_w - c_gw + 1))
+
+    (add-one smoothed share of the term in the group vs in the REST of
+    the corpus; DECIMAL(38,0) keeps the 10¹⁹-scale numerator exact).
+    Keeps each group's ``top_k`` terms with count >= ``min_count``,
+    ordered by (lift desc, count desc, term asc) — a total order, so
+    the report is deterministic and oracle-checkable.
+
+    Scale shape: explode → (group, term) counts with map-side combine;
+    term totals by one vocabulary-keyed shuffle; group totals broadcast
+    (n_groups rows — domains, human-scale); the final per-group top-k
+    goes through the audited two-level ``select.top_k_per_group`` (no
+    group-sized window).
+    """
+    from dabstract_spark.operators.select import top_k_per_group
+
+    toks = df.select(
+        F.col(group_col), F.explode(tokens(text_col)).alias("term")
+    )
+    cgw = toks.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    cw = cgw.groupBy("term").agg(F.sum("cnt").alias("__cw"))
+    tg = cgw.groupBy(group_col).agg(F.sum("cnt").alias("__tg"))
+    tot = cgw.agg(F.sum("cnt").alias("__tot"))
+    scored = (
+        cgw.filter(F.col("cnt") >= min_count)
+        .join(cw, "term")
+        .join(F.broadcast(tg), group_col)
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lift_ppm",
+            F.expr(
+                "CAST((CAST(cnt AS DECIMAL(38,0)) * (__tot - __tg + 1)"
+                " * 1000000)"
+                " div (CAST(__tg AS DECIMAL(38,0)) * (__cw - cnt + 1))"
+                " AS BIGINT)"
+            ),
+        )
+        .drop("__cw", "__tg", "__tot")
+    )
+    return top_k_per_group(
+        scored,
+        [group_col],
+        [F.desc("lift_ppm"), F.desc("cnt"), F.asc("term")],
+        k=top_k,
+    )
+
+
+def vocab_oov(
+    df: DataFrame, group_col: str, text_col: str, k: int = 1000
+) -> DataFrame:
+    """Per-group out-of-vocabulary rate against the corpus' own top-k
+    word vocabulary — the tokenizer-coverage screen ("which sources
+    will fragment under a vocabulary trained on this corpus"; fertility
+    q205's cheap set-membership cousin).
+
+    The vocabulary is the k globally most frequent tokens (count desc,
+    term asc — deterministic). Returns (group, total_tokens,
+    oov_tokens, oov_ppm).
+
+    Scale shape: one vocabulary-keyed count, the top-k selected through
+    the audited two-level ``select.top_k_per_group`` (constant group, so
+    no global window either), then a broadcast join of the k-row vocab
+    against the exploded token stream and one per-group rollup.
+    """
+    from dabstract_spark.operators.select import top_k_per_group
+
+    toks = df.select(
+        F.col(group_col), F.explode(tokens(text_col)).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
+    vocab = top_k_per_group(
+        counts.withColumn("__one", F.lit(0)),
+        ["__one"],
+        [F.desc("__c"), F.asc("term")],
+        k=k,
+    ).select("term", F.lit(1).alias("__in_vocab"))
+    joined = toks.join(F.broadcast(vocab), "term", "left")
+    oov = "CAST(__in_vocab IS NULL AS BIGINT)"
+    return joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.expr(f"sum({oov})").alias("oov_tokens"),
+        _ppm(f"sum({oov})", "count(1)").alias("oov_ppm"),
+    )

@@ -6058,3 +6058,175 @@ def q266_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return corpus_datasheet(docs, "doc_id", "text", lang_col="lang")
+
+
+# --------------------------------------------------------------------- #
+# Character-class profile (textstats.charclass_profile): per-document
+# letter/digit/whitespace/other mix in exact ppm — the ASCII-portable
+# script/encoding screen run before language-ID. Counts by class-strip
+# (length minus stripped length), ppm by truncating integer div.
+# --------------------------------------------------------------------- #
+@query(
+    "q267_charclass_profile",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, length(text)::BIGINT AS n,
+             (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::BIGINT AS l,
+             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS d,
+             (length(text) - length(regexp_replace(text, '\s', '', 'g')))::BIGINT AS sp
+      FROM documents)
+    SELECT doc_id, n AS n_chars,
+           CAST(CAST(l AS HUGEINT) * 1000000 // greatest(n, 1) AS BIGINT) AS letter_ppm,
+           CAST(CAST(d AS HUGEINT) * 1000000 // greatest(n, 1) AS BIGINT) AS digit_ppm,
+           CAST(CAST(sp AS HUGEINT) * 1000000 // greatest(n, 1) AS BIGINT) AS space_ppm,
+           CAST(CAST(n - l - d - sp AS HUGEINT) * 1000000 // greatest(n, 1) AS BIGINT) AS other_ppm
+    FROM s
+    """,
+)
+def q267_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.textstats import charclass_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return charclass_profile(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------- #
+# N-gram diversity (textstats.ngram_diversity): per-language bigram
+# type-token ratio in exact ppm — the template/boilerplate collapse
+# screen (self-BLEU's relational cousin). Pre-aggregates to
+# (lang, gram, count) so the shuffle is vocabulary-sized.
+# --------------------------------------------------------------------- #
+_BIGRAMS = _shingles("text", 2)
+
+
+@query(
+    "q268_ngram_diversity",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, unnest({_BIGRAMS}) AS gm FROM documents),
+    pg AS (SELECT lang, gm, COUNT(*)::BIGINT AS c FROM g GROUP BY 1, 2)
+    SELECT lang, CAST(SUM(c) AS BIGINT) AS total_ngrams,
+           COUNT(*)::BIGINT AS distinct_ngrams,
+           CAST(CAST(COUNT(*) AS HUGEINT) * 1000000
+                // greatest(SUM(c), 1) AS BIGINT) AS ttr_ppm
+    FROM pg GROUP BY lang
+    """,
+)
+def q268_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.textstats import ngram_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_diversity(docs, "lang", "text", n=2)
+
+
+# --------------------------------------------------------------------- #
+# Cross-group keyness (textstats.keyness_terms): per-source salient
+# terms by add-one-smoothed relative-risk lift in exact ppm — "what
+# words make this source different from the rest of the corpus"; the
+# between-corpus counterpart of q256's within-corpus collocations.
+# Top-k per source through the audited two-level rank.
+# --------------------------------------------------------------------- #
+@query(
+    "q269_keyness_terms",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_T}) AS term FROM documents),
+    cgw AS (SELECT source, term, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
+    cw AS (SELECT term, CAST(SUM(cnt) AS BIGINT) AS cw FROM cgw GROUP BY 1),
+    tg AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tg FROM cgw GROUP BY 1),
+    tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM cgw),
+    sc AS (
+      SELECT c.source, c.term, c.cnt,
+             CAST(CAST(c.cnt AS HUGEINT) * (t.tot - g.tg + 1) * 1000000
+                  // (CAST(g.tg AS HUGEINT) * (w.cw - c.cnt + 1)) AS BIGINT)
+               AS lift_ppm
+      FROM cgw c JOIN cw w USING (term) JOIN tg g USING (source)
+      CROSS JOIN tt t
+      WHERE c.cnt >= 5)
+    SELECT source, term, cnt, lift_ppm FROM sc
+    QUALIFY row_number() OVER (
+      PARTITION BY source ORDER BY lift_ppm DESC, cnt DESC, term) <= 8
+    """,
+)
+def q269_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.textstats import keyness_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return keyness_terms(docs, "source", "text", top_k=8, min_count=5)
+
+
+# --------------------------------------------------------------------- #
+# OOV-rate evaluation (textstats.vocab_oov): per-language out-of-
+# vocabulary token rate against the corpus' own top-500 word vocabulary
+# (count desc, term asc — a total order, so the vocab is deterministic
+# on both engines). The tokenizer-coverage screen next to q205's BPE
+# fertility.
+# --------------------------------------------------------------------- #
+@query(
+    "q270_vocab_oov",
+    oracle=f"""
+    WITH tok AS (SELECT lang, unnest({_T}) AS term FROM documents),
+    cnts AS (SELECT term, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1),
+    voc AS (SELECT term FROM cnts
+            QUALIFY row_number() OVER (ORDER BY c DESC, term) <= 500)
+    SELECT lang, COUNT(*)::BIGINT AS total_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           CAST(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS HUGEINT)
+                * 1000000 // greatest(COUNT(*), 1) AS BIGINT) AS oov_ppm
+    FROM tok LEFT JOIN voc v USING (term) GROUP BY lang
+    """,
+)
+def q270_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.textstats import vocab_oov
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_oov(docs, "lang", "text", k=500)
+
+
+# --------------------------------------------------------------------- #
+# Water-filling budget allocation (planning.budget_allocation): split a
+# 50k global token budget across sources by exact max-min fairness with
+# a 2-epoch repeat cap (the Muennighoff data-constrained regime) —
+# "what should each domain's budget BE" before token_budget_per_group
+# picks the documents. Whole plan runs on the n_sources-row count
+# table; the oracle replays the same integer water-fill with windows.
+# --------------------------------------------------------------------- #
+@query(
+    "q271_budget_allocation",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(COALESCE(SUM(len({_T})), 0) AS BIGINT) AS n
+      FROM documents GROUP BY 1),
+    r AS (
+      SELECT source, n, n * 2 AS cap,
+             row_number() OVER (ORDER BY n * 2, source) AS i,
+             COALESCE(SUM(n * 2) OVER (
+               ORDER BY n * 2, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+             COUNT(*) OVER ()
+               - row_number() OVER (ORDER BY n * 2, source) + 1 AS rr
+      FROM c),
+    l AS (SELECT *, CAST(50000 - p AS HUGEINT) // rr AS level FROM r),
+    kk AS (SELECT i AS ki, level AS cc, 50000 - p - level * rr AS rem
+           FROM l WHERE i = (SELECT MIN(i) FROM l WHERE level < cap)),
+    a AS (SELECT l.*, kk.ki, kk.cc, kk.rem FROM l LEFT JOIN kk ON TRUE),
+    f AS (
+      SELECT source, n, cap,
+             CAST(CASE WHEN ki IS NULL OR i < ki THEN cap
+                  ELSE cc + (CASE WHEN i - ki < rem THEN 1 ELSE 0 END)
+                  END AS BIGINT) AS alloc
+      FROM a)
+    SELECT source, n AS n_tokens, cap AS cap_tokens, alloc AS alloc_tokens,
+           CAST(CAST(alloc AS HUGEINT) * 1000000
+                // greatest(n, 1) AS BIGINT) AS epochs_ppm,
+           CAST(CASE WHEN alloc < cap THEN 1 ELSE 0 END AS INT) AS capped
+    FROM f
+    """,
+)
+def q271_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.planning import budget_allocation
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", tx.token_count("text").alias("nt")
+    )
+    return budget_allocation(docs, "source", "nt", total_budget=50_000, max_repeat=2)

@@ -723,3 +723,51 @@ def test_length_bucket_batches_conservation_law(spark, lens, budget):
     for (cap, _), slots in batches.items():
         assert len(slots) <= max(budget // cap, 1)
         assert sorted(slots) == list(range(len(slots)))
+
+
+@given(
+    caps=st.lists(st.integers(0, 500), min_size=1, max_size=12),
+    budget=st.integers(0, 3000),
+    repeat=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_budget_allocation_matches_serial_waterfill(spark, caps, budget, repeat):
+    """Law: budget_allocation equals an independent serial water-filling
+    reference for ARBITRARY group sizes, budgets, and repeat caps —
+    conservation (sum == min(budget, total capacity)), per-group bounds,
+    remainder placement, everything, exactly."""
+    from dabstract_spark.operators.planning import budget_allocation
+
+    rows = [(f"g{i:02d}", n) for i, n in enumerate(caps)]
+    df = spark.createDataFrame(rows, "g string, n long")
+    got = {
+        r.g: (r.n_tokens, r.cap_tokens, r.alloc_tokens, r.capped)
+        for r in budget_allocation(df, "g", "n", budget, max_repeat=repeat).collect()
+    }
+
+    # serial reference: sort (cap asc, group asc); first index whose
+    # fair level undercuts its own cap freezes the water level; capped
+    # groups share level +1-token remainders in sort order
+    srt = sorted(((n * repeat, g, n) for g, n in rows))
+    total = sum(c for c, _, _ in srt)
+    want = {}
+    if budget >= total:
+        want = {g: (n, c, c, 0) for c, g, n in srt}
+    else:
+        p = 0
+        k = None
+        for i, (c, g, n) in enumerate(srt):
+            r = len(srt) - i
+            level = (budget - p) // r
+            if level < c:
+                k, water, rem = i, level, (budget - p) - level * r
+                break
+            p += c
+        for i, (c, g, n) in enumerate(srt):
+            if i < k:
+                want[g] = (n, c, c, 0)
+            else:
+                a = water + (1 if i - k < rem else 0)
+                want[g] = (n, c, a, int(a < c))
+    assert got == want
+    assert sum(a for _, _, a, _ in got.values()) == min(budget, total)

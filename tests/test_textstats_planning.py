@@ -1,0 +1,125 @@
+"""Corpus-analytics (textstats) and mixture-planning operators: exact
+known-answer tests plus the water-filling fairness laws."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from dabstract_spark.operators.planning import budget_allocation
+from dabstract_spark.operators.textstats import (
+    charclass_profile,
+    keyness_terms,
+    ngram_diversity,
+    vocab_oov,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", "Hello World 123 !!"),
+            (2, "a", ""),
+            (3, "b", "the cat sat on the mat the cat sat"),
+            (4, "b", "alpha beta gamma alpha beta gamma"),
+        ],
+        "doc_id long, src string, text string",
+    )
+
+
+def test_charclass_profile_exact_ppm(spark):
+    cc = {r.doc_id: r for r in charclass_profile(_docs(spark), "doc_id", "text").collect()}
+    t = "Hello World 123 !!"
+    n = len(t)
+    letters = len(re.sub("[^A-Za-z]", "", t))
+    digits = len(re.sub("[^0-9]", "", t))
+    spaces = len(re.sub(r"[^\s]", "", t))
+    assert cc[1].n_chars == n
+    assert cc[1].letter_ppm == letters * 10**6 // n
+    assert cc[1].digit_ppm == digits * 10**6 // n
+    assert cc[1].space_ppm == spaces * 10**6 // n
+    assert cc[1].other_ppm == (n - letters - digits - spaces) * 10**6 // n
+    # total on empty text: all-zero row, no NULLs
+    assert tuple(cc[2])[1:] == (0, 0, 0, 0, 0)
+
+
+def test_ngram_diversity_bigram_ttr(spark):
+    nd = {r.src: r for r in ngram_diversity(_docs(spark), "src", "text").collect()}
+    # src b: doc3 has 9 tokens -> 8 bigrams (5 distinct: 'the cat',
+    # 'cat sat', 'sat on', 'on the', 'the mat' + 'mat the' = 6 distinct;
+    # recount: bigrams [the cat, cat sat, sat on, on the, the mat,
+    # mat the, the cat, cat sat] -> distinct 6); doc4: 6 tokens -> 5
+    # bigrams, 3 distinct (alpha beta, beta gamma, gamma alpha).
+    assert nd["b"].total_ngrams == 13
+    assert nd["b"].distinct_ngrams == 9
+    assert nd["b"].ttr_ppm == 9 * 10**6 // 13
+    # src a: doc1 tokens [hello, world, 123] -> 2 bigrams; doc2 none
+    assert nd["a"].total_ngrams == 2 and nd["a"].distinct_ngrams == 2
+
+
+def test_keyness_terms_lift_and_determinism(spark):
+    kt = keyness_terms(_docs(spark), "src", "text", top_k=3, min_count=2)
+    got = sorted((r.src, r.term, r.cnt, r.lift_ppm) for r in kt.collect())
+    # only src b has terms with count >= 2; T_b = 15, T_rest = 3.
+    # 'the': c=3, c_w=3 -> 3*(3+1)*1e6 div (15*(3-3+1)) = 800000
+    # 'alpha' (and peers): c=2 -> 2*4e6 div (15*1) = 533333
+    assert ("b", "the", 3, 800000) in got
+    assert ("b", "alpha", 2, 533333) in got
+    assert len([g for g in got if g[0] == "b"]) == 3
+    # deterministic under repartition
+    again = sorted(
+        (r.src, r.term, r.cnt, r.lift_ppm)
+        for r in keyness_terms(
+            _docs(spark).repartition(7), "src", "text", top_k=3, min_count=2
+        ).collect()
+    )
+    assert again == got
+
+
+def test_vocab_oov_against_topk_vocab(spark):
+    vo = {r.src: r for r in vocab_oov(_docs(spark), "src", "text", k=3).collect()}
+    # global counts: the:3, alpha/beta/gamma/cat/sat:2, ... top-3 by
+    # (count desc, term asc) = the, alpha, beta
+    assert vo["a"].total_tokens == 3 and vo["a"].oov_tokens == 3
+    assert vo["a"].oov_ppm == 1_000_000
+    assert vo["b"].total_tokens == 15
+    # in-vocab hits in b: the(3) + alpha(2) + beta(2) = 7 -> oov 8
+    assert vo["b"].oov_tokens == 8
+    assert vo["b"].oov_ppm == 8 * 10**6 // 15
+
+
+def test_budget_allocation_waterfill_known_answer(spark):
+    toks = spark.createDataFrame(
+        [("w", 100), ("x", 50), ("y", 10), ("z", 5)], "g string, n int"
+    )
+    ba = {r.g: r for r in budget_allocation(toks, "g", "n", total_budget=60).collect()}
+    # sorted caps asc: z5 y10 x50 w100; level at x = (60-15) div 2 = 22,
+    # remainder 1 goes to x (first capped in sort order)
+    assert {k: v.alloc_tokens for k, v in ba.items()} == {
+        "w": 22, "x": 23, "y": 10, "z": 5,
+    }
+    assert ba["w"].capped == 1 and ba["z"].capped == 0
+    assert ba["y"].epochs_ppm == 1_000_000 and ba["w"].epochs_ppm == 220_000
+    # budget covers everything (with repeats): alloc = cap = n*repeat
+    full = {
+        r.g: r.alloc_tokens
+        for r in budget_allocation(toks, "g", "n", 10**9, max_repeat=2).collect()
+    }
+    assert full == {"w": 200, "x": 100, "y": 20, "z": 10}
+    # degenerate budgets
+    zero = {r.g: r.alloc_tokens for r in budget_allocation(toks, "g", "n", 0).collect()}
+    assert zero == {"w": 0, "x": 0, "y": 0, "z": 0}
+    assert budget_allocation(
+        spark.createDataFrame([], "g string, n int"), "g", "n", 100
+    ).count() == 0
+
+
+def test_budget_allocation_rejects_bad_params(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1)], "g string, n int")
+    with pytest.raises(ValueError, match="total_budget"):
+        budget_allocation(df, "g", "n", -1)
+    with pytest.raises(ValueError, match="max_repeat"):
+        budget_allocation(df, "g", "n", 10, max_repeat=0)
