@@ -124,13 +124,24 @@ def keyness_terms(
     term totals by one vocabulary-keyed shuffle; group totals broadcast
     (n_groups rows — domains, human-scale); the final per-group top-k
     goes through the audited two-level ``select.top_k_per_group`` (no
-    group-sized window).
+    group-sized window). The four consumers of the (group, term) count
+    share ONE exchange at runtime (3× ReusedExchange, one corpus scan +
+    tokenize total) — the explicit ``group IS NOT NULL`` prefilter below
+    exists to make every branch's subtree canonically identical, since
+    a join-inferred isnotnull pushed into only one branch defeats the
+    reuse (measured: 2 scans without it, 1 with). NULL-group rows are
+    therefore excluded from all totals — they could never receive a
+    keyness verdict anyway. NB: exchange reuse fires over parquet
+    scans; a CacheManager-substituted InMemoryRelation input defeats it
+    (fixture-bench plans re-scan the cheap in-memory table; production
+    fact tables are never cached, so the one-scan shape is the 100 TB
+    shape).
     """
     from dabstract_spark.operators.select import top_k_per_group
 
     toks = df.select(
         F.col(group_col), F.explode(tokens(text_col)).alias("term")
-    )
+    ).filter(F.col(group_col).isNotNull())
     cgw = toks.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
     cw = cgw.groupBy("term").agg(F.sum("cnt").alias("__cw"))
     tg = cgw.groupBy(group_col).agg(F.sum("cnt").alias("__tg"))

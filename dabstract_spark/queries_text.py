@@ -6129,7 +6129,8 @@ def q268_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q269_keyness_terms",
     oracle=f"""
-    WITH tok AS (SELECT source, unnest({_T}) AS term FROM documents),
+    WITH tok AS (SELECT source, unnest({_T}) AS term FROM documents
+                 WHERE source IS NOT NULL),
     cgw AS (SELECT source, term, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
     cw AS (SELECT term, CAST(SUM(cnt) AS BIGINT) AS cw FROM cgw GROUP BY 1),
     tg AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tg FROM cgw GROUP BY 1),
