@@ -761,6 +761,34 @@ def main():
             "doc_id",
         )
 
+    # r8 corpus-analytics probes: raw parquet base (the hot-table cache
+    # would both dwarf the scan cost AND defeat the ReusedExchange
+    # sharing these plans rely on at scale); the alphabet bijection
+    # grows the vocabulary honestly, so the keyness/OOV model tables
+    # grow with the corpus like a real crawl's would
+    from dabstract_spark.operators import textstats as ts
+    from dabstract_spark.operators.planning import budget_allocation
+
+    ts_base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "lang", "text"
+    )
+    ts_probes = {
+        "charclass": lambda d: ts.charclass_profile(d, "doc_id", "text"),
+        "ngram_diversity": lambda d: ts.ngram_diversity(d, "lang", "text", 2),
+        "keyness": lambda d: ts.keyness_terms(
+            d, "source", "text", top_k=8, min_count=5
+        ),
+        "vocab_oov": lambda d: ts.vocab_oov(d, "lang", "text", k=500),
+        "budget_alloc": lambda d: budget_allocation(
+            d.select("source", tx.token_count("text").alias("nt")),
+            "source",
+            "nt",
+            50_000,
+            2,
+        ),
+    }
+    probe_block(ts_probes, ts_base, "doc_id", uniquify=fuzzy_uniquify)
+
 
 if __name__ == "__main__":
     main()
