@@ -170,6 +170,27 @@ def keyness_terms(
     )
 
 
+def vocab_top_k(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
+    """The corpus' own top-k word vocabulary as a (term) table — count
+    desc, term asc (a total order, so the vocabulary is deterministic
+    and engine-portable). One vocabulary-keyed count; the k-row
+    selection goes through the audited two-level rank (constant group —
+    no global window)."""
+    from dabstract_spark.operators.select import top_k_per_group
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return top_k_per_group(
+        counts.withColumn("__one", F.lit(0)),
+        ["__one"],
+        [F.desc("__c"), F.asc("term")],
+        k=k,
+    ).select("term")
+
+
 def vocab_oov(
     df: DataFrame, group_col: str, text_col: str, k: int = 1000
 ) -> DataFrame:
@@ -187,18 +208,12 @@ def vocab_oov(
     no global window either), then a broadcast join of the k-row vocab
     against the exploded token stream and one per-group rollup.
     """
-    from dabstract_spark.operators.select import top_k_per_group
-
     toks = df.select(
         F.col(group_col), F.explode(tokens(text_col)).alias("term")
     )
-    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
-    vocab = top_k_per_group(
-        counts.withColumn("__one", F.lit(0)),
-        ["__one"],
-        [F.desc("__c"), F.asc("term")],
-        k=k,
-    ).select("term", F.lit(1).alias("__in_vocab"))
+    vocab = vocab_top_k(df, text_col, k).select(
+        "term", F.lit(1).alias("__in_vocab")
+    )
     joined = toks.join(F.broadcast(vocab), "term", "left")
     oov = "CAST(__in_vocab IS NULL AS BIGINT)"
     return joined.groupBy(group_col).agg(

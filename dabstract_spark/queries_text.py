@@ -6231,3 +6231,43 @@ def q271_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", tx.token_count("text").alias("nt")
     )
     return budget_allocation(docs, "source", "nt", total_budget=50_000, max_repeat=2)
+
+
+# --------------------------------------------------------------------- #
+# Streaming OOV scorer (streaming/ops.oov_score_stream): the ONLINE
+# twin of q270_vocab_oov — per-document coverage scoring against the
+# FIXED top-500 vocabulary (textstats.vocab_top_k on the static
+# corpus). Per-doc decisions are batching-independent and the output is
+# one row per document, so drained == batch scorer (set algebra, no
+# stream state). Docs with zero tokens produce no row on either side.
+# --------------------------------------------------------------------- #
+@query(
+    "q272_stream_oov",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_T}) AS term FROM documents),
+    cnts AS (SELECT term, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1),
+    voc AS (SELECT term FROM cnts
+            QUALIFY row_number() OVER (ORDER BY c DESC, term) <= 500)
+    SELECT doc_id, COUNT(*)::BIGINT AS total_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           CAST(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS HUGEINT)
+                * 1000000 // greatest(COUNT(*), 1) AS BIGINT) AS oov_ppm
+    FROM tok LEFT JOIN voc v USING (term) GROUP BY doc_id
+    """,
+)
+def q272_stream_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.operators.textstats import vocab_top_k
+    from dabstract_spark.streaming.ops import oov_score_stream, stream_events
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = vocab_top_k(docs, "text", k=500)
+    src = stream_events(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkdab_oov_")
+    return oov_score_stream(
+        src, vocab, "doc_id", "text", f"{tmp}/out", f"{tmp}/ckpt"
+    )

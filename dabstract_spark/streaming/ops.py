@@ -1096,3 +1096,71 @@ def calibration_stream(
         .groupBy(group_col, "bucket")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def oov_score_stream(
+    doc_stream: DataFrame,
+    vocab_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_path: str,
+    checkpoint: str,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming OOV scorer — the ONLINE twin of q270's coverage
+    screen: every micro-batch of incoming documents is scored against a
+    FIXED vocabulary table (``textstats.vocab_top_k`` trained once on
+    the static corpus) and the per-document (id, total_tokens,
+    oov_tokens, oov_ppm) rows append to the sink; ingest gates read the
+    live sink ("reject pages the tokenizer will fragment").
+
+    Per-document scores depend only on the document's own tokens and
+    the fixed broadcast vocabulary — independent of batching and
+    arrival order — and the output is one row per distinct document, so
+    the drained sink equals the batch scorer exactly (the
+    dsir_score_stream set-algebra argument; no stream state at all).
+    The vocabulary persists for the drain ONLY (try/finally unpersist,
+    the r8 drain-scoped lifecycle)."""
+    from dabstract_spark.operators.text import tokens as _tokens
+
+    vocab_static = vocab_df.select(
+        "term", F.lit(1).alias("__in_vocab")
+    ).persist()
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+        )
+        scored = (
+            toks.join(F.broadcast(vocab_static), "term", "left")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("total_tokens"),
+                F.expr("sum(CAST(__in_vocab IS NULL AS BIGINT))").alias(
+                    "oov_tokens"
+                ),
+                F.expr(
+                    "CAST(CAST(sum(CAST(__in_vocab IS NULL AS BIGINT))"
+                    " AS DECIMAL(38,0)) * 1000000"
+                    " div CAST(greatest(count(1), 1) AS DECIMAL(38,0))"
+                    " AS BIGINT)"
+                ).alias("oov_ppm"),
+            )
+        )
+        scored.write.mode("append").parquet(out_path)
+
+    # drain-scoped persist: see decontaminate_stream
+    try:
+        sink = _drain_foreach_batch(
+            doc_stream,
+            _sink,
+            checkpoint,
+            out_path,
+            timeout_sec,
+            drain_partitions,
+            "oov_score_stream",
+        )
+    finally:
+        vocab_static.unpersist()
+    return sink.distinct()

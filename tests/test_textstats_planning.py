@@ -123,3 +123,35 @@ def test_budget_allocation_rejects_bad_params(spark):
         budget_allocation(df, "g", "n", -1)
     with pytest.raises(ValueError, match="max_repeat"):
         budget_allocation(df, "g", "n", 10, max_repeat=0)
+
+
+def test_stream_oov_equals_batch(spark, tmp_path):
+    """oov_score_stream drained over a bounded backlog equals the batch
+    per-doc scorer exactly (per-doc decisions vs a fixed vocabulary are
+    batching-independent), and the drain releases its persisted vocab."""
+    from dabstract_spark.operators.text import tokens
+    from dabstract_spark.operators.textstats import vocab_top_k
+    from dabstract_spark.session import load_table
+    from dabstract_spark.streaming.ops import oov_score_stream, stream_events
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    vocab = vocab_top_k(docs, "text", k=50)
+    batch = (
+        docs.select(F.col("doc_id"), F.explode(tokens("text")).alias("term"))
+        .join(
+            F.broadcast(vocab.withColumn("__v", F.lit(1))), "term", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum(F.col("__v").isNull().cast("bigint")).alias("o"),
+        )
+    )
+    want = sorted((r.doc_id, r.t, r.o) for r in batch.collect())
+    src = stream_events(spark, f"{SF}/documents.parquet").select("doc_id", "text")
+    got = oov_score_stream(
+        src, vocab, "doc_id", "text", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert sorted((r.doc_id, r.total_tokens, r.oov_tokens) for r in got.collect()) == want
+    assert len(want) > 0
