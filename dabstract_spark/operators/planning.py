@@ -62,9 +62,16 @@ def budget_allocation(
     tok = (F.col(token_col) if isinstance(token_col, str) else token_col).cast(
         "bigint"
     )
-    counts = df.groupBy(group_col).agg(
-        F.coalesce(F.sum(tok), F.lit(0)).alias("n_tokens")
-    ).withColumn("cap_tokens", F.col("n_tokens") * F.lit(int(max_repeat)))
+    # NULL groups are excluded: they could never receive a budget line,
+    # and their sort placement differs across engines (Spark ASC is
+    # NULLS FIRST, DuckDB's default NULLS LAST), which would move the
+    # +1-token remainder between engines on cap ties
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.coalesce(F.sum(tok), F.lit(0)).alias("n_tokens"))
+        .withColumn("cap_tokens", F.col("n_tokens") * F.lit(int(max_repeat)))
+    )
 
     w_ord = Window.partitionBy(F.lit(0)).orderBy("cap_tokens", group_col)
     w_pre = w_ord.rowsBetween(Window.unboundedPreceding, -1)

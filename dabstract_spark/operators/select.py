@@ -211,6 +211,9 @@ def token_budget_per_group(
     budget: int,
     cum_col: str = "cum_tokens",
     order_key=None,
+    nulls_last: bool = False,
+    n_groups_hint: int | None = None,
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Quota sampling to a per-group TOKEN budget (the corpus-curation
     step after quality ranking: "take the best docs per domain until the
@@ -221,8 +224,15 @@ def token_budget_per_group(
     ``order_key`` is a NUMERIC column (name or Column) that is monotone
     non-decreasing along ``order_cols`` — for an ascending primary sort
     column it is that column (the default when ``order_cols[0]`` names
-    one); for a descending primary sort pass its negation. Only its
-    ORDER is used (never its values), so any monotone surrogate works.
+    one, validated numeric against the schema — a numeric-LOOKING string
+    column would bucket numerically while the window sorts it
+    lexicographically, silently corrupting the cumsum); for a
+    descending primary sort pass its negation. Only its ORDER is used
+    (never its values), so any monotone surrogate works. Rows whose
+    order key is NULL bucket before every non-NULL key (Spark's
+    ascending NULLS FIRST); pass ``nulls_last=True`` when the primary
+    sort places NULLs last (Spark's descending default), or the NULL
+    rows' cumsum would be computed against the wrong prefix.
 
     Scale shape — the two-level prefix-sum discipline
     (``packing.block_prefix_sum`` / ``grouped_rank_ppm``): rows land in
@@ -239,9 +249,13 @@ def token_budget_per_group(
     the naive per-group window cumsum under a total order. Caveat: the
     buckets inherit the KEY distribution — a group whose order key is
     one constant degenerates to one bucket (ties are unorderable anyway
-    without the tiebreaker); and the two side tables are broadcast, so
-    group cardinality is assumed human-scale (domains/sources, not URLs
-    — see ``grouped_rank_ppm``'s threshold pattern otherwise).
+    without the tiebreaker). The two n_groups×256-bounded side tables
+    broadcast only when known to fit: pass ``n_groups_hint`` (an upper
+    bound on group cardinality, zero extra jobs — q130 passes one) when
+    you know it; hint-less callers get plain joins and AQE converts
+    them to broadcast at runtime when the side is actually small, so a
+    per-URL-host caller never builds a 2.5e9-row driver broadcast (the
+    ``grouped_rank_ppm`` guard, without its eager count job).
     """
     from pyspark.sql import Window
 
@@ -256,9 +270,28 @@ def token_budget_per_group(
                 "plain ascending column name"
             )
         order_key = order_cols[0]
-    k = (F.col(order_key) if isinstance(order_key, str) else order_key).cast(
-        "double"
-    )
+    key_expr = F.col(order_key) if isinstance(order_key, str) else order_key
+    key_type = df.select(key_expr.alias("__k")).schema[0].dataType.simpleString()
+    if not (
+        key_type in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or key_type.startswith("decimal")
+    ):
+        raise ValueError(
+            f"token_budget_per_group: order_key has type {key_type}; it must "
+            "be numeric (a numeric-looking string would bucket numerically "
+            "while the window sorts it lexicographically) — pass an explicit "
+            "numeric order_key= monotone along order_cols"
+        )
+    k = key_expr.cast("double")
+
+    if n_groups_hint is not None:
+        small = int(n_groups_hint) * 256 <= broadcast_threshold
+        maybe_bcast = F.broadcast if small else (lambda d: d)
+    else:
+        # no hint: leave the join strategy to AQE — it broadcasts at
+        # runtime when the side table is actually small, with no
+        # plan-build count job and no driver bomb when it is not
+        maybe_bcast = lambda d: d  # noqa: E731
 
     keyed = df.withColumn("__k", k)
     # per-group key range: one map-side-combined aggregate, n_groups rows
@@ -267,29 +300,48 @@ def token_budget_per_group(
     )
     span = F.col("__kmax") - F.col("__kmin")
     # floor of a monotone map of __k -> monotone bucket; equal keys share
-    # a bucket, __k == __kmax clamps from 256 back to 255
-    bucket = F.when(span <= 0, F.lit(0)).otherwise(
-        F.least(
-            F.lit(255),
-            F.floor((F.col("__k") - F.col("__kmin")) * 256.0 / span).cast("int"),
+    # a bucket, __k == __kmax clamps from 256 back to 255. NULL keys sort
+    # outside the min/max range: bucket -1 (NULLS FIRST, Spark's
+    # ascending default) or 256 (NULLS LAST, the descending default) —
+    # F.least/greatest skip NULLs, so without the explicit branch a NULL
+    # key would silently land in bucket 255.
+    null_bucket = F.lit(256 if nulls_last else -1)
+    bucket = (
+        F.when(F.col("__k").isNull(), null_bucket)
+        .when(span <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(255),
+                F.floor((F.col("__k") - F.col("__kmin")) * 256.0 / span).cast(
+                    "int"
+                ),
+            )
         )
     )
-    bucketed = keyed.join(F.broadcast(stats), group_col).withColumn(
-        "__b", bucket
-    ).drop("__kmin", "__kmax")
+    # null-safe group joins: a NULL group value is a real window
+    # partition in the naive form, so it must match its own stats /
+    # offsets row here too (plain equi-join would drop it)
+    st = stats.withColumnRenamed(group_col, "__g")
+    bucketed = (
+        keyed.join(
+            maybe_bcast(st), F.col(group_col).eqNullSafe(F.col("__g"))
+        )
+        .withColumn("__b", bucket)
+        .drop("__g", "__kmin", "__kmax")
+    )
 
     sums = bucketed.groupBy(group_col, "__b").agg(
         F.sum(tok).alias("__t")
     )
-    # bounded by construction: <= n_groups x 256 rows
+    # bounded by construction: <= n_groups x 257 rows
     w_off = (
         Window.partitionBy(group_col)
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = sums.select(
-        group_col,
-        "__b",
+        F.col(group_col).alias("__g"),
+        F.col("__b").alias("__ob"),
         F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
     )
     # bucket-local running sum: each task holds <= 1/256 of one group
@@ -299,10 +351,14 @@ def token_budget_per_group(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        bucketed.join(F.broadcast(offsets), [group_col, "__b"])
+        bucketed.join(
+            maybe_bcast(offsets),
+            F.col(group_col).eqNullSafe(F.col("__g"))
+            & (F.col("__b") == F.col("__ob")),
+        )
         .withColumn(cum_col, F.col("__off") + F.sum(tok).over(w_loc))
         .filter(F.col(cum_col) <= budget)
-        .drop("__k", "__b", "__off")
+        .drop("__k", "__b", "__g", "__ob", "__off")
     )
 
 
@@ -685,14 +741,15 @@ def grouped_rank_ppm(
     for the stated use (languages/domains, 10^2-10^3 groups) but a
     driver bomb for a high-cardinality group column (per-URL-host over
     the open web: 10^7 groups -> 2.5e9 broadcast rows). The join
-    therefore broadcasts ONLY when the offsets table is known to hold
-    <= ``broadcast_threshold`` rows: pass ``n_groups_hint`` (an upper
-    bound on group cardinality; hint x 256 vs the threshold, zero extra
-    jobs) when you know it, else ONE count() job over the same
-    map-side-combined aggregate decides. Past the threshold the plan
-    falls back to a plain shuffle join on (group, bucket) — output
-    identical, and the join exchange is reused by the bucket-local
-    window that follows on the same keys."""
+    therefore broadcasts statically ONLY when the offsets table is
+    known to fit: pass ``n_groups_hint`` (an upper bound on group
+    cardinality; hint x 256 vs ``broadcast_threshold``, zero extra
+    jobs) when you know it. Hint-less callers get a plain join and AQE
+    decides at runtime from the aggregate's real size — no plan-build
+    count job (an eager count would fire a full input scan as a
+    DataFrame-construction side effect AND scan the input twice on
+    execution), and past the threshold the shuffle join's exchange is
+    reused by the bucket-local window that follows on the same keys."""
     width = max(1, -(-int(max_score) // 256))  # ceil division
     keyed = df.withColumn(
         "__b",
@@ -718,10 +775,10 @@ def grouped_rank_ppm(
         F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
         F.sum("__n").over(w_tot).alias("__ng"),
     )
-    if n_groups_hint is not None:
-        small = int(n_groups_hint) * 256 <= broadcast_threshold
-    else:
-        small = counts.count() <= broadcast_threshold
+    small = (
+        n_groups_hint is not None
+        and int(n_groups_hint) * 256 <= broadcast_threshold
+    )
     w_local = Window.partitionBy(group_col, "__b").orderBy(score_col, id_col)
     return (
         keyed.join(F.broadcast(offsets) if small else offsets, [group_col, "__b"])

@@ -191,6 +191,31 @@ def vocab_top_k(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
     ).select("term")
 
 
+def oov_scores(
+    df: DataFrame, key_col: str, text_col: str, vocab_df: DataFrame
+) -> DataFrame:
+    """Per-``key_col`` OOV aggregate against a fixed (term) vocabulary —
+    the ONE scoring recipe shared by the batch screen (``vocab_oov``,
+    key = group) and the streaming twin (``oov_score_stream``, key =
+    document id), so the two can never drift. Returns (key,
+    total_tokens, oov_tokens, oov_ppm); keys whose text has zero
+    tokens produce no row (nothing to explode)."""
+    toks = df.select(
+        F.col(key_col), F.explode(tokens(text_col)).alias("term")
+    )
+    vocab = vocab_df.select("term", F.lit(1).alias("__in_vocab"))
+    oov = "CAST(__in_vocab IS NULL AS BIGINT)"
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.expr(f"sum({oov})").alias("oov_tokens"),
+            _ppm(f"sum({oov})", "count(1)").alias("oov_ppm"),
+        )
+    )
+
+
 def vocab_oov(
     df: DataFrame, group_col: str, text_col: str, k: int = 1000
 ) -> DataFrame:
@@ -205,19 +230,9 @@ def vocab_oov(
 
     Scale shape: one vocabulary-keyed count, the top-k selected through
     the audited two-level ``select.top_k_per_group`` (constant group, so
-    no global window either), then a broadcast join of the k-row vocab
-    against the exploded token stream and one per-group rollup.
+    no global window either), then ``oov_scores``' broadcast membership
+    join of the k-row vocab against the exploded token stream and one
+    per-group rollup (2 scans by design — exchanging the probe stream
+    on term to save a tokenize would shuffle the corpus).
     """
-    toks = df.select(
-        F.col(group_col), F.explode(tokens(text_col)).alias("term")
-    )
-    vocab = vocab_top_k(df, text_col, k).select(
-        "term", F.lit(1).alias("__in_vocab")
-    )
-    joined = toks.join(F.broadcast(vocab), "term", "left")
-    oov = "CAST(__in_vocab IS NULL AS BIGINT)"
-    return joined.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("total_tokens"),
-        F.expr(f"sum({oov})").alias("oov_tokens"),
-        _ppm(f"sum({oov})", "count(1)").alias("oov_ppm"),
-    )
+    return oov_scores(df, group_col, text_col, vocab_top_k(df, text_col, k))

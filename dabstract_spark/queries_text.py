@@ -1928,10 +1928,12 @@ def q130_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id", "source", "n_chars", tx.bpe_token_count("text").alias("n_tokens")
     )
+    # sources are human-scale: the hint keeps both side-table joins
+    # statically broadcast; n_chars is non-null so NULL placement moot
     out = token_budget_per_group(
         scored, "source", "n_tokens",
         [F.col("n_chars").desc(), F.col("doc_id")], budget=800,
-        order_key=-F.col("n_chars"),
+        order_key=-F.col("n_chars"), n_groups_hint=64,
     )
     return out.select("doc_id", "source", "n_tokens", "cum_tokens")
 
@@ -6197,7 +6199,7 @@ def q270_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH c AS (
       SELECT source, CAST(COALESCE(SUM(len({_T})), 0) AS BIGINT) AS n
-      FROM documents GROUP BY 1),
+      FROM documents WHERE source IS NOT NULL GROUP BY 1),
     r AS (
       SELECT source, n, n * 2 AS cap,
              row_number() OVER (ORDER BY n * 2, source) AS i,

@@ -1060,11 +1060,19 @@ def calibration_stream(
     replayed after a failure between the parquet append and the
     checkpoint commit lands in the sink twice, and unlike the SET
     sinks (curate/cohort/dsir) a sum cannot absorb the duplicate. Each
-    partial row therefore carries its ``batch_id``, and the merge
-    drops duplicate (batch_id, group, bucket) rows before summing —
-    the sink is idempotent per batch_id, so the exactness claim above
-    survives replays, not just clean availableNow drains."""
+    partial row therefore carries (run_id, batch_id) — run_id is a
+    digest of the CHECKPOINT path, so batch_id is unique within it by
+    Structured Streaming's contract — and the merge drops duplicate
+    (run_id, batch_id, group, bucket) rows before summing: the sink is
+    idempotent per micro-batch, so the exactness claim above survives
+    replays, not just clean availableNow drains. Scoping the dedup to
+    run_id keeps LEGITIMATE later drains (same out_path, fresh
+    checkpoint, batch_id restarting at 0) countable instead of
+    silently swallowed."""
+    import hashlib
+
     width = max(1, -(-int(max_score) // 256))
+    run_id = hashlib.md5(str(checkpoint).encode()).hexdigest()[:16]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -1077,6 +1085,7 @@ def calibration_stream(
             )
             .groupBy(group_col, "bucket")
             .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("run_id", F.lit(run_id))
             .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("append")
             .parquet(out_path)
@@ -1092,7 +1101,7 @@ def calibration_stream(
         "calibration_stream",
     )
     return (
-        sink.dropDuplicates(["batch_id", group_col, "bucket"])
+        sink.dropDuplicates(["run_id", "batch_id", group_col, "bucket"])
         .groupBy(group_col, "bucket")
         .agg(F.sum("n").alias("n"))
     )
@@ -1120,35 +1129,19 @@ def oov_score_stream(
     arrival order — and the output is one row per distinct document, so
     the drained sink equals the batch scorer exactly (the
     dsir_score_stream set-algebra argument; no stream state at all).
-    The vocabulary persists for the drain ONLY (try/finally unpersist,
-    the r8 drain-scoped lifecycle)."""
-    from dabstract_spark.operators.text import tokens as _tokens
+    Each micro-batch runs ``textstats.oov_scores`` VERBATIM with the
+    document id as the key — ONE scoring recipe shared with the batch
+    ``vocab_oov``, no drift (the decontaminate_stream discipline). The
+    vocabulary persists for the drain ONLY (try/finally unpersist, the
+    r8 drain-scoped lifecycle)."""
+    from dabstract_spark.operators.textstats import oov_scores
 
-    vocab_static = vocab_df.select(
-        "term", F.lit(1).alias("__in_vocab")
-    ).persist()
+    vocab_static = vocab_df.select("term").persist()
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        toks = batch_df.select(
-            F.col(id_col), F.explode(_tokens(text_col)).alias("term")
-        )
-        scored = (
-            toks.join(F.broadcast(vocab_static), "term", "left")
-            .groupBy(id_col)
-            .agg(
-                F.count(F.lit(1)).alias("total_tokens"),
-                F.expr("sum(CAST(__in_vocab IS NULL AS BIGINT))").alias(
-                    "oov_tokens"
-                ),
-                F.expr(
-                    "CAST(CAST(sum(CAST(__in_vocab IS NULL AS BIGINT))"
-                    " AS DECIMAL(38,0)) * 1000000"
-                    " div CAST(greatest(count(1), 1) AS DECIMAL(38,0))"
-                    " AS BIGINT)"
-                ).alias("oov_ppm"),
-            )
-        )
-        scored.write.mode("append").parquet(out_path)
+        oov_scores(batch_df, id_col, text_col, vocab_static).write.mode(
+            "append"
+        ).parquet(out_path)
 
     # drain-scoped persist: see decontaminate_stream
     try:

@@ -1003,3 +1003,16 @@ def test_span_corruption_nonoverlap_and_budget(spark):
     # different seed moves spans for a big doc
     other = span_corruption_manifest(df, "doc_id", "ntok", seed=2).collect()
     assert sorted(map(tuple, other)) != sorted(map(tuple, rows))
+
+
+def test_token_budget_per_group_rejects_non_numeric_order_key(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", "9", 10), ("a", "10", 10)], "g string, name string, tok bigint"
+    )
+    # "10" < "9" lexicographically but 10 > 9 numerically: bucketing by
+    # cast-to-double would disagree with the window's string sort, so a
+    # non-numeric order key must raise instead of silently corrupting
+    with pytest.raises(ValueError, match="numeric"):
+        token_budget_per_group(df, "g", "tok", ["name", "g"], budget=10)

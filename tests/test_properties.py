@@ -656,8 +656,10 @@ def test_grouped_rank_ppm_law_vs_naive(spark, rows):
 @given(
     rows=st.lists(
         st.tuples(
-            st.integers(0, 3), st.integers(0, 50), st.integers(0, 20)
-        ),  # (group, order key, tokens)
+            st.one_of(st.none(), st.integers(0, 3)),  # group (NULL = real partition)
+            st.one_of(st.none(), st.integers(0, 50)),  # order key (NULLs placed!)
+            st.integers(0, 20),  # tokens
+        ),
         min_size=1,
         max_size=60,
     ),
@@ -667,34 +669,43 @@ def test_grouped_rank_ppm_law_vs_naive(spark, rows):
 def test_token_budget_two_level_law_vs_naive(spark, rows, budget):
     """Law: the two-level (group, 256-value-bucket) token_budget_per_group
     equals the naive per-group window cumsum for ARBITRARY corpora —
-    any group sizes, tied order keys, zero-token rows, budget edge
-    cases — including a DESCENDING primary sort via order_key
-    negation. The r8 de-skew rewrite must be invisible in output."""
+    any group sizes, tied order keys, NULL order keys (DESC = NULLS
+    LAST, needs nulls_last=True), NULL group values (a real window
+    partition), zero-token rows, budget edge cases — for BOTH an
+    ascending and a descending (negated order_key) primary sort. The
+    r8 de-skew rewrite must be invisible in output."""
     from pyspark.sql import Window
 
     from dabstract_spark.operators.select import token_budget_per_group
 
-    data = [(i, f"g{g}", k, t) for i, (g, k, t) in enumerate(rows)]
+    data = [
+        (i, None if g is None else f"g{g}", k, t)
+        for i, (g, k, t) in enumerate(rows)
+    ]
     df = spark.createDataFrame(data, "row_id long, grp string, k long, tok long")
-    order = [F.desc("k"), F.asc("row_id")]
-    w = (
-        Window.partitionBy("grp")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    naive = sorted(
-        (r.grp, r.row_id, r.cum)
-        for r in df.withColumn("cum", F.sum("tok").over(w))
-        .filter(F.col("cum") <= budget)
-        .collect()
-    )
-    got = sorted(
-        (r.grp, r.row_id, r.cum_tokens)
-        for r in token_budget_per_group(
-            df, "grp", "tok", order, budget, order_key=-F.col("k")
-        ).collect()
-    )
-    assert got == naive
+
+    for order, kw in (
+        ([F.desc("k"), F.asc("row_id")], dict(order_key=-F.col("k"), nulls_last=True)),
+        ([F.asc("k"), F.asc("row_id")], dict(order_key="k")),
+    ):
+        w = (
+            Window.partitionBy("grp")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        naive = {
+            (r.grp, r.row_id, r.cum)
+            for r in df.withColumn("cum", F.sum("tok").over(w))
+            .filter(F.col("cum") <= budget)
+            .collect()
+        }
+        got = {
+            (r.grp, r.row_id, r.cum_tokens)
+            for r in token_budget_per_group(
+                df, "grp", "tok", order, budget, **kw
+            ).collect()
+        }
+        assert got == naive, (order, kw)
 
 
 @given(
