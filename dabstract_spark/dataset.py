@@ -814,6 +814,45 @@ class Dataset:
 
         return kcenter_select(self._df, k=k, id_col=ROW_ID, vec_col=vec_col)
 
+    def charclass_profile(self, key: str = "text"):
+        """Per-row character-class ppm profile (see
+        textstats.charclass_profile). Returns a report keyed by row_id."""
+        from dabstract_spark.operators.textstats import charclass_profile
+
+        return charclass_profile(self._df, ROW_ID, key)
+
+    def ngram_diversity(self, group_key: str, key: str = "text", n: int = 2):
+        """Per-group n-gram type-token ratio (see
+        textstats.ngram_diversity)."""
+        from dabstract_spark.operators.textstats import ngram_diversity
+
+        return ngram_diversity(self._df, group_key, key, n=n)
+
+    def keyness_terms(self, group_key: str, key: str = "text", **kw):
+        """Per-group salient terms vs the rest of the corpus (see
+        textstats.keyness_terms)."""
+        from dabstract_spark.operators.textstats import keyness_terms
+
+        return keyness_terms(self._df, group_key, key, **kw)
+
+    def vocab_oov(self, group_key: str, key: str = "text", k: int = 1000):
+        """Per-group OOV rate against the corpus' own top-k vocabulary
+        (see textstats.vocab_oov)."""
+        from dabstract_spark.operators.textstats import vocab_oov
+
+        return vocab_oov(self._df, group_key, key, k=k)
+
+    def budget_allocation(
+        self, group_key: str, token_col, total_budget: int, max_repeat: int = 1
+    ):
+        """Water-filling split of one global token budget across groups
+        (see planning.budget_allocation)."""
+        from dabstract_spark.operators.planning import budget_allocation
+
+        return budget_allocation(
+            self._df, group_key, token_col, total_budget, max_repeat=max_repeat
+        )
+
     def preflight(self, keys: list[str] | str, n_partitions: int = 32, **kw):
         """Pre-flight skew advisory for a prospective join/groupBy on
         ``keys`` (see skew.skew_advice): profiles the named key columns

@@ -311,3 +311,32 @@ def test_dataset_preflight_skew_advisory(spark):
     # small distinct-key table short-circuits to broadcast for every key
     bc = ds.preflight(["host"], n_partitions=8, broadcast_max_keys=100)
     assert all(r.advice == "broadcast" for r in bc.collect())
+
+
+def test_dataset_facades_r8_analytics(spark):
+    """The r8 corpus-analytics / planning operators are reachable from
+    the Dataset facade over the active projection."""
+    from dabstract_spark.dataset import Dataset
+
+    rows = [
+        (i, "web" if i % 2 else "books", f"alpha beta {i} gamma delta !")
+        for i in range(10)
+    ]
+    ds = Dataset(
+        spark.createDataFrame(rows, "row_id long, src string, text string"),
+        name="d",
+    )
+    cc = ds.charclass_profile().collect()
+    assert len(cc) == 10 and all(r.letter_ppm > 0 for r in cc)
+    nd = {r.src: r for r in ds.ngram_diversity("src").collect()}
+    assert set(nd) == {"web", "books"} and all(
+        r.ttr_ppm > 0 for r in nd.values()
+    )
+    kt = ds.keyness_terms("src", top_k=2, min_count=2).collect()
+    assert all(r.src in ("web", "books") for r in kt)
+    vo = {r.src: r for r in ds.vocab_oov("src", k=4).collect()}
+    assert all(v.total_tokens > 0 for v in vo.values())
+    ba = {r.src: r for r in ds.budget_allocation(
+        "src", F.size(F.split("text", " ")).cast("bigint"), total_budget=20
+    ).collect()}
+    assert sum(r.alloc_tokens for r in ba.values()) == 20
