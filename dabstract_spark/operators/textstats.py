@@ -236,3 +236,33 @@ def vocab_oov(
     on term to save a tokenize would shuffle the corpus).
     """
     return oov_scores(df, group_col, text_col, vocab_top_k(df, text_col, k))
+
+
+def canary_exposure(
+    df: DataFrame, id_col: str, text_col: str, canaries: list[str]
+) -> DataFrame:
+    """Canary-phrase exposure audit (the Carlini secret-sharer
+    methodology's counting half): for EVERY planted canary phrase, how
+    many documents contain it verbatim and which document surfaces it
+    first — the report a privacy review reads before and after a
+    scrub/dedup pass. Canaries with zero hits still get a row (that IS
+    the desired outcome; an absent row is indistinguishable from a
+    broken audit).
+
+    Scale shape: the canary list is a plan literal exploded per row
+    (n_docs × k scan-fused contains tests, k human-scale), aggregated
+    with map-side combine to k rows — no filter before the aggregate,
+    so the zero-hit rows survive; no join, no second scan.
+    """
+    if not canaries:
+        raise ValueError("canary_exposure needs at least one canary phrase")
+    can = F.explode(F.array(*[F.lit(c) for c in canaries])).alias("canary")
+    hit = F.col(text_col).contains(F.col("canary"))
+    return (
+        df.select(F.col(id_col), F.col(text_col), can)
+        .groupBy("canary")
+        .agg(
+            F.sum(hit.cast("bigint")).alias("n_docs"),
+            F.min(F.when(hit, F.col(id_col))).alias("first_doc_id"),
+        )
+    )

@@ -6273,3 +6273,181 @@ def q272_stream_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_score_stream(
         src, vocab, "doc_id", "text", f"{tmp}/out", f"{tmp}/ckpt"
     )
+
+
+# --------------------------------------------------------------------- #
+# Canary-phrase exposure audit (textstats.canary_exposure, the counting
+# half of the Carlini secret-sharer methodology): for every planted
+# canary, how many documents contain it verbatim and which doc_id
+# surfaces it first — zero-hit canaries still get a row (an absent row
+# is indistinguishable from a broken audit). Phrases drawn from the
+# fixture vocabulary plus one deliberate miss.
+# --------------------------------------------------------------------- #
+@query(
+    "q273_canary_exposure",
+    oracle="""
+    WITH can AS (
+      SELECT unnest(['table value', 'fast merge', 'shuffle spill',
+                     'zzz never planted']) AS canary)
+    SELECT canary,
+           CAST(SUM(CASE WHEN contains(text, canary) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs,
+           MIN(CASE WHEN contains(text, canary) THEN doc_id END)
+             AS first_doc_id
+    FROM can CROSS JOIN documents
+    GROUP BY canary
+    """,
+)
+def q273_canary_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.textstats import canary_exposure
+
+    docs = _t(spark, sf_dir, "documents")
+    return canary_exposure(
+        docs, "doc_id", "text",
+        ["table value", "fast merge", "shuffle spill", "zzz never planted"],
+    )
+
+
+# --------------------------------------------------------------------- #
+# Dedup-threshold sensitivity curve (composition over dedup.
+# jaccard_pairs): the pair-similarity histogram a curation run reads to
+# PICK its near-dup threshold — how many pairs a cutoff of 0.1/0.2/...
+# would merge. Bins are floor(jaccard·10); the binned doubles are a
+# deterministic function of the same ROUND(6) values q48 already
+# hash-matches, so the histogram is engine-exact.
+# --------------------------------------------------------------------- #
+@query(
+    "q274_dedup_sensitivity",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct({_shingles('text', 2)})) AS s
+      FROM documents),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    kept AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (s) JOIN kept USING (s) WHERE a.id < b.id
+      GROUP BY a.id, b.id),
+    pairs AS (
+      SELECT ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1)
+    SELECT CAST(FLOOR(jaccard * 10) AS INT) AS sim_bin,
+           COUNT(*)::BIGINT AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+)
+def q274_dedup_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.1, max_df=100)
+    return pairs.select(
+        F.floor(F.col("jaccard") * 10).cast("int").alias("sim_bin")
+    ).groupBy("sim_bin").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# --------------------------------------------------------------------- #
+# Mixture-plan card (planning.budget_allocation joined with per-source
+# corpus stats): the artifact a mixture decision ships — per source,
+# its doc count, token supply, water-filled allocation under a 30k
+# global budget, implied epoch factor, and mean quality. The stats join
+# is n_sources x n_sources.
+# --------------------------------------------------------------------- #
+@query(
+    "q275_mixture_plan",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(COALESCE(SUM(len({_T})), 0) AS BIGINT) AS n,
+             COUNT(*)::BIGINT AS n_docs,
+             CAST(CAST(SUM(((5 * least(length(text)::BIGINT * 2500, 1000000)
+               + 3 * least((len(list_filter({_T}, t -> t IN {_SW}))::BIGINT * 1000000
+                            // greatest(len({_T}), 1)) * 5, 1000000)
+               + 2 * (1000000 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::BIGINT * 1000000
+                            // greatest(length(text), 1)) * 10, 1000000))) // 10)) AS HUGEINT)
+                  // COUNT(*) AS BIGINT) AS mean_q_ppm
+      FROM documents WHERE source IS NOT NULL GROUP BY 1),
+    r AS (
+      SELECT source, n, n_docs, mean_q_ppm, n AS cap,
+             row_number() OVER (ORDER BY n, source) AS i,
+             COALESCE(SUM(n) OVER (
+               ORDER BY n, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+             COUNT(*) OVER ()
+               - row_number() OVER (ORDER BY n, source) + 1 AS rr
+      FROM c),
+    l AS (SELECT *, CAST(30000 - p AS HUGEINT) // rr AS level FROM r),
+    kk AS (SELECT i AS ki, level AS cc, 30000 - p - level * rr AS rem
+           FROM l WHERE i = (SELECT MIN(i) FROM l WHERE level < cap)),
+    a AS (SELECT l.*, kk.ki, kk.cc, kk.rem FROM l LEFT JOIN kk ON TRUE),
+    f AS (
+      SELECT source, n, n_docs, mean_q_ppm,
+             CAST(CASE WHEN ki IS NULL OR i < ki THEN cap
+                  ELSE cc + (CASE WHEN i - ki < rem THEN 1 ELSE 0 END)
+                  END AS BIGINT) AS alloc
+      FROM a)
+    SELECT source, n_docs, n AS n_tokens, alloc AS alloc_tokens,
+           CAST(CAST(alloc AS HUGEINT) * 1000000
+                // greatest(n, 1) AS BIGINT) AS epochs_ppm,
+           mean_q_ppm
+    FROM f
+    """,
+)
+def q275_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.planning import budget_allocation
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        tx.token_count("text").alias("nt"),
+        tx.quality_score_ppm("text").alias("qp"),
+    )
+    alloc = budget_allocation(docs, "source", "nt", total_budget=30_000)
+    stats = docs.filter(F.col("source").isNotNull()).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            "CAST(CAST(sum(qp) AS DECIMAL(38,0)) div count(1) AS BIGINT)"
+        ).alias("mean_q_ppm"),
+    )
+    return alloc.join(F.broadcast(stats), "source").select(
+        "source", "n_docs", "n_tokens", "alloc_tokens", "epochs_ppm",
+        "mean_q_ppm",
+    )
+
+
+# --------------------------------------------------------------------- #
+# Chunk-level boilerplate audit (composition over text.chunk_text): the
+# duplicated-context-window report — which exact 16-token chunks occur
+# more than once, in how many documents, how many times. The RAG-side
+# twin of line/paragraph dedup (q223/q129): duplicated chunks waste
+# retrieval slots and leak across train/test splits.
+# --------------------------------------------------------------------- #
+@query(
+    "q276_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+    st AS (SELECT doc_id, t,
+                  unnest(generate_series(1, greatest(len(t), 1), 8)) AS s
+           FROM toks),
+    ch AS (SELECT doc_id, s, t[s : s + 15] AS c FROM st),
+    chunks AS (
+      SELECT doc_id, md5(array_to_string(c, ' ')) AS chunk_md5
+      FROM ch WHERE len(c) = 16 OR s = 1)
+    SELECT chunk_md5, COUNT(*)::BIGINT AS n_occurrences,
+           COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM chunks GROUP BY 1 HAVING COUNT(*) >= 2
+    """,
+)
+def q276_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    chunks = tx.chunk_text(docs, "doc_id", "text", window=16, stride=8)
+    per_doc = chunks.groupBy("chunk_md5", "doc_id").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        per_doc.groupBy("chunk_md5")
+        .agg(
+            F.sum("__c").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )

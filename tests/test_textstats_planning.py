@@ -155,3 +155,25 @@ def test_stream_oov_equals_batch(spark, tmp_path):
     )
     assert sorted((r.doc_id, r.total_tokens, r.oov_tokens) for r in got.collect()) == want
     assert len(want) > 0
+
+
+def test_canary_exposure_zero_hit_rows_survive(spark):
+    from dabstract_spark.operators.textstats import canary_exposure
+
+    df = spark.createDataFrame(
+        [(1, "a table value x"), (2, "fast merge here"), (3, "table value again")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        map(tuple, canary_exposure(
+            df, "doc_id", "text", ["table value", "fast merge", "zzz qqq"]
+        ).collect())
+    )
+    # zero-hit canary keeps its row (n_docs 0, no first doc)
+    assert got == [
+        ("fast merge", 1, 2), ("table value", 2, 1), ("zzz qqq", 0, None),
+    ]
+    import pytest
+
+    with pytest.raises(ValueError, match="canary"):
+        canary_exposure(df, "doc_id", "text", [])

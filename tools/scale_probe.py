@@ -747,7 +747,7 @@ def main():
         probe_block(
             {
                 "calib_sink_merge": lambda d: d.dropDuplicates(
-                    ["batch_id", "lang", "bucket"]
+                    ["run_id", "batch_id", "lang", "bucket"]
                 )
                 .groupBy("lang", "bucket")
                 .agg(F.sum("n").alias("n"))
