@@ -27,28 +27,43 @@ TABLES = (
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
-    from dabstract_spark.session import get_spark
     from __spark_entry__ import oracle_sql, queries
 
-    spark = get_spark("bench_oracle")
+    qs, oracles = queries(), oracle_sql()
+    names = sorted(oracles)
+
+    # DUCKDB PHASE FIRST, BEFORE the JVM exists: running DuckDB in the
+    # same process as a hot Spark session inflates its cells ~2x
+    # (measured r8 at sf0.1: 312s in-process after two Spark passes vs
+    # 154s standalone — q221 35.4s vs 4.4s), so the single-node
+    # yardstick must see a JVM-free process, the way it would actually
+    # be deployed.
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con.execute(oracles["q01_pricing_summary"]).fetchall()
+    t_duck = {}
+    for name in names:
+        t0 = time.time()
+        con.execute(oracles[name]).fetchall()
+        t_duck[name] = time.time() - t0
+    con.close()
 
-    qs, oracles = queries(), oracle_sql()
+    from dabstract_spark.session import get_spark
+
+    spark = get_spark("bench_oracle")
 
     def spark_run(df):
         df.write.format("noop").mode("overwrite").save()
 
-    # warm both engines once: flagship query, the Python worker pool
-    # (first Arrow stage pays ~32 interpreter startups), and one touch
-    # of every table so the session's one-time scan re-layout happens
+    # warm Spark once: flagship query, the Python worker pool (first
+    # Arrow stage pays ~32 interpreter startups), and one touch of
+    # every table so the session's one-time scan re-layout happens
     # outside the timed loop (same session-infrastructure classification
     # bench.py uses)
     from dabstract_spark.session import load_table
 
     spark_run(qs["q01_pricing_summary"](spark, sf_dir))
-    con.execute(oracles["q01_pricing_summary"]).fetchall()
     for t in TABLES:
         load_table(spark, sf_dir, t)
     from pyspark.sql import functions as F
@@ -60,11 +75,10 @@ def main():
 
     spark_run(spark.range(256).select(_warm(F.col("id").cast("double"))))
 
-    # TWO PHASES, not interleaved: a 32-thread DuckDB query between two
-    # Spark queries evicts cache and churns the allocator inside the
-    # same process — measured ~2x inflation on the Spark cells (e.g.
-    # q166 5.2s interleaved vs 3.3s clean). Each engine runs its full
-    # loop back to back, the way either would actually be deployed.
+    # SEPARATE PHASES, never interleaved: a 32-thread DuckDB query
+    # between two Spark queries evicts cache and churns the allocator —
+    # measured ~2x inflation on the Spark cells (q166 5.2s interleaved
+    # vs 3.3s clean); and see above for the reverse direction.
     # cold/warm split: the first execution of a plan pays one-time
     # costs (janino codegen compile — ~2.5 s for q106's two 512-term
     # sign projections — plus Python-worker spinup for Arrow stages);
@@ -76,7 +90,6 @@ def main():
     import os
 
     warm_pass = os.environ.get("BENCH_ORACLE_WARM", "1") != "0"
-    names = sorted(oracles)
     t_spark = {}
     for name in names:
         t0 = time.time()
@@ -88,11 +101,6 @@ def main():
             t0 = time.time()
             spark_run(qs[name](spark, sf_dir))
             t_warm[name] = time.time() - t0
-    t_duck = {}
-    for name in names:
-        t0 = time.time()
-        con.execute(oracles[name]).fetchall()
-        t_duck[name] = time.time() - t0
     rows = [(n, t_spark[n], t_warm.get(n), t_duck[n]) for n in names]
 
     print(f"{'query':<32} {'sp_cold':>8} {'sp_warm':>8} {'duckdb':>8}")
