@@ -6451,3 +6451,188 @@ def q276_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") >= 2)
     )
+
+
+# --------------------------------------------------------------------- #
+# Tokenizer compression ratio (corpus analytics): per-source chars per
+# BPE pre-token in exact ppm — THE tokenizer-efficiency metric (low
+# chars/token = the vocabulary fragments that source; the aggregate
+# sibling of q205's per-doc fertility). One scan, one tiny group agg.
+# --------------------------------------------------------------------- #
+@query(
+    "q277_tokenizer_compression",
+    oracle=r"""
+    WITH s AS (
+      SELECT source, length(text)::BIGINT AS nc,
+             CAST(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS nt
+      FROM documents)
+    SELECT source, CAST(SUM(nc) AS BIGINT) AS n_chars,
+           CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens,
+           CAST(CAST(SUM(nc) AS HUGEINT) * 1000000
+                // greatest(SUM(nt), 1) AS BIGINT) AS chars_per_token_ppm
+    FROM s GROUP BY source
+    """,
+)
+def q277_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "source",
+        F.length("text").cast("bigint").alias("__nc"),
+        tx.bpe_token_count("text").alias("__nt"),
+    )
+    return staged.groupBy("source").agg(
+        F.sum("__nc").alias("n_chars"),
+        F.sum("__nt").alias("n_bpe_tokens"),
+        F.expr(
+            "CAST(CAST(sum(__nc) AS DECIMAL(38,0)) * 1000000"
+            " div CAST(greatest(sum(__nt), 1) AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("chars_per_token_ppm"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Language-ID confusion matrix (evaluation over text.lang_id): counts
+# of (labeled lang, predicted lang) pairs — the accuracy report a
+# lang-ID gate ships before it is trusted to route a multilingual
+# crawl. Scan-fused prediction + one tiny two-key aggregate.
+# --------------------------------------------------------------------- #
+@query(
+    "q278_lang_confusion",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN {_SCORE['qy']} > greatest({_SCORE['dt']}, {_SCORE['en']}, 0) THEN 'qy'
+                WHEN {_SCORE['en']} > greatest({_SCORE['dt']}, 0) THEN 'en'
+                WHEN {_SCORE['dt']} > 0 THEN 'dt'
+                ELSE 'und' END AS lang_pred,
+           COUNT(*)::BIGINT AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q278_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", tx.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------- #
+# Dedup savings card (composition over the exact-dedup digest rule):
+# per source, how many docs and tokens survive global exact dedup
+# (keep = min doc_id per normalized-content digest) and the token
+# savings in ppm — "what did dedup buy us", the before/after line a
+# curation run reports. Digest groupBy + one broadcast-size agg.
+# --------------------------------------------------------------------- #
+@query(
+    "q279_dedup_savings",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len({_T}) AS BIGINT) AS nt,
+             md5({_NORM.format(c='text')}) AS dg
+      FROM documents),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY dg)
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_kept,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN nt ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           CAST(CAST(SUM(CASE WHEN k.doc_id IS NULL THEN nt ELSE 0 END) AS HUGEINT)
+                * 1000000 // greatest(SUM(nt), 1) AS BIGINT) AS savings_ppm
+    FROM d LEFT JOIN keep k USING (doc_id)
+    GROUP BY source
+    """,
+)
+def q279_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        tx.token_count("text").alias("__nt"),
+        F.md5(normalize_text("text")).alias("__dg"),
+    )
+    keep = docs.groupBy("__dg").agg(F.min("doc_id").alias("doc_id"))
+    flagged = docs.join(
+        keep.select("doc_id", F.lit(1).alias("__keep")), "doc_id", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.sum(F.col("__keep").isNotNull().cast("bigint")).alias("docs_kept"),
+        F.sum(
+            F.when(F.col("__keep").isNotNull(), F.col("__nt")).otherwise(0)
+        ).alias("tokens_kept"),
+        F.expr(
+            "CAST(CAST(sum(CASE WHEN __keep IS NULL THEN __nt ELSE 0 END)"
+            " AS DECIMAL(38,0)) * 1000000"
+            " div CAST(greatest(sum(__nt), 1) AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("savings_ppm"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Padding-waste report (composition over packing.length_bucket_batches):
+# per power-2 length bucket, the padded-token cost (slots x cap summed
+# over batches) vs real tokens, and the waste in ppm — the metric
+# length-bucketed batching exists to minimize. Two bounded rollups over
+# the q265 manifest.
+# --------------------------------------------------------------------- #
+@query(
+    "q280_padding_waste",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, CAST(len({_T}) AS BIGINT) AS nt FROM documents),
+    caps AS (
+      SELECT doc_id, nt,
+             CASE WHEN nt <= 1 THEN 1
+                  ELSE (1::BIGINT << length(bin(nt - 1))) END AS cap
+      FROM q),
+    idx AS (
+      SELECT doc_id, nt, cap,
+             ROW_NUMBER() OVER (
+               PARTITION BY cap
+               ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS i
+      FROM caps),
+    man AS (
+      SELECT cap, CAST(i // GREATEST(4096 // cap, 1) AS BIGINT) AS batch_id,
+             nt
+      FROM idx),
+    per_batch AS (
+      SELECT cap, batch_id, COUNT(*)::BIGINT AS slots,
+             CAST(SUM(nt) AS BIGINT) AS real_toks
+      FROM man GROUP BY 1, 2)
+    SELECT cap AS bucket_cap, COUNT(*)::BIGINT AS n_batches,
+           CAST(SUM(slots) AS BIGINT) AS n_docs,
+           CAST(SUM(real_toks) AS BIGINT) AS real_tokens,
+           CAST(SUM(slots * cap) AS BIGINT) AS padded_tokens,
+           CAST(CAST(SUM(slots * cap) - SUM(real_toks) AS HUGEINT) * 1000000
+                // greatest(SUM(slots * cap), 1) AS BIGINT) AS waste_ppm
+    FROM per_batch GROUP BY cap
+    """,
+)
+def q280_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.packing import length_bucket_batches
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count("text").alias("nt")
+    )
+    man = length_bucket_batches(docs, "doc_id", "nt", batch_tokens=4096, seed=0)
+    per_batch = man.groupBy("bucket_cap", "batch_id").agg(
+        F.count(F.lit(1)).alias("__slots"),
+        F.sum("n_tokens").alias("__real"),
+    )
+    return per_batch.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("__slots").alias("n_docs"),
+        F.sum("__real").alias("real_tokens"),
+        F.sum(F.col("__slots") * F.col("bucket_cap")).alias("padded_tokens"),
+        F.expr(
+            "CAST(CAST(sum(__slots * bucket_cap) - sum(__real)"
+            " AS DECIMAL(38,0)) * 1000000"
+            " div CAST(greatest(sum(__slots * bucket_cap), 1)"
+            " AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("waste_ppm"),
+    )
