@@ -224,9 +224,10 @@ def token_budget_per_group(
     ``order_key`` is a NUMERIC column (name or Column) that is monotone
     non-decreasing along ``order_cols`` — for an ascending primary sort
     column it is that column (the default when ``order_cols[0]`` names
-    one, validated numeric against the schema — a numeric-LOOKING string
-    column would bucket numerically while the window sorts it
-    lexicographically, silently corrupting the cumsum); for a
+    one, validated numeric/date/timestamp against the schema — a
+    numeric-LOOKING string column would bucket numerically while the
+    window sorts it lexicographically, silently corrupting the cumsum;
+    timestamps bucket by epoch micros, dates by epoch days); for a
     descending primary sort pass its negation. Only its ORDER is used
     (never its values), so any monotone surrogate works. Rows whose
     order key is NULL bucket before every non-NULL key (Spark's
@@ -272,17 +273,23 @@ def token_budget_per_group(
         order_key = order_cols[0]
     key_expr = F.col(order_key) if isinstance(order_key, str) else order_key
     key_type = df.select(key_expr.alias("__k")).schema[0].dataType.simpleString()
-    if not (
-        key_type in ("tinyint", "smallint", "int", "bigint", "float", "double")
-        or key_type.startswith("decimal")
-    ):
+    if key_type in ("timestamp", "timestamp_ntz"):
+        # epoch micros: monotone with the timestamp sort, exact in double
+        # for any realistic clock (2^53 µs ≈ year 2255)
+        k = F.unix_micros(key_expr.cast("timestamp")).cast("double")
+    elif key_type == "date":
+        k = F.unix_date(key_expr).cast("double")
+    elif key_type in (
+        "tinyint", "smallint", "int", "bigint", "float", "double"
+    ) or key_type.startswith("decimal"):
+        k = key_expr.cast("double")
+    else:
         raise ValueError(
             f"token_budget_per_group: order_key has type {key_type}; it must "
-            "be numeric (a numeric-looking string would bucket numerically "
-            "while the window sorts it lexicographically) — pass an explicit "
-            "numeric order_key= monotone along order_cols"
+            "be numeric, date, or timestamp (a numeric-looking string would "
+            "bucket numerically while the window sorts it lexicographically) "
+            "— pass an explicit order_key= monotone along order_cols"
         )
-    k = key_expr.cast("double")
 
     if n_groups_hint is not None:
         small = int(n_groups_hint) * 256 <= broadcast_threshold

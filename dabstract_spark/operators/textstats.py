@@ -251,18 +251,35 @@ def canary_exposure(
 
     Scale shape: the canary list is a plan literal exploded per row
     (n_docs × k scan-fused contains tests, k human-scale), aggregated
-    with map-side combine to k rows — no filter before the aggregate,
-    so the zero-hit rows survive; no join, no second scan.
+    with map-side combine to k rows, then LEFT-joined back onto the
+    k-row literal canary table — so the zero-hit guarantee holds even
+    on an EMPTY corpus (the aggregate alone would return no rows at
+    all, an audit indistinguishable from a broken one by this
+    operator's own contract). NULL text never hits (coalesced, not
+    NULL-propagated into the sums). Duplicate canary phrases raise —
+    they would double-count exposure.
     """
     if not canaries:
         raise ValueError("canary_exposure needs at least one canary phrase")
+    if len(set(canaries)) != len(canaries):
+        raise ValueError(
+            "canary_exposure: duplicate canary phrases would double-count"
+        )
     can = F.explode(F.array(*[F.lit(c) for c in canaries])).alias("canary")
-    hit = F.col(text_col).contains(F.col("canary"))
-    return (
+    hit = F.coalesce(F.col(text_col).contains(F.col("canary")), F.lit(False))
+    agg = (
         df.select(F.col(id_col), F.col(text_col), can)
         .groupBy("canary")
         .agg(
-            F.sum(hit.cast("bigint")).alias("n_docs"),
+            F.sum(hit.cast("bigint")).alias("__n"),
             F.min(F.when(hit, F.col(id_col))).alias("first_doc_id"),
         )
+    )
+    base = df.sparkSession.createDataFrame(
+        [(c,) for c in canaries], "canary string"
+    )
+    return base.join(agg, "canary", "left").select(
+        "canary",
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_docs"),
+        "first_doc_id",
     )

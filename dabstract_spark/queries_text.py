@@ -6461,10 +6461,10 @@ def q276_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 @query(
     "q277_tokenizer_compression",
-    oracle=r"""
+    oracle=f"""
     WITH s AS (
       SELECT source, length(text)::BIGINT AS nc,
-             CAST(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS nt
+             CAST(len(regexp_extract_all(lower(text), {_BPE_SQL})) AS BIGINT) AS nt
       FROM documents)
     SELECT source, CAST(SUM(nc) AS BIGINT) AS n_chars,
            CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens,

@@ -1068,7 +1068,11 @@ def calibration_stream(
     replays, not just clean availableNow drains. Scoping the dedup to
     run_id keeps LEGITIMATE later drains (same out_path, fresh
     checkpoint, batch_id restarting at 0) countable instead of
-    silently swallowed."""
+    silently swallowed. Caveat: run_id is the checkpoint PATH's
+    digest, so deleting a checkpoint and recreating it at the SAME
+    path while keeping the sink collides with the dead run — pair the
+    sink and checkpoint lifecycles (delete both or neither), the same
+    hygiene Structured Streaming's own file sinks require."""
     import hashlib
 
     width = max(1, -(-int(max_score) // 256))

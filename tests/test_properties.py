@@ -693,18 +693,24 @@ def test_token_budget_two_level_law_vs_naive(spark, rows, budget):
             .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        naive = {
+        # Counter, not set: the rewrite's null-safe joins must not fan
+        # rows out — multiset equality catches a duplicate-emitting
+        # regression that set equality would hide (and tuples with None
+        # don't sort, so sorted lists are out)
+        from collections import Counter
+
+        naive = Counter(
             (r.grp, r.row_id, r.cum)
             for r in df.withColumn("cum", F.sum("tok").over(w))
             .filter(F.col("cum") <= budget)
             .collect()
-        }
-        got = {
+        )
+        got = Counter(
             (r.grp, r.row_id, r.cum_tokens)
             for r in token_budget_per_group(
                 df, "grp", "tok", order, budget, **kw
             ).collect()
-        }
+        )
         assert got == naive, (order, kw)
 
 

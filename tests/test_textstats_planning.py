@@ -177,3 +177,55 @@ def test_canary_exposure_zero_hit_rows_survive(spark):
 
     with pytest.raises(ValueError, match="canary"):
         canary_exposure(df, "doc_id", "text", [])
+
+
+def test_canary_exposure_total_on_empty_and_null_corpus(spark):
+    """The zero-hit guarantee must hold on an EMPTY corpus (post-scrub
+    audit) and NULL text must count as a miss, not poison the sums."""
+    import pytest
+
+    from dabstract_spark.operators.textstats import canary_exposure
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    got = sorted(
+        map(tuple, canary_exposure(empty, "doc_id", "text", ["a", "b"]).collect())
+    )
+    assert got == [("a", 0, None), ("b", 0, None)]
+    nulls = spark.createDataFrame([(1, None), (2, "has a here")], "doc_id long, text string")
+    got2 = {r.canary: (r.n_docs, r.first_doc_id) for r in canary_exposure(
+        nulls, "doc_id", "text", ["a", "zz"]
+    ).collect()}
+    assert got2 == {"a": (1, 2), "zz": (0, None)}
+    with pytest.raises(ValueError, match="duplicate"):
+        canary_exposure(nulls, "doc_id", "text", ["a", "a"])
+
+
+def test_token_budget_accepts_timestamp_order_key(spark):
+    """'earliest docs first until the budget is spent' — a timestamp
+    primary sort must work via the epoch-micros bucket key."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    from dabstract_spark.operators.select import token_budget_per_group
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + datetime.timedelta(seconds=i * 37 % 50), i, 10)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, id long, tok long")
+    order = ["ts", "id"]
+    w = (
+        Window.partitionBy("g").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = sorted(
+        (r.id, r.cum) for r in df.withColumn("cum", F.sum("tok").over(w))
+        .filter(F.col("cum") <= 55).collect()
+    )
+    got = sorted(
+        (r.id, r.cum_tokens)
+        for r in token_budget_per_group(df, "g", "tok", order, 55).collect()
+    )
+    assert got == naive and len(got) == 5
