@@ -807,6 +807,190 @@ def grouped_rank_ppm(
 _REGISTRY["grouped_rank_ppm"] = grouped_rank_ppm
 
 
+def grouped_weighted_quantiles(
+    counts: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    quantiles: list[tuple[str, int, int]],
+    n_groups_hint: int | None = None,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """EXACT per-group weighted quantile vector WITHOUT a group-sized
+    window — the latency-dashboard / weighted-median selection form.
+
+    ``counts`` is the pre-aggregated (group, value, weight) table — one
+    row per (group, value), ``weight_col`` a non-NULL positive integer
+    count, ``value_col`` numeric/decimal (the caller's groupBy did the
+    data-sized work map-side). Each ``(name, num, den)`` in
+    ``quantiles`` emits one output column ``name`` = the smallest value
+    whose inclusive cumulative weight ``cum`` (in ascending value
+    order) satisfies ``den·cum >= num·n_group`` — integer comparisons
+    only, so the exact quantile is engine-identical (p50 is ``(name,
+    1, 2)``; a p95 is ``(name, 95, 100)``). Returns one row per group.
+
+    Scale shape — the two-level value-range-bucket prefix sum
+    (``token_budget_per_group`` / ``grouped_rank_ppm``): a per-group
+    min/max aggregate (map-side combined, n_groups rows) fixes 256
+    VALUE-RANGE buckets that are ranges of the group's order; per-
+    (group, bucket) weight sums fold into a bounded offsets table
+    (<= n_groups×257 rows, carrying the group totals) whose own
+    cumulative window is bounded by construction; each distinct value's
+    inclusive cum = its bucket's offset + a bucket-local running sum,
+    so no window ever holds a whole group's distinct-value table — the
+    continuous-value case (distinct count ~ group rows) spreads one
+    dominant group over 256 tasks instead of serializing its sort-and-
+    stream into one straggler (a cumsum EMITS every row: no
+    WindowGroupLimit pruning saves the naive form). The boundary pick
+    is one per-group MIN aggregate per requested quantile. Byte-
+    identical to the naive ``Window.partitionBy(group).orderBy(value)``
+    cumsum: bucket assignment is a monotone map of the value (double
+    cast of a numeric/decimal is order-preserving; equal values share a
+    bucket and (group, value) rows are unique by contract, so the
+    bucket-local ``orderBy(value)`` is total). A NULL value buckets
+    before every non-NULL one (Spark's ascending NULLS FIRST) and can
+    never be picked (``CASE WHEN ... THEN NULL`` loses every MIN) —
+    callers needing DuckDB-oracle parity should feed non-NULL values
+    (DuckDB windows order NULLS LAST).
+
+    Broadcast bound: the ``grouped_rank_ppm`` guard — the two bounded
+    side tables broadcast statically only when ``n_groups_hint``×257
+    fits ``broadcast_threshold``; hint-less callers get plain joins AQE
+    converts at runtime, no plan-build count job, no driver bomb on a
+    high-cardinality group column."""
+    w = F.col(weight_col).cast("bigint")
+    vtype = counts.schema[value_col].dataType.simpleString()
+    if not (
+        vtype in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or vtype.startswith("decimal")
+    ):
+        raise ValueError(
+            f"grouped_weighted_quantiles: value_col has type {vtype}; it "
+            "must be numeric/decimal (a numeric-looking string would bucket "
+            "numerically while the cumsum orders it lexicographically)"
+        )
+
+    if n_groups_hint is not None:
+        small = int(n_groups_hint) * 257 <= broadcast_threshold
+        maybe_bcast = F.broadcast if small else (lambda d: d)
+    else:
+        maybe_bcast = lambda d: d  # noqa: E731
+
+    keyed = counts.withColumn("__k", F.col(value_col).cast("double"))
+    stats = keyed.groupBy(group_col).agg(
+        F.min("__k").alias("__kmin"), F.max("__k").alias("__kmax")
+    )
+    span = F.col("__kmax") - F.col("__kmin")
+    bucket = (
+        F.when(F.col("__k").isNull(), F.lit(-1))
+        .when(span <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(255),
+                F.floor((F.col("__k") - F.col("__kmin")) * 256.0 / span).cast(
+                    "int"
+                ),
+            )
+        )
+    )
+    # null-safe group join: a NULL group is a real window partition in
+    # the naive form, so it must match its own stats/offsets row here
+    st = stats.withColumnRenamed(group_col, "__g")
+    bucketed = (
+        keyed.join(maybe_bcast(st), F.col(group_col).eqNullSafe(F.col("__g")))
+        .withColumn("__b", bucket)
+        .drop("__g", "__kmin", "__kmax")
+    )
+    sums = bucketed.groupBy(group_col, "__b").agg(F.sum(w).alias("__t"))
+    # bounded by construction: <= n_groups × 257 rows
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = (
+        Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offsets = sums.select(
+        F.col(group_col).alias("__g"),
+        F.col("__b").alias("__ob"),
+        F.col("__t"),
+        F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__t").over(w_tot).alias("__n"),
+    )
+    # BOUNDARY-BUCKET PRUNING: cum is non-decreasing in value order and
+    # every threshold test is monotone, so each quantile's qualifying
+    # rows form a suffix whose FIRST row lives in the unique bucket
+    # where the cumulative weight crosses the threshold — the only
+    # bucket whose rows can win the MIN pick. Keep, per group: each
+    # quantile's crossing bucket (den·(off+t) >= num·n and den·off <
+    # num·n), the first bucket (guarantees every group still emits a
+    # row when a threshold is unreachable, num > den), and the first
+    # non-NULL-value bucket (the pick skips NULL values, so a num <= 0
+    # threshold or a crossing in the NULL bucket resolves there). The
+    # bucket-local cumsum then touches <= k+2 buckets per group instead
+    # of the whole table — the full-data path is pure map-side-combined
+    # aggregation.
+    from functools import reduce as _reduce
+    from operator import or_ as _or
+
+    crossing = _reduce(
+        _or,
+        [
+            (
+                F.lit(int(den)) * (F.col("__off") + F.col("__t"))
+                >= F.lit(int(num)) * F.col("__n")
+            )
+            & (F.lit(int(den)) * F.col("__off") < F.lit(int(num)) * F.col("__n"))
+            for _, num, den in quantiles
+        ],
+    )
+    w_grp = (
+        Window.partitionBy("__g")
+        .orderBy("__ob")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    kept = (
+        offsets.withColumn("__bmin", F.min("__ob").over(w_grp))
+        .withColumn(
+            "__bnn",
+            F.min(F.when(F.col("__ob") >= 0, F.col("__ob"))).over(w_grp),
+        )
+        .filter(
+            crossing
+            | (F.col("__ob") == F.col("__bmin"))
+            | (F.col("__ob") == F.col("__bnn"))
+        )
+        .drop("__t", "__bmin", "__bnn")
+    )
+    # bucket-local running sum: each task holds <= 1/256 of one group's
+    # distinct values, and only boundary buckets survive the join
+    w_loc = (
+        Window.partitionBy(group_col, "__b")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bucketed.join(
+        maybe_bcast(kept),
+        F.col(group_col).eqNullSafe(F.col("__g")) & (F.col("__b") == F.col("__ob")),
+    ).withColumn("__cum", F.col("__off") + F.sum(w).over(w_loc))
+    picks = [
+        F.min(
+            F.when(
+                F.lit(int(den)) * F.col("__cum") >= F.lit(int(num)) * F.col("__n"),
+                F.col(value_col),
+            )
+        ).alias(name)
+        for name, num, den in quantiles
+    ]
+    return cum.groupBy(group_col).agg(*picks)
+
+
+_REGISTRY["grouped_weighted_quantiles"] = grouped_weighted_quantiles
+
+
 #: Poisson(1) CDF in exact ppm — P(X <= k) for k = 0..7; weights beyond 8
 #: are astronomically rare and truncated (P ~ 1e-6 covered by the last
 #: threshold). Literals so Spark and the SQL oracle share one table.

@@ -3632,11 +3632,15 @@ def q202_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 # Exact grouped percentiles (p50/p95/p99 latency-dashboard shape) by
 # aggregate-first cumulative selection: groupBy (group, value) shrinks
-# to the small distinct-value table, per-group window cumsum over THAT,
-# then "smallest v with 100·cum >= p·n" — integer comparisons only, so
-# the exact percentile is engine-identical (approx_percentile is not).
-# Same machinery as the weighted median (q194), widened to a percentile
-# vector in one pass.
+# to the distinct-value table, then the two-level
+# `select.grouped_weighted_quantiles` cumsum over THAT picks "smallest
+# v with 100·cum >= p·n" — integer comparisons only, so the exact
+# percentile is engine-identical (approx_percentile is not), and no
+# per-group window ever holds a whole group's distinct values (for
+# continuous latencies that table is O(group rows) and the group keys
+# are low-cardinality — the oracle's naive cumsum serializes ~n/5 rows
+# into one task at 100 TB). Same machinery as the weighted median
+# (q194), widened to a percentile vector in one pass.
 # --------------------------------------------------------------------- #
 @query(
     "q203_group_percentiles",
@@ -3659,7 +3663,7 @@ def q202_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q203_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from dabstract_spark.operators.select import grouped_weighted_quantiles
 
     ev = _t(spark, sf_dir, "events")
     vm = (
@@ -3668,24 +3672,15 @@ def q203_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v")
     )
     counts = ev.groupBy("event_type", vm).agg(F.count(F.lit(1)).alias("c"))
-    w_cum = (
-        Window.partitionBy("event_type")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_tot = Window.partitionBy("event_type")
-    cum = counts.select(
+    # 100·cum >= p·n; a handful of event types -> hint 16
+    return grouped_weighted_quantiles(
+        counts,
         "event_type",
         "v",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_tot).alias("n"),
+        "c",
+        [("p50_micro", 50, 100), ("p95_micro", 95, 100), ("p99_micro", 99, 100)],
+        n_groups_hint=16,
     )
-    def pick(p):
-        return F.min(
-            F.when(100 * F.col("cum") >= p * F.col("n"), F.col("v"))
-        ).alias(f"p{p}_micro")
-
-    return cum.groupBy("event_type").agg(pick(50), pick(95), pick(99))
 
 
 # --------------------------------------------------------------------- #

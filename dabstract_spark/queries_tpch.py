@@ -966,10 +966,14 @@ def q190_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Grouped WEIGHTED median (price weighted by quantity): the exact
 # selection form — collapse to per-(group, price) weight sums FIRST
 # (the aggregation does the data-sized work and kills duplicates), then
-# a cumulative sum over the much smaller distinct-price table picks the
-# smallest price whose cumulative weight reaches half the total.
-# Integer weights => deterministic boundary, no percentile
-# interpolation semantics to disagree on.
+# the two-level `select.grouped_weighted_quantiles` cumsum over the
+# distinct-price table picks the smallest price whose cumulative weight
+# reaches half the total — no per-group window ever holds a whole
+# group's distinct prices (for continuous values that table is
+# O(group rows); the oracle's naive cumsum form is equivalent but
+# serializes one low-cardinality group per task at scale). Integer
+# weights => deterministic boundary, no percentile interpolation
+# semantics to disagree on.
 # --------------------------------------------------------------------- #
 @query(
     "q194_weighted_median",
@@ -989,22 +993,20 @@ def q190_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q194_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import grouped_weighted_quantiles
+
     li = _t(spark, sf_dir, "lineitem")
     pw = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price")).agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("w")
     )
-    wcum = Window.partitionBy("l_returnflag").orderBy("price")
-    wtot = Window.partitionBy("l_returnflag")
-    cum = pw.select(
+    # 2·cum >= total: (num, den) = (1, 2); 3 return flags -> hint 8
+    return grouped_weighted_quantiles(
+        pw,
         "l_returnflag",
         "price",
-        F.sum("w").over(wcum).alias("cw"),
-        F.sum("w").over(wtot).alias("total"),
-    )
-    return (
-        cum.filter(2 * F.col("cw") >= F.col("total"))
-        .groupBy("l_returnflag")
-        .agg(F.min("price").alias("weighted_median"))
+        "w",
+        [("weighted_median", 1, 2)],
+        n_groups_hint=8,
     )
 
 

@@ -715,6 +715,82 @@ def test_token_budget_two_level_law_vs_naive(spark, rows, budget):
 
 
 @given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 3)),  # group (NULL = real partition)
+            st.one_of(st.none(), st.integers(-50, 50)),  # value (NULLS FIRST)
+            st.integers(1, 20),  # weight
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    quantiles=st.lists(
+        st.tuples(st.integers(0, 100), st.sampled_from([2, 100])),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+@settings(**_SETTINGS)
+def test_grouped_weighted_quantiles_law_vs_naive(spark, rows, quantiles):
+    """Law: the two-level (group, 256-value-range-bucket)
+    grouped_weighted_quantiles equals the naive per-group window cumsum
+    boundary pick for ARBITRARY (group, value, weight) tables — any
+    group sizes (incl. one giant group), NULL groups (a real window
+    partition), NULL values (Spark's ascending NULLS FIRST — never
+    pickable), single-distinct-value groups (span 0), and arbitrary
+    (num, den) thresholds including 0 and 100 percent. The r9 de-skew
+    rewrite of the exact-percentile shape must be invisible in output."""
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    from dabstract_spark.operators.select import grouped_weighted_quantiles
+
+    data = [
+        (None if g is None else f"g{g}", v, w) for g, v, w in rows
+    ]
+    counts = (
+        spark.createDataFrame(data, "grp string, v long, w long")
+        .groupBy("grp", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    qspec = [(f"q{num}_{den}", num, den) for num, den in quantiles]
+
+    w_cum = (
+        Window.partitionBy("grp").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("grp")
+    cum = counts.select(
+        "grp",
+        "v",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_tot).alias("n"),
+    )
+    naive = Counter(
+        tuple(r)
+        for r in cum.groupBy("grp")
+        .agg(
+            *[
+                F.min(
+                    F.when(den * F.col("cum") >= num * F.col("n"), F.col("v"))
+                ).alias(name)
+                for name, num, den in qspec
+            ]
+        )
+        .collect()
+    )
+    for hint in (8, None):  # static-broadcast and hint-less AQE paths
+        got = Counter(
+            tuple(r)
+            for r in grouped_weighted_quantiles(
+                counts, "grp", "v", "w", qspec, n_groups_hint=hint
+            ).collect()
+        )
+        assert got == naive, hint
+
+
+@given(
     lens=st.lists(st.integers(0, 300), min_size=1, max_size=40),
     budget=st.sampled_from([64, 256, 1024]),
 )

@@ -484,10 +484,53 @@ def main():
             F.col("cum") <= 1_000_000
         )
 
+    # same adversarial corpus through the r9 two-level exact grouped
+    # quantiles vs the naive distinct-value-table cumsum (q194/q203's
+    # old shape): continuous values make the (group, value) table
+    # O(rows), so the naive per-group window sorts AND streams the
+    # whole giant group's distinct values in one task — a cumsum emits
+    # every row, no WindowGroupLimit pruning
+    _QSPEC = [("p50", 1, 2), ("p95", 95, 100), ("p99", 99, 100)]
+
+    def _pctl_counts(d):
+        # large prime: the distinct-value table grows ~linearly with the
+        # input (the continuous-latency case), so the naive window's one
+        # task sorts and streams the WHOLE group's values at every scale
+        return d.groupBy(
+            "grp", (F.col("row_id") % 99_999_989).alias("v")
+        ).agg(F.count(F.lit(1)).alias("w"))
+
+    def _pctl_naive(d):
+        c = _pctl_counts(d)
+        w_cum = (
+            Window.partitionBy("grp")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_tot = Window.partitionBy("grp")
+        cum = c.select(
+            "grp",
+            "v",
+            F.sum("w").over(w_cum).alias("cum"),
+            F.sum("w").over(w_tot).alias("n"),
+        )
+        return cum.groupBy("grp").agg(
+            *[
+                F.min(
+                    F.when(den * F.col("cum") >= num * F.col("n"), F.col("v"))
+                ).alias(name)
+                for name, num, den in _QSPEC
+            ]
+        )
+
     giant_probes = {
         "rank_giantgroup_naive": _rank_naive,
         "rank_giantgroup_twolevel": lambda d: sel.sample_per_group(
             d, "grp", n=50, key="row_id"
+        ),
+        "pctl_giantgroup_naive": _pctl_naive,
+        "pctl_giantgroup_twolevel": lambda d: sel.grouped_weighted_quantiles(
+            _pctl_counts(d), "grp", "v", "w", _QSPEC, n_groups_hint=8
         ),
         "budget_giantdom_naive": lambda d: _budget_naive(
             d.withColumn("tok", (F.col("row_id") % 997).cast("bigint"))
