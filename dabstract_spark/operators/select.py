@@ -247,7 +247,12 @@ def token_budget_per_group(
     external sort. Bucket boundaries come from a per-group min/max
     aggregate (map-side combined to n_groups rows, no driver job), so
     the bucketing is deterministic and the result is byte-identical to
-    the naive per-group window cumsum under a total order. Caveat: the
+    the naive per-group window cumsum under a total order — including
+    NULL token values: the cumsum is NULL (row dropped) exactly when
+    the row's whole inclusive prefix is NULL, and a row whose
+    bucket-local prefix is all-NULL still inherits earlier buckets'
+    non-NULL offset (the offsets table keeps NULL, not 0, for an
+    all-NULL earlier prefix). Caveat: the
     buckets inherit the KEY distribution — a group whose order key is
     one constant degenerates to one bucket (ties are unorderable anyway
     without the tiebreaker). The two n_groups×256-bounded side tables
@@ -346,10 +351,14 @@ def token_budget_per_group(
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # __off stays NULL (not coalesced) when NO earlier bucket holds a
+    # non-NULL token — sum-over-window and the per-bucket groupBy sum
+    # both skip NULLs, so "__off is NULL" == "the whole earlier prefix
+    # is NULL", exactly the naive window's state
     offsets = sums.select(
         F.col(group_col).alias("__g"),
         F.col("__b").alias("__ob"),
-        F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__t").over(w_off).alias("__off"),
     )
     # bucket-local running sum: each task holds <= 1/256 of one group
     w_loc = (
@@ -357,13 +366,23 @@ def token_budget_per_group(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # NULL-token semantics, byte-identical to the naive cumsum: the
+    # naive sum is NULL iff the row's ENTIRE inclusive prefix is NULL
+    # (and the row is then filtered out, NULL <= budget); a row whose
+    # bucket-local prefix is all-NULL but whose earlier buckets carry a
+    # non-NULL sum must still get those buckets' offset — so coalesce
+    # each leg only when at least one leg is non-NULL
+    loc = F.sum(tok).over(w_loc)
+    cum = F.when(
+        F.col("__off").isNull() & loc.isNull(), F.lit(None).cast("bigint")
+    ).otherwise(F.coalesce(F.col("__off"), F.lit(0)) + F.coalesce(loc, F.lit(0)))
     return (
         bucketed.join(
             maybe_bcast(offsets),
             F.col(group_col).eqNullSafe(F.col("__g"))
             & (F.col("__b") == F.col("__ob")),
         )
-        .withColumn(cum_col, F.col("__off") + F.sum(tok).over(w_loc))
+        .withColumn(cum_col, cum)
         .filter(F.col(cum_col) <= budget)
         .drop("__k", "__b", "__g", "__ob", "__off")
     )

@@ -327,3 +327,29 @@ def test_skew_advice_branches(spark):
     # for the hot key (no shuffle of the big side at all)
     bc = skew_advice(df, ["k"], n_partitions=8, broadcast_max_keys=100, top_k=3)
     assert all(r.advice == "broadcast" for r in bc.collect())
+
+
+def test_token_budget_null_token_inherits_earlier_bucket_offset(spark):
+    """Regression (r9 ADVICE): a NULL-token row whose bucket-local prefix
+    is all-NULL must still inherit earlier buckets' non-NULL offset —
+    the naive window gives it the prior non-NULL prefix sum and keeps
+    it; the pre-fix two-level form produced NULL cum and dropped it.
+    And a row whose ENTIRE inclusive prefix is NULL must drop in both
+    forms (NULL cum)."""
+    from dabstract_spark.operators.select import token_budget_per_group
+
+    # k spans [0, 50] -> 256 value-range buckets: k=0 lands in bucket 0,
+    # k=50 in bucket 255 (all-NULL bucket-local prefix for row 2)
+    df = spark.createDataFrame(
+        [(0, "g", 0, 5), (1, "g", 50, None), (2, "h", 0, None)],
+        "row_id long, grp string, k long, tok long",
+    )
+    out = {
+        r.row_id: r.cum_tokens
+        for r in token_budget_per_group(
+            df, "grp", "tok", [F.asc("k"), F.asc("row_id")], budget=100,
+            order_key="k",
+        ).collect()
+    }
+    # row 1: cum = 5 (earlier bucket's offset, own NULL token skipped)
+    assert out == {0: 5, 1: 5}  # row 2 (all-NULL prefix) dropped

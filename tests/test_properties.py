@@ -658,7 +658,7 @@ def test_grouped_rank_ppm_law_vs_naive(spark, rows):
         st.tuples(
             st.one_of(st.none(), st.integers(0, 3)),  # group (NULL = real partition)
             st.one_of(st.none(), st.integers(0, 50)),  # order key (NULLs placed!)
-            st.integers(0, 20),  # tokens
+            st.one_of(st.none(), st.integers(0, 20)),  # tokens (NULLs skipped!)
         ),
         min_size=1,
         max_size=60,
@@ -670,7 +670,10 @@ def test_token_budget_two_level_law_vs_naive(spark, rows, budget):
     """Law: the two-level (group, 256-value-bucket) token_budget_per_group
     equals the naive per-group window cumsum for ARBITRARY corpora —
     any group sizes, tied order keys, NULL order keys (DESC = NULLS
-    LAST, needs nulls_last=True), NULL group values (a real window
+    LAST, needs nulls_last=True), NULL TOKEN values (sum skips them; a
+    row whose whole inclusive prefix is NULL has NULL cum and drops,
+    while an all-NULL bucket prefix must still inherit earlier buckets'
+    offset — the r9 exactness fix), NULL group values (a real window
     partition), zero-token rows, budget edge cases — for BOTH an
     ascending and a descending (negated order_key) primary sort. The
     r8 de-skew rewrite must be invisible in output."""
