@@ -192,21 +192,42 @@ def vocab_top_k(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
 
 
 def oov_scores(
-    df: DataFrame, key_col: str, text_col: str, vocab_df: DataFrame
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    vocab_df: DataFrame,
+    vocab_unique: bool = False,
+    vocab_size_hint: int | None = None,
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Per-``key_col`` OOV aggregate against a fixed (term) vocabulary —
     the ONE scoring recipe shared by the batch screen (``vocab_oov``,
     key = group) and the streaming twin (``oov_score_stream``, key =
     document id), so the two can never drift. Returns (key,
     total_tokens, oov_tokens, oov_ppm); keys whose text has zero
-    tokens produce no row (nothing to explode)."""
+    tokens produce no row (nothing to explode).
+
+    A caller-supplied vocabulary with DUPLICATE terms would fan out the
+    membership left join and inflate total_tokens/oov_ppm, so terms are
+    deduplicated unless the caller vouches with ``vocab_unique=True``
+    (``vocab_top_k`` output is distinct by construction — skipping the
+    redundant shuffle). The static broadcast is gated on
+    ``vocab_size_hint`` (the ``grouped_rank_ppm`` guard): hint-less or
+    over-threshold vocabularies get a plain join AQE converts at
+    runtime — an unbounded caller-supplied vocabulary is never an
+    unguarded driver broadcast."""
     toks = df.select(
         F.col(key_col), F.explode(tokens(text_col)).alias("term")
     )
-    vocab = vocab_df.select("term", F.lit(1).alias("__in_vocab"))
+    vocab = vocab_df.select("term")
+    if not vocab_unique:
+        vocab = vocab.dropDuplicates(["term"])
+    vocab = vocab.select("term", F.lit(1).alias("__in_vocab"))
+    if vocab_size_hint is not None and int(vocab_size_hint) <= broadcast_threshold:
+        vocab = F.broadcast(vocab)
     oov = "CAST(__in_vocab IS NULL AS BIGINT)"
     return (
-        toks.join(F.broadcast(vocab), "term", "left")
+        toks.join(vocab, "term", "left")
         .groupBy(key_col)
         .agg(
             F.count(F.lit(1)).alias("total_tokens"),
@@ -235,7 +256,14 @@ def vocab_oov(
     per-group rollup (2 scans by design — exchanging the probe stream
     on term to save a tokenize would shuffle the corpus).
     """
-    return oov_scores(df, group_col, text_col, vocab_top_k(df, text_col, k))
+    return oov_scores(
+        df,
+        group_col,
+        text_col,
+        vocab_top_k(df, text_col, k),
+        vocab_unique=True,  # top-k output is distinct by construction
+        vocab_size_hint=k,
+    )
 
 
 def canary_exposure(

@@ -6266,7 +6266,13 @@ def q272_stream_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="sparkdab_oov_")
     return oov_score_stream(
-        src, vocab, "doc_id", "text", f"{tmp}/out", f"{tmp}/ckpt"
+        src,
+        vocab,
+        "doc_id",
+        "text",
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        vocab_size_hint=500,
     )
 
 

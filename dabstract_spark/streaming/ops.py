@@ -1120,6 +1120,7 @@ def oov_score_stream(
     checkpoint: str,
     timeout_sec: int = 120,
     drain_partitions: int = 8,
+    vocab_size_hint: int | None = None,
 ) -> DataFrame:
     """Streaming OOV scorer — the ONLINE twin of q270's coverage
     screen: every micro-batch of incoming documents is scored against a
@@ -1140,12 +1141,22 @@ def oov_score_stream(
     r8 drain-scoped lifecycle)."""
     from dabstract_spark.operators.textstats import oov_scores
 
-    vocab_static = vocab_df.select("term").persist()
+    # dedup ONCE before the persist (a duplicated caller vocabulary
+    # would fan out every micro-batch's membership join), then vouch
+    # per-batch; the static broadcast is gated on the caller's size
+    # hint (oov_scores' guard — an unbounded vocabulary is never an
+    # unguarded per-batch driver broadcast)
+    vocab_static = vocab_df.select("term").dropDuplicates(["term"]).persist()
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        oov_scores(batch_df, id_col, text_col, vocab_static).write.mode(
-            "append"
-        ).parquet(out_path)
+        oov_scores(
+            batch_df,
+            id_col,
+            text_col,
+            vocab_static,
+            vocab_unique=True,
+            vocab_size_hint=vocab_size_hint,
+        ).write.mode("append").parquet(out_path)
 
     # drain-scoped persist: see decontaminate_stream
     try:

@@ -229,3 +229,29 @@ def test_token_budget_accepts_timestamp_order_key(spark):
         for r in token_budget_per_group(df, "g", "tok", order, 55).collect()
     )
     assert got == naive and len(got) == 5
+
+
+def test_oov_scores_duplicate_vocab_does_not_fan_out(spark):
+    """Regression (r9 ADVICE): a caller-supplied vocabulary with
+    duplicate terms must not fan out the membership join — scores equal
+    the deduplicated vocabulary's, on both the hinted-broadcast and the
+    hint-less AQE join paths."""
+    from dabstract_spark.operators.textstats import oov_scores
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "delta alpha")],
+        "doc_id long, text string",
+    )
+    dup_vocab = spark.createDataFrame(
+        [("alpha",), ("alpha",), ("beta",), ("beta",), ("beta",)],
+        "term string",
+    )
+    for hint in (10, None):
+        out = {
+            r.doc_id: (r.total_tokens, r.oov_tokens, r.oov_ppm)
+            for r in oov_scores(
+                docs, "doc_id", "text", dup_vocab, vocab_size_hint=hint
+            ).collect()
+        }
+        # doc 1: 4 tokens, 1 OOV (gamma); doc 2: 2 tokens, 1 OOV (delta)
+        assert out == {1: (4, 1, 250_000), 2: (2, 1, 500_000)}, hint
