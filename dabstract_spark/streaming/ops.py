@@ -1072,7 +1072,11 @@ def calibration_stream(
     digest, so deleting a checkpoint and recreating it at the SAME
     path while keeping the sink collides with the dead run — pair the
     sink and checkpoint lifecycles (delete both or neither), the same
-    hygiene Structured Streaming's own file sinks require."""
+    hygiene Structured Streaming's own file sinks require. A sink
+    directory written by the pre-marker version of this operator still
+    reads: rows without markers (whole-legacy OR mixed directories)
+    merge under their contemporary plain sum semantics instead of
+    failing the read or being swallowed by a shared-NULL dedup."""
     import hashlib
 
     width = max(1, -(-int(max_score) // 256))
@@ -1104,8 +1108,23 @@ def calibration_stream(
         drain_partitions,
         "calibration_stream",
     )
+    # legacy-sink tolerance: a sink directory written by the
+    # pre-(run_id, batch_id) version of this operator has no replay
+    # markers to dedup on — fall back to its own contemporary
+    # semantics (plain merge-by-sum) instead of failing the read with
+    # an AnalysisException in dropDuplicates. In a MIXED directory
+    # (legacy files + marked files) the legacy rows surface as NULL
+    # markers under the marked schema: dedup only the marked rows —
+    # collapsing distinct legacy batches on a shared NULL marker would
+    # silently swallow their partials.
+    if "run_id" not in sink.columns or "batch_id" not in sink.columns:
+        return sink.groupBy(group_col, "bucket").agg(F.sum("n").alias("n"))
+    marked = sink.filter(F.col("run_id").isNotNull()).dropDuplicates(
+        ["run_id", "batch_id", group_col, "bucket"]
+    )
+    legacy = sink.filter(F.col("run_id").isNull())
     return (
-        sink.dropDuplicates(["run_id", "batch_id", group_col, "bucket"])
+        marked.unionByName(legacy)
         .groupBy(group_col, "bucket")
         .agg(F.sum("n").alias("n"))
     )

@@ -420,3 +420,48 @@ def test_stream_neardup_ingest_equals_batch(spark, tmp_path):
     )
     assert sorted((r.new_id, r.corpus_id) for r in got.collect()) == batch
     assert len(batch) > 0
+
+
+def test_calibration_stream_tolerates_legacy_sink(spark, tmp_path):
+    """Regression (r9 ADVICE): a sink directory written by the
+    pre-(run_id, batch_id) calibration_stream has no replay markers —
+    the merge must fall back to the plain merge-by-sum for those rows
+    instead of failing with an AnalysisException, and the legacy
+    partials must still count in the merged table."""
+    from dabstract_spark.streaming.ops import calibration_stream, stream_events
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # legacy-format partials: (group, bucket, n) only, two "batches"
+    # that share a (group, bucket) cell — a marker-keyed dedup with a
+    # shared NULL marker would swallow one of them
+    legacy = spark.createDataFrame(
+        [("en", 3, 7), ("en", 3, 5), ("de", 1, 2)],
+        "lang string, bucket int, n bigint",
+    )
+    legacy.write.mode("append").parquet(out)
+
+    src = stream_events(spark, f"{SF}/documents.parquet").select(
+        "lang", (F.length("text") % 1000).alias("score")
+    )
+    merged = calibration_stream(
+        src, "lang", "score", out, ckpt, max_score=1000
+    )
+    got = {(r.lang, r.bucket): r.n for r in merged.collect()}
+    # fresh-drain truth from the batch twin over the same source
+    batch = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("lang", (F.length("text") % 1000).alias("score"))
+        .select(
+            "lang",
+            F.least(
+                F.lit(255), F.greatest(F.lit(0), (F.col("score") / 4).cast("int"))
+            ).alias("bucket"),
+        )
+        .groupBy("lang", "bucket")
+        .count()
+    )
+    want = {(r.lang, r.bucket): r["count"] for r in batch.collect()}
+    want[("en", 3)] = want.get(("en", 3), 0) + 12  # both legacy batches
+    want[("de", 1)] = want.get(("de", 1), 0) + 2
+    assert got == want
