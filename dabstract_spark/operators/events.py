@@ -328,6 +328,7 @@ def funnel_stages(
     user_col: str = "user_id",
     type_col: str = "event_type",
     max_events: int | None = 1_000_000,
+    truncated_col: str | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: the deepest stage each key reached, where
     stage k counts only if it happened STRICTLY AFTER the key's entry
@@ -357,10 +358,21 @@ def funnel_stages(
     for real users while bounding the bot-grade array by construction;
     pass ``max_events=None`` to opt out explicitly. Documented trade: a
     capped user's funnel can only under-report progression that first
-    happens after its max_events-th stage event.
+    happens after its max_events-th stage event — and because that
+    trade is silent by default, ``truncated_col`` (when set) adds a
+    boolean audit column marking exactly the keys the cap actually
+    truncated, computed inside the existing cap window (same
+    partitioning and sort — no extra shuffle), so a report can state
+    "N users capped" instead of guessing.
     """
     us = _epoch_us(ts_col)
     stage_events = df.filter(F.col(type_col).isin(list(stages)))
+    if truncated_col is not None and max_events is None:
+        raise ValueError(
+            "funnel_stages: truncated_col requires max_events (nothing "
+            "can truncate without a cap)"
+        )
+    trunc_agg = []
     if max_events is not None:
         # NULLS LAST explicitly: Spark's asc default is NULLS FIRST,
         # DuckDB's (the q214 oracle) is NULLS LAST — and a NULL-ts
@@ -368,15 +380,28 @@ def funnel_stages(
         wcap = Window.partitionBy(user_col).orderBy(
             us.asc_nulls_last(), F.col(type_col)
         )
-        stage_events = (
-            stage_events.withColumn("__rn", F.row_number().over(wcap))
-            .filter(F.col("__rn") <= max_events)
-            .drop("__rn")
+        stage_events = stage_events.withColumn(
+            "__rn", F.row_number().over(wcap)
         )
+        if truncated_col is not None:
+            # flag BEFORE the cap filter (an over-cap row must be seen
+            # to be counted); unbounded max over the same partition key
+            w_all = Window.partitionBy(user_col).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            stage_events = stage_events.withColumn(
+                "__truncated", F.max(F.col("__rn") > max_events).over(w_all)
+            )
+            trunc_agg = [F.max("__truncated").alias("__truncated")]
+        stage_events = stage_events.filter(
+            F.col("__rn") <= max_events
+        ).drop("__rn")
     pairs = F.collect_list(F.struct(us.alias("us"), F.col(type_col).alias("t")))
     users = df.select(user_col).distinct()
     agg = users.join(
-        stage_events.groupBy(user_col).agg(F.array_sort(pairs).alias("__p")),
+        stage_events.groupBy(user_col).agg(
+            F.array_sort(pairs).alias("__p"), *trunc_agg
+        ),
         user_col,
         "left",
     ).withColumn(
@@ -416,11 +441,17 @@ def funnel_stages(
         ),
         _step,
     )
-    return agg.select(
+    out_cols = [
         user_col,
         folded["k"].alias("stage_reached"),
         F.timestamp_micros(folded["t0"]).alias("t_first_stage"),
-    )
+    ]
+    if truncated_col is not None:
+        # users with no stage events were never truncated
+        out_cols.append(
+            F.coalesce(F.col("__truncated"), F.lit(False)).alias(truncated_col)
+        )
+    return agg.select(*out_cols)
 
 
 def multires_rollup(

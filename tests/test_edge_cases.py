@@ -353,3 +353,45 @@ def test_token_budget_null_token_inherits_earlier_bucket_offset(spark):
     }
     # row 1: cum = 5 (earlier bucket's offset, own NULL token skipped)
     assert out == {0: 5, 1: 5}  # row 2 (all-NULL prefix) dropped
+
+
+def test_funnel_cap_truncation_is_observable(spark):
+    """Regression (r8 ADVICE follow-through): when max_events actually
+    truncates a key, the opt-in audit column must say so — a >cap
+    synthetic user flags True (and its funnel may legitimately
+    under-report), everyone else False, including users with no stage
+    events at all. Default call keeps the 3-column schema."""
+    from pyspark.sql import Row
+    from datetime import datetime
+
+    from dabstract_spark.operators.events import funnel_stages
+
+    ts = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = (
+        # bot: 5 views then a click — cap 3 hides the click
+        [Row(event_id=i, user_id="bot", event_type="view", ts=ts(i)) for i in range(5)]
+        + [Row(event_id=9, user_id="bot", event_type="click", ts=ts(9))]
+        # human: view then click, under cap
+        + [
+            Row(event_id=10, user_id="h", event_type="view", ts=ts(1)),
+            Row(event_id=11, user_id="h", event_type="click", ts=ts(2)),
+        ]
+        # lurker: only non-stage events
+        + [Row(event_id=12, user_id="z", event_type="scroll", ts=ts(1))]
+    )
+    df = spark.createDataFrame(rows)
+    out = {
+        r.user_id: (r.stage_reached, r.capped)
+        for r in funnel_stages(
+            df, max_events=3, truncated_col="capped"
+        ).collect()
+    }
+    assert out == {"bot": (1, True), "h": (2, False), "z": (0, False)}
+    # default schema unchanged
+    cols = funnel_stages(df, max_events=3).columns
+    assert cols == ["user_id", "stage_reached", "t_first_stage"]
+    # truncated_col without a cap is a contract error
+    import pytest
+
+    with pytest.raises(ValueError):
+        funnel_stages(df, max_events=None, truncated_col="capped")
