@@ -78,7 +78,19 @@ def sequential_kfold(
 ) -> DataFrame:
     """Per-group contiguous chunks (reference xval.py:46-80): ntile over
     the ordinal order within each group — same chunk sizes as
-    np.array_split. Parallel across groups."""
+    np.array_split. Parallel across groups.
+
+    Scale bound — one window partition per group, so the largest task
+    sorts the hottest group's rows (the same contract-level bound as
+    ``get_unique(return_idx=True)``): groups are recording sessions /
+    source files by contract (moderate cardinality, bounded rows per
+    group), not an open-ended skew key. ntile cannot be rank-filtered
+    the way the two-level ``sample_per_group`` buckets can (fold
+    boundaries depend on the exact group count AND every row gets a
+    fold — no WindowGroupLimit pruning applies), so a caller with a
+    dominant group should pre-split it or use ``random_kfold``; the
+    ``key_skew_profile`` operator (operators/skew.py) is the
+    preflight for exactly this."""
     w = Window.partitionBy(group).orderBy(key)
     return df.select(
         key, group, (F.ntile(folds).over(w) - 1).cast("int").alias("fold")
