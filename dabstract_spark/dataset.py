@@ -842,6 +842,20 @@ class Dataset:
 
         return vocab_oov(self._df, group_key, key, k=k)
 
+    def term_dispersion(self, group_key: str, key: str = "text", **kw):
+        """Most group-concentrated terms by Gries' DP in exact ppm (see
+        textstats.term_dispersion)."""
+        from dabstract_spark.operators.textstats import term_dispersion
+
+        return term_dispersion(self._df, group_key, key, **kw)
+
+    def histogram_drift(self, other: "Dataset", bucket_key: str):
+        """Distribution-drift card of this dataset vs ``other`` over a
+        shared bucket column (see textstats.histogram_drift)."""
+        from dabstract_spark.operators.textstats import histogram_drift
+
+        return histogram_drift(self._df, other._df, bucket_key)
+
     def budget_allocation(
         self, group_key: str, token_col, total_budget: int, max_repeat: int = 1
     ):

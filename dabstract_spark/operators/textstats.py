@@ -311,3 +311,162 @@ def canary_exposure(
         F.coalesce(F.col("__n"), F.lit(0)).alias("n_docs"),
         "first_doc_id",
     )
+
+
+def term_dispersion(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    top_k: int = 20,
+    min_count: int = 10,
+) -> DataFrame:
+    """Most group-CONCENTRATED terms by Gries' deviation-of-proportions
+    (DP) in exact ppm — the mixture-planning complement of
+    ``keyness_terms``: keyness asks "which terms mark THIS group",
+    dispersion asks "which terms does the corpus owe to ONE group"
+    (dp_ppm -> 10⁶ means dropping a single source removes the term;
+    dp_ppm -> 0 means it is burstless background vocabulary).
+
+        DP(w) = ½ · Σ_g | s_g(w) − v_g |
+
+    where v_g is group g's expected share of all tokens and s_g(w) is
+    the share of w's own occurrences that fall in g. Both shares are
+    truncating integer ppm (DECIMAL div), so the statistic is engine-
+    portable bit-for-bit. Groups where w is absent contribute |0 − v_g|
+    = v_g; rather than materializing the vocab × groups cross table,
+    the absent-group mass is folded in algebraically:
+
+        Σ_g |s_g − v_g| = Σ_all v_g + Σ_present (|s_g − v_g| − v_g)
+
+    so the plan only ever touches the PRESENT (group, term) rows.
+    NULL-group rows are excluded like ``keyness_terms`` (they belong to
+    no mixture component). Returns the ``top_k`` most concentrated
+    terms with corpus count >= ``min_count``: (term, total_cnt,
+    n_groups_present, dp_ppm), ordered dp desc, cnt desc, term asc —
+    a total order.
+
+    Scale shape: one (group, term) count with map-side combine
+    (vocabulary-sized shuffle), term totals by one vocab-keyed
+    aggregate, group shares broadcast (n_groups rows — human-scale by
+    the same contract as keyness), final top-k through the audited
+    two-level ``select.top_k_per_group`` (constant group). No window
+    ever exceeds the vocabulary.
+    """
+    from dabstract_spark.operators.select import top_k_per_group
+
+    toks = df.select(
+        F.col(group_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col(group_col).isNotNull())
+    cgw = toks.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    cw = cgw.groupBy("term").agg(F.sum("cnt").alias("__cw"))
+    tg = cgw.groupBy(group_col).agg(F.sum("cnt").alias("__tg"))
+    tot = cgw.agg(F.sum("cnt").alias("__tot"))
+    # v_g in ppm + the corpus-constant Σ_g v_g, all on the n_groups-row
+    # table (broadcast); truncation in v_g is replayed identically by
+    # the oracle's HUGEINT //
+    vg = (
+        tg.crossJoin(tot)
+        .withColumn("__v", _ppm("__tg", "__tot"))
+        .select(group_col, "__v")
+    )
+    vsum = vg.agg(F.sum("__v").alias("__vsum"))
+    scored = (
+        cgw.join(cw, "term")
+        .join(F.broadcast(vg), group_col)
+        .withColumn("__s", _ppm("cnt", "__cw"))
+        .withColumn(
+            "__contrib",
+            F.abs(F.col("__s") - F.col("__v")) - F.col("__v"),
+        )
+        .groupBy("term")
+        .agg(
+            F.max("__cw").alias("total_cnt"),
+            F.count(F.lit(1)).alias("n_groups_present"),
+            F.sum("__contrib").alias("__csum"),
+        )
+        .crossJoin(F.broadcast(vsum))
+        .withColumn(
+            "dp_ppm",
+            F.expr("CAST((__vsum + __csum) div 2 AS BIGINT)"),
+        )
+        .filter(F.col("total_cnt") >= min_count)
+        .drop("__csum", "__vsum")
+    )
+    return top_k_per_group(
+        scored.withColumn("__one", F.lit(0)),
+        ["__one"],
+        [F.desc("dp_ppm"), F.desc("total_cnt"), F.asc("term")],
+        k=top_k,
+    ).select("term", "total_cnt", "n_groups_present", "dp_ppm")
+
+
+def histogram_drift(
+    df_a: DataFrame, df_b: DataFrame, bucket_col: str
+) -> DataFrame:
+    """Distribution-drift card between two pre-bucketed corpora (the
+    monitoring read before a mixture or filter change ships): one row
+    per bucket value observed on EITHER side with both counts, both
+    shares, the signed share delta, and the scalar total-variation
+    distance repeated on every row so the card is self-contained.
+
+        tvd_ppm = (Σ_buckets |share_a − share_b|) div 2
+
+    Shares are truncating integer ppm of each side's own total —
+    engine-portable, and an empty side degrades to all-zero shares
+    (greatest(total, 1)) instead of a division error. TVD is the exact
+    fraction of probability mass that moved: the threshold number a
+    drift monitor alarms on (0 identical, 10⁶ disjoint). The caller
+    owns the bucketing expression (integer-div score buckets, length
+    bins, a lang column...) — anything groupable works, NULL buckets
+    included (they count like any other bucket: a lost-label spike IS
+    drift).
+
+    Scale shape: one map-side-combined count per side (n_buckets
+    output rows each), a null-safe full-outer join of the two tiny
+    count tables, one n_buckets-row total — the inputs are scanned
+    once each and nothing data-sized ever shuffles.
+    """
+    ca = df_a.groupBy(F.col(bucket_col).alias(bucket_col)).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    cb = df_b.groupBy(F.col(bucket_col).alias(bucket_col)).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    return drift_from_counts(ca, cb, bucket_col)
+
+
+def drift_from_counts(
+    ca: DataFrame, cb: DataFrame, bucket_col: str
+) -> DataFrame:
+    """The share/TVD half of ``histogram_drift`` over PRE-COUNTED
+    (bucket, n_a) / (bucket, n_b) tables — the ONE drift recipe shared
+    by the batch card and the streaming monitor's merged-sink read
+    (``streaming.ops.drift_monitor_stream``), so the two can never
+    diverge. Counts are additive, which is the whole streaming
+    argument: merge-by-sum of per-batch partials equals the one-shot
+    count for any micro-batch boundaries."""
+    ca = ca.select(F.col(bucket_col).alias("__ba"), F.col("n_a"))
+    cb = cb.select(F.col(bucket_col).alias("__bb"), F.col("n_b"))
+    joined = ca.join(
+        cb, F.col("__ba").eqNullSafe(F.col("__bb")), "full_outer"
+    ).select(
+        F.coalesce(F.col("__ba"), F.col("__bb")).alias(bucket_col),
+        F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+    )
+    tot = joined.agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    shared = (
+        joined.crossJoin(F.broadcast(tot))
+        .withColumn("share_a_ppm", _ppm("n_a", "__ta"))
+        .withColumn("share_b_ppm", _ppm("n_b", "__tb"))
+        .withColumn(
+            "delta_ppm", F.col("share_a_ppm") - F.col("share_b_ppm")
+        )
+        .drop("__ta", "__tb")
+    )
+    tvd = shared.agg(
+        F.expr("CAST(sum(abs(delta_ppm)) div 2 AS BIGINT)").alias("tvd_ppm")
+    )
+    return shared.crossJoin(F.broadcast(tvd))

@@ -6637,3 +6637,155 @@ def q280_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(38,0)) AS BIGINT)"
         ).alias("waste_ppm"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Term dispersion (textstats.term_dispersion): the corpus' most
+# group-CONCENTRATED terms by Gries' deviation-of-proportions in exact
+# ppm — "which vocabulary does the corpus owe to one source". The
+# absent-group mass is folded algebraically (sum_g v_g + per-present
+# corrections), so neither engine materializes vocab x groups.
+# --------------------------------------------------------------------- #
+@query(
+    "q281_term_dispersion",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_T}) AS term FROM documents
+                 WHERE source IS NOT NULL),
+    cgw AS (SELECT source, term, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
+    cw AS (SELECT term, CAST(SUM(cnt) AS BIGINT) AS cw FROM cgw GROUP BY 1),
+    tg AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tg FROM cgw GROUP BY 1),
+    tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM cgw),
+    vg AS (SELECT source,
+                  CAST(CAST(tg AS HUGEINT) * 1000000
+                       // greatest(tot, 1) AS BIGINT) AS v
+           FROM tg CROSS JOIN tt),
+    vs AS (SELECT CAST(SUM(v) AS BIGINT) AS vsum FROM vg),
+    sc AS (
+      SELECT c.term, MAX(w.cw) AS total_cnt,
+             COUNT(*)::BIGINT AS n_groups_present,
+             CAST(SUM(abs(CAST(CAST(c.cnt AS HUGEINT) * 1000000
+                               // greatest(w.cw, 1) AS BIGINT) - g.v)
+                      - g.v) AS BIGINT) AS csum
+      FROM cgw c JOIN cw w USING (term) JOIN vg g USING (source)
+      GROUP BY c.term)
+    SELECT term, total_cnt, n_groups_present,
+           CAST((vsum + csum) // 2 AS BIGINT) AS dp_ppm
+    FROM sc CROSS JOIN vs
+    WHERE total_cnt >= 10
+    QUALIFY row_number() OVER (
+      ORDER BY dp_ppm DESC, total_cnt DESC, term) <= 15
+    """,
+)
+def q281_term_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.textstats import term_dispersion
+
+    docs = _t(spark, sf_dir, "documents")
+    return term_dispersion(docs, "source", "text", top_k=15, min_count=10)
+
+
+# --------------------------------------------------------------------- #
+# Histogram drift (textstats.histogram_drift): doc-length distribution
+# drift between the English and non-English halves of the corpus —
+# per-bucket share deltas plus the exact total-variation distance in
+# ppm, the number a data-pipeline drift monitor alarms on.
+# --------------------------------------------------------------------- #
+@query(
+    "q282_histogram_drift",
+    oracle="""
+    WITH a AS (SELECT least(9, n_chars // 64) AS len_bucket,
+                      COUNT(*)::BIGINT AS n_a
+               FROM documents WHERE lang = 'en' GROUP BY 1),
+    b AS (SELECT least(9, n_chars // 64) AS len_bucket,
+                 COUNT(*)::BIGINT AS n_b
+          FROM documents WHERE lang <> 'en' GROUP BY 1),
+    j AS (SELECT COALESCE(a.len_bucket, b.len_bucket) AS len_bucket,
+                 COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+          FROM a FULL OUTER JOIN b
+          ON a.len_bucket IS NOT DISTINCT FROM b.len_bucket),
+    t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+                 CAST(SUM(n_b) AS BIGINT) AS tb FROM j),
+    d AS (SELECT len_bucket, n_a, n_b,
+                 CAST(CAST(n_a AS HUGEINT) * 1000000
+                      // greatest(ta, 1) AS BIGINT) AS share_a_ppm,
+                 CAST(CAST(n_b AS HUGEINT) * 1000000
+                      // greatest(tb, 1) AS BIGINT) AS share_b_ppm
+          FROM j CROSS JOIN t),
+    dd AS (SELECT *, share_a_ppm - share_b_ppm AS delta_ppm FROM d),
+    v AS (SELECT CAST(SUM(abs(delta_ppm)) // 2 AS BIGINT) AS tvd_ppm
+          FROM dd)
+    SELECT len_bucket, n_a, n_b, share_a_ppm, share_b_ppm, delta_ppm,
+           tvd_ppm
+    FROM dd CROSS JOIN v
+    """,
+)
+def q282_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.textstats import histogram_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.lit(9), F.expr("n_chars div 64")).alias("len_bucket")
+    return histogram_drift(
+        docs.filter(F.col("lang") == "en").select(bucket),
+        docs.filter(F.col("lang") != "en").select(bucket),
+        "len_bucket",
+    )
+
+
+# --------------------------------------------------------------------- #
+# Streaming drift monitor (streaming/ops.drift_monitor_stream): the
+# ONLINE twin of q282_histogram_drift — arriving non-English documents
+# append per-bucket count partials; the live card is
+# drift_from_counts(static EN reference, merged sink). Counts are
+# additive, so drained == batch card exactly for any micro-batch
+# boundaries; the oracle is therefore q282's SQL verbatim.
+# --------------------------------------------------------------------- #
+@query(
+    "q283_stream_drift",
+    oracle="""
+    WITH a AS (SELECT least(9, n_chars // 64) AS len_bucket,
+                      COUNT(*)::BIGINT AS n_a
+               FROM documents WHERE lang = 'en' GROUP BY 1),
+    b AS (SELECT least(9, n_chars // 64) AS len_bucket,
+                 COUNT(*)::BIGINT AS n_b
+          FROM documents WHERE lang <> 'en' GROUP BY 1),
+    j AS (SELECT COALESCE(a.len_bucket, b.len_bucket) AS len_bucket,
+                 COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+          FROM a FULL OUTER JOIN b
+          ON a.len_bucket IS NOT DISTINCT FROM b.len_bucket),
+    t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+                 CAST(SUM(n_b) AS BIGINT) AS tb FROM j),
+    d AS (SELECT len_bucket, n_a, n_b,
+                 CAST(CAST(n_a AS HUGEINT) * 1000000
+                      // greatest(ta, 1) AS BIGINT) AS share_a_ppm,
+                 CAST(CAST(n_b AS HUGEINT) * 1000000
+                      // greatest(tb, 1) AS BIGINT) AS share_b_ppm
+          FROM j CROSS JOIN t),
+    dd AS (SELECT *, share_a_ppm - share_b_ppm AS delta_ppm FROM d),
+    v AS (SELECT CAST(SUM(abs(delta_ppm)) // 2 AS BIGINT) AS tvd_ppm
+          FROM dd)
+    SELECT len_bucket, n_a, n_b, share_a_ppm, share_b_ppm, delta_ppm,
+           tvd_ppm
+    FROM dd CROSS JOIN v
+    """,
+)
+def q283_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.streaming.ops import drift_monitor_stream, stream_events
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.lit(9), F.expr("n_chars div 64")).alias("len_bucket")
+    ref = (
+        docs.filter(F.col("lang") == "en")
+        .select(bucket)
+        .groupBy("len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    src = (
+        stream_events(spark, f"{sf_dir}/documents.parquet")
+        .filter(F.col("lang") != "en")
+        .select(F.least(F.lit(9), F.expr("n_chars div 64")).alias("len_bucket"))
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkdab_drift_")
+    return drift_monitor_stream(
+        src, ref, "len_bucket", f"{tmp}/out", f"{tmp}/ckpt"
+    )

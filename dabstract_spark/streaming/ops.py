@@ -1191,3 +1191,65 @@ def oov_score_stream(
     finally:
         vocab_static.unpersist()
     return sink.distinct()
+
+
+def drift_monitor_stream(
+    doc_stream: DataFrame,
+    ref_counts: DataFrame,
+    bucket_col: str,
+    out_path: str,
+    checkpoint: str,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming distribution-drift monitor — the ONLINE twin of
+    ``textstats.histogram_drift``: each micro-batch of incoming rows
+    (already carrying the caller's bucket column) appends its per-
+    bucket counts to the sink, and the live drift card is
+    ``drift_from_counts`` of the static reference histogram vs the
+    merge-by-sum of the sink — "alarm when tvd_ppm of arriving traffic
+    vs the reference corpus crosses the threshold".
+
+    Counts are additive partials (the calibration_stream argument), so
+    for any micro-batch boundaries the merged sink equals the one-shot
+    count and the drained card equals the batch card EXACTLY. The
+    share/TVD arithmetic is ``textstats.drift_from_counts`` VERBATIM —
+    one drift recipe for both twins, no drift between the drift
+    monitors. Replay safety mirrors calibration_stream: foreachBatch
+    is at-least-once, a sum cannot absorb a replayed append, so every
+    partial carries (run_id = digest(checkpoint path), batch_id) and
+    the read dedups (run_id, batch_id, bucket) before summing —
+    idempotent per micro-batch, while later legitimate drains (fresh
+    checkpoint, batch_id restarting at 0) stay countable. The same
+    checkpoint/sink lifecycle-pairing caveat applies."""
+    import hashlib
+
+    from dabstract_spark.operators.textstats import drift_from_counts
+
+    run_id = hashlib.md5(str(checkpoint).encode()).hexdigest()[:16]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(bucket_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    sink = _drain_foreach_batch(
+        doc_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "drift_monitor_stream",
+    )
+    merged = (
+        sink.dropDuplicates(["run_id", "batch_id", bucket_col])
+        .groupBy(bucket_col)
+        .agg(F.sum("n").alias("n_b"))
+    )
+    return drift_from_counts(ref_counts, merged, bucket_col)

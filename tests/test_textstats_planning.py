@@ -255,3 +255,129 @@ def test_oov_scores_duplicate_vocab_does_not_fan_out(spark):
         }
         # doc 1: 4 tokens, 1 OOV (gamma); doc 2: 2 tokens, 1 OOV (delta)
         assert out == {1: (4, 1, 250_000), 2: (2, 1, 500_000)}, hint
+
+
+def test_term_dispersion_concentrated_vs_background(spark):
+    """A term living entirely in one group scores DP ≈ 1 − v_g (the
+    Gries maximum); a term spread proportionally to group sizes scores
+    ≈ 0. Exact-integer check against a hand-computed corpus."""
+    from dabstract_spark.operators.textstats import term_dispersion
+
+    # 2 groups, 10 tokens each (v_a = v_b = 500000 ppm exactly).
+    # "zzz" occurs 4x, all in group a (concentrated).
+    # "aaa" occurs 4x, 2 in each group (perfectly dispersed).
+    rows = [
+        ("a", "zzz zzz zzz zzz aaa aaa x1 x2 x3 x4"),
+        ("b", "aaa aaa y1 y2 y3 y4 y5 y6 y7 y8"),
+    ]
+    df = spark.createDataFrame(rows, "grp string, text string")
+    out = {
+        r.term: r
+        for r in term_dispersion(
+            df, "grp", "text", top_k=50, min_count=1
+        ).collect()
+    }
+    # concentrated: s_a = 10^6, s_b = 0 -> DP = (|1e6-5e5| + 5e5)/2 = 5e5
+    assert out["zzz"].dp_ppm == 500_000
+    assert out["zzz"].n_groups_present == 1
+    # dispersed exactly with group shares -> DP = 0
+    assert out["aaa"].dp_ppm == 0
+    assert out["aaa"].n_groups_present == 2
+    # ordering: most concentrated first
+    top = term_dispersion(df, "grp", "text", top_k=1, min_count=4).collect()
+    assert top[0].term == "zzz"
+
+
+def test_term_dispersion_null_groups_excluded(spark):
+    from dabstract_spark.operators.textstats import term_dispersion
+
+    df = spark.createDataFrame(
+        [("a", "w w w"), (None, "w q q q")], "grp string, text string"
+    )
+    out = {r.term: r for r in term_dispersion(df, "grp", "text", 10, 1).collect()}
+    # NULL-group tokens never count: w is wholly in 'a' -> dp = 0 with
+    # one group of total weight (v_a = 10^6)
+    assert out["w"].total_cnt == 3
+    assert "q" not in out  # only present in the NULL group
+
+
+def test_histogram_drift_exact_tvd_and_missing_buckets(spark):
+    from dabstract_spark.operators.textstats import histogram_drift
+
+    a = spark.createDataFrame([(0,), (0,), (1,), (1,)], "b int")
+    b = spark.createDataFrame([(0,), (2,), (2,), (2,)], "b int")
+    rows = {r.b: r for r in histogram_drift(a, b, "b").collect()}
+    assert set(rows) == {0, 1, 2}
+    assert (rows[0].share_a_ppm, rows[0].share_b_ppm) == (500_000, 250_000)
+    assert (rows[1].n_b, rows[1].share_b_ppm) == (0, 0)
+    assert (rows[2].n_a, rows[2].share_a_ppm) == (0, 0)
+    # TVD = (|5e5-2.5e5| + |5e5-0| + |0-7.5e5|)/2 = 75e4
+    assert all(r.tvd_ppm == 750_000 for r in rows.values())
+
+
+def test_histogram_drift_null_bucket_and_empty_side(spark):
+    from dabstract_spark.operators.textstats import histogram_drift
+
+    a = spark.createDataFrame([(None,), (1,)], "b int")
+    b = spark.createDataFrame([(None,)], "b int").filter("b IS NOT NULL")
+    rows = {r.b: r for r in histogram_drift(a, b, "b").collect()}
+    # NULL bucket is a real bucket; empty B side -> all shares 0, TVD
+    # = (5e5 + 5e5)/2 = 5e5 against the degenerate empty distribution
+    assert set(rows) == {None, 1}
+    assert rows[None].share_a_ppm == 500_000
+    assert all(r.share_b_ppm == 0 for r in rows.values())
+    assert all(r.tvd_ppm == 500_000 for r in rows.values())
+
+
+def test_stream_drift_equals_batch_and_survives_replay(spark, tmp_path):
+    """drift_monitor_stream drained over a bounded backlog equals the
+    batch histogram_drift card exactly (additive counts), and a
+    REPLAYED micro-batch append (at-least-once foreachBatch) is
+    absorbed by the (run_id, batch_id, bucket) dedup."""
+    from dabstract_spark.operators.textstats import histogram_drift
+    from dabstract_spark.session import load_table
+    from dabstract_spark.streaming.ops import drift_monitor_stream, stream_events
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, SF, "documents")
+    bucket = F.least(F.lit(9), F.expr("n_chars div 64")).alias("lb")
+    ref = (
+        docs.filter(F.col("lang") == "en")
+        .select(bucket)
+        .groupBy("lb")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    want = sorted(
+        (r.lb, r.n_a, r.n_b, r.share_a_ppm, r.share_b_ppm, r.tvd_ppm)
+        for r in histogram_drift(
+            docs.filter(F.col("lang") == "en").select(bucket),
+            docs.filter(F.col("lang") != "en").select(bucket),
+            "lb",
+        ).collect()
+    )
+    src = (
+        stream_events(spark, f"{SF}/documents.parquet")
+        .filter(F.col("lang") != "en")
+        .select(F.least(F.lit(9), F.expr("n_chars div 64")).alias("lb"))
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    got = drift_monitor_stream(src, ref, "lb", out, ckpt)
+    got_rows = sorted(
+        (r.lb, r.n_a, r.n_b, r.share_a_ppm, r.share_b_ppm, r.tvd_ppm)
+        for r in got.collect()
+    )
+    assert got_rows == want and len(want) > 0
+
+    # simulate an at-least-once replay: re-append one batch's partial
+    # rows verbatim (same run_id/batch_id) — the dedup must absorb it
+    sink = spark.read.parquet(out)
+    one = sink.limit(1)
+    one.write.mode("append").parquet(out)
+    replayed = drift_monitor_stream(src.limit(0), ref, "lb", out, ckpt)
+    # rebuild the read side directly: call again with an exhausted
+    # stream (no new batches) — merged counts must be unchanged
+    got2 = sorted(
+        (r.lb, r.n_a, r.n_b, r.share_a_ppm, r.share_b_ppm, r.tvd_ppm)
+        for r in replayed.collect()
+    )
+    assert got2 == want

@@ -829,6 +829,22 @@ def main():
             50_000,
             2,
         ),
+        # r9: Gries-DP dispersion shares keyness' (group, term) shape —
+        # vocab-sized shuffles, broadcast group shares, two-level top-k
+        "term_dispersion": lambda d: ts.term_dispersion(
+            d, "source", "text", top_k=15, min_count=10
+        ),
+        # r9: drift card — two map-side-combined n_bucket-row counts +
+        # tiny joins; should be flat to scan cost at any size
+        "histogram_drift": lambda d: ts.histogram_drift(
+            d.filter(F.col("lang") == "en").select(
+                F.least(F.lit(9), F.expr("length(text) div 64")).alias("lb")
+            ),
+            d.filter(F.col("lang") != "en").select(
+                F.least(F.lit(9), F.expr("length(text) div 64")).alias("lb")
+            ),
+            "lb",
+        ),
     }
     probe_block(ts_probes, ts_base, "doc_id", uniquify=fuzzy_uniquify)
 
