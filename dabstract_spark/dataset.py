@@ -789,6 +789,15 @@ class Dataset:
 
         return grouped_rank_ppm(self._df, group_key, score_col, ROW_ID, **kw)
 
+    def grouped_order_stats(self, group_key: str, value_col: str, **kw):
+        """Per-row rank / group size (+ optional exact ntile) over an
+        arbitrary numeric key with no group-sized window (see
+        select.grouped_order_stats) — the full-output rank family
+        (percent_rank/cume_dist/ntile derive arithmetically)."""
+        from dabstract_spark.operators.select import grouped_order_stats
+
+        return grouped_order_stats(self._df, group_key, value_col, ROW_ID, **kw)
+
     def ngram_dup_stats(self, key: str = "text", k: int = 8):
         """Per-row duplicated-k-gram exposure (Lee 2022 memorization
         audit; see dedup.ngram_dup_stats). Returns a DataFrame report
@@ -855,6 +864,13 @@ class Dataset:
         from dabstract_spark.operators.textstats import histogram_drift
 
         return histogram_drift(self._df, other._df, bucket_key)
+
+    def uniqueness_audit(self, quasi_keys: list[str]):
+        """k-anonymity re-identification card over a quasi-identifier
+        combination (see textstats.uniqueness_audit)."""
+        from dabstract_spark.operators.textstats import uniqueness_audit
+
+        return uniqueness_audit(self._df, quasi_keys)
 
     def budget_allocation(
         self, group_key: str, token_col, total_budget: int, max_repeat: int = 1

@@ -1010,6 +1010,141 @@ def grouped_weighted_quantiles(
 _REGISTRY["grouped_weighted_quantiles"] = grouped_weighted_quantiles
 
 
+def grouped_order_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    ntiles: int | None = None,
+    n_groups_hint: int | None = None,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Per-row rank / group size (and optional exact ntile) over an
+    ARBITRARY numeric order key WITHOUT a group-sized window — the
+    full-output rank family (percent_rank / cume_dist / ntile) that a
+    single ``Window.partitionBy(group).orderBy(value)`` would compute
+    by sorting AND streaming each whole group in one task (like a
+    cumsum, every row is emitted: WindowGroupLimit prunes nothing).
+
+    Appends ``rank_in_group`` (1-based, ordered by (``value_col``,
+    ``id_col``) — ``id_col`` must be unique within its group, making
+    the order total, so rank == row_number == RANK and the SQL rank
+    family derives arithmetically: percent_rank = (rank-1)/(n-1),
+    cume_dist = rank/n), ``n_group``, and ``ntile_in_group`` when
+    ``ntiles`` is set (the exact SQL NTILE allotment: the first
+    n mod k tiles take ceil(n/k) rows).
+
+    Scale shape — ``grouped_weighted_quantiles``' per-group min/max →
+    256 VALUE-RANGE buckets (monotone in the value, so bucket-local
+    (value, id) order concatenated across buckets is the group order);
+    per-(group, bucket) counts fold into a bounded offsets table
+    (<= n_groups×257 rows) and each row's rank = bucket offset + a
+    bucket-local row_number bounded by 1/256 of the group. Unlike
+    ``grouped_rank_ppm`` (fixed-width buckets over a declared
+    [0, max_score]) the key may be any numeric/decimal/date-ordinal
+    column with unknown range or sign. NULL values bucket first
+    (Spark ascending NULLS FIRST — same as the naive window's order).
+    Broadcast gating follows the ``grouped_rank_ppm`` guard: static
+    broadcast only under ``n_groups_hint``×257 <= threshold, hint-less
+    callers get plain joins AQE converts at runtime."""
+    vtype = df.schema[value_col].dataType.simpleString()
+    if not (
+        vtype in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or vtype.startswith("decimal")
+    ):
+        raise ValueError(
+            f"grouped_order_stats: value_col has type {vtype}; it must be "
+            "numeric/decimal (bucket assignment must be monotone in the "
+            "window order)"
+        )
+    keyed = df.withColumn("__k", F.col(value_col).cast("double"))
+    stats = keyed.groupBy(group_col).agg(
+        F.min("__k").alias("__kmin"), F.max("__k").alias("__kmax")
+    )
+    span = F.col("__kmax") - F.col("__kmin")
+    bucket = (
+        F.when(F.col("__k").isNull(), F.lit(-1))
+        .when(span <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(255),
+                F.floor((F.col("__k") - F.col("__kmin")) * 256.0 / span).cast(
+                    "int"
+                ),
+            )
+        )
+    )
+    if n_groups_hint is not None:
+        small = int(n_groups_hint) * 257 <= broadcast_threshold
+        maybe_bcast = F.broadcast if small else (lambda d: d)
+    else:
+        maybe_bcast = lambda d: d  # noqa: E731
+    st = stats.withColumnRenamed(group_col, "__g")
+    bucketed = (
+        keyed.join(maybe_bcast(st), F.col(group_col).eqNullSafe(F.col("__g")))
+        .withColumn("__b", bucket)
+        .drop("__g", "__kmin", "__kmax")
+    )
+    counts = bucketed.groupBy(group_col, "__b").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = (
+        Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offsets = counts.select(
+        F.col(group_col).alias("__og"),
+        F.col("__b").alias("__ob"),
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__n").over(w_tot).alias("__ng"),
+    )
+    w_local = Window.partitionBy(group_col, "__b").orderBy(value_col, id_col)
+    out = (
+        bucketed.join(
+            maybe_bcast(offsets),
+            F.col(group_col).eqNullSafe(F.col("__og"))
+            & (F.col("__b") == F.col("__ob")),
+        )
+        .withColumn(
+            "rank_in_group",
+            (F.col("__off") + F.row_number().over(w_local)).cast("bigint"),
+        )
+        .withColumn("n_group", F.col("__ng").cast("bigint"))
+        .drop("__k", "__b", "__og", "__ob", "__off", "__ng")
+    )
+    if ntiles is not None:
+        k = int(ntiles)
+        if k < 1:
+            raise ValueError("grouped_order_stats: ntiles must be >= 1")
+        # exact SQL NTILE from (rank, n): q = n div k, r = n mod k; the
+        # first r tiles hold q+1 rows. Pure integer div — no float
+        # truncation can flip a tile boundary. q = 0 (n < k) keeps every
+        # rank inside the head branch (head = r = n), so the greatest()
+        # guard in the else leg is unreachable belt-and-braces.
+        out = out.withColumn(
+            "ntile_in_group",
+            F.expr(
+                f"CAST(CASE WHEN rank_in_group <="
+                f" (n_group % {k}) * (n_group div {k} + 1)"
+                f" THEN (rank_in_group - 1) div (n_group div {k} + 1) + 1"
+                f" ELSE (n_group % {k}) + (rank_in_group"
+                f" - (n_group % {k}) * (n_group div {k} + 1) - 1)"
+                f" div greatest(n_group div {k}, 1) + 1"
+                f" END AS INT)"
+            ),
+        )
+    return out
+
+
+_REGISTRY["grouped_order_stats"] = grouped_order_stats
+
+
 #: Poisson(1) CDF in exact ppm — P(X <= k) for k = 0..7; weights beyond 8
 #: are astronomically rare and truncated (P ~ 1e-6 covered by the last
 #: threshold). Literals so Spark and the SQL oracle share one table.

@@ -470,3 +470,52 @@ def drift_from_counts(
         F.expr("CAST(sum(abs(delta_ppm)) div 2 AS BIGINT)").alias("tvd_ppm")
     )
     return shared.crossJoin(F.broadcast(tvd))
+
+
+def uniqueness_audit(df: DataFrame, quasi_cols: list[str]) -> DataFrame:
+    """k-anonymity-style re-identification audit over a quasi-identifier
+    combination (the privacy read next to ``canary_exposure``: a canary
+    measures what the corpus LEAKS verbatim, this measures what its
+    metadata can SINGLE OUT): every row's (quasi_cols) combo has a
+    class size k, and the card reports, per k-class ('1' = unique →
+    re-identifiable, '2-4' = small crowd, '5+' = conventional
+    k>=5 anonymity), the number of distinct combos, the number of rows,
+    and the row share in exact ppm. All three class rows ALWAYS appear
+    (zero-filled via a literal class table — an absent class is
+    indistinguishable from a broken audit, the canary_exposure
+    contract).
+
+    Scale shape: one map-side-combined count over the combo key (the
+    only data-sized shuffle, keyed on the quasi-identifier — if a combo
+    is hot, that is literally the anonymity being measured), a 3-row
+    rollup, one total broadcast. NULL quasi-values group like values
+    (two rows that both lack a label still match each other).
+    """
+    if not quasi_cols:
+        raise ValueError("uniqueness_audit needs at least one quasi column")
+    combos = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__k"))
+    k_class = (
+        F.when(F.col("__k") == 1, F.lit("1"))
+        .when(F.col("__k") <= 4, F.lit("2-4"))
+        .otherwise(F.lit("5+"))
+    )
+    agg = combos.groupBy(k_class.alias("k_class")).agg(
+        F.count(F.lit(1)).alias("__combos"),
+        F.sum("__k").alias("__rows"),
+    )
+    base = df.sparkSession.createDataFrame(
+        [("1",), ("2-4",), ("5+",)], "k_class string"
+    )
+    # total from the combo table, not a second corpus scan (Σk == row
+    # count by construction); coalesce(0) keeps the empty-corpus card
+    tot = combos.agg(F.coalesce(F.sum("__k"), F.lit(0)).alias("__tot"))
+    return (
+        base.join(agg, "k_class", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k_class",
+            F.coalesce(F.col("__combos"), F.lit(0)).alias("n_combos"),
+            F.coalesce(F.col("__rows"), F.lit(0)).alias("n_rows"),
+            _ppm("coalesce(__rows, 0)", "__tot").alias("row_share_ppm"),
+        )
+    )

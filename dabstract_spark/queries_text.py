@@ -6789,3 +6789,45 @@ def q283_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_monitor_stream(
         src, ref, "len_bucket", f"{tmp}/out", f"{tmp}/ckpt"
     )
+
+
+# --------------------------------------------------------------------- #
+# k-anonymity uniqueness audit (textstats.uniqueness_audit): how many
+# documents the (lang, source, length-bucket) quasi-identifier can
+# single out — the re-identification counterpart of q273's verbatim
+# canary leak. All three k-classes always emit a row (literal class
+# table LEFT JOIN, the canary discipline).
+# --------------------------------------------------------------------- #
+@query(
+    "q284_uniqueness_audit",
+    oracle="""
+    WITH q AS (
+      SELECT lang, source, least(9, n_chars // 64) AS lb FROM documents),
+    combos AS (
+      SELECT lang, source, lb, COUNT(*)::BIGINT AS k
+      FROM q GROUP BY 1, 2, 3),
+    agg AS (
+      SELECT CASE WHEN k = 1 THEN '1' WHEN k <= 4 THEN '2-4'
+                  ELSE '5+' END AS k_class,
+             COUNT(*)::BIGINT AS n_combos,
+             CAST(SUM(k) AS BIGINT) AS n_rows
+      FROM combos GROUP BY 1),
+    base AS (SELECT unnest(['1', '2-4', '5+']) AS k_class),
+    t AS (SELECT COUNT(*)::BIGINT AS tot FROM documents)
+    SELECT b.k_class,
+           COALESCE(n_combos, 0) AS n_combos,
+           COALESCE(n_rows, 0) AS n_rows,
+           CAST(CAST(COALESCE(n_rows, 0) AS HUGEINT) * 1000000
+                // greatest(tot, 1) AS BIGINT) AS row_share_ppm
+    FROM base b LEFT JOIN agg USING (k_class) CROSS JOIN t
+    """,
+)
+def q284_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.textstats import uniqueness_audit
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.least(F.lit(9), F.expr("n_chars div 64")).alias("lb"),
+    )
+    return uniqueness_audit(docs, ["lang", "source", "lb"])

@@ -400,8 +400,16 @@ def q155_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------- #
 # Window-rank distribution (§2.7 breadth): percent_rank / cume_dist /
-# ntile within each market segment — PARTITIONED window, so each
-# segment sorts independently (no single-task global WindowExec).
+# ntile within each market segment — routed through the two-level
+# `select.grouped_order_stats` (r9): the rank family EMITS every row
+# (no WindowGroupLimit pruning), so the old per-segment window was the
+# last full-output group-sized sort in the catalog — 5 segments means
+# one task sorting and streaming ~n/5 customers at 100 TB. The
+# (c_acctbal, c_custkey) order is total (custkey unique), so
+# percent_rank = (rank-1)/(n-1), cume_dist = rank/n, and NTILE comes
+# from the exact integer allotment — all derived from the de-skewed
+# rank; the oracle stays the literal SQL window functions, proving the
+# derivation equals the engine semantics.
 # --------------------------------------------------------------------- #
 @query(
     "q156_balance_distribution",
@@ -415,14 +423,29 @@ def q155_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q156_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import grouped_order_stats
+
     cust = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return cust.select(
+    ranked = grouped_order_stats(
+        cust.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        "c_mktsegment",
+        "c_acctbal",
+        "c_custkey",
+        ntiles=4,
+        n_groups_hint=8,
+    )
+    return ranked.select(
         "c_custkey",
         "c_mktsegment",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(
+            F.when(
+                F.col("n_group") > 1,
+                (F.col("rank_in_group") - 1) / (F.col("n_group") - 1),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("pct_rank"),
+        F.round(F.col("rank_in_group") / F.col("n_group"), 6).alias("cume"),
+        F.col("ntile_in_group").alias("quartile"),
     )
 
 

@@ -867,3 +867,58 @@ def test_budget_allocation_matches_serial_waterfill(spark, caps, budget, repeat)
                 want[g] = (n, c, a, int(a < c))
     assert got == want
     assert sum(a for _, _, a, _ in got.values()) == min(budget, total)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 3)),  # group (NULL = real partition)
+            st.one_of(st.none(), st.integers(-50, 50)),  # value (NULLS FIRST)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    ntiles=st.sampled_from([1, 3, 4, 7]),
+)
+@settings(**_SETTINGS)
+def test_grouped_order_stats_law_vs_naive_window(spark, rows, ntiles):
+    """Law: the two-level grouped_order_stats equals the naive
+    ``Window.partitionBy(group).orderBy(value, id)`` full-output rank
+    family — row_number, group count, and NTILE(k) — for arbitrary
+    tables: any group sizes (incl. one giant group), NULL groups (a
+    real window partition), NULL values (ascending NULLS FIRST),
+    negative values, constant-value groups (span 0), and n < k tile
+    splits. The r9 de-skew of the last full-output catalog window
+    (q156) must be invisible in output."""
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    from dabstract_spark.operators.select import grouped_order_stats
+
+    data = [
+        (i, None if g is None else f"g{g}", v) for i, (g, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "rid long, grp string, v long")
+
+    w = Window.partitionBy("grp").orderBy(
+        F.col("v").asc_nulls_first(), F.col("rid")
+    )
+    w_tot = Window.partitionBy("grp")
+    naive = Counter(
+        (r.rid, r.rn, r.n, r.tile)
+        for r in df.select(
+            "rid",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(w_tot).alias("n"),
+            F.ntile(ntiles).over(w).alias("tile"),
+        ).collect()
+    )
+    for hint in (8, None):  # static-broadcast and hint-less AQE paths
+        got = Counter(
+            (r.rid, r.rank_in_group, r.n_group, r.ntile_in_group)
+            for r in grouped_order_stats(
+                df, "grp", "v", "rid", ntiles=ntiles, n_groups_hint=hint
+            ).collect()
+        )
+        assert got == naive, hint

@@ -381,3 +381,29 @@ def test_stream_drift_equals_batch_and_survives_replay(spark, tmp_path):
         for r in replayed.collect()
     )
     assert got2 == want
+
+
+def test_uniqueness_audit_known_answer_and_total_card(spark):
+    """k-class counts on a hand-built table; every class row survives
+    even when empty (the canary_exposure audit contract)."""
+    from dabstract_spark.operators.textstats import uniqueness_audit
+
+    # combos: (a,x) k=1; (b,x) k=3; (b,y) k=6  -> classes 1 / 2-4 / 5+
+    rows = [("a", "x")] + [("b", "x")] * 3 + [("b", "y")] * 6
+    df = spark.createDataFrame(rows, "u string, v string")
+    out = {r.k_class: r for r in uniqueness_audit(df, ["u", "v"]).collect()}
+    assert set(out) == {"1", "2-4", "5+"}
+    assert (out["1"].n_combos, out["1"].n_rows) == (1, 1)
+    assert (out["2-4"].n_combos, out["2-4"].n_rows) == (1, 3)
+    assert (out["5+"].n_combos, out["5+"].n_rows) == (1, 6)
+    assert out["1"].row_share_ppm == 100_000  # 1/10
+    # all-unique corpus: the other classes still emit zero rows
+    solo = spark.createDataFrame([("a",), ("b",)], "u string")
+    card = {r.k_class: r for r in uniqueness_audit(solo, ["u"]).collect()}
+    assert set(card) == {"1", "2-4", "5+"}
+    assert card["1"].row_share_ppm == 1_000_000
+    assert card["5+"].n_rows == 0 and card["5+"].row_share_ppm == 0
+    # NULL quasi-values group together (two unlabeled rows = a crowd of 2)
+    nulls = spark.createDataFrame([(None,), (None,)], "u string")
+    nc = {r.k_class: r for r in uniqueness_audit(nulls, ["u"]).collect()}
+    assert nc["2-4"].n_rows == 2 and nc["1"].n_rows == 0

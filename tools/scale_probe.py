@@ -523,10 +523,30 @@ def main():
             ]
         )
 
+    # full-output rank family (percent_rank/cume_dist/ntile): like the
+    # cumsums, EVERY row is emitted — the old q156 shape serializes one
+    # giant group's sort-and-stream into a single task
+    def _orderstats_naive(d):
+        w = Window.partitionBy("grp").orderBy("row_id")
+        return d.select(
+            "row_id",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).alias("tile"),
+        )
+
     giant_probes = {
         "rank_giantgroup_naive": _rank_naive,
         "rank_giantgroup_twolevel": lambda d: sel.sample_per_group(
             d, "grp", n=50, key="row_id"
+        ),
+        "orderstats_giantgroup_naive": _orderstats_naive,
+        "orderstats_giantgroup_twolevel": lambda d: sel.grouped_order_stats(
+            d.withColumn("v", F.col("row_id").cast("bigint")),
+            "grp",
+            "v",
+            "row_id",
+            ntiles=4,
+            n_groups_hint=8,
         ),
         "pctl_giantgroup_naive": _pctl_naive,
         "pctl_giantgroup_twolevel": lambda d: sel.grouped_weighted_quantiles(
@@ -833,6 +853,16 @@ def main():
         # vocab-sized shuffles, broadcast group shares, two-level top-k
         "term_dispersion": lambda d: ts.term_dispersion(
             d, "source", "text", top_k=15, min_count=10
+        ),
+        # r9: k-anonymity card — one combo-keyed map-side-combined count
+        # + 3-row rollup; linear in scan
+        "uniqueness_audit": lambda d: ts.uniqueness_audit(
+            d.select(
+                "lang",
+                "source",
+                F.least(F.lit(9), F.expr("length(text) div 64")).alias("lb"),
+            ),
+            ["lang", "source", "lb"],
         ),
         # r9: drift card — two map-side-combined n_bucket-row counts +
         # tiny joins; should be flat to scan cost at any size
