@@ -872,6 +872,44 @@ class Dataset:
 
         return uniqueness_audit(self._df, quasi_keys)
 
+    def balance_card(self, group_keys: list[str] | str):
+        """One-row mixture-concentration card (Gini / entropy /
+        top-share over component sizes; see textstats.balance_card)."""
+        from dabstract_spark.operators.textstats import balance_card
+
+        if isinstance(group_keys, str):
+            group_keys = [group_keys]
+        return balance_card(self._df, list(group_keys))
+
+    def group_term_cosine(self, group_key: str, key: str = "text", **kw):
+        """Pairwise cosine between per-group term-frequency vectors —
+        the mixture-redundancy matrix (see
+        textstats.group_term_cosine)."""
+        from dabstract_spark.operators.textstats import group_term_cosine
+
+        return group_term_cosine(self._df, group_key, key, **kw)
+
+    def agreement_card(self, gold_key: str, pred_key: str):
+        """Cohen's kappa card between two label columns (see
+        textstats.agreement_card)."""
+        from dabstract_spark.operators.textstats import agreement_card
+
+        return agreement_card(self._df, gold_key, pred_key)
+
+    def zipf_card(self, key: str = "text", top_n: int = 100):
+        """Rank-frequency power-law fit over the top vocabulary (see
+        textstats.zipf_card)."""
+        from dabstract_spark.operators.textstats import zipf_card
+
+        return zipf_card(self._df, key, top_n=top_n)
+
+    def mad_outliers(self, group_key: str, value_col: str, k: int = 3, **kw):
+        """Per-group robust median/MAD outlier card with no group-sized
+        window (see select.grouped_mad_outliers)."""
+        from dabstract_spark.operators.select import grouped_mad_outliers
+
+        return grouped_mad_outliers(self._df, group_key, value_col, k=k, **kw)
+
     def budget_allocation(
         self, group_key: str, token_col, total_budget: int, max_repeat: int = 1
     ):

@@ -494,6 +494,18 @@ def uniqueness_audit(df: DataFrame, quasi_cols: list[str]) -> DataFrame:
     if not quasi_cols:
         raise ValueError("uniqueness_audit needs at least one quasi column")
     combos = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__k"))
+    return uniqueness_from_combos(combos)
+
+
+def uniqueness_from_combos(combos: DataFrame) -> DataFrame:
+    """The k-class rollup half of ``uniqueness_audit`` over a
+    PRE-COUNTED combo table carrying its class size in ``__k`` — the
+    ONE card recipe shared by the batch audit and the streaming
+    monitor's merged-sink read (``streaming.ops.uniqueness_stream``),
+    the ``drift_from_counts`` discipline: combo counts are additive,
+    so merge-by-sum of per-batch partials equals the one-shot count
+    for any micro-batch boundaries and the two twins can never
+    diverge."""
     k_class = (
         F.when(F.col("__k") == 1, F.lit("1"))
         .when(F.col("__k") <= 4, F.lit("2-4"))
@@ -503,7 +515,7 @@ def uniqueness_audit(df: DataFrame, quasi_cols: list[str]) -> DataFrame:
         F.count(F.lit(1)).alias("__combos"),
         F.sum("__k").alias("__rows"),
     )
-    base = df.sparkSession.createDataFrame(
+    base = combos.sparkSession.createDataFrame(
         [("1",), ("2-4",), ("5+",)], "k_class string"
     )
     # total from the combo table, not a second corpus scan (Σk == row
@@ -518,4 +530,300 @@ def uniqueness_audit(df: DataFrame, quasi_cols: list[str]) -> DataFrame:
             F.coalesce(F.col("__rows"), F.lit(0)).alias("n_rows"),
             _ppm("coalesce(__rows, 0)", "__tot").alias("row_share_ppm"),
         )
+    )
+
+
+def balance_card(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """One-row corpus-balance card over a mixture key (lang, source,
+    domain...): the concentration read a mixture owner checks BEFORE
+    ``planning.budget_allocation`` re-weights anything — is the corpus
+    one giant component with a tail, or genuinely mixed?
+
+    Emits ``n_groups``, ``n_rows``, ``top_share_ppm`` (largest
+    component's row share), ``gini_ppm`` (exact-integer Gini of the
+    component sizes via the sorted-rank identity
+    ``(2·Σ i·x_i − (n+1)·Σx) div (n·Σx)`` — 0 perfectly even, →10⁶ one
+    component owns everything), ``entropy_me6`` (Shannon entropy of the
+    component shares in integer micro-nats: per-group terms
+    ``p·ln(1/p)`` are fixed-pointed to 6 decimals BEFORE the cross-row
+    sum, so the sum is exact-integer and engine-portable — the PSI
+    discipline; IEEE doubles only ever appear one-libm-call-per-row),
+    and ``entropy_norm_ppm`` (entropy as ppm of the even-mixture
+    maximum ``ln(n)``, clamped at 10⁶ — the evenness number). The card always emits
+    exactly one row, zero-filled on an empty corpus (the datasheet
+    contract).
+
+    Scale shape: ONE map-side-combined count over the mixture key is
+    the only data-sized work; everything after (rank window included)
+    runs on the n_groups-row count table — bounded by the same
+    human-scale mixture-component contract as ``keyness_terms`` /
+    ``budget_allocation``. NULL group values count like values (a
+    lost-label component is still a component).
+    """
+    from pyspark.sql.window import Window
+
+    if not group_cols:
+        raise ValueError("balance_card needs at least one group column")
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("__t"),
+        F.count(F.lit(1)).alias("__g"),
+    )
+    # ascending-size rank for the Gini identity; ties broken by the
+    # group key only for run-determinism (equal x_i swap ranks without
+    # changing Σ i·x_i). n_groups-row window by contract.
+    # partitionBy(lit(0)): the bounded-tiny-table window annotation
+    # (n_groups rows by the mixture-component contract)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.asc("__n"), *[F.asc(c) for c in group_cols]
+    )
+    dec = "DECIMAL(38,0)"
+    ranked = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("__i", F.row_number().over(w))
+        .withColumn(
+            "__s1",
+            F.expr(f"CAST(__i AS {dec}) * CAST(__n AS {dec})"),
+        )
+        .withColumn(
+            "__e",
+            F.expr(
+                "CAST(CAST(round((CAST(__n AS DOUBLE) / __t)"
+                " * ln(CAST(__t AS DOUBLE) / __n), 6)"
+                " AS DECIMAL(28,6)) * 1000000 AS BIGINT)"
+            ),
+        )
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(F.max("__t"), F.lit(0)).cast("bigint").alias("n_rows"),
+        _ppm("coalesce(max(__n), 0)", "coalesce(max(__t), 0)").alias(
+            "top_share_ppm"
+        ),
+        F.expr(
+            f"CAST((2 * coalesce(sum(__s1), 0)"
+            f" - CAST(count(1) + 1 AS {dec}) * coalesce(max(__t), 0))"
+            f" * 1000000 div greatest(CAST(count(1) AS {dec})"
+            f" * coalesce(max(__t), 0), 1) AS BIGINT)"
+        ).alias("gini_ppm"),
+        F.coalesce(F.sum("__e"), F.lit(0)).cast("bigint").alias("entropy_me6"),
+        # least(·, 10⁶): entropy and its ln(n) ceiling are BOTH sums of
+        # per-term 6-decimal fixed points, so a perfectly even mixture
+        # can read a hair over the ceiling (every term rounded up) —
+        # clamp so evenness tops out at exactly 10⁶
+        F.expr(
+            "CAST(least(coalesce(sum(__e), 0) * 1000000"
+            " div greatest(CAST(CAST(round(ln(CAST(greatest(count(1), 1)"
+            " AS DOUBLE)), 6) AS DECIMAL(28,6)) * 1000000 AS BIGINT), 1),"
+            " 1000000) AS BIGINT)"
+        ).alias("entropy_norm_ppm"),
+    )
+
+
+def group_term_cosine(
+    df: DataFrame, group_col: str, text_col: str, min_count: int = 1
+) -> DataFrame:
+    """Pairwise cosine similarity between the per-group TERM-FREQUENCY
+    vectors — the mixture-redundancy matrix (which components say the
+    same things?) read next to ``keyness_terms`` (what marks ONE
+    group) and ``term_dispersion`` (what the corpus owes to one group).
+    One row per unordered group pair (group_a < group_b):
+    ``n_shared_terms``, ``cosine`` = Σ c_a·c_b / (‖c_a‖·‖c_b‖) rounded
+    to 6 decimals. Dot products and squared norms are exact integers
+    (DECIMAL(38,0)); IEEE ``sqrt`` is correctly rounded by both
+    engines, so the rounded cosine is bit-portable. Pairs sharing no
+    term do not emit (cosine exactly 0 — the join finds nothing).
+
+    Scale shape: one (group, term) count with map-side combine
+    (vocabulary-sized shuffle), n_groups-row norm table broadcast, and
+    a term-keyed self-join whose per-term fan-out is bounded by
+    n_groups² — the human-scale mixture-component contract again, NOT
+    a doc-pair blowup. ``min_count`` prunes hapax terms from the join
+    (they contribute ~nothing to cosine mass but dominate vocabulary
+    size). NULL-group rows are excluded (no mixture component).
+    """
+    toks = df.select(
+        F.col(group_col).alias("__g"), F.explode(tokens(text_col)).alias("__term")
+    ).filter(F.col("__g").isNotNull())
+    cgw = (
+        toks.groupBy("__g", "__term")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= int(min_count))
+    )
+    dec = "DECIMAL(38,0)"
+    norms = cgw.groupBy("__g").agg(
+        F.expr(f"sum(CAST(__c AS {dec}) * CAST(__c AS {dec}))").alias("__n2")
+    )
+    a = cgw.select(
+        F.col("__g").alias("group_a"), F.col("__term"), F.col("__c").alias("__ca")
+    )
+    b = cgw.select(
+        F.col("__g").alias("group_b"), F.col("__term"), F.col("__c").alias("__cb")
+    )
+    dots = (
+        a.join(b, "__term")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_terms"),
+            F.expr(f"sum(CAST(__ca AS {dec}) * CAST(__cb AS {dec}))").alias(
+                "__dot"
+            ),
+        )
+    )
+    na = F.broadcast(norms.select(F.col("__g").alias("group_a"), F.col("__n2").alias("__na")))
+    nb = F.broadcast(norms.select(F.col("__g").alias("group_b"), F.col("__n2").alias("__nb")))
+    return (
+        dots.join(na, "group_a")
+        .join(nb, "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "n_shared_terms",
+            F.round(
+                F.expr(
+                    "CAST(__dot AS DOUBLE)"
+                    " / (sqrt(CAST(__na AS DOUBLE)) * sqrt(CAST(__nb AS DOUBLE)))"
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+def agreement_card(df: DataFrame, gold_col: str, pred_col: str) -> DataFrame:
+    """Cohen's kappa between two categorical label columns — the
+    label-QC scalar behind the lang-ID confusion matrix (q278 shows
+    WHERE the classifier errs; this says whether it beats chance at
+    all, the number an annotation-pipeline gate thresholds on). One
+    card row: ``n_rows``, ``n_agree``, ``po_ppm`` (observed agreement),
+    ``pe_ppm`` (chance agreement from the marginals), and ``kappa`` =
+    ``(N·Σdiag − Σ_l row_l·col_l) / (N² − Σ_l row_l·col_l)`` — exact
+    integer numerator/denominator (DECIMAL(38,0)), ONE double division,
+    round 6: engine-portable. ``kappa`` is NULL when the denominator is
+    0 (both columns constant and equal — chance agreement is already
+    total, kappa undefined). NULL labels compare null-safely (two
+    missing labels AGREE — a lost-label row is a label).
+
+    Scale shape: one map-side-combined (gold, pred) count is the only
+    data-sized shuffle; marginals, the diagonal, and the card all fold
+    from the confusion-matrix-sized count table (#classes² rows).
+    """
+    cm = df.groupBy(
+        F.col(gold_col).alias("__gold"), F.col(pred_col).alias("__pred")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    dec = "DECIMAL(38,0)"
+    tot = cm.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("__t"),
+        F.coalesce(
+            F.sum(F.when(F.col("__gold").eqNullSafe(F.col("__pred")), F.col("__n")).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias("__d"),
+    )
+    rowm = cm.groupBy(F.col("__gold").alias("__l")).agg(F.sum("__n").alias("__rn"))
+    colm = cm.groupBy(F.col("__pred").alias("__l")).agg(F.sum("__n").alias("__cn"))
+    pe = (
+        rowm.join(colm, rowm["__l"].eqNullSafe(colm["__l"]))
+        .agg(
+            F.coalesce(
+                F.expr(f"sum(CAST(__rn AS {dec}) * CAST(__cn AS {dec}))"),
+                F.lit(0).cast(dec),
+            ).alias("__pe")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("__t").cast("bigint").alias("n_rows"),
+            F.col("__d").cast("bigint").alias("n_agree"),
+            _ppm("__d", "__t").alias("po_ppm"),
+            F.expr(
+                f"CAST(__pe * 1000000 div greatest(CAST(__t AS {dec})"
+                f" * CAST(__t AS {dec}), 1) AS BIGINT)"
+            ).alias("pe_ppm"),
+            F.expr(
+                f"CASE WHEN CAST(__t AS {dec}) * CAST(__t AS {dec}) - __pe = 0"
+                f" THEN NULL ELSE round(CAST(CAST(__t AS {dec}) * CAST(__d AS {dec})"
+                f" - __pe AS DOUBLE) / CAST(CAST(__t AS {dec}) * CAST(__t AS {dec})"
+                f" - __pe AS DOUBLE), 6) END"
+            ).alias("kappa"),
+        )
+    )
+
+
+def zipf_card(df: DataFrame, text_col: str, top_n: int = 100) -> DataFrame:
+    """Rank-frequency power-law fit over the ``top_n`` vocabulary —
+    OLS of ln(count) on ln(rank), the corpus-health line (natural text
+    sits near slope −1; templated/boilerplate corpora flatten, and a
+    drifting slope between snapshots is a vocabulary-mix alarm). One
+    card row: ``n_terms``, ``slope``, ``intercept`` (ln-count at rank
+    1 under the fit), ``r2``; NULLs when fewer than 2 terms exist.
+
+    Portability: ln(rank)/ln(count) are fixed-pointed to integer
+    micro-units per row (one libm call each, round 6 — the PSI
+    discipline), so every cross-row OLS sum is an exact
+    DECIMAL(38,0) integer in both engines; slope/intercept/r² are then
+    single double divisions of exact integers, round 6. The naive
+    all-double OLS would sum doubles in partition order — a
+    nondeterministic last-ulp that an exact-hash gate cannot accept.
+
+    Scale shape: vocabulary-sized term count (map-side combine), then
+    a TakeOrdered top-``top_n`` heap (no full sort shuffle) and a
+    rank window on the ``top_n``-row table — everything after the
+    count is constant-bounded by ``top_n``.
+    """
+    from pyspark.sql.window import Window
+
+    vc = (
+        df.select(F.explode(tokens(text_col)).alias("__term"))
+        .groupBy("__term")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    top = vc.orderBy(F.desc("__c"), F.asc("__term")).limit(int(top_n))
+    # partitionBy(lit(0)): bounded-tiny-table window (top_n rows)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("__c"), F.asc("__term"))
+    fx = (
+        "CAST(CAST(round(ln(CAST({v} AS DOUBLE)), 6) AS DECIMAL(28,6))"
+        " * 1000000 AS BIGINT)"
+    )
+    dec = "DECIMAL(38,0)"
+    pts = (
+        top.withColumn("__r", F.row_number().over(w))
+        .withColumn("__x", F.expr(fx.format(v="__r")))
+        .withColumn("__y", F.expr(fx.format(v="__c")))
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.expr(f"coalesce(sum(CAST(__x AS {dec})), 0)").alias("__sx"),
+        F.expr(f"coalesce(sum(CAST(__y AS {dec})), 0)").alias("__sy"),
+        F.expr(
+            f"coalesce(sum(CAST(__x AS {dec}) * CAST(__y AS {dec})), 0)"
+        ).alias("__sxy"),
+        F.expr(
+            f"coalesce(sum(CAST(__x AS {dec}) * CAST(__x AS {dec})), 0)"
+        ).alias("__sxx"),
+        F.expr(
+            f"coalesce(sum(CAST(__y AS {dec}) * CAST(__y AS {dec})), 0)"
+        ).alias("__syy"),
+    )
+    k = f"CAST(__k AS {dec})"
+    num = f"({k} * __sxy - __sx * __sy)"
+    den = f"({k} * __sxx - __sx * __sx)"
+    vary = f"({k} * __syy - __sy * __sy)"
+    return sums.select(
+        F.col("__k").cast("bigint").alias("n_terms"),
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN NULL ELSE"
+            f" round(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE), 6) END"
+        ).alias("slope"),
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN NULL ELSE"
+            f" round(CAST(__sy * __sxx - __sx * __sxy AS DOUBLE)"
+            f" / CAST({den} AS DOUBLE) / 1e6, 6) END"
+        ).alias("intercept"),
+        F.expr(
+            f"CASE WHEN {den} = 0 OR {vary} = 0 THEN NULL ELSE"
+            f" round((CAST({num} AS DOUBLE) * CAST({num} AS DOUBLE))"
+            f" / (CAST({den} AS DOUBLE) * CAST({vary} AS DOUBLE)), 6) END"
+        ).alias("r2"),
     )

@@ -6831,3 +6831,287 @@ def q284_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(9), F.expr("n_chars div 64")).alias("lb"),
     )
     return uniqueness_audit(docs, ["lang", "source", "lb"])
+
+
+# --------------------------------------------------------------------- #
+# Corpus balance card (textstats.balance_card): concentration of the
+# (lang, source) mixture — exact-integer Gini + fixed-point Shannon
+# entropy over component shares, the read before budget_allocation
+# re-weights anything. One map-side-combined count; everything after
+# runs on the n_groups-row table.
+# --------------------------------------------------------------------- #
+@query(
+    "q285_corpus_balance",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, COUNT(*)::BIGINT AS n
+      FROM documents GROUP BY 1, 2),
+    t AS (
+      SELECT CAST(COALESCE(SUM(n), 0) AS HUGEINT) AS t,
+             COUNT(*)::HUGEINT AS g FROM c),
+    r AS (
+      SELECT n,
+             ROW_NUMBER() OVER (ORDER BY n, lang, source) AS i,
+             CAST(CAST(round((CAST(n AS DOUBLE) / (SELECT t FROM t))
+                             * ln(CAST((SELECT t FROM t) AS DOUBLE) / n), 6)
+                  AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS e
+      FROM c),
+    s AS (
+      SELECT COALESCE(SUM(CAST(i AS HUGEINT) * n), 0) AS s1,
+             COALESCE(SUM(e), 0) AS se,
+             COALESCE(MAX(n), 0) AS mx,
+             COUNT(*)::HUGEINT AS k
+      FROM r)
+    SELECT k::BIGINT AS n_groups,
+           (SELECT t FROM t)::BIGINT AS n_rows,
+           CAST(CAST(mx AS HUGEINT) * 1000000
+                // greatest((SELECT t FROM t), 1) AS BIGINT) AS top_share_ppm,
+           CAST((2 * s1 - (k + 1) * (SELECT t FROM t)) * 1000000
+                // greatest(k * (SELECT t FROM t), 1) AS BIGINT) AS gini_ppm,
+           CAST(se AS BIGINT) AS entropy_me6,
+           CAST(least(CAST(se AS HUGEINT) * 1000000
+                // greatest(CAST(CAST(round(ln(CAST(greatest(k, 1) AS DOUBLE)), 6)
+                                 AS DECIMAL(28,6)) * 1000000 AS BIGINT), 1),
+                1000000) AS BIGINT) AS entropy_norm_ppm
+    FROM s
+    """,
+)
+def q285_corpus_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.textstats import balance_card
+
+    return balance_card(_t(spark, sf_dir, "documents"), ["lang", "source"])
+
+
+# --------------------------------------------------------------------- #
+# Mixture-redundancy matrix (textstats.group_term_cosine): cosine
+# similarity between per-source term-frequency vectors — which mixture
+# components say the same things. Exact-integer dots/norms; IEEE sqrt
+# is correctly rounded in both engines, so round-6 cosine is
+# bit-portable.
+# --------------------------------------------------------------------- #
+@query(
+    "q286_group_similarity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source AS g, unnest({_T}) AS term
+      FROM documents WHERE source IS NOT NULL),
+    cgw AS (
+      SELECT g, term, COUNT(*)::BIGINT AS c
+      FROM toks GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    norms AS (
+      SELECT g, SUM(CAST(c AS HUGEINT) * c) AS n2 FROM cgw GROUP BY 1)
+    SELECT a.g AS group_a, b.g AS group_b,
+           COUNT(*)::BIGINT AS n_shared_terms,
+           round(CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+                 6) AS cosine
+    FROM cgw a JOIN cgw b ON a.term = b.term AND a.g < b.g
+    JOIN norms na ON na.g = a.g
+    JOIN norms nb ON nb.g = b.g
+    GROUP BY a.g, b.g, na.n2, nb.n2
+    ORDER BY group_a, group_b
+    """,
+)
+def q286_group_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.textstats import group_term_cosine
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_term_cosine(docs, "source", "text", min_count=2).orderBy(
+        "group_a", "group_b"
+    )
+
+
+# --------------------------------------------------------------------- #
+# Annotation-agreement card (textstats.agreement_card): Cohen's kappa
+# of the lang-ID heuristic against the gold lang label — the
+# beats-chance scalar behind q278's confusion matrix. Exact-integer
+# po/pe; kappa is one double division of exact integers, round 6.
+# --------------------------------------------------------------------- #
+@query(
+    "q287_agreement_kappa",
+    oracle=f"""
+    WITH p AS (
+      SELECT lang AS gold,
+             CASE WHEN {_SCORE['qy']} > greatest({_SCORE['dt']}, {_SCORE['en']}, 0) THEN 'qy'
+                  WHEN {_SCORE['en']} > greatest({_SCORE['dt']}, 0) THEN 'en'
+                  WHEN {_SCORE['dt']} > 0 THEN 'dt'
+                  ELSE 'und' END AS pred
+      FROM documents),
+    cm AS (SELECT gold, pred, COUNT(*)::BIGINT AS n FROM p GROUP BY 1, 2),
+    t AS (
+      SELECT CAST(COALESCE(SUM(n), 0) AS HUGEINT) AS t,
+             CAST(COALESCE(SUM(CASE WHEN gold IS NOT DISTINCT FROM pred
+                                    THEN n ELSE 0 END), 0) AS HUGEINT) AS d
+      FROM cm),
+    rm AS (SELECT gold AS l, CAST(SUM(n) AS HUGEINT) AS rn FROM cm GROUP BY 1),
+    cl AS (SELECT pred AS l, CAST(SUM(n) AS HUGEINT) AS cn FROM cm GROUP BY 1),
+    pe AS (
+      SELECT COALESCE(SUM(rn * cn), 0) AS pe
+      FROM rm JOIN cl ON rm.l IS NOT DISTINCT FROM cl.l)
+    SELECT t::BIGINT AS n_rows, d::BIGINT AS n_agree,
+           CAST(d * 1000000 // greatest(t, 1) AS BIGINT) AS po_ppm,
+           CAST(pe * 1000000 // greatest(t * t, 1) AS BIGINT) AS pe_ppm,
+           CASE WHEN t * t - pe = 0 THEN NULL
+                ELSE round(CAST(t * d - pe AS DOUBLE)
+                           / CAST(t * t - pe AS DOUBLE), 6) END AS kappa
+    FROM t CROSS JOIN pe
+    """,
+)
+def q287_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.textstats import agreement_card
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", tx.lang_id("text").alias("lang_pred")
+    )
+    return agreement_card(docs, "lang", "lang_pred")
+
+
+# --------------------------------------------------------------------- #
+# Zipf rank-frequency fit (textstats.zipf_card): OLS of ln(count) on
+# ln(rank) over the top-100 vocabulary — the power-law corpus-health
+# line. Per-row fixed-point ln (round 6, the PSI discipline) makes
+# every cross-row OLS sum an exact integer in both engines; the
+# slope/intercept/r² divisions are single double ops of exact ints.
+# --------------------------------------------------------------------- #
+@query(
+    "q288_zipf_fit",
+    oracle=f"""
+    WITH vc AS (
+      SELECT t AS term, COUNT(*)::BIGINT AS c
+      FROM (SELECT unnest({_T}) AS t FROM documents) GROUP BY 1),
+    top AS (SELECT term, c FROM vc ORDER BY c DESC, term LIMIT 100),
+    rk AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS r FROM top),
+    pts AS (
+      SELECT CAST(CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(28,6))
+                  * 1000000 AS BIGINT) AS x,
+             CAST(CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(28,6))
+                  * 1000000 AS BIGINT) AS y
+      FROM rk),
+    s AS (
+      SELECT COUNT(*)::HUGEINT AS k,
+             COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS sx,
+             COALESCE(SUM(CAST(y AS HUGEINT)), 0) AS sy,
+             COALESCE(SUM(CAST(x AS HUGEINT) * y), 0) AS sxy,
+             COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS sxx,
+             COALESCE(SUM(CAST(y AS HUGEINT) * y), 0) AS syy
+      FROM pts)
+    SELECT k::BIGINT AS n_terms,
+           CASE WHEN k * sxx - sx * sx = 0 THEN NULL
+                ELSE round(CAST(k * sxy - sx * sy AS DOUBLE)
+                           / CAST(k * sxx - sx * sx AS DOUBLE), 6)
+           END AS slope,
+           CASE WHEN k * sxx - sx * sx = 0 THEN NULL
+                ELSE round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                           / CAST(k * sxx - sx * sx AS DOUBLE) / 1e6, 6)
+           END AS intercept,
+           CASE WHEN k * sxx - sx * sx = 0 OR k * syy - sy * sy = 0 THEN NULL
+                ELSE round((CAST(k * sxy - sx * sy AS DOUBLE)
+                            * CAST(k * sxy - sx * sy AS DOUBLE))
+                           / (CAST(k * sxx - sx * sx AS DOUBLE)
+                              * CAST(k * syy - sy * sy AS DOUBLE)), 6)
+           END AS r2
+    FROM s
+    """,
+)
+def q288_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.textstats import zipf_card
+
+    return zipf_card(_t(spark, sf_dir, "documents"), "text", top_n=100)
+
+
+# --------------------------------------------------------------------- #
+# Robust per-group outlier card (select.grouped_mad_outliers): median /
+# MAD / |x−med| > 3·MAD screen over doc length per language — BOTH
+# quantile passes through the two-level grouped_weighted_quantiles, so
+# no group-sized window even for continuous values. The oracle's naive
+# window cumsum is equivalent (integer den·cum >= num·n boundary pick).
+# --------------------------------------------------------------------- #
+@query(
+    "q289_mad_outliers",
+    oracle="""
+    WITH cv AS (
+      SELECT lang, n_chars AS v, COUNT(*)::BIGINT AS w
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+    c1 AS (
+      SELECT lang, v, w,
+             SUM(w) OVER (PARTITION BY lang ORDER BY v) AS cw,
+             SUM(w) OVER (PARTITION BY lang) AS n
+      FROM cv),
+    med AS (SELECT lang, MIN(v) AS median FROM c1 WHERE 2 * cw >= n GROUP BY 1),
+    cvm AS (
+      SELECT cv.lang, cv.v, cv.w, m.median, abs(cv.v - m.median) AS dev
+      FROM cv JOIN med m ON cv.lang = m.lang),
+    dv AS (SELECT lang, dev, CAST(SUM(w) AS BIGINT) AS w FROM cvm GROUP BY 1, 2),
+    c2 AS (
+      SELECT lang, dev, w,
+             SUM(w) OVER (PARTITION BY lang ORDER BY dev) AS cw,
+             SUM(w) OVER (PARTITION BY lang) AS n
+      FROM dv),
+    mad AS (SELECT lang, MIN(dev) AS mad FROM c2 WHERE 2 * cw >= n GROUP BY 1)
+    SELECT cvm.lang,
+           CAST(SUM(w) AS BIGINT) AS n_rows,
+           MAX(median) AS median,
+           MAX(mad.mad) AS mad,
+           CAST(SUM(CASE WHEN dev > 3 * mad.mad THEN w ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(CAST(SUM(CASE WHEN dev > 3 * mad.mad THEN w ELSE 0 END)
+                     AS HUGEINT) * 1000000
+                // greatest(SUM(w), 1) AS BIGINT) AS outlier_ppm
+    FROM cvm JOIN mad ON cvm.lang = mad.lang
+    GROUP BY cvm.lang
+    """,
+)
+def q289_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import grouped_mad_outliers
+
+    docs = _t(spark, sf_dir, "documents")
+    return grouped_mad_outliers(docs, "lang", "n_chars", k=3, n_groups_hint=8)
+
+
+# --------------------------------------------------------------------- #
+# Streaming k-anonymity monitor (streaming.ops.uniqueness_stream): the
+# online twin of q284 — per-batch combo-count partials (additive; a
+# combo's k-class legitimately migrates as twins arrive, which is why
+# the sink stores combo counts and never pre-classified rollups) with
+# (run_id, batch_id) replay markers; the drained card equals the batch
+# card EXACTLY, so the oracle is q284's.
+# --------------------------------------------------------------------- #
+@query(
+    "q290_stream_uniqueness",
+    oracle="""
+    WITH q AS (
+      SELECT lang, source, least(9, n_chars // 64) AS lb FROM documents),
+    combos AS (
+      SELECT lang, source, lb, COUNT(*)::BIGINT AS k
+      FROM q GROUP BY 1, 2, 3),
+    agg AS (
+      SELECT CASE WHEN k = 1 THEN '1' WHEN k <= 4 THEN '2-4'
+                  ELSE '5+' END AS k_class,
+             COUNT(*)::BIGINT AS n_combos,
+             CAST(SUM(k) AS BIGINT) AS n_rows
+      FROM combos GROUP BY 1),
+    base AS (SELECT unnest(['1', '2-4', '5+']) AS k_class),
+    t AS (SELECT COUNT(*)::BIGINT AS tot FROM documents)
+    SELECT b.k_class,
+           COALESCE(n_combos, 0) AS n_combos,
+           COALESCE(n_rows, 0) AS n_rows,
+           CAST(CAST(COALESCE(n_rows, 0) AS HUGEINT) * 1000000
+                // greatest(tot, 1) AS BIGINT) AS row_share_ppm
+    FROM base b LEFT JOIN agg USING (k_class) CROSS JOIN t
+    """,
+)
+def q290_stream_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.streaming.ops import stream_events, uniqueness_stream
+
+    src = stream_events(spark, f"{sf_dir}/documents.parquet").select(
+        "lang",
+        "source",
+        F.least(F.lit(9), F.expr("n_chars div 64")).alias("lb"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkdab_uniq_")
+    return uniqueness_stream(
+        src, ["lang", "source", "lb"], f"{tmp}/out", f"{tmp}/ckpt"
+    )

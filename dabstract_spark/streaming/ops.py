@@ -1253,3 +1253,66 @@ def drift_monitor_stream(
         .agg(F.sum("n").alias("n_b"))
     )
     return drift_from_counts(ref_counts, merged, bucket_col)
+
+
+def uniqueness_stream(
+    doc_stream: DataFrame,
+    quasi_cols: list[str],
+    out_path: str,
+    checkpoint: str,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming k-anonymity monitor — the ONLINE twin of
+    ``textstats.uniqueness_audit``: each micro-batch appends its
+    per-combo partial counts to the sink, and the live card is
+    ``uniqueness_from_combos`` of the merge-by-sum — "alarm when the
+    share of re-identifiable (k=1) rows in the corpus-so-far crosses
+    the threshold", maintained without ever rescanning the corpus.
+
+    Combo counts are additive partials, so for any micro-batch
+    boundaries the merged sink equals the one-shot count and the
+    drained card equals the batch card EXACTLY — note the k-CLASS of a
+    combo legitimately migrates as data arrives (a combo unique in
+    batch 0 stops being k=1 when batch 3 adds its twin), which is
+    precisely why the sink stores per-combo counts and NEVER
+    pre-classified rollups (class counts are not additive; combo
+    counts are). The card arithmetic is ``uniqueness_from_combos``
+    VERBATIM — one audit recipe for both twins. Replay safety mirrors
+    drift_monitor_stream: every partial carries (run_id =
+    digest(checkpoint path), batch_id) and the read dedups (run_id,
+    batch_id, combo) before summing — idempotent per micro-batch. The
+    same checkpoint/sink lifecycle-pairing caveat applies."""
+    import hashlib
+
+    from dabstract_spark.operators.textstats import uniqueness_from_combos
+
+    if not quasi_cols:
+        raise ValueError("uniqueness_stream needs at least one quasi column")
+    run_id = hashlib.md5(str(checkpoint).encode()).hexdigest()[:16]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    sink = _drain_foreach_batch(
+        doc_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "uniqueness_stream",
+    )
+    merged = (
+        sink.dropDuplicates(["run_id", "batch_id", *quasi_cols])
+        .groupBy(*quasi_cols)
+        .agg(F.sum("n").alias("__k"))
+    )
+    return uniqueness_from_combos(merged)

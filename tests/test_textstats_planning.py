@@ -407,3 +407,223 @@ def test_uniqueness_audit_known_answer_and_total_card(spark):
     nulls = spark.createDataFrame([(None,), (None,)], "u string")
     nc = {r.k_class: r for r in uniqueness_audit(nulls, ["u"]).collect()}
     assert nc["2-4"].n_rows == 2 and nc["1"].n_rows == 0
+
+
+def test_balance_card_known_answer_and_empty(spark):
+    """Gini/entropy on a hand-built [1, 3] mixture; perfectly even
+    mixture reads gini 0 / evenness 10⁶; empty corpus still emits one
+    zero-filled card row (the datasheet contract)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    from math import log
+
+    from dabstract_spark.operators.textstats import balance_card
+
+    def me6(x: float) -> int:
+        # Spark round(double, 6) goes through the shortest decimal repr
+        # (BigDecimal.valueOf), which Python's repr() mirrors
+        return int(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+            * 1_000_000
+        )
+
+    rows = [("a",)] + [("b",)] * 3
+    card = balance_card(
+        spark.createDataFrame(rows, "g string"), ["g"]
+    ).collect()[0]
+    assert (card.n_groups, card.n_rows, card.top_share_ppm) == (2, 4, 750_000)
+    # sorted sizes [1, 3]: (2·(1·1 + 2·3) − 3·4)·10⁶ div (2·4)
+    assert card.gini_ppm == (2 * 7 - 3 * 4) * 10**6 // 8
+    want_e = me6(0.25 * log(4.0)) + me6(0.75 * log(4.0 / 3.0))
+    assert card.entropy_me6 == want_e
+    assert card.entropy_norm_ppm == want_e * 10**6 // me6(log(2.0))
+
+    even = balance_card(
+        spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "g string"),
+        ["g"],
+    ).collect()[0]
+    assert even.gini_ppm == 0
+    assert even.entropy_norm_ppm == 1_000_000
+
+    empty = balance_card(
+        spark.createDataFrame([], "g string"), ["g"]
+    ).collect()
+    assert len(empty) == 1
+    assert tuple(empty[0]) == (0, 0, 0, 0, 0, 0)
+
+
+def test_group_term_cosine_known_answer(spark):
+    """Hand-checkable dot/norms; disjoint-vocabulary pairs do not emit
+    (cosine exactly 0); NULL groups excluded."""
+    from dabstract_spark.operators.textstats import group_term_cosine
+
+    df = spark.createDataFrame(
+        [
+            ("ga", "x x y"),
+            ("gb", "x y y"),
+            ("gc", "z z z"),
+            (None, "x y z"),
+        ],
+        "g string, text string",
+    )
+    out = {
+        (r.group_a, r.group_b): r
+        for r in group_term_cosine(df, "g", "text").collect()
+    }
+    # ga=(x:2, y:1), gb=(x:1, y:2): dot 4, norms √5·√5 -> 0.8
+    assert set(out) == {("ga", "gb")}
+    assert out[("ga", "gb")].n_shared_terms == 2
+    assert out[("ga", "gb")].cosine == 0.8
+    # identical distributions -> cosine 1.0
+    ident = spark.createDataFrame(
+        [("p", "u v v"), ("q", "u u v v v v")], "g string, text string"
+    )
+    row = group_term_cosine(ident, "g", "text").collect()[0]
+    assert row.cosine == 1.0
+
+
+def test_agreement_kappa_known_answer(spark):
+    """Classic 2×2 kappa: po=0.7, pe=0.5 -> kappa 0.4; NULL labels
+    agree null-safely; constant-and-equal columns -> kappa NULL."""
+    from dabstract_spark.operators.textstats import agreement_card
+
+    rows = (
+        [("a", "a")] * 20
+        + [("a", "b")] * 5
+        + [("b", "a")] * 10
+        + [("b", "b")] * 15
+    )
+    card = agreement_card(
+        spark.createDataFrame(rows, "gold string, pred string"), "gold", "pred"
+    ).collect()[0]
+    assert (card.n_rows, card.n_agree) == (50, 35)
+    assert (card.po_ppm, card.pe_ppm) == (700_000, 500_000)
+    assert card.kappa == 0.4
+
+    nulls = spark.createDataFrame(
+        [(None, None), ("a", "a"), ("a", None)], "gold string, pred string"
+    )
+    nc = agreement_card(nulls, "gold", "pred").collect()[0]
+    assert nc.n_agree == 2  # (NULL, NULL) agrees
+
+    const = spark.createDataFrame([("a", "a")] * 3, "gold string, pred string")
+    cc = agreement_card(const, "gold", "pred").collect()[0]
+    assert cc.kappa is None and cc.po_ppm == 1_000_000
+
+
+def test_zipf_card_exact_two_point_fit(spark):
+    """Counts (4, 2) at ranks (1, 2) sit EXACTLY on slope −1 in ln-ln
+    space (4/2 == 2/1), so the fixed-point OLS reads slope −1.0,
+    intercept ln(4), r² 1.0 bit-exactly; a 1-term corpus fits nothing."""
+    from dabstract_spark.operators.textstats import zipf_card
+
+    df = spark.createDataFrame([("aa aa aa aa bb bb",)], "text string")
+    card = zipf_card(df, "text").collect()[0]
+    assert card.n_terms == 2
+    assert card.slope == -1.0
+    assert card.intercept == 1.386294  # round(ln 4, 6)
+    assert card.r2 == 1.0
+
+    solo = zipf_card(
+        spark.createDataFrame([("aa aa",)], "text string"), "text"
+    ).collect()[0]
+    assert solo.n_terms == 1
+    assert solo.slope is None and solo.intercept is None and solo.r2 is None
+
+
+def test_mad_outliers_known_answer_and_naive_window_equiv(spark):
+    """Hand-built group: median/MAD boundary picks and the 3·MAD screen;
+    then the two-level form must equal the naive per-group window
+    cumsum on a many-distinct-values table (the q194 law, extended to
+    the dev pass)."""
+    from dabstract_spark.operators.select import grouped_mad_outliers
+
+    rows = [("g", 1), ("g", 1), ("g", 2), ("g", 3), ("g", 100), ("g", None)]
+    card = grouped_mad_outliers(
+        spark.createDataFrame(rows, "g string, v int"), "g", "v", k=3
+    ).collect()[0]
+    # values [1,1,2,3,100]: median 2 (2·cum≥5 at v=2), devs [1,1,0,1,98]
+    # -> MAD 1, outliers where dev > 3: the 100 row only
+    assert (card.n_rows, card.median, card.mad) == (5, 2, 1)
+    assert (card.n_outliers, card.outlier_ppm) == (1, 200_000)
+
+    base = spark.range(500).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 37) % 101).cast("int").alias("v"),
+    )
+    base.createOrReplaceTempView("__madbase")
+    want = {
+        (r.g, r.n_rows, r.median, r.mad, r.n_outliers, r.outlier_ppm)
+        for r in spark.sql(
+            """
+            WITH cv AS (SELECT g, v, COUNT(*) AS w FROM __madbase
+                        WHERE v IS NOT NULL GROUP BY 1, 2),
+            c1 AS (SELECT g, v, w,
+                          SUM(w) OVER (PARTITION BY g ORDER BY v) AS cw,
+                          SUM(w) OVER (PARTITION BY g) AS n FROM cv),
+            med AS (SELECT g, MIN(v) AS median FROM c1
+                    WHERE 2 * cw >= n GROUP BY 1),
+            cvm AS (SELECT cv.g, cv.v, cv.w, m.median,
+                           abs(cv.v - m.median) AS dev
+                    FROM cv JOIN med m ON cv.g = m.g),
+            dv AS (SELECT g, dev, SUM(w) AS w FROM cvm GROUP BY 1, 2),
+            c2 AS (SELECT g, dev, w,
+                          SUM(w) OVER (PARTITION BY g ORDER BY dev) AS cw,
+                          SUM(w) OVER (PARTITION BY g) AS n FROM dv),
+            mad AS (SELECT g, MIN(dev) AS mad FROM c2
+                    WHERE 2 * cw >= n GROUP BY 1)
+            SELECT cvm.g, CAST(SUM(w) AS BIGINT) AS n_rows,
+                   MAX(median) AS median, MAX(mad.mad) AS mad,
+                   CAST(SUM(CASE WHEN dev > 3 * mad.mad THEN w ELSE 0 END)
+                        AS BIGINT) AS n_outliers,
+                   CAST(CAST(SUM(CASE WHEN dev > 3 * mad.mad THEN w
+                                      ELSE 0 END) AS DECIMAL(38,0)) * 1000000
+                        div CAST(greatest(SUM(w), 1) AS DECIMAL(38,0))
+                        AS BIGINT) AS outlier_ppm
+            FROM cvm JOIN mad ON cvm.g = mad.g GROUP BY cvm.g
+            """
+        ).collect()
+    }
+    got = {
+        (r.g, r.n_rows, r.median, r.mad, r.n_outliers, r.outlier_ppm)
+        for r in grouped_mad_outliers(
+            base, "g", "v", k=3, n_groups_hint=8
+        ).collect()
+    }
+    assert got == want and len(got) == 3
+
+
+def test_uniqueness_stream_equals_batch_and_survives_replay(spark, tmp_path):
+    """uniqueness_stream drained over a bounded backlog equals the batch
+    uniqueness_audit card exactly (combo counts are additive even as a
+    combo's k-class migrates across batches), and a replayed micro-batch
+    append is absorbed by the (run_id, batch_id, combo) dedup."""
+    from dabstract_spark.operators.textstats import uniqueness_audit
+    from dabstract_spark.session import load_table
+    from dabstract_spark.streaming.ops import stream_events, uniqueness_stream
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, SF, "documents")
+    quasi = ["lang", "source", "lb"]
+    proj = docs.select(
+        "lang", "source", F.least(F.lit(9), F.expr("n_chars div 64")).alias("lb")
+    )
+    want = sorted(tuple(r) for r in uniqueness_audit(proj, quasi).collect())
+
+    src = stream_events(spark, f"{SF}/documents.parquet").select(
+        "lang", "source", F.least(F.lit(9), F.expr("n_chars div 64")).alias("lb")
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    got = sorted(
+        tuple(r) for r in uniqueness_stream(src, quasi, out, ckpt).collect()
+    )
+    assert got == want and len(want) == 3
+
+    # at-least-once replay: re-append one batch partial verbatim
+    spark.read.parquet(out).limit(1).write.mode("append").parquet(out)
+    got2 = sorted(
+        tuple(r)
+        for r in uniqueness_stream(src.limit(0), quasi, out, ckpt).collect()
+    )
+    assert got2 == want

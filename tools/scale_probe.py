@@ -875,6 +875,35 @@ def main():
             ),
             "lb",
         ),
+        # r9: balance card — one map-side-combined mixture count, then
+        # everything on the n_groups-row table; flat to scan cost
+        "balance_card": lambda d: ts.balance_card(
+            d.select("lang", "source"), ["lang", "source"]
+        ),
+        # r9: group-pair TF cosine — vocab-sized count shuffles + a
+        # term-keyed self-join whose fan-out is bounded by n_groups²
+        # (sources fixed at 20; the bijection copies grow the vocab)
+        "group_cosine": lambda d: ts.group_term_cosine(
+            d, "source", "text", min_count=2
+        ),
+        # r9: kappa card — scan-fused lang_id + one confusion-matrix-
+        # sized count; flat to scan cost
+        "agreement_kappa": lambda d: ts.agreement_card(
+            d.select("lang", tx.lang_id("text").alias("p")), "lang", "p"
+        ),
+        # r9: Zipf OLS — vocab count + constant-bounded top-100 heap
+        "zipf_fit": lambda d: ts.zipf_card(d, "text", top_n=100),
+        # r9: robust MAD card — BOTH quantile passes through the
+        # two-level machinery over a continuous value (text length:
+        # distinct count ~ rows), collapsed table checkpointed so the
+        # corpus is scanned ONCE (was 28 scans composed naively)
+        "mad_outliers": lambda d: sel.grouped_mad_outliers(
+            d.select("lang", F.length("text").alias("v")),
+            "lang",
+            "v",
+            k=3,
+            n_groups_hint=8,
+        ),
     }
     probe_block(ts_probes, ts_base, "doc_id", uniquify=fuzzy_uniquify)
 
