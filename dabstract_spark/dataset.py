@@ -910,6 +910,27 @@ class Dataset:
 
         return grouped_mad_outliers(self._df, group_key, value_col, k=k, **kw)
 
+    def mutual_info(self, key_a: str, key_b: str):
+        """Mutual-information card between two categorical columns (see
+        textstats.mutual_info_card)."""
+        from dabstract_spark.operators.textstats import mutual_info_card
+
+        return mutual_info_card(self._df, key_a, key_b)
+
+    def centroid_shift(self, other: "Dataset", label_key: str, vec_col: str = "embedding"):
+        """Per-label embedding-centroid drift of this dataset vs
+        ``other`` (see similarity.centroid_shift)."""
+        from dabstract_spark.operators.similarity import centroid_shift
+
+        return centroid_shift(self._df, other._df, label_key, vec_col)
+
+    def source_dup_matrix(self, group_key: str, key: str = "text", **kw):
+        """Cross-group exact-duplicate / key-overlap matrix (see
+        dedup.source_dup_matrix)."""
+        from dabstract_spark.operators.dedup import source_dup_matrix
+
+        return source_dup_matrix(self._df, ROW_ID, key, group_key, **kw)
+
     def budget_allocation(
         self, group_key: str, token_col, total_budget: int, max_repeat: int = 1
     ):

@@ -1099,3 +1099,91 @@ def kcenter_select(
     # checkpoint generation is dead too
     _release(prev_chk)
     return spark.createDataFrame(selected, schema)
+
+
+def centroid_shift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding-centroid drift between two snapshots — the
+    representation-monitoring card a pipeline reads after re-embedding
+    a corpus (model upgrade, preprocessing change): did each label's
+    mean vector MOVE (l2) or ROTATE (cosine)? One row per label present
+    on BOTH sides: ``n_a``, ``n_b``, ``cosine`` of the two centroids,
+    ``l2`` distance between them.
+
+    Portability: elements are fixed-pointed to micro-units per row (the
+    ``embedding_covariance`` encode — round 6 through DECIMAL so the
+    ×10⁶ is exact), per-(label, dim) SUMS are exact DECIMAL(38,0)
+    integers, and each centroid coordinate is the truncating integral
+    division ``sum div n`` (Spark ``divideToIntegralValue`` == DuckDB
+    ``//``, both toward zero for signed sums — verified). Cosine is
+    scale-invariant so it reads the truncated means directly; dot/norm
+    sums are exact integers with one correctly-rounded sqrt each, and
+    ``l2`` = one sqrt of an exact integer, /10⁶, round 6 — every
+    cross-row sum exact, bit-portable. NULL vectors are excluded (no
+    magnitude); NULL labels are real labels (null-safe join). Vectors
+    must share a fixed dimension by contract (the embeddings-table
+    schema).
+
+    Scale shape: each side is ONE scan → posexplode → (label, dim)
+    map-side-combined sum (≤ n_labels×dim rows); the join, means, and
+    the per-label rollup all run on that bounded table. No per-pair
+    work, no driver collect.
+    """
+    dec = "DECIMAL(38,0)"
+    enc = lambda c: (  # noqa: E731
+        F.round(c.cast("double"), 6).cast("decimal(18,6)") * F.lit(1000000)
+    ).cast("bigint")
+
+    def side(df: DataFrame, s: str, n: str) -> DataFrame:
+        e = df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(label_col).alias("__l"), F.transform(vec_col, enc).alias("__e")
+        )
+        x = e.select("__l", F.posexplode("__e").alias("__i", "__x"))
+        return x.groupBy("__l", "__i").agg(
+            F.expr(f"CAST(sum(__x) AS {dec})").alias(s),
+            F.count(F.lit(1)).alias(n),
+        )
+
+    a = side(df_a, "__sa", "__na")
+    b = (
+        side(df_b, "__sb", "__nb")
+        .withColumnRenamed("__l", "__lb")
+        .withColumnRenamed("__i", "__ib")
+    )
+    j = (
+        a.join(
+            b,
+            a["__l"].eqNullSafe(F.col("__lb")) & (a["__i"] == F.col("__ib")),
+        )
+        .withColumn("__ma", F.expr("__sa div __na"))
+        .withColumn("__mb", F.expr("__sb div __nb"))
+    )
+    return (
+        j.groupBy("__l")
+        .agg(
+            F.max("__na").cast("bigint").alias("n_a"),
+            F.max("__nb").cast("bigint").alias("n_b"),
+            F.expr("sum(__ma * __mb)").alias("__dot"),
+            F.expr("sum(__ma * __ma)").alias("__n2a"),
+            F.expr("sum(__mb * __mb)").alias("__n2b"),
+            F.expr("sum((__ma - __mb) * (__ma - __mb))").alias("__d2"),
+        )
+        .select(
+            F.col("__l").alias(label_col),
+            "n_a",
+            "n_b",
+            F.expr(
+                "CASE WHEN __n2a = 0 OR __n2b = 0 THEN NULL"
+                " ELSE round(CAST(__dot AS DOUBLE)"
+                " / (sqrt(CAST(__n2a AS DOUBLE)) * sqrt(CAST(__n2b AS DOUBLE))), 6)"
+                " END"
+            ).alias("cosine"),
+            F.expr(
+                "round(sqrt(CAST(__d2 AS DOUBLE)) / 1e6, 6)"
+            ).alias("l2"),
+        )
+    )

@@ -560,11 +560,22 @@ def balance_card(df: DataFrame, group_cols: list[str]) -> DataFrame:
     ``budget_allocation``. NULL group values count like values (a
     lost-label component is still a component).
     """
-    from pyspark.sql.window import Window
-
     if not group_cols:
         raise ValueError("balance_card needs at least one group column")
     counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    return balance_from_counts(counts, group_cols)
+
+
+def balance_from_counts(counts: DataFrame, group_cols: list[str]) -> DataFrame:
+    """The Gini/entropy half of ``balance_card`` over a PRE-COUNTED
+    (group..., __n) table — the ONE concentration recipe shared by the
+    batch card and the streaming monitor's merged-sink read
+    (``streaming.ops.balance_stream``), the ``drift_from_counts``
+    discipline: mixture counts are additive, so merge-by-sum of
+    per-batch partials equals the one-shot count for any micro-batch
+    boundaries and the two twins can never diverge."""
+    from pyspark.sql.window import Window
+
     tot = counts.agg(
         F.coalesce(F.sum("__n"), F.lit(0)).alias("__t"),
         F.count(F.lit(1)).alias("__g"),
@@ -826,4 +837,92 @@ def zipf_card(df: DataFrame, text_col: str, top_n: int = 100) -> DataFrame:
             f" round((CAST({num} AS DOUBLE) * CAST({num} AS DOUBLE))"
             f" / (CAST({den} AS DOUBLE) * CAST({vary} AS DOUBLE)), 6) END"
         ).alias("r2"),
+    )
+
+
+def mutual_info_card(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    association-strength scalar next to ``agreement_card`` (kappa asks
+    "do these two LABELINGS of the same space agree"; MI asks "how much
+    does knowing one column tell you about the other", and works across
+    DIFFERENT label spaces — lang vs source, domain vs quality tier:
+    the redundancy read before adding a metadata column to a mixture
+    key). One card row: ``n_rows``, ``n_cells`` (non-zero contingency
+    cells), ``mi_me6`` (MI in integer micro-nats), ``h_a_me6`` /
+    ``h_b_me6`` (marginal entropies), and ``nmi_ppm`` (MI as ppm of
+    ``min(H_a, H_b)``, clamped to [0, 10⁶]).
+
+    Portability is the balance_card discipline: each cell's
+    ``(n_xy/N)·ln(N·n_xy / (n_x·n_y))`` and each marginal's
+    ``(n_x/N)·ln(N/n_x)`` is fixed-pointed to 6 decimals BEFORE the
+    cross-row sum (one libm call per row of a contingency-sized table),
+    so every sum is an exact integer in both engines. Cell terms are
+    legitimately negative (observed < expected); the SUM is >= 0
+    mathematically, and the ppm ratio clamps the residual fixed-point
+    jitter. NULL labels count like values (the kappa contract).
+
+    Scale shape: ONE map-side-combined (a, b) count is the only
+    data-sized shuffle; marginals and all three sums fold from the
+    #classes_a×#classes_b-row cell table.
+    """
+    cm = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    tot = cm.agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("__t"))
+    rm = cm.groupBy("__a").agg(F.sum("__n").alias("__na"))
+    cmb = cm.groupBy("__b").agg(F.sum("__n").alias("__nb"))
+    me6 = (
+        "CAST(CAST(round({expr}, 6) AS DECIMAL(28,6)) * 1000000 AS BIGINT)"
+    )
+    cells = (
+        cm.join(rm, cm["__a"].eqNullSafe(rm["__a"])).drop(rm["__a"])
+        .join(cmb, cm["__b"].eqNullSafe(cmb["__b"])).drop(cmb["__b"])
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__mi",
+            F.expr(
+                me6.format(
+                    expr="(CAST(__n AS DOUBLE) / __t)"
+                    " * ln((CAST(__t AS DOUBLE) * __n)"
+                    " / (CAST(__na AS DOUBLE) * __nb))"
+                )
+            ),
+        )
+    )
+    ent = "(CAST({m} AS DOUBLE) / __t) * ln(CAST(__t AS DOUBLE) / {m})"
+    ha = (
+        rm.crossJoin(F.broadcast(tot))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr(me6.format(expr=ent.format(m="__na")))), F.lit(0)
+            ).alias("__ha")
+        )
+    )
+    hb = (
+        cmb.crossJoin(F.broadcast(tot))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr(me6.format(expr=ent.format(m="__nb")))), F.lit(0)
+            ).alias("__hb")
+        )
+    )
+    mi = cells.agg(
+        F.coalesce(F.sum("__mi"), F.lit(0)).alias("__mi"),
+        F.count(F.lit(1)).alias("__cells"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.col("__t").cast("bigint").alias("n_rows"),
+            F.col("__cells").cast("bigint").alias("n_cells"),
+            F.col("__mi").cast("bigint").alias("mi_me6"),
+            F.col("__ha").cast("bigint").alias("h_a_me6"),
+            F.col("__hb").cast("bigint").alias("h_b_me6"),
+            F.expr(
+                "CAST(least(greatest(__mi, 0) * 1000000"
+                " div greatest(least(__ha, __hb), 1), 1000000) AS BIGINT)"
+            ).alias("nmi_ppm"),
+        )
     )

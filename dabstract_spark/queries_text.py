@@ -7115,3 +7115,200 @@ def q290_stream_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uniqueness_stream(
         src, ["lang", "source", "lb"], f"{tmp}/out", f"{tmp}/ckpt"
     )
+
+
+# --------------------------------------------------------------------- #
+# Streaming mixture-balance monitor (streaming.ops.balance_stream): the
+# online twin of q285 — per-batch group-count partials (additive) with
+# (run_id, batch_id) replay markers; the drained card equals the batch
+# card exactly, so the oracle is q285's.
+# --------------------------------------------------------------------- #
+@query(
+    "q291_stream_balance",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, COUNT(*)::BIGINT AS n
+      FROM documents GROUP BY 1, 2),
+    t AS (
+      SELECT CAST(COALESCE(SUM(n), 0) AS HUGEINT) AS t,
+             COUNT(*)::HUGEINT AS g FROM c),
+    r AS (
+      SELECT n,
+             ROW_NUMBER() OVER (ORDER BY n, lang, source) AS i,
+             CAST(CAST(round((CAST(n AS DOUBLE) / (SELECT t FROM t))
+                             * ln(CAST((SELECT t FROM t) AS DOUBLE) / n), 6)
+                  AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS e
+      FROM c),
+    s AS (
+      SELECT COALESCE(SUM(CAST(i AS HUGEINT) * n), 0) AS s1,
+             COALESCE(SUM(e), 0) AS se,
+             COALESCE(MAX(n), 0) AS mx,
+             COUNT(*)::HUGEINT AS k
+      FROM r)
+    SELECT k::BIGINT AS n_groups,
+           (SELECT t FROM t)::BIGINT AS n_rows,
+           CAST(CAST(mx AS HUGEINT) * 1000000
+                // greatest((SELECT t FROM t), 1) AS BIGINT) AS top_share_ppm,
+           CAST((2 * s1 - (k + 1) * (SELECT t FROM t)) * 1000000
+                // greatest(k * (SELECT t FROM t), 1) AS BIGINT) AS gini_ppm,
+           CAST(se AS BIGINT) AS entropy_me6,
+           CAST(least(CAST(se AS HUGEINT) * 1000000
+                // greatest(CAST(CAST(round(ln(CAST(greatest(k, 1) AS DOUBLE)), 6)
+                                 AS DECIMAL(28,6)) * 1000000 AS BIGINT), 1),
+                1000000) AS BIGINT) AS entropy_norm_ppm
+    FROM s
+    """,
+)
+def q291_stream_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.streaming.ops import balance_stream, stream_events
+
+    src = stream_events(spark, f"{sf_dir}/documents.parquet").select(
+        "lang", "source"
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkdab_bal_")
+    return balance_stream(
+        src, ["lang", "source"], f"{tmp}/out", f"{tmp}/ckpt"
+    )
+
+
+# --------------------------------------------------------------------- #
+# Embedding centroid-shift card (similarity.centroid_shift): per-label
+# mean-vector drift between two snapshots (even vs odd vec_id — a
+# re-embedded half against the original half). Exact per-(label, dim)
+# micro-unit sums; truncating integral division for the centroid
+# coordinates (Spark div == DuckDB // toward zero for signed sums);
+# one correctly-rounded sqrt per output scalar.
+# --------------------------------------------------------------------- #
+@query(
+    "q292_centroid_shift",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label,
+             CAST(j - 1 AS INT) AS i,
+             CAST(CAST(round(embedding[j]::DOUBLE, 6) AS DECIMAL(28,6))
+                  * 1000000 AS BIGINT) AS xi
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(j)),
+    a AS (
+      SELECT label, i, CAST(SUM(xi) AS HUGEINT) AS sa,
+             COUNT(*)::HUGEINT AS na
+      FROM x WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+    b AS (
+      SELECT label, i, CAST(SUM(xi) AS HUGEINT) AS sb,
+             COUNT(*)::HUGEINT AS nb
+      FROM x WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+    j AS (
+      SELECT a.label, sa // na AS ma, sb // nb AS mb, na, nb
+      FROM a JOIN b ON a.label IS NOT DISTINCT FROM b.label AND a.i = b.i),
+    g AS (
+      SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+             SUM(ma * mb) AS dot, SUM(ma * ma) AS n2a,
+             SUM(mb * mb) AS n2b,
+             SUM((ma - mb) * (ma - mb)) AS d2
+      FROM j GROUP BY 1)
+    SELECT label, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           CASE WHEN n2a = 0 OR n2b = 0 THEN NULL
+                ELSE round(CAST(dot AS DOUBLE)
+                           / (sqrt(CAST(n2a AS DOUBLE))
+                              * sqrt(CAST(n2b AS DOUBLE))), 6) END AS cosine,
+           round(sqrt(CAST(d2 AS DOUBLE)) / 1e6, 6) AS l2
+    FROM g
+    """,
+)
+def q292_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.centroid_shift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        "label",
+        "embedding",
+    )
+
+
+# --------------------------------------------------------------------- #
+# Mutual-information card (textstats.mutual_info_card): how much the
+# source column tells you about the language — the association read
+# BETWEEN different label spaces (kappa needs one space), the
+# redundancy check before adding a metadata column to a mixture key.
+# Per-cell fixed-point terms => exact integer sums in both engines.
+# --------------------------------------------------------------------- #
+@query(
+    "q293_mutual_info",
+    oracle="""
+    WITH cm AS (
+      SELECT lang AS a, source AS b, COUNT(*)::BIGINT AS n
+      FROM documents GROUP BY 1, 2),
+    t AS (SELECT CAST(COALESCE(SUM(n), 0) AS HUGEINT) AS t FROM cm),
+    rm AS (SELECT a, CAST(SUM(n) AS HUGEINT) AS na FROM cm GROUP BY 1),
+    cb AS (SELECT b, CAST(SUM(n) AS HUGEINT) AS nb FROM cm GROUP BY 1),
+    cells AS (
+      SELECT CAST(CAST(round((CAST(n AS DOUBLE) / (SELECT t FROM t))
+                    * ln((CAST((SELECT t FROM t) AS DOUBLE) * n)
+                         / (CAST(na AS DOUBLE) * nb)), 6)
+               AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS mi
+      FROM cm JOIN rm ON cm.a IS NOT DISTINCT FROM rm.a
+              JOIN cb ON cm.b IS NOT DISTINCT FROM cb.b),
+    mi AS (SELECT COALESCE(SUM(mi), 0) AS mi, COUNT(*)::BIGINT AS cells
+           FROM cells),
+    ha AS (SELECT COALESCE(SUM(CAST(CAST(round(
+             (CAST(na AS DOUBLE) / (SELECT t FROM t))
+             * ln(CAST((SELECT t FROM t) AS DOUBLE) / na), 6)
+             AS DECIMAL(28,6)) * 1000000 AS BIGINT)), 0) AS ha FROM rm),
+    hb AS (SELECT COALESCE(SUM(CAST(CAST(round(
+             (CAST(nb AS DOUBLE) / (SELECT t FROM t))
+             * ln(CAST((SELECT t FROM t) AS DOUBLE) / nb), 6)
+             AS DECIMAL(28,6)) * 1000000 AS BIGINT)), 0) AS hb FROM cb)
+    SELECT (SELECT t FROM t)::BIGINT AS n_rows,
+           cells AS n_cells,
+           CAST(mi AS BIGINT) AS mi_me6,
+           CAST(ha AS BIGINT) AS h_a_me6,
+           CAST(hb AS BIGINT) AS h_b_me6,
+           CAST(least(CAST(greatest(mi, 0) AS HUGEINT) * 1000000
+                // greatest(least(ha, hb), 1), 1000000) AS BIGINT) AS nmi_ppm
+    FROM mi CROSS JOIN ha CROSS JOIN hb
+    """,
+)
+def q293_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.textstats import mutual_info_card
+
+    return mutual_info_card(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+# --------------------------------------------------------------------- #
+# Cross-source chunk-overlap matrix (dedup.source_dup_matrix over
+# chunk_text digests): which source PAIRS share 16-token content
+# windows — the syndication/boilerplate redundancy matrix, the
+# document-level complement of q286's term cosine. One (group, chunk)
+# DISTINCT + a digest-keyed self-join bounded by n_groups² per digest.
+# --------------------------------------------------------------------- #
+@query(
+    "q294_source_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_T} AS t FROM documents),
+    st AS (SELECT doc_id, source, t,
+                  unnest(generate_series(1, greatest(len(t), 1), 8)) AS s
+           FROM toks),
+    ch AS (SELECT doc_id, source, s, t[s : s + 15] AS c FROM st),
+    dg AS (
+      SELECT DISTINCT source AS g, md5(array_to_string(c, ' ')) AS d
+      FROM ch WHERE len(c) = 16 OR s = 1),
+    sizes AS (SELECT g, COUNT(*)::BIGINT AS nd FROM dg GROUP BY 1)
+    SELECT a.g AS group_a, b.g AS group_b,
+           COUNT(*)::BIGINT AS n_shared,
+           CAST(CAST(COUNT(*) AS HUGEINT) * 1000000
+                // greatest(least(sa.nd, sb.nd), 1) AS BIGINT) AS overlap_ppm
+    FROM dg a JOIN dg b ON a.d = b.d AND a.g < b.g
+    JOIN sizes sa ON sa.g = a.g
+    JOIN sizes sb ON sb.g = b.g
+    GROUP BY a.g, b.g, sa.nd, sb.nd
+    """,
+)
+def q294_source_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    chunks = tx.chunk_text(docs, "doc_id", "text", window=16, stride=8).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return dd.source_dup_matrix(
+        chunks, "doc_id", "text", "source", key=F.col("chunk_md5")
+    )

@@ -1316,3 +1316,60 @@ def uniqueness_stream(
         .agg(F.sum("n").alias("__k"))
     )
     return uniqueness_from_combos(merged)
+
+
+def balance_stream(
+    doc_stream: DataFrame,
+    group_cols: list[str],
+    out_path: str,
+    checkpoint: str,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming mixture-balance monitor — the ONLINE twin of
+    ``textstats.balance_card``: each micro-batch appends its per-group
+    partial counts to the sink, and the live one-row card is
+    ``balance_from_counts`` of the merge-by-sum — "alarm when the
+    corpus-so-far's Gini / top-component share crosses the threshold",
+    maintained without rescanning the corpus. Mixture counts are
+    additive partials, so for any micro-batch boundaries the merged
+    sink equals the one-shot count and the drained card equals the
+    batch card EXACTLY. The card arithmetic is ``balance_from_counts``
+    VERBATIM — one concentration recipe for both twins. Replay safety
+    mirrors drift_monitor_stream: partials carry (run_id =
+    digest(checkpoint path), batch_id) and the read dedups (run_id,
+    batch_id, group) before summing. The same checkpoint/sink
+    lifecycle-pairing caveat applies."""
+    import hashlib
+
+    from dabstract_spark.operators.textstats import balance_from_counts
+
+    if not group_cols:
+        raise ValueError("balance_stream needs at least one group column")
+    run_id = hashlib.md5(str(checkpoint).encode()).hexdigest()[:16]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    sink = _drain_foreach_batch(
+        doc_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "balance_stream",
+    )
+    merged = (
+        sink.dropDuplicates(["run_id", "batch_id", *group_cols])
+        .groupBy(*group_cols)
+        .agg(F.sum("n").alias("__n"))
+    )
+    return balance_from_counts(merged, group_cols)

@@ -627,3 +627,119 @@ def test_uniqueness_stream_equals_batch_and_survives_replay(spark, tmp_path):
         for r in uniqueness_stream(src.limit(0), quasi, out, ckpt).collect()
     )
     assert got2 == want
+
+
+def test_balance_stream_equals_batch_and_survives_replay(spark, tmp_path):
+    """balance_stream drained over a bounded backlog equals the batch
+    balance_card exactly (mixture counts are additive), and a replayed
+    micro-batch append is absorbed by the (run_id, batch_id, group)
+    dedup."""
+    from dabstract_spark.operators.textstats import balance_card
+    from dabstract_spark.session import load_table
+    from dabstract_spark.streaming.ops import balance_stream, stream_events
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, SF, "documents")
+    want = [tuple(r) for r in balance_card(docs, ["lang", "source"]).collect()]
+
+    src = stream_events(spark, f"{SF}/documents.parquet").select("lang", "source")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    got = [
+        tuple(r)
+        for r in balance_stream(src, ["lang", "source"], out, ckpt).collect()
+    ]
+    assert got == want and len(want) == 1
+
+    spark.read.parquet(out).limit(1).write.mode("append").parquet(out)
+    got2 = [
+        tuple(r)
+        for r in balance_stream(
+            src.limit(0), ["lang", "source"], out, ckpt
+        ).collect()
+    ]
+    assert got2 == want
+
+
+def test_centroid_shift_known_answer_and_truncation(spark):
+    """Orthogonal / identical centroids; the centroid coordinate is the
+    TRUNCATING integral division (toward zero, the DuckDB // semantics),
+    pinned on both a positive and a negative non-exact mean."""
+    from dabstract_spark.operators.similarity import centroid_shift
+
+    def emb(rows):
+        return spark.createDataFrame(rows, "label int, embedding array<float>")
+
+    a = emb([(0, [1.0, 0.0]), (1, [1.0, 0.0]), (1, [0.0, 0.0]), (1, [0.0, 0.0]),
+             (2, [-1.0, 0.0]), (2, [0.0, 0.0]), (2, [0.0, 0.0])])
+    b = emb([(0, [0.0, 1.0]), (1, [1.0, 0.0]), (2, [0.0, 0.0])])
+    out = {r.label: r for r in centroid_shift(a, b, "label", "embedding").collect()}
+    # label 0: orthogonal unit centroids
+    assert out[0].cosine == 0.0 and out[0].l2 == 1.414214
+    # label 1: mean_a = 1/3 -> 333333 µ (truncated), mean_b = 1.0
+    assert out[1].cosine == 1.0 and out[1].l2 == 0.666667
+    assert (out[1].n_a, out[1].n_b) == (3, 1)
+    # label 2: mean_a = -1/3 -> -333333 µ (toward ZERO, not floor);
+    # b centroid is the origin -> cosine undefined, l2 = 0.333333
+    assert out[2].cosine is None and out[2].l2 == 0.333333
+
+    same = centroid_shift(a, a, "label", "embedding").collect()
+    assert all(r.l2 == 0.0 for r in same)
+    assert all(r.cosine in (1.0, None) for r in same)
+
+
+def test_mutual_info_known_answer(spark):
+    """Perfectly dependent columns read MI = ln 2 = min-entropy (NMI
+    10⁶); independent columns read MI 0; NULL labels count like
+    values."""
+    from dabstract_spark.operators.textstats import mutual_info_card
+
+    dep = spark.createDataFrame(
+        [("x", "x"), ("x", "x"), ("y", "y"), ("y", "y")], "a string, b string"
+    )
+    card = mutual_info_card(dep, "a", "b").collect()[0]
+    assert card.n_rows == 4 and card.n_cells == 2
+    # 2 cells × me6(0.5·ln 2) = 2·346574: the per-term fixed point
+    # rounds UP at the 6th decimal, so the sum reads ln 2 + 1 µnat
+    assert card.mi_me6 == card.h_a_me6 == card.h_b_me6 == 693148
+    assert card.nmi_ppm == 1_000_000
+
+    ind = spark.createDataFrame(
+        [("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")], "a string, b string"
+    )
+    icard = mutual_info_card(ind, "a", "b").collect()[0]
+    assert icard.mi_me6 == 0 and icard.nmi_ppm == 0 and icard.n_cells == 4
+
+    nulls = spark.createDataFrame(
+        [(None, "u"), (None, "u"), ("y", "v"), ("y", "v")], "a string, b string"
+    )
+    ncard = mutual_info_card(nulls, "a", "b").collect()[0]
+    assert ncard.mi_me6 == 693148  # NULL is a real class, fully dependent
+
+
+def test_source_dup_matrix_exact_and_custom_key(spark):
+    """Normalized-content digests shared across groups; containment
+    denominator is the SMALLER side's distinct-digest count; a custom
+    key column overrides the content digest."""
+    from dabstract_spark.operators.dedup import source_dup_matrix
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", "Same Text"),
+            (2, "A", "only a"),
+            (3, "B", "same   text  "),
+            (4, "C", "unique c"),
+            (5, None, "same text"),
+        ],
+        "doc_id long, src string, text string",
+    )
+    out = source_dup_matrix(df, "doc_id", "text", "src").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.group_a, r.group_b, r.n_shared) == ("A", "B", 1)
+    assert r.overlap_ppm == 1_000_000  # B's 1 digest fully contained
+
+    keyed = source_dup_matrix(
+        df, "doc_id", "text", "src", key=F.length("text") % 2
+    ).collect()
+    # parity-of-length key: every group shares a key with some other
+    assert all(row.n_shared >= 1 for row in keyed) and len(keyed) >= 1

@@ -310,6 +310,16 @@ def main():
         "jl_project": lambda e: __import__(
             "dabstract_spark.operators.similarity", fromlist=["jl_project"]
         ).jl_project(e, "vec_id", "embedding", in_dim=64, out_dim=16),
+        # r9: centroid-shift card — two scans to (label, dim) map-side
+        # sums, everything after on the ≤ n_labels×dim table; linear
+        "centroid_shift": lambda e: __import__(
+            "dabstract_spark.operators.similarity", fromlist=["centroid_shift"]
+        ).centroid_shift(
+            e.filter(F.col("vec_id") % 2 == 0),
+            e.filter(F.col("vec_id") % 2 == 1),
+            "label",
+            "embedding",
+        ),
         # ...and max_bucket is the production guard that bounds it
         "embedding_neardup_cap": lambda e: embedding_neardup_pairs(
             e, threshold=0.8, n_bits=8, dim=64, seed=0, exact=False, max_bucket=64
@@ -903,6 +913,23 @@ def main():
             "v",
             k=3,
             n_groups_hint=8,
+        ),
+        # r9: MI card — one (a, b) count, everything after on the
+        # contingency-sized table; flat to scan cost
+        "mutual_info": lambda d: ts.mutual_info_card(d, "lang", "source"),
+        # r9: cross-source chunk-overlap matrix — one (group, chunk)
+        # DISTINCT + digest-keyed self-join bounded by n_groups² per
+        # digest (bijection copies grow the chunk vocabulary honestly)
+        "source_overlap_matrix": lambda d: __import__(
+            "dabstract_spark.operators.dedup", fromlist=["source_dup_matrix"]
+        ).source_dup_matrix(
+            tx.chunk_text(d, "doc_id", "text", window=16, stride=8).join(
+                d.select("doc_id", "source"), "doc_id"
+            ),
+            "doc_id",
+            "text",
+            "source",
+            key=F.col("chunk_md5"),
         ),
     }
     probe_block(ts_probes, ts_base, "doc_id", uniquify=fuzzy_uniquify)
