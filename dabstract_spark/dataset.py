@@ -910,6 +910,20 @@ class Dataset:
 
         return grouped_mad_outliers(self._df, group_key, value_col, k=k, **kw)
 
+    def term_burstiness(self, key: str = "text", **kw):
+        """Most bursty terms by the Church-Gale variance-to-mean ratio
+        (see textstats.term_burstiness)."""
+        from dabstract_spark.operators.textstats import term_burstiness
+
+        return term_burstiness(self._df, ROW_ID, key, **kw)
+
+    def cluster_purity(self, cluster_key: str, label_key: str):
+        """Purity + NMI clustering-quality card against gold labels
+        (see textstats.cluster_purity)."""
+        from dabstract_spark.operators.textstats import cluster_purity
+
+        return cluster_purity(self._df, cluster_key, label_key)
+
     def mutual_info(self, key_a: str, key_b: str):
         """Mutual-information card between two categorical columns (see
         textstats.mutual_info_card)."""

@@ -1133,24 +1133,49 @@ def centroid_shift(
     the per-label rollup all run on that bounded table. No per-pair
     work, no driver collect.
     """
+    a = centroid_sums(df_a, label_col, vec_col, "__sa", "__na")
+    b = centroid_sums(df_b, label_col, vec_col, "__sb", "__nb")
+    return centroid_shift_from_sums(a, b, label_col)
+
+
+def centroid_sums(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    s: str = "__s",
+    n: str = "__n",
+) -> DataFrame:
+    """The per-(label, dim) exact micro-unit sum half of
+    ``centroid_shift`` — (label __l, dim __i, DECIMAL(38,0) sum ``s``,
+    count ``n``). ADDITIVE partials (the drift_from_counts argument):
+    merge-by-sum over any split of the rows equals the one-shot sums,
+    which is what makes the streaming twin
+    (``streaming.ops.centroid_shift_stream``) exact for any
+    micro-batch boundaries."""
     dec = "DECIMAL(38,0)"
     enc = lambda c: (  # noqa: E731
         F.round(c.cast("double"), 6).cast("decimal(18,6)") * F.lit(1000000)
     ).cast("bigint")
+    e = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(label_col).alias("__l"), F.transform(vec_col, enc).alias("__e")
+    )
+    x = e.select("__l", F.posexplode("__e").alias("__i", "__x"))
+    return x.groupBy("__l", "__i").agg(
+        F.expr(f"CAST(sum(__x) AS {dec})").alias(s),
+        F.count(F.lit(1)).alias(n),
+    )
 
-    def side(df: DataFrame, s: str, n: str) -> DataFrame:
-        e = df.filter(F.col(vec_col).isNotNull()).select(
-            F.col(label_col).alias("__l"), F.transform(vec_col, enc).alias("__e")
-        )
-        x = e.select("__l", F.posexplode("__e").alias("__i", "__x"))
-        return x.groupBy("__l", "__i").agg(
-            F.expr(f"CAST(sum(__x) AS {dec})").alias(s),
-            F.count(F.lit(1)).alias(n),
-        )
 
-    a = side(df_a, "__sa", "__na")
+def centroid_shift_from_sums(
+    a: DataFrame, b: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """The join/means/rollup half of ``centroid_shift`` over two
+    PRE-SUMMED (label __l, dim __i, sum, count) tables (``a`` columns
+    __sa/__na, ``b`` columns __sb/__nb) — the ONE drift recipe shared
+    by the batch card and the streaming monitor's merged-sink read, so
+    the twins can never diverge."""
     b = (
-        side(df_b, "__sb", "__nb")
+        b
         .withColumnRenamed("__l", "__lb")
         .withColumnRenamed("__i", "__ib")
     )

@@ -868,6 +868,15 @@ def mutual_info_card(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     cm = df.groupBy(
         F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
     ).agg(F.count(F.lit(1)).alias("__n"))
+    return mutual_info_from_counts(cm)
+
+
+def mutual_info_from_counts(cm: DataFrame) -> DataFrame:
+    """The MI/entropy half of ``mutual_info_card`` over a PRE-COUNTED
+    (__a, __b, __n) contingency table — shared with ``cluster_purity``
+    so a compute-heavy assignment table is contingency-collapsed ONCE
+    and both the purity pick and the MI sums fold from the same cell
+    table."""
     tot = cm.agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("__t"))
     rm = cm.groupBy("__a").agg(F.sum("__n").alias("__na"))
     cmb = cm.groupBy("__b").agg(F.sum("__n").alias("__nb"))
@@ -924,5 +933,113 @@ def mutual_info_card(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
                 "CAST(least(greatest(__mi, 0) * 1000000"
                 " div greatest(least(__ha, __hb), 1), 1000000) AS BIGINT)"
             ).alias("nmi_ppm"),
+        )
+    )
+
+
+def term_burstiness(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 20,
+    min_count: int = 10,
+) -> DataFrame:
+    """Most BURSTY terms by the Church-Gale variance-to-mean ratio of
+    per-document counts over ALL documents (zeros included) — the
+    within-corpus clumping read next to ``term_dispersion``'s
+    across-group concentration: a term at VMR 10⁶ arrives Poisson
+    (background vocabulary); far above it the term clumps into few
+    documents (topical/boilerplate — and a bursty high-frequency term
+    is a dedup/boilerplate lead, not a stopword).
+
+        vmr = var/mean = (N·Σx² − c_w²) / (N·c_w)
+
+    over per-doc counts x with N = corpus document count and c_w = Σx —
+    the absent-document zeros fold in algebraically (Σx² over PRESENT
+    docs only; never a doc × vocab cross table), and the statistic is
+    one exact-integer ppm (DECIMAL(38,0)). Returns the ``top_k`` most
+    bursty terms with c_w >= ``min_count``: (term, total_cnt, n_docs,
+    vmr_ppm), ordered vmr desc, cnt desc, term asc — a total order.
+
+    Scale shape: (doc, term) counts with map-side combine, a
+    vocabulary-keyed rollup to (term, Σx, Σx², n_docs), one 1-row
+    document-count broadcast, and the audited two-level
+    ``select.top_k_per_group`` (constant group) — no window ever
+    exceeds the vocabulary.
+    """
+    from dabstract_spark.operators.select import top_k_per_group
+
+    dec = "DECIMAL(38,0)"
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("term")
+    )
+    per_doc = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("__x"))
+    nn = df.agg(F.count(F.lit(1)).alias("__nd"))
+    scored = (
+        per_doc.groupBy("term")
+        .agg(
+            F.expr(f"CAST(sum(__x) AS {dec})").alias("__cw"),
+            F.expr(f"CAST(sum(CAST(__x AS {dec}) * __x) AS {dec})").alias(
+                "__sx2"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("__cw") >= int(min_count))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "term",
+            F.col("__cw").cast("bigint").alias("total_cnt"),
+            "n_docs",
+            F.expr(
+                f"CAST((CAST(__nd AS {dec}) * __sx2 - __cw * __cw) * 1000000"
+                f" div greatest(CAST(__nd AS {dec}) * __cw, 1) AS BIGINT)"
+            ).alias("vmr_ppm"),
+        )
+    )
+    return top_k_per_group(
+        scored.withColumn("__one", F.lit(0)),
+        ["__one"],
+        [F.desc("vmr_ppm"), F.desc("total_cnt"), F.asc("term")],
+        k=top_k,
+    ).select("term", "total_cnt", "n_docs", "vmr_ppm")
+
+
+def cluster_purity(df: DataFrame, cluster_col: str, label_col: str) -> DataFrame:
+    """Clustering-quality card against gold labels — purity plus the
+    ``mutual_info_card`` NMI in one row: the eval a pipeline reads
+    after an IVF/k-means assignment to decide whether the clusters are
+    usable as a stratification key. ``purity_ppm`` = Σ_cluster
+    (majority-label count) ·10⁶ div N — exact integers end-to-end;
+    ``nmi_ppm`` is the fixed-point mutual information of the same
+    contingency (the mutual_info_card recipe VERBATIM via
+    composition). NULL clusters/labels count like values.
+
+    Scale shape: ONE (cluster, label) map-side-combined count; the
+    majority pick and both entropies fold from the contingency-sized
+    cell table (per-cluster max over ≤ n_labels rows each).
+    """
+    cm = df.groupBy(
+        F.col(cluster_col).alias("__c"), F.col(label_col).alias("__l")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    per_c = cm.groupBy("__c").agg(F.max("__n").alias("__maj"))
+    pur = per_c.agg(
+        F.coalesce(F.sum("__maj"), F.lit(0)).alias("__p"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    labs = cm.groupBy("__l").agg(F.lit(1).alias("__one")).agg(
+        F.count(F.lit(1)).alias("__nl")
+    )
+    mi = mutual_info_from_counts(
+        cm.select(F.col("__c").alias("__a"), F.col("__l").alias("__b"), "__n")
+    ).select(F.col("n_rows"), F.col("nmi_ppm"))
+    return (
+        mi.crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(labs))
+        .select(
+            "n_rows",
+            F.col("__k").cast("bigint").alias("n_clusters"),
+            F.col("__nl").cast("bigint").alias("n_labels"),
+            _ppm("__p", "n_rows").alias("purity_ppm"),
+            "nmi_ppm",
         )
     )

@@ -7312,3 +7312,163 @@ def q294_source_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.source_dup_matrix(
         chunks, "doc_id", "text", "source", key=F.col("chunk_md5")
     )
+
+
+# --------------------------------------------------------------------- #
+# Term burstiness (textstats.term_burstiness): Church-Gale variance-to-
+# mean ratio of per-doc counts, zeros folded algebraically — the
+# within-corpus clumping read (VMR 10⁶ = Poisson background; far above
+# = topical/boilerplate clump, a dedup lead). Exact-integer VMR ppm.
+# --------------------------------------------------------------------- #
+@query(
+    "q295_term_burstiness",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_T}) AS term FROM documents),
+    pd AS (SELECT doc_id, term, COUNT(*)::BIGINT AS x
+           FROM tok GROUP BY 1, 2),
+    nn AS (SELECT COUNT(*)::HUGEINT AS nd FROM documents),
+    sc AS (
+      SELECT term, CAST(SUM(x) AS HUGEINT) AS cw,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sx2,
+             COUNT(*)::BIGINT AS n_docs
+      FROM pd GROUP BY 1 HAVING SUM(x) >= 10)
+    SELECT term, CAST(cw AS BIGINT) AS total_cnt, n_docs,
+           CAST((nd * sx2 - cw * cw) * 1000000
+                // greatest(nd * cw, 1) AS BIGINT) AS vmr_ppm
+    FROM sc CROSS JOIN nn
+    ORDER BY vmr_ppm DESC, total_cnt DESC, term
+    LIMIT 20
+    """,
+)
+def q295_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.textstats import term_burstiness
+
+    return term_burstiness(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", top_k=20, min_count=10
+    )
+
+
+# --------------------------------------------------------------------- #
+# Streaming centroid-shift monitor (streaming.ops.centroid_shift_stream):
+# the online twin of q292 — per-batch (label, dim) exact micro-unit sum
+# partials (additive, so NO float ever crosses a batch boundary) with
+# (run_id, batch_id) replay markers; the drained card equals the batch
+# card exactly, so the oracle is q292's.
+# --------------------------------------------------------------------- #
+@query(
+    "q296_stream_centroid",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label,
+             CAST(j - 1 AS INT) AS i,
+             CAST(CAST(round(embedding[j]::DOUBLE, 6) AS DECIMAL(28,6))
+                  * 1000000 AS BIGINT) AS xi
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(j)),
+    a AS (
+      SELECT label, i, CAST(SUM(xi) AS HUGEINT) AS sa,
+             COUNT(*)::HUGEINT AS na
+      FROM x WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+    b AS (
+      SELECT label, i, CAST(SUM(xi) AS HUGEINT) AS sb,
+             COUNT(*)::HUGEINT AS nb
+      FROM x WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+    j AS (
+      SELECT a.label, sa // na AS ma, sb // nb AS mb, na, nb
+      FROM a JOIN b ON a.label IS NOT DISTINCT FROM b.label AND a.i = b.i),
+    g AS (
+      SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+             SUM(ma * mb) AS dot, SUM(ma * ma) AS n2a,
+             SUM(mb * mb) AS n2b,
+             SUM((ma - mb) * (ma - mb)) AS d2
+      FROM j GROUP BY 1)
+    SELECT label, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           CASE WHEN n2a = 0 OR n2b = 0 THEN NULL
+                ELSE round(CAST(dot AS DOUBLE)
+                           / (sqrt(CAST(n2a AS DOUBLE))
+                              * sqrt(CAST(n2b AS DOUBLE))), 6) END AS cosine,
+           round(sqrt(CAST(d2 AS DOUBLE)) / 1e6, 6) AS l2
+    FROM g
+    """,
+)
+def q296_stream_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.operators.similarity import centroid_sums
+    from dabstract_spark.streaming.ops import centroid_shift_stream, stream_events
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = centroid_sums(
+        emb.filter(F.col("vec_id") % 2 == 0), "label", "embedding"
+    )
+    src = stream_events(spark, f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") % 2 == 1
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkdab_cshift_")
+    return centroid_shift_stream(
+        src, ref, "label", "embedding", f"{tmp}/out", f"{tmp}/ckpt"
+    )
+
+
+# --------------------------------------------------------------------- #
+# Cluster-purity eval card (textstats.cluster_purity over q80's IVF
+# assignment): purity + fixed-point NMI of (centroid_id, label) — the
+# "are these clusters usable as a stratification key" read. The
+# contingency collapse happens ONCE (mutual_info_from_counts shares the
+# cell table with the majority pick).
+# --------------------------------------------------------------------- #
+@query(
+    "q297_cluster_purity",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, e.label, c.cid, {_cos_sql('e.embedding', 'c.cvec')} AS sim
+      FROM embeddings e CROSS JOIN cent c),
+    asg AS (
+      SELECT vec_id, label, cid FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1),
+    cm AS (SELECT cid, label, COUNT(*)::BIGINT AS n FROM asg GROUP BY 1, 2),
+    t AS (SELECT CAST(COALESCE(SUM(n), 0) AS HUGEINT) AS t FROM cm),
+    pur AS (
+      SELECT COALESCE(SUM(maj), 0) AS p, COUNT(*)::BIGINT AS k
+      FROM (SELECT cid, MAX(n) AS maj FROM cm GROUP BY 1)),
+    labs AS (SELECT COUNT(DISTINCT label)::BIGINT AS nl FROM cm),
+    rm AS (SELECT cid, CAST(SUM(n) AS HUGEINT) AS na FROM cm GROUP BY 1),
+    cb AS (SELECT label, CAST(SUM(n) AS HUGEINT) AS nb FROM cm GROUP BY 1),
+    cells AS (
+      SELECT CAST(CAST(round((CAST(n AS DOUBLE) / (SELECT t FROM t))
+                    * ln((CAST((SELECT t FROM t) AS DOUBLE) * n)
+                         / (CAST(na AS DOUBLE) * nb)), 6)
+               AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS mi
+      FROM cm JOIN rm ON cm.cid IS NOT DISTINCT FROM rm.cid
+              JOIN cb ON cm.label IS NOT DISTINCT FROM cb.label),
+    mi AS (SELECT COALESCE(SUM(mi), 0) AS mi FROM cells),
+    ha AS (SELECT COALESCE(SUM(CAST(CAST(round(
+             (CAST(na AS DOUBLE) / (SELECT t FROM t))
+             * ln(CAST((SELECT t FROM t) AS DOUBLE) / na), 6)
+             AS DECIMAL(28,6)) * 1000000 AS BIGINT)), 0) AS ha FROM rm),
+    hb AS (SELECT COALESCE(SUM(CAST(CAST(round(
+             (CAST(nb AS DOUBLE) / (SELECT t FROM t))
+             * ln(CAST((SELECT t FROM t) AS DOUBLE) / nb), 6)
+             AS DECIMAL(28,6)) * 1000000 AS BIGINT)), 0) AS hb FROM cb)
+    SELECT (SELECT t FROM t)::BIGINT AS n_rows,
+           k AS n_clusters, nl AS n_labels,
+           CAST(CAST(p AS HUGEINT) * 1000000
+                // greatest((SELECT t FROM t), 1) AS BIGINT) AS purity_ppm,
+           CAST(least(CAST(greatest(mi, 0) AS HUGEINT) * 1000000
+                // greatest(least(ha, hb), 1), 1000000) AS BIGINT) AS nmi_ppm
+    FROM pur CROSS JOIN labs CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
+    """,
+)
+def q297_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.textstats import cluster_purity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(emb, n_centroids=8)
+    asg = sim.ivf_assign(emb, cents).select("vec_id", "centroid_id")
+    # lineage-truncate the compute-heavy assignment: the purity pick and
+    # the MI sums both read the SAME contingency collapse of it
+    labeled = asg.join(
+        emb.select("vec_id", "label"), "vec_id"
+    ).localCheckpoint(eager=False)
+    return cluster_purity(labeled, "centroid_id", "label")

@@ -1373,3 +1373,74 @@ def balance_stream(
         .agg(F.sum("n").alias("__n"))
     )
     return balance_from_counts(merged, group_cols)
+
+
+def centroid_shift_stream(
+    vec_stream: DataFrame,
+    ref_sums: DataFrame,
+    label_col: str,
+    vec_col: str,
+    out_path: str,
+    checkpoint: str,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming representation-drift monitor — the ONLINE twin of
+    ``similarity.centroid_shift``: each micro-batch of incoming vectors
+    appends its per-(label, dim) partial micro-unit sums to the sink,
+    and the live card is ``centroid_shift_from_sums`` of the static
+    reference sums vs the merge-by-sum — "alarm when a label's
+    incoming-traffic centroid moves off the reference corpus", after a
+    model upgrade or a feed change, without rescanning anything.
+
+    The partials are ``similarity.centroid_sums`` VERBATIM (exact
+    DECIMAL(38,0) integer sums + counts), which are ADDITIVE — so for
+    any micro-batch boundaries the merged sink equals the one-shot
+    sums and the drained card equals the batch card EXACTLY, the
+    strongest form of the twin guarantee (no floats ever cross a batch
+    boundary). ``ref_sums`` is the (label, dim) table from
+    ``centroid_sums(ref_df, label, vec)`` — the caller computes it
+    once from the frozen reference. Replay safety mirrors
+    drift_monitor_stream: partials carry (run_id = digest(checkpoint
+    path), batch_id) and the read dedups (run_id, batch_id, label,
+    dim) before summing. The same checkpoint/sink lifecycle-pairing
+    caveat applies."""
+    import hashlib
+
+    from dabstract_spark.operators.similarity import (
+        centroid_shift_from_sums,
+        centroid_sums,
+    )
+
+    run_id = hashlib.md5(str(checkpoint).encode()).hexdigest()[:16]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            centroid_sums(batch_df, label_col, vec_col, "s", "n")
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    sink = _drain_foreach_batch(
+        vec_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "centroid_shift_stream",
+    )
+    merged = (
+        sink.dropDuplicates(["run_id", "batch_id", "__l", "__i"])
+        .groupBy("__l", "__i")
+        .agg(
+            F.expr("CAST(sum(s) AS DECIMAL(38,0))").alias("__sb"),
+            F.sum("n").alias("__nb"),
+        )
+    )
+    a = ref_sums.withColumnRenamed(
+        ref_sums.columns[2], "__sa"
+    ).withColumnRenamed(ref_sums.columns[3], "__na")
+    return centroid_shift_from_sums(a, merged, label_col)

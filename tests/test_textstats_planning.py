@@ -743,3 +743,84 @@ def test_source_dup_matrix_exact_and_custom_key(spark):
     ).collect()
     # parity-of-length key: every group shares a key with some other
     assert all(row.n_shared >= 1 for row in keyed) and len(keyed) >= 1
+
+
+def test_term_burstiness_known_answer(spark):
+    """A term clumped into one doc reads VMR = (N·Σx²−c²)/(N·c) exactly;
+    a perfectly spread once-per-doc term reads 0 (variance-free)."""
+    from dabstract_spark.operators.textstats import term_burstiness
+
+    df = spark.createDataFrame(
+        [
+            (1, "b b b b e"),
+            (2, "e"),
+            (3, "e"),
+            (4, "e"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.term: r for r in term_burstiness(df, "doc_id", "text", top_k=5, min_count=4).collect()}
+    # b: x=[4], c=4, Σx²=16, N=4 -> (64-16)*1e6 // 16 = 3e6
+    assert (out["b"].total_cnt, out["b"].n_docs) == (4, 1)
+    assert out["b"].vmr_ppm == 3_000_000
+    # e: once per doc -> zero variance
+    assert (out["e"].total_cnt, out["e"].n_docs, out["e"].vmr_ppm) == (4, 4, 0)
+
+
+def test_centroid_stream_equals_batch_and_survives_replay(spark, tmp_path):
+    """centroid_shift_stream drained over a bounded backlog equals the
+    batch centroid_shift card exactly (micro-unit sums are additive, so
+    NO float crosses a batch boundary), and a replayed append is
+    absorbed by the (run_id, batch_id, label, dim) dedup."""
+    from dabstract_spark.operators.similarity import centroid_shift, centroid_sums
+    from dabstract_spark.streaming.ops import centroid_shift_stream, stream_events
+
+    SF = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ref_df = emb.filter(F.col("vec_id") % 2 == 0)
+    inc_df = emb.filter(F.col("vec_id") % 2 == 1)
+    want = sorted(
+        tuple(r) for r in centroid_shift(ref_df, inc_df, "label", "embedding").collect()
+    )
+    ref = centroid_sums(ref_df, "label", "embedding")
+    src = stream_events(spark, f"{SF}/embeddings.parquet").filter(
+        F.col("vec_id") % 2 == 1
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    got = sorted(
+        tuple(r)
+        for r in centroid_shift_stream(
+            src, ref, "label", "embedding", out, ckpt
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+
+    spark.read.parquet(out).limit(1).write.mode("append").parquet(out)
+    got2 = sorted(
+        tuple(r)
+        for r in centroid_shift_stream(
+            src.limit(0), ref, "label", "embedding", out, ckpt
+        ).collect()
+    )
+    assert got2 == want
+
+
+def test_cluster_purity_known_answer(spark):
+    """Majority-label purity on a hand-built assignment; perfect
+    clusters read purity = NMI = 10⁶."""
+    from dabstract_spark.operators.textstats import cluster_purity
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "b"), (2, "b")],
+        "c int, l string",
+    )
+    card = cluster_purity(df, "c", "l").collect()[0]
+    assert (card.n_rows, card.n_clusters, card.n_labels) == (5, 2, 2)
+    assert card.purity_ppm == 4 * 10**6 // 5
+    assert 0 < card.nmi_ppm < 1_000_000
+
+    perfect = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "b")], "c int, l string"
+    )
+    p = cluster_purity(perfect, "c", "l").collect()[0]
+    assert p.purity_ppm == 1_000_000 and p.nmi_ppm == 1_000_000

@@ -917,6 +917,11 @@ def main():
         # r9: MI card — one (a, b) count, everything after on the
         # contingency-sized table; flat to scan cost
         "mutual_info": lambda d: ts.mutual_info_card(d, "lang", "source"),
+        # r9: burstiness — (doc, term) counts then a vocab-keyed rollup;
+        # the bijection copies grow the vocabulary honestly
+        "term_burstiness": lambda d: ts.term_burstiness(
+            d, "doc_id", "text", top_k=15, min_count=10
+        ),
         # r9: cross-source chunk-overlap matrix — one (group, chunk)
         # DISTINCT + digest-keyed self-join bounded by n_groups² per
         # digest (bijection copies grow the chunk vocabulary honestly)
