@@ -924,6 +924,13 @@ class Dataset:
 
         return cluster_purity(self._df, cluster_key, label_key)
 
+    def winsorize(self, group_key: str, value_col: str, k: int = 3, **kw):
+        """Per-row robust clipping to the group's median ± k·MAD band
+        (see select.winsorize_by_mad)."""
+        from dabstract_spark.operators.select import winsorize_by_mad
+
+        return winsorize_by_mad(self._df, group_key, value_col, k=k, **kw)
+
     def mutual_info(self, key_a: str, key_b: str):
         """Mutual-information card between two categorical columns (see
         textstats.mutual_info_card)."""

@@ -1263,6 +1263,43 @@ def grouped_mad_outliers(
     blocks are the already-shuffled collapsed table, released with the
     RDD.
     """
+    cvm, mad, maybe_bcast = _mad_internals(df, group_col, value_col, n_groups_hint)
+    return (
+        cvm.join(maybe_bcast(mad), F.col("__grp").eqNullSafe(F.col("__gd")))
+        .groupBy("__grp")
+        .agg(
+            F.sum("__w").cast("bigint").alias("n_rows"),
+            F.max("median").alias("median"),
+            F.max("mad").alias("mad"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__dev") > F.lit(int(k)) * F.col("mad"),
+                        F.col("__w"),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.expr(
+                "CAST(CAST(coalesce(sum(CASE WHEN __dev >"
+                f" {int(k)} * mad THEN __w ELSE 0 END), 0) AS DECIMAL(38,0))"
+                " * 1000000 div CAST(greatest(sum(__w), 1) AS DECIMAL(38,0))"
+                " AS BIGINT)"
+            ).alias("outlier_ppm"),
+        )
+        .withColumnRenamed("__grp", group_col)
+    )
+
+
+def _mad_internals(df, group_col, value_col, n_groups_hint):
+    """Shared median/MAD machinery for ``grouped_mad_outliers`` and
+    ``winsorize_by_mad``: NULL values dropped, ONE checkpointed
+    (group, value, weight) collapse, both quantile passes two-level,
+    every derived pass input lineage-truncated (see the scale-shape
+    docstring above). Returns (cvm = counts joined with medians +
+    deviations, mad table keyed ``__gd``, broadcast gate)."""
     vals = df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("__grp"), F.col(value_col).alias("__v")
     )
@@ -1293,33 +1330,74 @@ def grouped_mad_outliers(
     mad = grouped_weighted_quantiles(
         dv, "__grp", "__dev", "__w", [("mad", 1, 2)], n_groups_hint=n_groups_hint
     ).withColumnRenamed("__grp", "__gd")
-    return (
-        cvm.join(maybe_bcast(mad), F.col("__grp").eqNullSafe(F.col("__gd")))
-        .groupBy("__grp")
-        .agg(
-            F.sum("__w").cast("bigint").alias("n_rows"),
-            F.max("median").alias("median"),
-            F.max("mad").alias("mad"),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("__dev") > F.lit(int(k)) * F.col("mad"),
-                        F.col("__w"),
-                    ).otherwise(F.lit(0))
-                ),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("n_outliers"),
-            F.expr(
-                "CAST(CAST(coalesce(sum(CASE WHEN __dev >"
-                f" {int(k)} * mad THEN __w ELSE 0 END), 0) AS DECIMAL(38,0))"
-                " * 1000000 div CAST(greatest(sum(__w), 1) AS DECIMAL(38,0))"
-                " AS BIGINT)"
-            ).alias("outlier_ppm"),
-        )
-        .withColumnRenamed("__grp", group_col)
-    )
+    return cvm, mad, maybe_bcast
 
 
 _REGISTRY["grouped_mad_outliers"] = grouped_mad_outliers
+
+
+def winsorize_by_mad(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 3,
+    n_groups_hint: int | None = None,
+) -> DataFrame:
+    """Per-row ROBUST clipping — the materialization step behind
+    ``grouped_mad_outliers``'s audit card: every row gains
+    ``{value}_winsorized`` = value clipped to the group's
+    ``[median − k·MAD, median + k·MAD]`` band and a ``was_clipped``
+    flag, the standard winsorization a curation run applies to a
+    heavy-tailed quality signal before averaging or curriculum-
+    bucketing it (clip, don't drop — the row survives, its leverage
+    doesn't). All band arithmetic is exact on integer/decimal values
+    (|x−med| and k·MAD never touch floats). Rows whose group has no
+    non-NULL value (or whose own value is NULL) pass through with a
+    NULL winsorized value and ``was_clipped`` 0 — nothing to clip
+    against is not clipping.
+
+    Scale shape: the ``_mad_internals`` machinery (one checkpointed
+    collapse, two two-level quantile passes — the grouped_mad_outliers
+    scale story), then ONE n_groups-row (group, median, mad) band
+    table joined back to the ORIGINAL rows — broadcast when
+    ``n_groups_hint`` fits, AQE-convertible otherwise. The full-data
+    path is the collapse plus that single join.
+    """
+    cvm, mad, maybe_bcast = _mad_internals(df, group_col, value_col, n_groups_hint)
+    bands = (
+        cvm.select("__grp", "median")
+        .distinct()
+        .join(maybe_bcast(mad), F.col("__grp").eqNullSafe(F.col("__gd")))
+        .select(
+            F.col("__grp").alias("__bg"),
+            (F.col("median") - F.lit(int(k)) * F.col("mad")).alias("__lo"),
+            (F.col("median") + F.lit(int(k)) * F.col("mad")).alias("__hi"),
+        )
+    )
+    v = F.col(value_col)
+    return (
+        df.join(
+            maybe_bcast(bands), F.col(group_col).eqNullSafe(F.col("__bg")), "left"
+        )
+        .withColumn(
+            f"{value_col}_winsorized",
+            F.when(
+                v.isNotNull() & F.col("__lo").isNotNull(),
+                F.least(F.greatest(v, F.col("__lo")), F.col("__hi")),
+            ),
+        )
+        .withColumn(
+            "was_clipped",
+            F.when(
+                v.isNotNull()
+                & F.col("__lo").isNotNull()
+                & ((v < F.col("__lo")) | (v > F.col("__hi"))),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0)),
+        )
+        .drop("__bg", "__lo", "__hi")
+    )
+
+
+_REGISTRY["winsorize_by_mad"] = winsorize_by_mad

@@ -7472,3 +7472,52 @@ def q297_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "label"), "vec_id"
     ).localCheckpoint(eager=False)
     return cluster_purity(labeled, "centroid_id", "label")
+
+
+# --------------------------------------------------------------------- #
+# Robust winsorization (select.winsorize_by_mad): per-row clipping to
+# each language's [median − 3·MAD, median + 3·MAD] band — the
+# materialization step behind q289's audit card (clip, don't drop).
+# Exact integer band arithmetic; the oracle's naive window med/MAD is
+# equivalent.
+# --------------------------------------------------------------------- #
+@query(
+    "q298_winsorize",
+    oracle="""
+    WITH cv AS (
+      SELECT lang, n_chars AS v, COUNT(*)::BIGINT AS w
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+    c1 AS (
+      SELECT lang, v, w,
+             SUM(w) OVER (PARTITION BY lang ORDER BY v) AS cw,
+             SUM(w) OVER (PARTITION BY lang) AS n
+      FROM cv),
+    med AS (SELECT lang, MIN(v) AS median FROM c1 WHERE 2 * cw >= n GROUP BY 1),
+    cvm AS (
+      SELECT cv.lang, cv.v, cv.w, abs(cv.v - m.median) AS dev
+      FROM cv JOIN med m ON cv.lang = m.lang),
+    dv AS (SELECT lang, dev, CAST(SUM(w) AS BIGINT) AS w FROM cvm GROUP BY 1, 2),
+    c2 AS (
+      SELECT lang, dev, w,
+             SUM(w) OVER (PARTITION BY lang ORDER BY dev) AS cw,
+             SUM(w) OVER (PARTITION BY lang) AS n
+      FROM dv),
+    mad AS (SELECT lang, MIN(dev) AS mad FROM c2 WHERE 2 * cw >= n GROUP BY 1),
+    bands AS (
+      SELECT m.lang, m.median - 3 * d.mad AS lo, m.median + 3 * d.mad AS hi
+      FROM med m JOIN mad d ON m.lang = d.lang)
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CASE WHEN d.n_chars IS NOT NULL AND b.lo IS NOT NULL
+                THEN least(greatest(d.n_chars, b.lo), b.hi) END
+             AS n_chars_winsorized,
+           CASE WHEN d.n_chars IS NOT NULL AND b.lo IS NOT NULL
+                     AND (d.n_chars < b.lo OR d.n_chars > b.hi)
+                THEN 1 ELSE 0 END AS was_clipped
+    FROM documents d LEFT JOIN bands b ON d.lang = b.lang
+    """,
+)
+def q298_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import winsorize_by_mad
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return winsorize_by_mad(docs, "lang", "n_chars", k=3, n_groups_hint=8)

@@ -922,3 +922,117 @@ def test_grouped_order_stats_law_vs_naive_window(spark, rows, ntiles):
             ).collect()
         )
         assert got == naive, hint
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 2)),  # group (NULL = real)
+            st.one_of(st.none(), st.integers(-80, 80)),  # value incl. NULLs
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    k=st.sampled_from([1, 3]),
+)
+@settings(**_SETTINGS)
+def test_mad_family_two_level_law_vs_naive(spark, rows, k):
+    """Law: grouped_mad_outliers AND winsorize_by_mad (both built on the
+    two-level quantile machinery + checkpointed collapse) equal the
+    naive per-group window med/MAD forms for ARBITRARY tables — NULL
+    groups (a real group), NULL values (excluded, flag 0), negative
+    values (truncating-div-free path), all-NULL-value groups (band-less
+    rows pass through), and both the broadcast-hint and AQE join
+    paths."""
+    from collections import Counter
+
+    from dabstract_spark.operators.select import (
+        grouped_mad_outliers,
+        winsorize_by_mad,
+    )
+
+    data = [
+        (None if g is None else f"g{g}", v, i) for i, (g, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "grp string, v long, rid long")
+    df.createOrReplaceTempView("__madlaw")
+    naive_card = Counter(
+        tuple(r)
+        for r in spark.sql(
+            f"""
+            WITH cv AS (SELECT grp, v, COUNT(*) AS w FROM __madlaw
+                        WHERE v IS NOT NULL GROUP BY 1, 2),
+            c1 AS (SELECT grp, v, w,
+                          SUM(w) OVER (PARTITION BY grp ORDER BY v) AS cw,
+                          SUM(w) OVER (PARTITION BY grp) AS n FROM cv),
+            med AS (SELECT grp, MIN(v) AS median FROM c1
+                    WHERE 2 * cw >= n GROUP BY 1),
+            cvm AS (SELECT cv.grp, cv.v, cv.w, m.median,
+                           abs(cv.v - m.median) AS dev
+                    FROM cv JOIN med m ON cv.grp <=> m.grp),
+            dv AS (SELECT grp, dev, SUM(w) AS w FROM cvm GROUP BY 1, 2),
+            c2 AS (SELECT grp, dev, w,
+                          SUM(w) OVER (PARTITION BY grp ORDER BY dev) AS cw,
+                          SUM(w) OVER (PARTITION BY grp) AS n FROM dv),
+            mad AS (SELECT grp, MIN(dev) AS mad FROM c2
+                    WHERE 2 * cw >= n GROUP BY 1)
+            SELECT cvm.grp, CAST(SUM(w) AS BIGINT), MAX(median),
+                   MAX(mad.mad),
+                   CAST(SUM(CASE WHEN dev > {k} * mad.mad THEN w ELSE 0 END)
+                        AS BIGINT),
+                   CAST(CAST(SUM(CASE WHEN dev > {k} * mad.mad THEN w
+                                      ELSE 0 END) AS DECIMAL(38,0)) * 1000000
+                        div CAST(greatest(SUM(w), 1) AS DECIMAL(38,0))
+                        AS BIGINT)
+            FROM cvm JOIN mad ON cvm.grp <=> mad.grp GROUP BY cvm.grp
+            """
+        ).collect()
+    )
+    naive_rows = Counter(
+        tuple(r)
+        for r in spark.sql(
+            f"""
+            WITH cv AS (SELECT grp, v, COUNT(*) AS w FROM __madlaw
+                        WHERE v IS NOT NULL GROUP BY 1, 2),
+            c1 AS (SELECT grp, v, w,
+                          SUM(w) OVER (PARTITION BY grp ORDER BY v) AS cw,
+                          SUM(w) OVER (PARTITION BY grp) AS n FROM cv),
+            med AS (SELECT grp, MIN(v) AS median FROM c1
+                    WHERE 2 * cw >= n GROUP BY 1),
+            cvm AS (SELECT cv.grp, cv.v, cv.w, m.median,
+                           abs(cv.v - m.median) AS dev
+                    FROM cv JOIN med m ON cv.grp <=> m.grp),
+            dv AS (SELECT grp, dev, SUM(w) AS w FROM cvm GROUP BY 1, 2),
+            c2 AS (SELECT grp, dev, w,
+                          SUM(w) OVER (PARTITION BY grp ORDER BY dev) AS cw,
+                          SUM(w) OVER (PARTITION BY grp) AS n FROM dv),
+            mad AS (SELECT grp, MIN(dev) AS mad FROM c2
+                    WHERE 2 * cw >= n GROUP BY 1),
+            bands AS (SELECT m.grp, m.median - {k} * d.mad AS lo,
+                             m.median + {k} * d.mad AS hi
+                      FROM med m JOIN mad d ON m.grp <=> d.grp)
+            SELECT t.rid, t.grp, t.v,
+                   CASE WHEN t.v IS NOT NULL AND b.lo IS NOT NULL
+                        THEN least(greatest(t.v, b.lo), b.hi) END,
+                   CASE WHEN t.v IS NOT NULL AND b.lo IS NOT NULL
+                             AND (t.v < b.lo OR t.v > b.hi)
+                        THEN 1 ELSE 0 END
+            FROM __madlaw t LEFT JOIN bands b ON t.grp <=> b.grp
+            """
+        ).collect()
+    )
+    for hint in (8, None):  # static-broadcast and hint-less AQE paths
+        card = Counter(
+            tuple(r)
+            for r in grouped_mad_outliers(
+                df, "grp", "v", k=k, n_groups_hint=hint
+            ).collect()
+        )
+        assert card == naive_card, ("card", hint)
+        rows_out = Counter(
+            (r.rid, r.grp, r.v, r.v_winsorized, r.was_clipped)
+            for r in winsorize_by_mad(
+                df, "grp", "v", k=k, n_groups_hint=hint
+            ).collect()
+        )
+        assert rows_out == naive_rows, ("rows", hint)

@@ -917,6 +917,15 @@ def main():
         # r9: MI card — one (a, b) count, everything after on the
         # contingency-sized table; flat to scan cost
         "mutual_info": lambda d: ts.mutual_info_card(d, "lang", "source"),
+        # r9: winsorize — the mad machinery + ONE n_groups-row band
+        # join back to the original rows (full per-row output)
+        "winsorize": lambda d: sel.winsorize_by_mad(
+            d.select("doc_id", "lang", F.length("text").alias("v")),
+            "lang",
+            "v",
+            k=3,
+            n_groups_hint=8,
+        ),
         # r9: burstiness — (doc, term) counts then a vocab-keyed rollup;
         # the bijection copies grow the vocabulary honestly
         "term_burstiness": lambda d: ts.term_burstiness(
