@@ -139,3 +139,21 @@ def test_multiprobe_join_is_dedup_free(spark):
         "q106 grew an aggregate — a redundant dedup shuffle on the "
         "probe-join output?\n" + plan[:3000]
     )
+
+
+def test_mad_outliers_single_corpus_scan_via_checkpoints(spark):
+    """q289/q298's MAD machinery must NOT re-derive the corpus per
+    subtree reference: composing two two-level quantile passes
+    multiplies references combinatorially (measured 28 runtime parquet
+    scans before the _mad_internals lazy localCheckpoints, ONE after —
+    8.5s -> 1.8s at sf0.01). The executed final plan must read the
+    collapsed table through checkpointed RDD scans only; any parquet
+    FileScan reappearing in it means a checkpoint was dropped and the
+    combinatorial re-derivation is back."""
+    plan = _executed_plan(spark, "q289_mad_outliers")
+    n_parquet = plan.count("FileScan parquet")
+    assert n_parquet == 0, (
+        f"MAD card's final plan re-scans parquet {n_parquet}x — the "
+        "_mad_internals localCheckpoint lineage cut is gone:\n" + plan[:2000]
+    )
+    assert "ExistingRDD" in plan  # the checkpointed collapse is the source
