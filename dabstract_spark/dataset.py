@@ -963,6 +963,14 @@ class Dataset:
             self._df, group_key, token_col, total_budget, max_repeat=max_repeat
         )
 
+    def proportional_allocation(self, group_key: str, n_total: int, **kw):
+        """Largest-remainder apportionment of exactly ``n_total`` rows
+        across groups proportional to corpus share (see
+        planning.proportional_allocation)."""
+        from dabstract_spark.operators.planning import proportional_allocation
+
+        return proportional_allocation(self._df, group_key, n_total, **kw)
+
     def preflight(self, keys: list[str] | str, n_partitions: int = 32, **kw):
         """Pre-flight skew advisory for a prospective join/groupBy on
         ``keys`` (see skew.skew_advice): profiles the named key columns

@@ -145,3 +145,85 @@ def budget_allocation(
             "capped",
         )
     )
+
+
+def proportional_allocation(
+    df: DataFrame,
+    group_col: str,
+    n_total: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of exactly ``n_total``
+    rows across groups, proportional to group size (or to
+    ``weight_col`` sums) — the eval-set builder's planner: "give me a
+    10k-document split that matches the corpus mixture", the
+    row-count sibling of ``budget_allocation``'s max-min token fill
+    (water-filling EQUALIZES under caps; this PRESERVES the observed
+    proportions). Per group: ``alloc_rows`` = floor(n_total·c_g / T)
+    plus one of the k = n_total − Σfloor remainder units, awarded to
+    the k largest integer remainders ``n_total·c_g mod T`` (ties →
+    larger group first, then group value — a total order), so
+    Σalloc == n_total EXACTLY whenever the corpus is non-empty and
+    every |alloc − exact quota| < 1. All arithmetic is exact
+    DECIMAL(38,0); ``share_ppm`` is the group's observed corpus share.
+    ``overfill`` flags a group whose allocation exceeds its own row
+    count (only possible when n_total > corpus rows — sampling with
+    replacement territory; the planner still sums to n_total and the
+    flag makes the regime visible). NULL groups are real groups.
+
+    Scale shape: one map-side-combined count over the mixture key is
+    the only data-sized work; quotas, remainders, and the award rank
+    run on the n_groups-row table (bounded-tiny-table window,
+    ``partitionBy(lit(0))`` annotated).
+    """
+    if n_total < 0:
+        raise ValueError(f"proportional_allocation: n_total {n_total} < 0")
+    dec = "DECIMAL(38,0)"
+    w = (
+        F.count(F.lit(1)).alias("__c")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("bigint")).alias("__c")
+    )
+    counts = df.groupBy(F.col(group_col).alias("__g")).agg(w)
+    tot = counts.agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__t"))
+    q = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__num", F.expr(f"CAST({int(n_total)} AS {dec}) * CAST(__c AS {dec})")
+        )
+        .withColumn("__base", F.expr("CAST(__num div greatest(__t, 1) AS BIGINT)"))
+        .withColumn(
+            "__rem", F.expr("CAST(__num % greatest(__t, 1) AS BIGINT)")
+        )
+    )
+    # k spare units onto the k largest remainders — the n_groups-row
+    # award rank (bounded tiny-table window)
+    w_rank = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("__rem"), F.desc("__c"), F.asc("__g")
+    )
+    w_k = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        q.withColumn("__rk", F.row_number().over(w_rank))
+        .withColumn(
+            "__k",
+            (F.lit(int(n_total)) - F.sum("__base").over(w_k)).cast("bigint"),
+        )
+        .withColumn("got_remainder", (F.col("__rk") <= F.col("__k")).cast("int"))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__c").cast("bigint").alias("n_rows"),
+            F.expr(
+                "CAST(CAST(__c AS DECIMAL(38,0)) * 1000000"
+                " div greatest(__t, 1) AS BIGINT)"
+            ).alias("share_ppm"),
+            (F.col("__base") + F.col("got_remainder")).cast("bigint").alias(
+                "alloc_rows"
+            ),
+            "got_remainder",
+            (
+                (F.col("__base") + F.col("got_remainder")) > F.col("__c")
+            ).cast("int").alias("overfill"),
+        )
+    )

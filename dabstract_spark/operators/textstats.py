@@ -723,6 +723,17 @@ def agreement_card(df: DataFrame, gold_col: str, pred_col: str) -> DataFrame:
     cm = df.groupBy(
         F.col(gold_col).alias("__gold"), F.col(pred_col).alias("__pred")
     ).agg(F.count(F.lit(1)).alias("__n"))
+    return agreement_from_counts(cm)
+
+
+def agreement_from_counts(cm: DataFrame) -> DataFrame:
+    """The po/pe/kappa half of ``agreement_card`` over a PRE-COUNTED
+    (__gold, __pred, __n) confusion table — the ONE agreement recipe
+    shared by the batch card and the streaming monitor's merged-sink
+    read (``streaming.ops.agreement_stream``), the drift_from_counts
+    discipline: confusion counts are additive, so merge-by-sum of
+    per-batch partials equals the one-shot count for any micro-batch
+    boundaries and the two twins can never diverge."""
     dec = "DECIMAL(38,0)"
     tot = cm.agg(
         F.coalesce(F.sum("__n"), F.lit(0)).alias("__t"),

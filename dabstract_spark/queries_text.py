@@ -7521,3 +7521,96 @@ def q298_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return winsorize_by_mad(docs, "lang", "n_chars", k=3, n_groups_hint=8)
+
+
+# --------------------------------------------------------------------- #
+# Streaming agreement monitor (streaming.ops.agreement_stream): the
+# online twin of q287 — per-batch (gold, pred) confusion partials
+# (additive) with (run_id, batch_id) replay markers; the drained card
+# equals the batch card exactly, so the oracle is q287's.
+# --------------------------------------------------------------------- #
+@query(
+    "q299_stream_agreement",
+    oracle=f"""
+    WITH p AS (
+      SELECT lang AS gold,
+             CASE WHEN {_SCORE['qy']} > greatest({_SCORE['dt']}, {_SCORE['en']}, 0) THEN 'qy'
+                  WHEN {_SCORE['en']} > greatest({_SCORE['dt']}, 0) THEN 'en'
+                  WHEN {_SCORE['dt']} > 0 THEN 'dt'
+                  ELSE 'und' END AS pred
+      FROM documents),
+    cm AS (SELECT gold, pred, COUNT(*)::BIGINT AS n FROM p GROUP BY 1, 2),
+    t AS (
+      SELECT CAST(COALESCE(SUM(n), 0) AS HUGEINT) AS t,
+             CAST(COALESCE(SUM(CASE WHEN gold IS NOT DISTINCT FROM pred
+                                    THEN n ELSE 0 END), 0) AS HUGEINT) AS d
+      FROM cm),
+    rm AS (SELECT gold AS l, CAST(SUM(n) AS HUGEINT) AS rn FROM cm GROUP BY 1),
+    cl AS (SELECT pred AS l, CAST(SUM(n) AS HUGEINT) AS cn FROM cm GROUP BY 1),
+    pe AS (
+      SELECT COALESCE(SUM(rn * cn), 0) AS pe
+      FROM rm JOIN cl ON rm.l IS NOT DISTINCT FROM cl.l)
+    SELECT t::BIGINT AS n_rows, d::BIGINT AS n_agree,
+           CAST(d * 1000000 // greatest(t, 1) AS BIGINT) AS po_ppm,
+           CAST(pe * 1000000 // greatest(t * t, 1) AS BIGINT) AS pe_ppm,
+           CASE WHEN t * t - pe = 0 THEN NULL
+                ELSE round(CAST(t * d - pe AS DOUBLE)
+                           / CAST(t * t - pe AS DOUBLE), 6) END AS kappa
+    FROM t CROSS JOIN pe
+    """,
+)
+def q299_stream_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.streaming.ops import agreement_stream, stream_events
+
+    src = stream_events(spark, f"{sf_dir}/documents.parquet").select(
+        "lang", tx.lang_id("text").alias("lang_pred")
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkdab_agr_")
+    return agreement_stream(
+        src, "lang", "lang_pred", f"{tmp}/out", f"{tmp}/ckpt"
+    )
+
+
+# --------------------------------------------------------------------- #
+# Largest-remainder apportionment (planning.proportional_allocation):
+# exactly 1000 eval rows split across sources proportional to corpus
+# share — the mixture-preserving planner next to the max-min
+# water-filling budget (q271). Exact integer quotas/remainders,
+# deterministic award rank, Σalloc == n_total.
+# --------------------------------------------------------------------- #
+@query(
+    "q300_apportion_eval",
+    oracle="""
+    WITH c AS (SELECT source AS g, COUNT(*)::BIGINT AS c
+               FROM documents GROUP BY 1),
+    t AS (SELECT CAST(COALESCE(SUM(c), 0) AS HUGEINT) AS t FROM c),
+    r AS (
+      SELECT g, c,
+             CAST((CAST(1000 AS HUGEINT) * c)
+                  // greatest((SELECT t FROM t), 1) AS BIGINT) AS base,
+             CAST((CAST(1000 AS HUGEINT) * c)
+                  % greatest((SELECT t FROM t), 1) AS BIGINT) AS rem
+      FROM c),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, c DESC, g) AS rk,
+             SUM(base) OVER () AS sb
+      FROM r)
+    SELECT g AS source, c AS n_rows,
+           CAST(CAST(c AS HUGEINT) * 1000000
+                // greatest((SELECT t FROM t), 1) AS BIGINT) AS share_ppm,
+           CAST(base + CASE WHEN rk <= 1000 - sb THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_rows,
+           CASE WHEN rk <= 1000 - sb THEN 1 ELSE 0 END AS got_remainder,
+           CASE WHEN base + (CASE WHEN rk <= 1000 - sb THEN 1 ELSE 0 END) > c
+                THEN 1 ELSE 0 END AS overfill
+    FROM rk
+    """,
+)
+def q300_apportion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.planning import proportional_allocation
+
+    return proportional_allocation(
+        _t(spark, sf_dir, "documents"), "source", n_total=1000
+    )

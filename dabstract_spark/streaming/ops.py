@@ -1444,3 +1444,60 @@ def centroid_shift_stream(
         ref_sums.columns[2], "__sa"
     ).withColumnRenamed(ref_sums.columns[3], "__na")
     return centroid_shift_from_sums(a, merged, label_col)
+
+
+def agreement_stream(
+    doc_stream: DataFrame,
+    gold_col: str,
+    pred_col: str,
+    out_path: str,
+    checkpoint: str,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming label-agreement monitor — the ONLINE twin of
+    ``textstats.agreement_card``: each micro-batch appends its
+    per-(gold, pred) partial confusion counts to the sink, and the
+    live one-row card is ``agreement_from_counts`` of the merge-by-sum
+    — "alarm when the classifier's kappa against incoming gold labels
+    drops below the gate", the live QC read on an annotation or
+    lang-ID pipeline. Confusion counts are additive partials, so the
+    drained card equals the batch card EXACTLY for any micro-batch
+    boundaries; the card arithmetic is ``agreement_from_counts``
+    VERBATIM. Replay safety mirrors drift_monitor_stream: partials
+    carry (run_id = digest(checkpoint path), batch_id) and the read
+    dedups (run_id, batch_id, gold, pred) before summing. The same
+    checkpoint/sink lifecycle-pairing caveat applies."""
+    import hashlib
+
+    from dabstract_spark.operators.textstats import agreement_from_counts
+
+    run_id = hashlib.md5(str(checkpoint).encode()).hexdigest()[:16]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                F.col(gold_col).alias("g"), F.col(pred_col).alias("p")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    sink = _drain_foreach_batch(
+        doc_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "agreement_stream",
+    )
+    merged = (
+        sink.dropDuplicates(["run_id", "batch_id", "g", "p"])
+        .groupBy(F.col("g").alias("__gold"), F.col("p").alias("__pred"))
+        .agg(F.sum("n").alias("__n"))
+    )
+    return agreement_from_counts(merged)

@@ -1036,3 +1036,29 @@ def test_mad_family_two_level_law_vs_naive(spark, rows, k):
             ).collect()
         )
         assert rows_out == naive_rows, ("rows", hint)
+
+
+@given(
+    sizes=st.lists(st.integers(1, 40), min_size=1, max_size=10),
+    n_total=st.integers(0, 120),
+)
+@settings(**_SETTINGS)
+def test_proportional_allocation_laws(spark, sizes, n_total):
+    """Laws: Hamilton apportionment sums to EXACTLY n_total for any
+    non-empty mixture, every allocation is within 1 of its exact quota
+    (base <= alloc <= base + 1), and share_ppm is the exact truncating
+    corpus share."""
+    from dabstract_spark.operators.planning import proportional_allocation
+
+    rows = [(f"g{i}",) for i, n in enumerate(sizes) for _ in range(n)]
+    df = spark.createDataFrame(rows, "g string")
+    out = proportional_allocation(df, "g", n_total).collect()
+    total = sum(sizes)
+    assert sum(r.alloc_rows for r in out) == n_total
+    by_g = {r.g: r for r in out}
+    for i, n in enumerate(sizes):
+        r = by_g[f"g{i}"]
+        base = (n_total * n) // total
+        assert base <= r.alloc_rows <= base + 1
+        assert r.share_ppm == n * 10**6 // total
+        assert r.n_rows == n

@@ -824,3 +824,67 @@ def test_cluster_purity_known_answer(spark):
     )
     p = cluster_purity(perfect, "c", "l").collect()[0]
     assert p.purity_ppm == 1_000_000 and p.nmi_ppm == 1_000_000
+
+
+def test_agreement_stream_equals_batch_and_survives_replay(spark, tmp_path):
+    """agreement_stream drained over a bounded backlog equals the batch
+    agreement_card exactly (confusion counts are additive), and a
+    replayed micro-batch append is absorbed by the (run_id, batch_id,
+    gold, pred) dedup."""
+    from dabstract_spark.operators.text import lang_id
+    from dabstract_spark.operators.textstats import agreement_card
+    from dabstract_spark.session import load_table
+    from dabstract_spark.streaming.ops import agreement_stream, stream_events
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, SF, "documents")
+    proj = docs.select("lang", lang_id("text").alias("p"))
+    want = [tuple(r) for r in agreement_card(proj, "lang", "p").collect()]
+
+    src = stream_events(spark, f"{SF}/documents.parquet").select(
+        "lang", lang_id("text").alias("p")
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    got = [
+        tuple(r) for r in agreement_stream(src, "lang", "p", out, ckpt).collect()
+    ]
+    assert got == want and len(want) == 1
+
+    spark.read.parquet(out).limit(1).write.mode("append").parquet(out)
+    got2 = [
+        tuple(r)
+        for r in agreement_stream(src.limit(0), "lang", "p", out, ckpt).collect()
+    ]
+    assert got2 == want
+
+
+def test_proportional_allocation_known_answer(spark):
+    """Hamilton apportionment: exact quotas, largest-remainder award
+    with the (rem desc, size desc, group) tie-break, Σalloc == n_total;
+    n_total beyond the corpus flags overfill but still sums exactly."""
+    from dabstract_spark.operators.planning import proportional_allocation
+
+    rows = [("a",)] * 7 + [("b",)] * 2 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "g string")
+    out = {r.g: r for r in proportional_allocation(df, "g", 5).collect()}
+    # quotas 3.5 / 1.0 / 0.5 -> base 3/1/0, remainders 5/0/5 (mod 10);
+    # one spare unit -> larger group wins the tie
+    assert {k: v.alloc_rows for k, v in out.items()} == {"a": 4, "b": 1, "c": 0}
+    assert sum(v.alloc_rows for v in out.values()) == 5
+    assert out["a"].got_remainder == 1 and out["c"].got_remainder == 0
+    assert all(v.overfill == 0 for v in out.values())
+    assert out["a"].share_ppm == 700_000
+
+    zero = proportional_allocation(df, "g", 0).collect()
+    assert all(r.alloc_rows == 0 for r in zero)
+
+    over = {r.g: r for r in proportional_allocation(df, "g", 25).collect()}
+    assert sum(v.alloc_rows for v in over.values()) == 25
+    assert over["c"].overfill == 1  # 2.5 rows asked of a 1-row group
+
+    # weight-column mode + NULL group is a real group
+    wdf = spark.createDataFrame(
+        [("x", 3), (None, 1)], "g string, w int"
+    )
+    wout = {r.g: r for r in proportional_allocation(wdf, "g", 4, weight_col="w").collect()}
+    assert wout["x"].alloc_rows == 3 and wout[None].alloc_rows == 1

@@ -890,6 +890,11 @@ def main():
         "balance_card": lambda d: ts.balance_card(
             d.select("lang", "source"), ["lang", "source"]
         ),
+        # r9: Hamilton apportionment — same one-count shape as balance
+        "apportion": lambda d: __import__(
+            "dabstract_spark.operators.planning",
+            fromlist=["proportional_allocation"],
+        ).proportional_allocation(d, "source", 10_000),
         # r9: group-pair TF cosine — vocab-sized count shuffles + a
         # term-keyed self-join whose fan-out is bounded by n_groups²
         # (sources fixed at 20; the bijection copies grow the vocab)
