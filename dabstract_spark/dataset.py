@@ -950,7 +950,7 @@ class Dataset:
         dedup.source_dup_matrix)."""
         from dabstract_spark.operators.dedup import source_dup_matrix
 
-        return source_dup_matrix(self._df, ROW_ID, key, group_key, **kw)
+        return source_dup_matrix(self._df, key, group_key, **kw)
 
     def budget_allocation(
         self, group_key: str, token_col, total_budget: int, max_repeat: int = 1

@@ -163,8 +163,8 @@ def proportional_allocation(
     plus one of the k = n_total − Σfloor remainder units, awarded to
     the k largest integer remainders ``n_total·c_g mod T`` (ties →
     larger group first, then group value — a total order), so
-    Σalloc == n_total EXACTLY whenever the corpus is non-empty and
-    every |alloc − exact quota| < 1. All arithmetic is exact
+    Σalloc == n_total EXACTLY whenever the corpus is non-empty with a
+    positive total weight, and every |alloc − exact quota| < 1. All arithmetic is exact
     DECIMAL(38,0); ``share_ppm`` is the group's observed corpus share.
     ``overfill`` flags a group whose allocation exceeds its own row
     count (only possible when n_total > corpus rows — sampling with
@@ -179,10 +179,19 @@ def proportional_allocation(
     if n_total < 0:
         raise ValueError(f"proportional_allocation: n_total {n_total} < 0")
     dec = "DECIMAL(38,0)"
+    # coalesce(0): a group whose weights are all NULL must apportion
+    # like a zero-weight group, not poison __base/__k with NULLs and
+    # break the exact-sum law for everyone else. Weights must be
+    # non-negative by contract; a zero-TOTAL corpus is degenerate —
+    # every quota is 0, so at most one remainder unit lands per group
+    # and Σalloc = min(n_groups, n_total), the only regime where the
+    # exact-sum guarantee does not hold.
     w = (
         F.count(F.lit(1)).alias("__c")
         if weight_col is None
-        else F.sum(F.col(weight_col).cast("bigint")).alias("__c")
+        else F.coalesce(
+            F.sum(F.col(weight_col).cast("bigint")), F.lit(0)
+        ).alias("__c")
     )
     counts = df.groupBy(F.col(group_col).alias("__g")).agg(w)
     tot = counts.agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__t"))

@@ -1263,7 +1263,9 @@ def grouped_mad_outliers(
     blocks are the already-shuffled collapsed table, released with the
     RDD.
     """
-    cvm, mad, maybe_bcast = _mad_internals(df, group_col, value_col, n_groups_hint)
+    cvm, _med, mad, maybe_bcast = _mad_internals(
+        df, group_col, value_col, n_groups_hint
+    )
     return (
         cvm.join(maybe_bcast(mad), F.col("__grp").eqNullSafe(F.col("__gd")))
         .groupBy("__grp")
@@ -1299,7 +1301,8 @@ def _mad_internals(df, group_col, value_col, n_groups_hint):
     (group, value, weight) collapse, both quantile passes two-level,
     every derived pass input lineage-truncated (see the scale-shape
     docstring above). Returns (cvm = counts joined with medians +
-    deviations, mad table keyed ``__gd``, broadcast gate)."""
+    deviations, median table keyed ``__gm``, mad table keyed ``__gd``,
+    broadcast gate)."""
     vals = df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("__grp"), F.col(value_col).alias("__v")
     )
@@ -1330,7 +1333,7 @@ def _mad_internals(df, group_col, value_col, n_groups_hint):
     mad = grouped_weighted_quantiles(
         dv, "__grp", "__dev", "__w", [("mad", 1, 2)], n_groups_hint=n_groups_hint
     ).withColumnRenamed("__grp", "__gd")
-    return cvm, mad, maybe_bcast
+    return cvm, med, mad, maybe_bcast
 
 
 _REGISTRY["grouped_mad_outliers"] = grouped_mad_outliers
@@ -1363,13 +1366,15 @@ def winsorize_by_mad(
     ``n_groups_hint`` fits, AQE-convertible otherwise. The full-data
     path is the collapse plus that single join.
     """
-    cvm, mad, maybe_bcast = _mad_internals(df, group_col, value_col, n_groups_hint)
+    _cvm, med, mad, maybe_bcast = _mad_internals(
+        df, group_col, value_col, n_groups_hint
+    )
+    # the band table is the two n_groups-row quantile outputs joined
+    # directly — never a distinct over the (group, value) collapse
     bands = (
-        cvm.select("__grp", "median")
-        .distinct()
-        .join(maybe_bcast(mad), F.col("__grp").eqNullSafe(F.col("__gd")))
+        med.join(maybe_bcast(mad), F.col("__gm").eqNullSafe(F.col("__gd")))
         .select(
-            F.col("__grp").alias("__bg"),
+            F.col("__gm").alias("__bg"),
             (F.col("median") - F.lit(int(k)) * F.col("mad")).alias("__lo"),
             (F.col("median") + F.lit(int(k)) * F.col("mad")).alias("__hi"),
         )

@@ -1184,9 +1184,14 @@ def centroid_shift_from_sums(
             b,
             a["__l"].eqNullSafe(F.col("__lb")) & (a["__i"] == F.col("__ib")),
         )
-        .withColumn("__ma", F.expr("__sa div __na"))
-        .withColumn("__mb", F.expr("__sb div __nb"))
+        .withColumn("__ma", F.expr("CAST(__sa div __na AS DECIMAL(38,0))"))
+        .withColumn("__mb", F.expr("CAST(__sb div __nb AS DECIMAL(38,0))"))
     )
+    # DECIMAL(38,0) products/sums: a per-dim mean is bounded only by the
+    # coordinate magnitude (~|x|·10⁶ micro-units), so a BIGINT product
+    # would silently wrap near |x| ≈ 3000 while the DuckDB oracle sums
+    # in HUGEINT — the overflow would be a cross-engine divergence, not
+    # an error
     return (
         j.groupBy("__l")
         .agg(

@@ -576,10 +576,7 @@ def balance_from_counts(counts: DataFrame, group_cols: list[str]) -> DataFrame:
     boundaries and the two twins can never diverge."""
     from pyspark.sql.window import Window
 
-    tot = counts.agg(
-        F.coalesce(F.sum("__n"), F.lit(0)).alias("__t"),
-        F.count(F.lit(1)).alias("__g"),
-    )
+    tot = counts.agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("__t"))
     # ascending-size rank for the Gini identity; ties broken by the
     # group key only for run-determinism (equal x_i swap ranks without
     # changing Σ i·x_i). n_groups-row window by contract.

@@ -7310,7 +7310,7 @@ def q294_source_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source"), "doc_id"
     )
     return dd.source_dup_matrix(
-        chunks, "doc_id", "text", "source", key=F.col("chunk_md5")
+        chunks, "text", "source", key=F.col("chunk_md5")
     )
 
 

@@ -1290,10 +1290,18 @@ def uniqueness_stream(
     if not quasi_cols:
         raise ValueError("uniqueness_stream needs at least one quasi column")
     run_id = hashlib.md5(str(checkpoint).encode()).hexdigest()[:16]
+    # sink columns are positionally aliased (__q0, __q1, ...) so a
+    # monitored column named "n"/"run_id"/"batch_id" cannot collide
+    # with the sink's own marker columns (the agreement_stream g/p
+    # discipline); the read renames back before the shared card
+    safe = [f"__q{i}" for i in range(len(quasi_cols))]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.groupBy(*quasi_cols)
+            batch_df.select(
+                *[F.col(c).alias(a) for c, a in zip(quasi_cols, safe)]
+            )
+            .groupBy(*safe)
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumn("run_id", F.lit(run_id))
             .withColumn("batch_id", F.lit(int(batch_id)))
@@ -1311,9 +1319,12 @@ def uniqueness_stream(
         "uniqueness_stream",
     )
     merged = (
-        sink.dropDuplicates(["run_id", "batch_id", *quasi_cols])
-        .groupBy(*quasi_cols)
+        sink.dropDuplicates(["run_id", "batch_id", *safe])
+        .groupBy(*safe)
         .agg(F.sum("n").alias("__k"))
+        .select(
+            *[F.col(a).alias(c) for c, a in zip(quasi_cols, safe)], "__k"
+        )
     )
     return uniqueness_from_combos(merged)
 
@@ -1347,10 +1358,15 @@ def balance_stream(
     if not group_cols:
         raise ValueError("balance_stream needs at least one group column")
     run_id = hashlib.md5(str(checkpoint).encode()).hexdigest()[:16]
+    # positional sink aliases — see uniqueness_stream
+    safe = [f"__q{i}" for i in range(len(group_cols))]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.groupBy(*group_cols)
+            batch_df.select(
+                *[F.col(c).alias(a) for c, a in zip(group_cols, safe)]
+            )
+            .groupBy(*safe)
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumn("run_id", F.lit(run_id))
             .withColumn("batch_id", F.lit(int(batch_id)))
@@ -1368,9 +1384,12 @@ def balance_stream(
         "balance_stream",
     )
     merged = (
-        sink.dropDuplicates(["run_id", "batch_id", *group_cols])
-        .groupBy(*group_cols)
+        sink.dropDuplicates(["run_id", "batch_id", *safe])
+        .groupBy(*safe)
         .agg(F.sum("n").alias("__n"))
+        .select(
+            *[F.col(a).alias(c) for c, a in zip(group_cols, safe)], "__n"
+        )
     )
     return balance_from_counts(merged, group_cols)
 
@@ -1440,9 +1459,15 @@ def centroid_shift_stream(
             F.sum("n").alias("__nb"),
         )
     )
-    a = ref_sums.withColumnRenamed(
-        ref_sums.columns[2], "__sa"
-    ).withColumnRenamed(ref_sums.columns[3], "__na")
+    missing = {"__l", "__i", "__s", "__n"} - set(ref_sums.columns)
+    if missing:
+        raise ValueError(
+            "centroid_shift_stream: ref_sums must be a centroid_sums() "
+            f"table with default column names; missing {sorted(missing)}"
+        )
+    a = ref_sums.withColumnRenamed("__s", "__sa").withColumnRenamed(
+        "__n", "__na"
+    )
     return centroid_shift_from_sums(a, merged, label_col)
 
 

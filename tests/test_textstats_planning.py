@@ -732,14 +732,22 @@ def test_source_dup_matrix_exact_and_custom_key(spark):
         ],
         "doc_id long, src string, text string",
     )
-    out = source_dup_matrix(df, "doc_id", "text", "src").collect()
+    out = source_dup_matrix(df, "text", "src").collect()
     assert len(out) == 1
     r = out[0]
     assert (r.group_a, r.group_b, r.n_shared) == ("A", "B", 1)
     assert r.overlap_ppm == 1_000_000  # B's 1 digest fully contained
 
+    # a NULL-text row can never match in the join, so it must not
+    # count in B's containment denominator either
+    withnull = df.union(
+        spark.createDataFrame([(6, "B", None)], "doc_id long, src string, text string")
+    )
+    rn = source_dup_matrix(withnull, "text", "src").collect()[0]
+    assert rn.overlap_ppm == 1_000_000
+
     keyed = source_dup_matrix(
-        df, "doc_id", "text", "src", key=F.length("text") % 2
+        df, "text", "src", key=F.length("text") % 2
     ).collect()
     # parity-of-length key: every group shares a key with some other
     assert all(row.n_shared >= 1 for row in keyed) and len(keyed) >= 1
@@ -888,3 +896,15 @@ def test_proportional_allocation_known_answer(spark):
     )
     wout = {r.g: r for r in proportional_allocation(wdf, "g", 4, weight_col="w").collect()}
     assert wout["x"].alloc_rows == 3 and wout[None].alloc_rows == 1
+
+    # an all-NULL-weight group apportions like a zero-weight group and
+    # must NOT poison the exact-sum law for the others
+    ndf = spark.createDataFrame(
+        [("x", 3), ("x", 3), ("y", None)], "g string, w int"
+    )
+    nout = {
+        r.g: r
+        for r in proportional_allocation(ndf, "g", 3, weight_col="w").collect()
+    }
+    assert nout["x"].alloc_rows == 3 and nout["y"].alloc_rows == 0
+    assert sum(v.alloc_rows for v in nout.values()) == 3

@@ -945,7 +945,6 @@ def main():
             tx.chunk_text(d, "doc_id", "text", window=16, stride=8).join(
                 d.select("doc_id", "source"), "doc_id"
             ),
-            "doc_id",
             "text",
             "source",
             key=F.col("chunk_md5"),
