@@ -945,12 +945,16 @@ class Dataset:
 
         return centroid_shift(self._df, other._df, label_key, vec_col)
 
-    def source_dup_matrix(self, group_key: str, key: str = "text", **kw):
+    def source_dup_matrix(
+        self, group_key: str, text_key: str = "text", digest=None
+    ):
         """Cross-group exact-duplicate / key-overlap matrix (see
-        dedup.source_dup_matrix)."""
+        dedup.source_dup_matrix). ``text_key`` names the text COLUMN to
+        digest; ``digest`` optionally passes a custom digest Column
+        (the operator's ``key=`` kwarg), e.g. a pre-computed hash."""
         from dabstract_spark.operators.dedup import source_dup_matrix
 
-        return source_dup_matrix(self._df, key, group_key, **kw)
+        return source_dup_matrix(self._df, text_key, group_key, key=digest)
 
     def budget_allocation(
         self, group_key: str, token_col, total_budget: int, max_repeat: int = 1

@@ -162,7 +162,9 @@ def proportional_allocation(
     proportions). Per group: ``alloc_rows`` = floor(n_total·c_g / T)
     plus one of the k = n_total − Σfloor remainder units, awarded to
     the k largest integer remainders ``n_total·c_g mod T`` (ties →
-    larger group first, then group value — a total order), so
+    larger group first, then group value ascending NULLS LAST — a
+    total order that places a NULL group after every non-NULL tie,
+    matching SQL's ASC default), so
     Σalloc == n_total EXACTLY whenever the corpus is non-empty with a
     positive total weight, and every |alloc − exact quota| < 1. All arithmetic is exact
     DECIMAL(38,0); ``share_ppm`` is the group's observed corpus share.
@@ -207,8 +209,13 @@ def proportional_allocation(
     )
     # k spare units onto the k largest remainders — the n_groups-row
     # award rank (bounded tiny-table window)
+    # asc_nulls_last: a NULL group is a real group and can tie a non-NULL
+    # group on (__rem, __c) exactly (__rem is a pure function of __c), so
+    # the NULL placement decides who gets the remainder unit — pin it to
+    # NULLS LAST, matching DuckDB's ASC default, or the award diverges
+    # across engines.
     w_rank = Window.partitionBy(F.lit(0)).orderBy(
-        F.desc("__rem"), F.desc("__c"), F.asc("__g")
+        F.desc("__rem"), F.desc("__c"), F.asc_nulls_last("__g")
     )
     w_k = Window.partitionBy(F.lit(0)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

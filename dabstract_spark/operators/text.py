@@ -718,15 +718,24 @@ def bm25_topk(
     out = scored.select("id", F.round(score, 4).alias("score")).filter(
         F.col("score") > 0.0
     )
-    # global top-k rank over docs matching the query terms (the score>0
-    # filter bounds this to the posting-list union, not the corpus);
-    # constant partition key = same single-partition sort, no spurious
-    # no-partition WindowExec warning
+    # global top-k: orderBy().limit(k) first (distributed
+    # TakeOrderedAndProject — each task keeps its own top k, the driver
+    # merges k*n_tasks rows), THEN the row_number window over only the k
+    # survivors. For common query terms the score>0 set IS the corpus,
+    # so ranking it with one constant-key window would funnel the whole
+    # corpus through a single-task sort. NOTE: Spark 4's
+    # LimitPushDownThroughWindow rule happened to rescue the previous
+    # `window then filter(rank <= k)` form into this exact plan (verified
+    # by plan diff + a stop-word probe showing time parity) — the
+    # explicit form makes the shape source-guaranteed instead of
+    # optimizer-dependent (the rule only fires on literal rank filters it
+    # can prove limit-like).
+    top = out.orderBy(F.desc("score"), F.asc("id")).limit(k)
     w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("id"))
-    return (
-        out.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("id").alias(id_col), "score", F.col("rank").cast("int").alias("rank"))
+    return top.select(
+        F.col("id").alias(id_col),
+        "score",
+        F.row_number().over(w).cast("int").alias("rank"),
     )
 
 

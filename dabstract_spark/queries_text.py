@@ -7432,7 +7432,8 @@ def q296_stream_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     pur AS (
       SELECT COALESCE(SUM(maj), 0) AS p, COUNT(*)::BIGINT AS k
       FROM (SELECT cid, MAX(n) AS maj FROM cm GROUP BY 1)),
-    labs AS (SELECT COUNT(DISTINCT label)::BIGINT AS nl FROM cm),
+    labs AS (SELECT COUNT(*)::BIGINT AS nl
+             FROM (SELECT DISTINCT label FROM cm)),
     rm AS (SELECT cid, CAST(SUM(n) AS HUGEINT) AS na FROM cm GROUP BY 1),
     cb AS (SELECT label, CAST(SUM(n) AS HUGEINT) AS nb FROM cm GROUP BY 1),
     cells AS (
@@ -7594,7 +7595,7 @@ def q299_stream_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                   % greatest((SELECT t FROM t), 1) AS BIGINT) AS rem
       FROM c),
     rk AS (
-      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, c DESC, g) AS rk,
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, c DESC, g ASC NULLS LAST) AS rk,
              SUM(base) OVER () AS sb
       FROM r)
     SELECT g AS source, c AS n_rows,

@@ -1431,6 +1431,15 @@ def centroid_shift_stream(
         centroid_sums,
     )
 
+    # validate BEFORE the drain: a miswired ref_sums must fail fast, not
+    # after the stream has already run and appended partials to the sink
+    missing = {"__l", "__i", "__s", "__n"} - set(ref_sums.columns)
+    if missing:
+        raise ValueError(
+            "centroid_shift_stream: ref_sums must be a centroid_sums() "
+            f"table with default column names; missing {sorted(missing)}"
+        )
+
     run_id = hashlib.md5(str(checkpoint).encode()).hexdigest()[:16]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -1459,12 +1468,6 @@ def centroid_shift_stream(
             F.sum("n").alias("__nb"),
         )
     )
-    missing = {"__l", "__i", "__s", "__n"} - set(ref_sums.columns)
-    if missing:
-        raise ValueError(
-            "centroid_shift_stream: ref_sums must be a centroid_sums() "
-            f"table with default column names; missing {sorted(missing)}"
-        )
     a = ref_sums.withColumnRenamed("__s", "__sa").withColumnRenamed(
         "__n", "__na"
     )

@@ -203,3 +203,114 @@ def test_decontaminate_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------- #
+# Constant-key (partitionBy(lit(0))) window registry: every such window
+# funnels its input through ONE task, so each site must have a bound on
+# that input that does not grow with the data. The registry below turns
+# each site's docstring argument into a machine-checked inventory — a
+# new constant-key window anywhere in the engine fails this test until
+# it is registered here with its bound (or redesigned).
+#
+# Bound kinds:
+#   limit-k    — window input is the output of orderBy().limit(k)
+#                (TakeOrderedAndProject), k a small literal; checked at
+#                runtime below for the representative top-k rankers.
+#   bucket     — fixed-domain bucket aggregate (256 md5-hex prefixes,
+#                4·npart numeric bins, n_stages×256 composite).
+#   codomain   — aggregate keyed on a value with a bounded codomain
+#                (ppm scores ≤ 1e6 distinct; histogram `bins` rows).
+#   contract   — distinct-key table that is human-scale by the
+#                operator's documented contract (xval groups/items,
+#                mixture components); each carries a docstring bound,
+#                sequential_kfold-style.
+WINDOW_LIT0_BOUNDS = {
+    "core.py::with_row_id": ("bucket", "≤256 hex / 4·npart numeric buckets"),
+    "operators/packing.py::block_prefix_sum": ("bucket", "~√n_blocks super-block totals (~233 at 16M rows/block)"),
+    "operators/planning.py::budget_allocation": ("contract", "n_groups mixture components (docstring bound)"),
+    "operators/planning.py::proportional_allocation": ("contract", "n_groups mixture components (docstring bound)"),
+    "operators/select.py::random_subsample": ("bucket", "256-row md5-prefix bucket counts"),
+    "operators/select.py::random_sample_n": ("bucket", "256-row md5-prefix bucket counts"),
+    "operators/select.py::curriculum_order": ("bucket", "n_stages×256 composite bucket counts"),
+    "operators/sketches.py::hist_quantiles": ("codomain", "`bins` histogram rows (ungrouped branch)"),
+    "operators/skew.py::key_skew_profile": ("limit-k", "top_k rows post-limit"),
+    "operators/text.py::bm25_topk": ("limit-k", "k rows post-limit (TakeOrdered)"),
+    "operators/text.py::perplexity_buckets": ("codomain", "distinct coherence_ppm values ≤1e6"),
+    "operators/text.py::dsir_select": ("limit-k", "k rows post-limit"),
+    "operators/text.py::collocations": ("limit-k", "top_k rows post-limit"),
+    "operators/textstats.py::balance_from_counts": ("contract", "n_groups mixture components (docstring bound)"),
+    "operators/textstats.py::zipf_card": ("limit-k", "top_n rows post-limit"),
+    "operators/xval.py::group_random_kfold": ("contract", "distinct xval groups (reference contract)"),
+    "operators/xval.py::xval_from_item": ("contract", "distinct fold items (reference contract)"),
+    "queries_text.py::q177_heavy_hitters": ("limit-k", "≤50 CMS candidate rows (bounded upstream)"),
+}
+
+
+def _window_lit0_sites():
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "dabstract_spark"
+    pat = re.compile(r"Window\s*\.\s*partitionBy\(\s*F\.lit\(0\)\s*\)")
+    sites = set()
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        lines = src.split("\n")
+        for m in pat.finditer(src):
+            ln = src[: m.start()].count("\n")
+            func = "<module>"
+            for i in range(ln, -1, -1):
+                mm = re.match(r"\s*def\s+(\w+)", lines[i])
+                if mm:
+                    func = mm.group(1)
+                    break
+            sites.add(f"{p.relative_to(root).as_posix()}::{func}")
+    return sites
+
+
+def test_constant_key_windows_are_registered():
+    """Source sweep: the set of constant-key window sites must equal the
+    bound registry exactly — no unregistered site (a potential new
+    single-task funnel), no stale registry row (a bound claim about
+    code that no longer exists)."""
+    found = _window_lit0_sites()
+    registered = set(WINDOW_LIT0_BOUNDS)
+    assert found - registered == set(), (
+        f"unregistered constant-key window(s): {sorted(found - registered)} — "
+        "add a bound to WINDOW_LIT0_BOUNDS or redesign the window"
+    )
+    assert registered - found == set(), (
+        f"stale registry rows: {sorted(registered - found)}"
+    )
+
+
+@pytest.mark.parametrize(
+    "qname,limit",
+    [
+        ("q170_bm25_topk", 10),  # the r9 negative control: used to window the corpus
+        ("q259_dsir_selection", 50),
+    ],
+)
+def test_topk_rankers_window_post_limit(spark, qname, limit):
+    """Runtime check for the limit-k registry rows: the representative
+    top-k rankers must plan a distributed TakeOrderedAndProject with a
+    small literal limit BELOW the rank window — the window then runs
+    over k rows, not the corpus. Spark 4's LimitPushDownThroughWindow
+    happens to rewrite the literal `filter(rank <= k)` form into this
+    same plan, so this test pins the SHAPE however it is produced: if a
+    future edit defeats the rule (non-literal k, an intervening
+    projection) while the source still relies on it, the TakeOrdered
+    disappears and this fails."""
+    import re
+
+    from __spark_entry__ import queries
+
+    df = queries()[qname](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"TakeOrderedAndProject\s*\(limit=(\d+)", plan)
+    assert m, f"{qname}: no TakeOrderedAndProject below the rank window:\n{plan[:2000]}"
+    assert int(m.group(1)) <= 1000
+    if limit is not None:
+        assert int(m.group(1)) == limit
+    assert "Window" in plan  # the rank window survives, over k rows only

@@ -908,3 +908,75 @@ def test_proportional_allocation_known_answer(spark):
     }
     assert nout["x"].alloc_rows == 3 and nout["y"].alloc_rows == 0
     assert sum(v.alloc_rows for v in nout.values()) == 3
+
+
+def test_proportional_allocation_null_group_tie_nulls_last(spark):
+    """A NULL group is a real group, and because __rem is a pure
+    function of the count, a NULL group with the SAME count as a
+    non-NULL group ties on both (rem desc, c desc) award keys — the
+    group-value tiebreak must then place NULL LAST (SQL's ASC default,
+    what the DuckDB oracle does), so the non-NULL group wins the
+    remainder unit on both engines."""
+    from dabstract_spark.operators.planning import proportional_allocation
+
+    df = spark.createDataFrame([("a",), (None,)], "g string")
+    # counts 1/1, T=2, n_total=1: base 0/0, rem 1/1 — a perfect tie;
+    # one spare unit must land on "a" (NULLS LAST), never the NULL group
+    out = {r.g: r for r in proportional_allocation(df, "g", 1).collect()}
+    assert out["a"].alloc_rows == 1 and out["a"].got_remainder == 1
+    assert out[None].alloc_rows == 0 and out[None].got_remainder == 0
+    assert sum(v.alloc_rows for v in out.values()) == 1
+
+    # three-way tie: spares land on the first k non-NULL groups in
+    # group order, the NULL group only after every non-NULL tie
+    df3 = spark.createDataFrame([("a",), ("b",), (None,)], "g string")
+    out3 = {r.g: r for r in proportional_allocation(df3, "g", 2).collect()}
+    assert (out3["a"].alloc_rows, out3["b"].alloc_rows, out3[None].alloc_rows) == (1, 1, 0)
+
+
+def test_centroid_stream_validates_ref_before_drain(spark, tmp_path):
+    """A miswired ref_sums (not a centroid_sums() table) must raise
+    BEFORE the stream drains — failing fast, not after an expensive
+    side-effecting run has already appended partials to the sink."""
+    import pytest
+
+    from dabstract_spark.streaming.ops import centroid_shift_stream, stream_events
+
+    SF = "/root/testdata/sf0.001"
+    src = stream_events(spark, f"{SF}/embeddings.parquet")
+    bad_ref = spark.createDataFrame([(1,)], "x int")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with pytest.raises(ValueError, match="centroid_sums"):
+        centroid_shift_stream(src, bad_ref, "label", "embedding", out, ckpt)
+    # fail-fast means NO sink write and NO checkpoint were created
+    import pathlib
+
+    assert not pathlib.Path(out).exists()
+    assert not pathlib.Path(ckpt).exists()
+
+
+def test_dataset_source_dup_matrix_digest_kwarg(spark):
+    """The Dataset facade forwards text_key as the text column and
+    digest= as the operator's custom-key Column — the custom-key mode
+    must be reachable from the facade (it used to be shadowed by a
+    parameter also named 'key')."""
+    from dabstract_spark.dataset import Dataset
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", "Same Text"),
+            (2, "B", "same   text  "),
+            (3, "C", "zz"),
+        ],
+        "doc_id long, src string, text string",
+    )
+    ds = Dataset(df, name="t")
+    out = ds.source_dup_matrix("src", text_key="text").collect()
+    assert len(out) == 1 and out[0].n_shared == 1
+
+    keyed = ds.source_dup_matrix(
+        "src", text_key="text", digest=F.length("text") % 2
+    ).collect()
+    # parity-of-length digest: "Same Text"(9)/"same   text  "(13) odd,
+    # "zz"(2) even — A-B share, C shares with nobody
+    assert {(r.group_a, r.group_b) for r in keyed} == {("A", "B")}

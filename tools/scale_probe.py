@@ -737,6 +737,67 @@ def main():
         "hist_sketch_quantiles": _hist,
     }
 
+    # r10 adversarial stop-word retrieval: every doc carries the query
+    # term, so the score>0 "posting-list union" IS the corpus — the
+    # case where bm25_topk's old tail (row_number over ONE constant-key
+    # window, then filter(rank <= k)) LOOKS like a single-task
+    # corpus-sized sort. MEASURED RESULT: near-parity (e.g. 4.8 vs 4.6 s
+    # at 16x = 9.6M docs), because Spark 4's LimitPushDownThroughWindow
+    # rule rewrites that literal rank filter into the same
+    # TakeOrderedAndProject the explicit orderBy().limit(k) form plans —
+    # verified by plan diff. The probe pair is kept as the REGRESSION
+    # canary: if a future change defeats the rule (non-literal k, extra
+    # projection between window and filter), the naive row diverges and
+    # the explicit-form row does not.
+    # short two-token docs on a lineitem-sized id space (600k -> 9.6M
+    # rows at 16x): the scoring scan stays cheap, so the probe measures
+    # the contested RANKING stage, not tokenization
+    stop_docs = lineitem.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("doc_id")
+    ).withColumn(
+        "text",
+        F.concat(F.lit("the w"), F.pmod(F.col("doc_id"), F.lit(1000)).cast("string")),
+    )
+
+    def _bm25_scores(d, k1=1.2, b=0.75):
+        # the operator's scoring stage (stats broadcast + per-doc score),
+        # shared by both probe variants so only the ranking tail differs
+        staged = d.select(F.col("doc_id").alias("id"), tx.tokens("text").alias("__t"))
+        dl = F.size("__t")
+        stats = staged.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(dl).alias("__sumdl"),
+            F.sum(F.array_contains("__t", "the").cast("long")).alias("__df0"),
+        )
+        scored = staged.crossJoin(F.broadcast(stats))
+        avgdl = F.col("__sumdl").cast("double") / F.col("__n")
+        tf = F.size(F.filter("__t", lambda x: x == F.lit("the"))).cast("double")
+        dfc = F.col("__df0").cast("double")
+        idf = F.log(F.lit(1.0) + (F.col("__n") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+        score = idf * (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl.cast("double") / avgdl)
+        )
+        return scored.select("id", F.round(score, 4).alias("score")).filter(
+            F.col("score") > 0.0
+        )
+
+    def _bm25_naive(d):
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("id"))
+        return (
+            _bm25_scores(d)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+        )
+
+    bm25_probes = {
+        "bm25_stopword_naive": _bm25_naive,
+        "bm25_stopword_takeord": lambda d: tx.bm25_topk(
+            d, "doc_id", "text", terms=["the"], k=10
+        ),
+    }
+
     print(
         f"{'probe':<20} {'1x':>8} {'4x':>8} {'16x':>8}"
         f"  (sec, median of {reps}; input rows scale 1:4:16)"
@@ -768,6 +829,7 @@ def main():
     probe_block(psi_probes, events, "event_id")
     probe_block(layout_probes, docs, "doc_id")
     probe_block(hist_probes, events, "event_id")
+    probe_block(bm25_probes, stop_docs, "doc_id")
     # events scale with GROWING user cardinality (each copy is a fresh
     # user population) — the realistic 100 TB shape: more users, not
     # deeper per-user history
