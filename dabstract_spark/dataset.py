@@ -945,6 +945,28 @@ class Dataset:
 
         return centroid_shift(self._df, other._df, label_key, vec_col)
 
+    def semantic_dedup(
+        self,
+        n_centroids: int = 8,
+        threshold: float = 0.95,
+        id_key: str = "vec_id",
+        vec_key: str = "embedding",
+        impl: str = "gemm",
+    ):
+        """SemDeDup-style embedding-cluster dedup: IVF-cluster the
+        embedding space, then keep one representative per within-cluster
+        cosine-above-threshold near-set (see similarity.semantic_dedup;
+        cluster bucketing is what bounds the pair fan-out)."""
+        from dabstract_spark.operators.similarity import (
+            ivf_centroids,
+            semantic_dedup,
+        )
+
+        cents = ivf_centroids(self._df, n_centroids, id_key, vec_key)
+        return semantic_dedup(
+            self._df, cents, threshold, id_key, vec_key, impl=impl
+        )
+
     def source_dup_matrix(
         self, group_key: str, text_key: str = "text", digest=None
     ):

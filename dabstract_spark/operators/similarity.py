@@ -191,13 +191,21 @@ def _centroid_rank_exprs(
     import math
 
     vn = vec_norm if vec_norm is not None else norm(vec_col)
+    # zero-norm guard: a zero vector (or zero centroid) must read cosine
+    # 0, not raise DIVIDE_BY_ZERO under ANSI — dot is 0 whenever a norm
+    # is, so dividing by 1 instead is exact (mirrors the GEMM path's
+    # norms[norms == 0] = 1). On real embeddings norms are > 0 and the
+    # guard branch never fires, so oracle parity is untouched.
+    vn = F.when(vn == 0.0, F.lit(1.0)).otherwise(vn)
     out = []
     for cid, cvec in centroids:
         lit_vec = F.array(*[F.lit(float(v)) for v in cvec])
         acc = 0.0
         for v in cvec:
             acc += float(v) * float(v)
-        out.append((cid, dot(vec_col, lit_vec) / (vn * F.lit(math.sqrt(acc)))))
+        out.append(
+            (cid, dot(vec_col, lit_vec) / (vn * F.lit(math.sqrt(acc) or 1.0)))
+        )
     return out
 
 
@@ -621,7 +629,12 @@ def semantic_dedup(
         )
     if impl != "expr":
         raise ValueError(f"unknown impl '{impl}'")
-    staged = assigned.withColumn("__n", norm(F.col("vec")))
+    # zero-norm guard mirrors the GEMM path (norms[norms == 0] = 1):
+    # dot is 0 whenever a norm is, so the pair cosine reads 0 exactly
+    nraw = norm(F.col("vec"))
+    staged = assigned.withColumn(
+        "__n", F.when(nraw == 0.0, F.lit(1.0)).otherwise(nraw)
+    )
     a, b = staged.alias("a"), staged.alias("b")
     dropped = (
         a.join(

@@ -1086,3 +1086,19 @@ def test_bootstrap_means_poisson_properties(spark):
     # deterministic under the same seed
     again = bootstrap_means(df, "id", "v", n_boot=16, seed=3).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_dataset_semantic_dedup_facade(spark):
+    """Dataset.semantic_dedup composes ivf_centroids + semantic_dedup
+    with the dataset's own columns."""
+    from dabstract_spark.dataset import Dataset
+    from dabstract_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = Dataset(emb, name="emb").semantic_dedup(
+        n_centroids=4, threshold=0.4, impl="expr"
+    )
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert {c for c in out.columns} == {"vec_id", "centroid_id", "keep"}
+    assert any(not r.keep for r in rows) and any(r.keep for r in rows)

@@ -1062,3 +1062,57 @@ def test_proportional_allocation_laws(spark, sizes, n_total):
         assert base <= r.alloc_rows <= base + 1
         assert r.share_ppm == n * 10**6 // total
         assert r.n_rows == n
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-5, 5), min_size=4, max_size=4),
+        min_size=3,
+        max_size=14,
+    ),
+    n_centroids=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_semantic_dedup_matches_brute_force_model(spark, vecs, n_centroids):
+    """semantic_dedup == an independent driver-side reference model of
+    the whole SemDeDup contract: argmax-cosine centroid assignment
+    (ties -> lowest centroid id), then greedily mark every vector with a
+    LOWER-id same-cluster neighbor at cosine >= threshold as a
+    duplicate. Zero vectors normalize to cosine 0 in both. Exercises
+    the keep-one-per-near-set law on arbitrary small corpora, including
+    all-identical (one survivor per cluster) and all-orthogonal (all
+    kept) regimes the fixtures never hit."""
+    import math
+
+    n_centroids = min(n_centroids, len(vecs))
+    threshold = 0.8
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    cents = [(i, [float(x) for x in vecs[i]]) for i in range(n_centroids)]
+    assign = {}
+    for i, v in rows:
+        best = max(cents, key=lambda c: (cos(v, c[1]), -c[0]))
+        assign[i] = best[0]
+    want = set()
+    for i, v in rows:
+        dup = any(
+            j < i and assign[j] == assign[i] and cos(rows[j][1], v) >= threshold
+            for j in range(len(rows))
+        )
+        want.add((i, assign[i], not dup))
+
+    from dabstract_spark.operators.similarity import semantic_dedup
+
+    got = {
+        (r.vec_id, r.centroid_id, r.keep)
+        for r in semantic_dedup(
+            df, cents, threshold=threshold, impl="expr"
+        ).collect()
+    }
+    assert got == want
