@@ -114,3 +114,163 @@ def test_real_video_frame_sample_solid_frames(spark):
     arr = np.array(vid)
     assert arr.shape == (3, 4, 4)
     np.testing.assert_allclose(arr, gray / 255.0, atol=8 / 255.0)
+
+
+# --------------------------------------------------------------------- #
+# Never-skipped siblings: mode='png' runs the vendored stdlib PNG
+# decoder (zlib inflate + filter reconstruction + ITU-R 601-2 luma), so
+# the REAL-container image path has a positive branch exercised in THIS
+# container, not only where PIL exists. The encoder below is also
+# stdlib-only and forward-applies each scanline filter, so every
+# reconstruction branch of the decoder is covered by exact roundtrips.
+# --------------------------------------------------------------------- #
+import struct
+import zlib
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode(rows, color_type, filters=None, palette=None):
+    """Minimal PNG writer: 8-bit, non-interlaced; ``rows`` is H×W of
+    ints (gray/palette) or tuples (RGB/RGBA/LA); ``filters[y]`` picks
+    the scanline filter and the writer forward-applies it."""
+    from dabstract_spark.sources.readers import _paeth
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    h, w = len(rows), len(rows[0])
+    filters = filters or [0] * h
+    raw_lines = []
+    for row in rows:
+        line = bytearray()
+        for px in row:
+            line.extend(px if isinstance(px, (tuple, list)) else (px,))
+        raw_lines.append(bytes(line))
+    stride = w * ch
+    stream = bytearray()
+    prev = bytes(stride)
+    for y, line in enumerate(raw_lines):
+        f = filters[y]
+        stream.append(f)
+        for i in range(stride):
+            left = line[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = line[i] - left
+            elif f == 2:
+                v = line[i] - up
+            elif f == 3:
+                v = line[i] - ((left + up) >> 1)
+            else:
+                v = line[i] - _paeth(left, up, ul)
+            stream.append(v & 0xFF)
+        prev = line
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    )
+    if palette is not None:
+        out += _chunk(b"PLTE", bytes(palette))
+    return (
+        out
+        + _chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_solid_gray(spark):
+    """Sibling of test_real_image_decode_solid_gray that never skips: a
+    solid-gray 16x12 RGB PNG through mode='png' reads exactly gray/255
+    at every output pixel (luma of (g,g,g) is g)."""
+    gray = 120
+    png = _png_encode([[(gray, gray, gray)] * 16 for _ in range(12)], 2)
+    df = spark.createDataFrame([(bytearray(png),)], "payload binary")
+    mat = (
+        df.select(decode_image("payload", height=4, width=6, mode="png").alias("m"))
+        .collect()[0]
+        .m
+    )
+    arr = np.array(mat)
+    assert arr.shape == (4, 6)
+    np.testing.assert_allclose(arr, gray / 255.0, atol=1e-12)
+
+
+def test_png_decode_gradient_orientation(spark):
+    """Sibling of test_real_image_decode_gradient_orientation, never
+    skipped: vertical black→white gradient keeps its orientation through
+    decode + nearest-neighbor resize."""
+    png = _png_encode([[min(255, y * 32)] * 8 for y in range(8)], 0)
+    df = spark.createDataFrame([(bytearray(png),)], "payload binary")
+    mat = (
+        df.select(decode_image("payload", height=4, width=2, mode="png").alias("m"))
+        .collect()[0]
+        .m
+    )
+    arr = np.array(mat)
+    assert arr.shape == (4, 2)
+    assert arr[0].mean() < arr[-1].mean()
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_filter_reconstruction_exact(ftype):
+    """Each scanline filter (None/Sub/Up/Average/Paeth) forward-applied
+    by the test encoder must reconstruct the original bytes exactly —
+    deterministic pseudo-random RGB so every code path sees non-trivial
+    left/up/upper-left contexts."""
+    from dabstract_spark.sources.readers import _png_to_gray
+
+    rows = [
+        [((x * 37 + y * 101) % 256, (x * 73 + y * 17) % 256, (x * 11 + y * 59) % 256)
+         for x in range(7)]
+        for y in range(5)
+    ]
+    png = _png_encode(rows, 2, filters=[ftype] * 5)
+    got = _png_to_gray(png)
+    want = [
+        [(r * 299 + g * 587 + b * 114) // 1000 for (r, g, b) in row]
+        for row in rows
+    ]
+    assert got == want
+
+
+def test_png_palette_rgba_and_alpha_gray():
+    """Palette lookups go through PLTE then luma; RGBA/LA ignore alpha
+    (luma/gray of the color channels only)."""
+    from dabstract_spark.sources.readers import _png_to_gray
+
+    palette = [255, 0, 0, 0, 255, 0, 10, 20, 30]  # three entries
+    png = _png_encode([[0, 1, 2], [2, 1, 0]], 3, palette=palette)
+    assert _png_to_gray(png) == [
+        [(255 * 299) // 1000, (255 * 587) // 1000, (10 * 299 + 20 * 587 + 30 * 114) // 1000],
+        [(10 * 299 + 20 * 587 + 30 * 114) // 1000, (255 * 587) // 1000, (255 * 299) // 1000],
+    ]
+    rgba = _png_encode([[(100, 150, 200, 7), (0, 0, 0, 255)]], 6, filters=[4])
+    assert _png_to_gray(rgba) == [[(100 * 299 + 150 * 587 + 200 * 114) // 1000, 0]]
+    la = _png_encode([[(77, 3), (200, 0)]], 4, filters=[1])
+    assert _png_to_gray(la) == [[77, 200]]
+
+
+def test_png_unsupported_profile_raises():
+    """16-bit and interlaced profiles fail loudly (ValueError naming the
+    profile), never silently misdecode; non-PNG bytes fail on the
+    signature."""
+    from dabstract_spark.sources.readers import _png_to_gray
+
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG profile"):
+        _png_to_gray(png16)
+    with pytest.raises(ValueError, match="bad signature"):
+        _png_to_gray(b"JFIF not a png")
