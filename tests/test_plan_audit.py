@@ -314,3 +314,27 @@ def test_topk_rankers_window_post_limit(spark, qname, limit):
     if limit is not None:
         assert int(m.group(1)) == limit
     assert "Window" in plan  # the rank window survives, over k rows only
+
+
+def test_streaming_queries_carry_stream_in_name():
+    """The yardstick's batch/streaming floor split (tools/bench_oracle.py)
+    classifies by name — every catalog query that drives a streaming op
+    must carry 'stream' in its name (and the convention holds today:
+    28/28). A drained streaming query misfiled as batch would silently
+    pollute the batch family's warm ratio with drain floors."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "dabstract_spark"
+    offenders = []
+    for p in root.glob("queries_*.py"):
+        src = p.read_text()
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            if isinstance(node, ast.FunctionDef) and node.name.startswith("q"):
+                seg = ast.get_source_segment(src, node) or ""
+                if (
+                    "dabstract_spark.streaming" in seg or "stream_events" in seg
+                ) and "stream" not in node.name:
+                    offenders.append(f"{p.name}::{node.name}")
+    assert offenders == [], f"streaming queries without 'stream' in name: {offenders}"

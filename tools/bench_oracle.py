@@ -107,11 +107,54 @@ def main():
     for name, ts, tw, td in rows:
         w = f"{tw:>8.2f}" if tw is not None else f"{'-':>8}"
         print(f"{name:<32} {ts:>8.2f} {w} {td:>8.2f}")
-    total_s = sum(r[1] for r in rows)
-    total_w = sum(r[2] for r in rows if r[2] is not None)
-    total_d = sum(r[3] for r in rows)
-    w = f"{total_w:>8.2f}" if warm_pass else f"{'-':>8}"
-    print(f"{'TOTAL':<32} {total_s:>8.2f} {w} {total_d:>8.2f}")
+
+    def subtotal(label, sel):
+        sub = [r for r in rows if sel(r)]
+        ts = sum(r[1] for r in sub)
+        tw = sum(r[2] for r in sub if r[2] is not None)
+        td = sum(r[3] for r in sub)
+        w = f"{tw:>8.2f}" if warm_pass else f"{'-':>8}"
+        ratio = (
+            f"  warm/duck {tw / td:.2f}x" if warm_pass and td > 0 else ""
+        )
+        print(f"{label:<32} {ts:>8.2f} {w} {td:>8.2f}  ({len(sub)} q){ratio}")
+
+    subtotal("TOTAL", lambda r: True)
+    # Per-family floor accounting: the catalog-wide warm ratio drifts UP
+    # as floor-dominated cards accumulate (every streaming twin re-pays
+    # its availableNow drain floor per run while its DuckDB cell is
+    # ~0.01s), which reads as regression when it is composition. The
+    # splits keep the signal separable round over round:
+    #   BATCH / STREAMING  — name-keyed ("stream" in the query name; all
+    #                        streaming-op queries follow the convention,
+    #                        enforced by the AST check in tests).
+    #   DATA-SIZED         — queries whose DuckDB cell is > 0.5s at this
+    #                        SF: the subset where wall time reflects data
+    #                        volume, not per-query constants. This is
+    #                        the ratio that predicts 100 TB standing.
+    subtotal("BATCH", lambda r: "stream" not in r[0])
+    subtotal("STREAMING (floor-paying)", lambda r: "stream" in r[0])
+    subtotal("DATA-SIZED (duck>0.5s)", lambda r: r[3] > 0.5)
+
+    # persist per-query cells so future rounds can retro-split without
+    # re-running (r9's final run recorded only totals, making its
+    # batch/streaming retro an estimate — never again)
+    import json
+
+    out_path = Path(__file__).resolve().parent.parent / "BENCH_ORACLE_DETAIL.json"
+    out_path.write_text(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "cells": {
+                    n: {"spark_cold": ts, "spark_warm": tw, "duckdb": td}
+                    for n, ts, tw, td in rows
+                },
+            },
+            indent=1,
+        )
+    )
+    print(f"per-query cells -> {out_path}")
 
 
 if __name__ == "__main__":

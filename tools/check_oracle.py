@@ -5,7 +5,15 @@ the same sf directory, then compares row count, column names, and the
 order-insensitive multiset of values (exact equality; floats reported
 with max-abs-diff on mismatch).
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--changed-only] [sf_dir] [query_name ...]
+
+``--changed-only`` skips queries whose green result is cached for an
+identical (engine source tree, query source, oracle text, sf_dir) key —
+the mid-round iteration mode (a no-change tree re-checks in seconds).
+The key includes a digest of EVERY dabstract_spark/*.py file plus
+__spark_entry__.py, so any engine edit invalidates the whole cache (a
+query-source-only key would let an operator edit hide behind stale
+greens). Round-close sweeps must still run WITHOUT the flag.
 """
 
 from __future__ import annotations
@@ -54,19 +62,93 @@ def rows_to_multiset(cols, rows):
     return out
 
 
+CACHE_PATH = Path(__file__).resolve().parent / ".oracle_cache.json"
+
+
+def engine_digest() -> str:
+    """md5 over every engine source file (path + content digest) plus
+    the entry module — ANY engine edit flips it."""
+    import hashlib
+
+    root = Path(__file__).resolve().parent.parent
+    h = hashlib.md5()
+    files = sorted((root / "dabstract_spark").rglob("*.py"))
+    files.append(root / "__spark_entry__.py")
+    for p in files:
+        h.update(str(p.relative_to(root)).encode())
+        h.update(hashlib.md5(p.read_bytes()).digest())
+    return h.hexdigest()
+
+
+def cache_key(eng: str, fn, oracle_text: str | None, sf_dir: str) -> str:
+    """Per-query cache key: engine tree + this query's own source + its
+    oracle SQL + the fixture dir. Any of the four changing invalidates
+    exactly this query's green (the engine component invalidates all)."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = repr(fn)  # uncacheable-source callables still get a key
+    return hashlib.md5(
+        "\x00".join([eng, src, oracle_text or "<rows-only>", sf_dir]).encode()
+    ).hexdigest()
+
+
+def load_cache() -> dict:
+    import json
+
+    if CACHE_PATH.exists():
+        try:
+            return json.loads(CACHE_PATH.read_text())
+        except ValueError:
+            return {}
+    return {}
+
+
+def save_cache(cache: dict) -> None:
+    import json
+
+    CACHE_PATH.write_text(json.dumps(cache, indent=0, sort_keys=True))
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:]]
+    changed_only = "--changed-only" in args
+    if changed_only:
+        args.remove("--changed-only")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from dabstract_spark.session import get_spark
     from __spark_entry__ import queries, oracle_sql
+
+    qs, oracles = queries(), oracle_sql()
+    eng = engine_digest()
+    cache = load_cache()
+    keys = {
+        name: cache_key(eng, fn, oracles.get(name), sf_dir)
+        for name, fn in qs.items()
+    }
+    n_cached = 0
+    if changed_only:
+        pending = {
+            n for n in qs if not (only and n not in only) and cache.get(n) != keys[n]
+        }
+        n_cached = sum(
+            1 for n in qs if not (only and n not in only) and n not in pending
+        )
+        if not pending:
+            print(f"\n0 pass, 0 fail, 0 rows-only ({n_cached} cached green)")
+            sys.exit(0)
+        only = pending if not only else (only & pending)
 
     spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = queries(), oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
@@ -79,6 +161,7 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
+            cache.pop(name, None)
             continue
         # Replicate the driver's canonicalizer: it pandas-sort_values over
         # ALL columns, which raises "unhashable type" on array cells. Any
@@ -92,10 +175,12 @@ def main():
         except TypeError as e:
             print(f"FAIL  {name}: driver-canonicalizer hazard (unsortable output): {e}")
             n_fail += 1
+            cache.pop(name, None)
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle — rows-only check)")
             n_rowsonly += 1
+            cache[name] = keys[name]
             continue
         try:
             res = con.execute(oracles[name])
@@ -104,6 +189,7 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
+            cache.pop(name, None)
             continue
         problems = []
         if len(srows) != len(orows):
@@ -119,10 +205,14 @@ def main():
         if problems:
             print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems))
             n_fail += 1
+            cache.pop(name, None)
         else:
             print(f"PASS  {name} ({dt:.1f}s, {len(srows)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+            cache[name] = keys[name]
+    save_cache(cache)
+    cached = f" ({n_cached} cached green)" if changed_only else ""
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only{cached}")
     sys.exit(1 if n_fail else 0)
 
 
