@@ -7615,3 +7615,87 @@ def q300_apportion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proportional_allocation(
         _t(spark, sf_dir, "documents"), "source", n_total=1000
     )
+
+
+# --------------------------------------------------------------------- #
+# Robust per-group volume trend (events.theil_sen_trend): Theil-Sen
+# median-of-pairwise-slopes over daily event counts — the outlier-proof
+# drift read next to zipf_card's OLS. Exact integer slopes
+# ((Δcount)·10⁶ div Δday, truncation toward zero in both engines) and an
+# exact lower-median pick; the pair table is calendar-bounded
+# (n_days² per group), never data-sized.
+# --------------------------------------------------------------------- #
+@query(
+    "q301_robust_trend",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS g,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             COUNT(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT a.g, a.d AS d1, b.d AS d2,
+             CAST((b.c - a.c) * CAST(1000000 AS BIGINT) // (b.d - a.d)
+                  AS BIGINT) AS s
+      FROM c a JOIN c b ON a.g IS NOT DISTINCT FROM b.g AND a.d < b.d),
+    r AS (
+      SELECT g, s,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY s, d1, d2) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM p),
+    nd AS (SELECT g, COUNT(*)::BIGINT AS n_buckets FROM c GROUP BY g)
+    SELECT r.g AS event_type, nd.n_buckets, r.n AS n_pairs,
+           r.s AS slope_ppm_per_bucket
+    FROM r JOIN nd ON r.g IS NOT DISTINCT FROM nd.g
+    WHERE rn = (n + 1) // 2
+    """,
+)
+def q301_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.theil_sen_trend(
+        _t(spark, sf_dir, "events"), "event_type", "ts", bucket_sec=86_400
+    )
+
+
+def _lsh_plan_sql(n_hashes: int, grid: tuple[int, ...]) -> str:
+    """DuckDB replay of lsh_parameter_plan: the IDENTICAL unrolled
+    multiply-then-round(·,6) float64 ladder per factorization (exponents
+    are literals, so the SQL is generated, never data-dependent)."""
+    values = ", ".join(f"({s})" for s in grid)
+    branches = []
+    for b in range(1, n_hashes + 1):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        t = "s6"
+        for _ in range(r - 1):
+            t = f"round(({t}) * s6, 6)"
+        q = f"round(1.0 - ({t}), 6)"
+        u = q
+        for _ in range(b - 1):
+            u = f"round(({u}) * ({q}), 6)"
+        p = f"round(1.0 - ({u}), 6)"
+        branches.append(
+            f"SELECT CAST({b} AS INT) AS bands, CAST({r} AS INT) AS rows_per_band,"
+            f" s_ppm, CAST(CAST({p} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+            " AS p_collide_ppm FROM g"
+        )
+    return (
+        "WITH v(s_ppm) AS (VALUES " + values + "),\n"
+        "g AS (SELECT CAST(s_ppm AS BIGINT) AS s_ppm,"
+        " s_ppm / 1000000.0 AS s6 FROM v)\n" + "\nUNION ALL\n".join(branches)
+    )
+
+
+# --------------------------------------------------------------------- #
+# LSH banding planner (dedup.lsh_parameter_plan): the p = 1-(1-s^r)^b
+# S-curve per (bands, rows) factorization over a similarity grid — the
+# read that picks MinHash banding for a target near-dup threshold
+# BEFORE the 100 TB pair job; sibling of q202's estimator-quality eval.
+# Deterministic unrolled round(·,6) ladders; no data touched.
+# --------------------------------------------------------------------- #
+@query(
+    "q302_lsh_plan",
+    oracle=_lsh_plan_sql(16, tuple(range(50_000, 1_000_000, 50_000))),
+)
+def q302_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.lsh_parameter_plan(spark, n_hashes=16)

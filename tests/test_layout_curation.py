@@ -1016,3 +1016,55 @@ def test_token_budget_per_group_rejects_non_numeric_order_key(spark):
     # non-numeric order key must raise instead of silently corrupting
     with pytest.raises(ValueError, match="numeric"):
         token_budget_per_group(df, "g", "tok", ["name", "g"], budget=10)
+
+
+def test_theil_sen_trend_known_answer(spark):
+    """Theil-Sen on hand-built daily counts: pairwise integer slopes,
+    exact lower median, truncation-toward-zero on a negative slope, and
+    single-bucket groups emit nothing."""
+    from dabstract_spark.operators.events import theil_sen_trend
+
+    rows = []
+    # group a: day counts {0: 1, 1: 3, 2: 2} -> slopes 2e6, 5e5, -1e6
+    for day, n in [(0, 1), (1, 3), (2, 2)]:
+        rows += [("a", day)] * n
+    # group b: one active day -> no pairs, no output row
+    rows += [("b", 0)] * 4
+    # group c: days {0: 2, 3: 1} -> one slope, -1000000 div 3 = -333333
+    rows += [("c", 0), ("c", 0), ("c", 3)]
+    df = spark.createDataFrame(rows, "g string, day int").select(
+        "g", F.timestamp_seconds(F.col("day") * 86400 + 100).alias("ts")
+    )
+    out = {r.g: r for r in theil_sen_trend(df, "g", "ts").collect()}
+    assert set(out) == {"a", "c"}
+    a = out["a"]
+    assert (a.n_buckets, a.n_pairs, a.slope_ppm_per_bucket) == (3, 3, 500_000)
+    c = out["c"]
+    assert (c.n_buckets, c.n_pairs, c.slope_ppm_per_bucket) == (2, 1, -333_333)
+
+
+def test_lsh_parameter_plan_known_curve(spark):
+    """S-curve at s = 0.5 for n_hashes = 4: (1,4) -> 62500 ppm,
+    (2,2) -> 437500, (4,1) -> 937500 (hand-computed ladder); p is
+    monotone in s for every factorization; invalid n_hashes raises."""
+    import pytest
+
+    from dabstract_spark.operators.dedup import lsh_parameter_plan
+
+    out = {
+        (r.bands, r.rows_per_band): r.p_collide_ppm
+        for r in lsh_parameter_plan(spark, 4, s_grid_ppm=(500_000,)).collect()
+    }
+    assert out == {(1, 4): 62_500, (2, 2): 437_500, (4, 1): 937_500}
+
+    curve = lsh_parameter_plan(spark, 8).collect()
+    by_f = {}
+    for r in curve:
+        by_f.setdefault((r.bands, r.rows_per_band), []).append((r.s_ppm, r.p_collide_ppm))
+    assert len(by_f) == 4  # 1x8, 2x4, 4x2, 8x1
+    for pts in by_f.values():
+        ps = [p for _, p in sorted(pts)]
+        assert ps == sorted(ps) and 0 <= ps[0] and ps[-1] <= 1_000_000
+
+    with pytest.raises(ValueError, match="n_hashes"):
+        lsh_parameter_plan(spark, 0)

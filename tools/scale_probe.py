@@ -380,6 +380,11 @@ def main():
         # cohort retention: shuffles only (user, period) keys; rollup is
         # (cohort, offset)-sized — linear in the activity scan
         "cohort_retention": lambda e: ev.cohort_retention(e, "user_id", "ts"),
+        # r10 Theil-Sen trend: one map-side (group, day) count is the
+        # only data-sized work; the pairwise-slope table is
+        # calendar-bounded (days² per group), CONSTANT as volume grows —
+        # the probe should read flat-to-linear with no pair blowup
+        "robust_trend": lambda e: ev.theil_sen_trend(e, "event_type", "ts"),
     }
 
     # median-of-REPS per cell: single-run numbers in a long sequential
