@@ -211,3 +211,106 @@ def hist_quantiles(
     return cum.groupBy(*group_cols).agg(
         *[pick(p).alias(f"p{p}_lo_micro") for p in percentiles]
     )
+
+
+# --------------------------------------------------------------------- #
+# Deterministic md5 HyperLogLog (Flajolet et al. 2007): the exact-
+# arithmetic, ORACLE-REPLAYABLE sibling of Spark's built-in Datasketches
+# HLL (q176 uses the built-in and can only be guard-checked; this one is
+# bit-identical across engines and partitionings, so its estimate is
+# value-oracled like every other card). m = 256 registers (b = 8), the
+# rho stream carved from the key's md5: bucket = first 8 bits, rho = 1 +
+# leading zeros of the next 48 bits (``49 − length(bin(v))``, pure
+# integer/string ops both engines share). The harmonic denominator is an
+# EXACT BIGINT: Σ 2^(50−M[j]) ≤ 256·2^50 < 2^59 — every term a shift, so
+# merges and estimates carry no float until one final division, and
+# register tables merge by MAX (idempotent + commutative: any batching,
+# any replay, any partitioning gives the identical register table — a
+# strictly stronger merge guarantee than additive partials).
+# --------------------------------------------------------------------- #
+
+#: 0.7213/(1 + 1.079/256) · 2^66 — the m=256 HLL alpha·m² scaled by the
+#: 2^50 register-term scale, folded to ONE double literal both engines
+#: parse identically (alpha itself = 0.7182725932495458)
+_HLL_ALPHA_M2_SCALED = 5.2999162811336204e19
+
+
+def hll_partials(
+    df: DataFrame,
+    key_col: str | Column,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Partial HLL register table(s): one (``*group_cols``, bucket, M)
+    row per touched register (≤ 256 per group after map-side combine,
+    regardless of input size — the shuffle is register-sized). NULL keys
+    are excluded, matching COUNT(DISTINCT)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.md5(c.cast("string"))
+    v = F.conv(F.substring(h, 3, 12), 16, 10).cast("bigint")
+    rho = F.when(v > 0, F.lit(49) - F.length(F.bin(v))).otherwise(F.lit(49))
+    return (
+        df.filter(c.isNotNull())
+        .select(
+            *group_cols,
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+            rho.cast("int").alias("M"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("M").alias("M"))
+    )
+
+
+def hll_merge(partials: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Merge register tables by MAX — idempotent, so replayed or
+    overlapping partials are harmless by construction (no dedup
+    needed, unlike additive count partials)."""
+    return partials.groupBy(*group_cols, "bucket").agg(F.max("M").alias("M"))
+
+
+def hll_card(
+    registers: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Distinct-count card from a (merged) register table: per group,
+    ``v_zero`` untouched registers, the exact-integer scaled harmonic
+    sum ``s_scaled = Σ 2^(50−M)`` (absent registers contribute 2^50),
+    and the HLL estimate in micro-units — raw ``α·m²·2^50 / s_scaled``
+    with the standard small-range linear-counting correction
+    ``m·ln(m/V)`` when E ≤ 2.5m and V > 0 (one libm call, round 6 —
+    the proven portability recipe). The large-range correction is
+    omitted: it matters only near 2^48 distincts, far beyond the 48-bit
+    rho stream's own design range (documented bound)."""
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - M)")).alias("__sp"),
+    )
+    v = (F.lit(256) - F.col("__np")).cast("bigint")
+    s = (F.col("__sp") + v * F.expr("shiftleft(CAST(1 AS BIGINT), 50)")).cast(
+        "bigint"
+    )
+    staged = agg.select(
+        *group_cols, v.alias("v_zero"), s.alias("s_scaled")
+    ).withColumn(
+        "__e", F.lit(_HLL_ALPHA_M2_SCALED) / F.col("s_scaled").cast("double")
+    )
+    est = F.when(
+        (F.col("__e") <= F.lit(640.0)) & (F.col("v_zero") > 0),
+        F.lit(256.0) * F.log(F.lit(256.0) / F.col("v_zero").cast("double")),
+    ).otherwise(F.col("__e"))
+    return staged.select(
+        *group_cols,
+        "v_zero",
+        "s_scaled",
+        (F.round(est, 6).cast("decimal(18,6)") * F.lit(1_000_000))
+        .cast("bigint")
+        .alias("estimate_micro"),
+    )
+
+
+def hll_distinct_card(
+    df: DataFrame,
+    key_col: str | Column,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One-shot batch card: partials → card (partials are already the
+    merged registers when built in one pass)."""
+    return hll_card(hll_partials(df, key_col, group_cols), group_cols)

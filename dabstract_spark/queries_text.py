@@ -7699,3 +7699,67 @@ def _lsh_plan_sql(n_hashes: int, grid: tuple[int, ...]) -> str:
 )
 def q302_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.lsh_parameter_plan(spark, n_hashes=16)
+
+
+_HLL_SQL_CARD = """
+    WITH r AS (
+      SELECT event_type AS g,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT AS bucket,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT AS v
+      FROM events WHERE user_id IS NOT NULL),
+    m AS (SELECT g, bucket,
+                 MAX(CASE WHEN v > 0 THEN 49 - length(bin(v)) ELSE 49 END) AS M
+          FROM r GROUP BY 1, 2),
+    s AS (SELECT g, COUNT(*)::BIGINT AS np,
+                 CAST(SUM(CAST(1 AS BIGINT) << (50 - M)) AS BIGINT) AS sp
+          FROM m GROUP BY 1),
+    c AS (SELECT g, CAST(256 - np AS BIGINT) AS v_zero,
+                 CAST(sp + (256 - np) * (CAST(1 AS BIGINT) << 50) AS BIGINT)
+                   AS s_scaled
+          FROM s),
+    e AS (SELECT *, 5.2999162811336204e19 / CAST(s_scaled AS DOUBLE) AS E FROM c)
+    SELECT g AS event_type, v_zero, s_scaled,
+           CAST(CAST(round(CASE WHEN E <= 640.0 AND v_zero > 0
+                     THEN 256.0 * ln(256.0 / v_zero) ELSE E END, 6)
+                AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS estimate_micro
+    FROM e
+"""
+
+
+# --------------------------------------------------------------------- #
+# Deterministic md5 HyperLogLog distinct card (sketches.hll_distinct
+# family): the exact-arithmetic, value-ORACLED sibling of q176's
+# built-in Datasketches HLL (which can only be guard-checked). Register
+# shuffle is ≤ 256 rows per group after map-side combine; the harmonic
+# denominator is an exact BIGINT (Σ 2^(50−M) < 2^59); one double
+# division + at most one ln at the very end.
+# --------------------------------------------------------------------- #
+@query("q303_hll_distinct", oracle=_HLL_SQL_CARD)
+def q303_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.sketches import hll_distinct_card
+
+    return hll_distinct_card(
+        _t(spark, sf_dir, "events"), "user_id", ("event_type",)
+    )
+
+
+# --------------------------------------------------------------------- #
+# Streaming HLL distinct monitor (streaming.ops.hll_stream): per-batch
+# partial register tables merged by MAX — idempotent AND commutative, so
+# stream == batch EXACTLY for any batching, any replay, any overlap (the
+# strongest twin guarantee in the module; no dedup markers needed).
+# Oracle = the identical batch card SQL.
+# --------------------------------------------------------------------- #
+@query("q304_stream_hll", oracle=_HLL_SQL_CARD)
+def q304_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.streaming.ops import hll_stream, stream_events
+
+    src = stream_events(spark, f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkdab_hll_")
+    return hll_stream(
+        src, "user_id", ["event_type"], f"{tmp}/out", f"{tmp}/ckpt"
+    )

@@ -1529,3 +1529,64 @@ def agreement_stream(
         .agg(F.sum("n").alias("__n"))
     )
     return agreement_from_counts(merged)
+
+
+def hll_stream(
+    doc_stream: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    out_path: str,
+    checkpoint: str,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming distinct-count monitor — the ONLINE twin of
+    ``sketches.hll_distinct_card``: each micro-batch appends its partial
+    HLL register table to the sink; the live card is ``hll_card`` of the
+    merge-by-MAX. Registers merge by MAX — idempotent AND commutative —
+    so this twin carries the STRONGEST replay guarantee in the module:
+    any micro-batch boundaries, any replayed append, any partial
+    overlap produce the IDENTICAL register table, with no (run_id,
+    batch_id) dedup needed at all (the markers are still written for
+    lineage/debugging parity with the other monitors). The card
+    arithmetic is ``hll_card`` VERBATIM — one estimator for both twins."""
+    import hashlib
+
+    from dabstract_spark.operators.sketches import hll_card, hll_merge, hll_partials
+
+    run_id = hashlib.md5(str(checkpoint).encode()).hexdigest()[:16]
+    # positional sink aliases — see uniqueness_stream
+    safe = [f"__q{i}" for i in range(len(group_cols))]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            hll_partials(
+                batch_df.select(
+                    F.col(key_col).alias("__k"),
+                    *[F.col(c).alias(a) for c, a in zip(group_cols, safe)],
+                ),
+                "__k",
+                tuple(safe),
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    sink = _drain_foreach_batch(
+        doc_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "hll_stream",
+    )
+    merged = hll_merge(sink.select(*safe, "bucket", "M"), tuple(safe))
+    return hll_card(merged, tuple(safe)).select(
+        *[F.col(a).alias(c) for c, a in zip(group_cols, safe)],
+        "v_zero",
+        "s_scaled",
+        "estimate_micro",
+    )

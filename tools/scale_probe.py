@@ -385,6 +385,12 @@ def main():
         # calendar-bounded (days² per group), CONSTANT as volume grows —
         # the probe should read flat-to-linear with no pair blowup
         "robust_trend": lambda e: ev.theil_sen_trend(e, "event_type", "ts"),
+        # r10 md5 HLL: register shuffle <= 256 rows/group after map-side
+        # combine at ANY size; cardinality grows with the user uniquify —
+        # should read linear in the scan, flat in the shuffle
+        "hll_distinct": lambda e: __import__(
+            "dabstract_spark.operators.sketches", fromlist=["hll_distinct_card"]
+        ).hll_distinct_card(e, "user_id", ("event_type",)),
     }
 
     # median-of-REPS per cell: single-run numbers in a long sequential
