@@ -662,6 +662,14 @@ def theil_sen_trend(
         .groupBy("__g", "__d")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    return theil_sen_from_counts(counts, group_col)
+
+
+def theil_sen_from_counts(counts: DataFrame, group_col: str) -> DataFrame:
+    """The Theil–Sen card over a (__g, __d, __c) bucket-count table —
+    shared VERBATIM by the batch op above and the streaming maintainer
+    (one slope/median recipe, no twin drift). Counts must already be
+    collapsed to one row per (group, bucket)."""
     a, b = counts.alias("a"), counts.alias("b")
     pairs = a.join(
         b,

@@ -1406,3 +1406,68 @@ def winsorize_by_mad(
 
 
 _REGISTRY["winsorize_by_mad"] = winsorize_by_mad
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    n: int,
+    weight_col,
+    seed: int = 0,
+    key: str = "row_id",
+) -> DataFrame:
+    """Exactly min(n, eligible) rows sampled WITHOUT replacement with
+    probability proportional to weight — the curation sampler behind
+    "draw a 100k-doc eval set weighted by token count / quality". The
+    Efraimidis–Spirakis exponential race: each row gets
+    ``e = −ln(u)/w`` with ``u`` a deterministic md5 uniform in (0, 1],
+    and the n SMALLEST e win (Exp(w) order statistics ⇒ inclusion
+    proportional to w, seed-reproducible, no RNG state anywhere).
+
+    Portability: one libm ``ln`` + one division, then ``round(·, 6)``
+    (the proven single-call recipe; a binary double never sits on a
+    6-decimal rounding tie); remaining ties break on the key ascending.
+    ``u`` uses (md5_32 + 1)/2³² so u = 0 is impossible even at 100 TB
+    (a raw 32-bit prefix IS zero once per ~4G rows and −ln(0) would
+    poison the race). Rows with NULL or non-positive weight are
+    EXCLUDED (a zero-weight row has inclusion probability 0; matching
+    the SQL oracle's WHERE w > 0).
+
+    Scale shape: the global top-n by e routes through
+    ``token_budget_per_group``'s two-level 256-value-range-bucket
+    machinery (tok = 1, budget = n, one constant group) — no
+    single-task corpus sort, no TakeOrdered with a data-scale limit;
+    the "one giant group" case is exactly what that machinery de-skews.
+    Returns the selected rows' (key, weight, sample_rank)."""
+    from dabstract_spark.functions.hashing import md5_order
+
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    u = (
+        F.conv(F.substring(md5_order(key, seed), 1, 8), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**32))
+    staged = (
+        df.select(F.col(key), w.alias("__w"))
+        .filter(F.col("__w") > 0)
+        .withColumn("__e", F.round(-F.log(u) / F.col("__w"), 6))
+        .withColumn("__wg", F.lit(0))
+        # the budget machinery references its input several times
+        # (range-bounds pass, bucket sums, local cumsum) — checkpoint so
+        # the md5+ln staging runs once, not once per reference (the
+        # grouped_mad_outliers composition lesson)
+        .localCheckpoint(eager=False)
+    )
+    picked = token_budget_per_group(
+        staged,
+        "__wg",
+        F.lit(1).cast("bigint"),
+        [F.asc("__e"), F.asc(key)],
+        budget=int(n),
+        cum_col="sample_rank",
+        order_key=F.col("__e"),
+        n_groups_hint=1,
+    )
+    return picked.select(
+        key, F.col("__w").cast("double").alias("weight"), "sample_rank"
+    )

@@ -7763,3 +7763,79 @@ def q304_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_stream(
         src, "user_id", ["event_type"], f"{tmp}/out", f"{tmp}/ckpt"
     )
+
+
+# --------------------------------------------------------------------- #
+# Streaming robust-trend monitor (streaming.ops.trend_stream): per-batch
+# (group, day) count partials with (run_id, batch_id) replay markers;
+# live card = theil_sen_from_counts(merge-by-sum) — additive counts =>
+# drained == batch card exactly. Oracle = q301's batch SQL verbatim.
+# --------------------------------------------------------------------- #
+@query(
+    "q305_stream_trend",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS g,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             COUNT(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT a.g, a.d AS d1, b.d AS d2,
+             CAST((b.c - a.c) * CAST(1000000 AS BIGINT) // (b.d - a.d)
+                  AS BIGINT) AS s
+      FROM c a JOIN c b ON a.g IS NOT DISTINCT FROM b.g AND a.d < b.d),
+    r AS (
+      SELECT g, s,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY s, d1, d2) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM p),
+    nd AS (SELECT g, COUNT(*)::BIGINT AS n_buckets FROM c GROUP BY g)
+    SELECT r.g AS event_type, nd.n_buckets, r.n AS n_pairs,
+           r.s AS slope_ppm_per_bucket
+    FROM r JOIN nd ON r.g IS NOT DISTINCT FROM nd.g
+    WHERE rn = (n + 1) // 2
+    """,
+)
+def q305_stream_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.streaming.ops import stream_events, trend_stream
+
+    src = stream_events(spark, f"{sf_dir}/events.parquet").select(
+        "event_type", "ts"
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkdab_trend_")
+    return trend_stream(src, "event_type", f"{tmp}/out", f"{tmp}/ckpt")
+
+
+# --------------------------------------------------------------------- #
+# Weighted exact-N sampling (select.weighted_sample_n): the
+# Efraimidis-Spirakis exponential race — keep the n smallest
+# round(-ln(u)/w, 6) with u a deterministic md5 uniform in (0,1] — so
+# inclusion is proportional to weight, without replacement,
+# seed-reproducible. The global top-n routes through the two-level
+# 256-bucket budget machinery (no single-task sort, no data-scale
+# TakeOrdered). Weight here = n_chars + 1 (always positive).
+# --------------------------------------------------------------------- #
+@query(
+    "q306_weighted_sample",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, CAST(n_chars + 1 AS DOUBLE) AS w,
+             round(-ln((('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                       / 4294967296.0)
+                   / CAST(n_chars + 1 AS DOUBLE), 6) AS e
+      FROM documents WHERE n_chars + 1 > 0)
+    SELECT doc_id, w AS weight,
+           CAST(ROW_NUMBER() OVER (ORDER BY e, doc_id) AS BIGINT) AS sample_rank
+    FROM k
+    QUALIFY ROW_NUMBER() OVER (ORDER BY e, doc_id) <= 500
+    """,
+)
+def q306_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import weighted_sample_n
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") + 1).alias("__wt")
+    )
+    return weighted_sample_n(docs, 500, "__wt", seed=3, key="doc_id")

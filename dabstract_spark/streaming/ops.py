@@ -1590,3 +1590,63 @@ def hll_stream(
         "s_scaled",
         "estimate_micro",
     )
+
+
+def trend_stream(
+    doc_stream: DataFrame,
+    group_col: str,
+    out_path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    bucket_sec: int = 86_400,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming robust-trend monitor — the ONLINE twin of
+    ``events.theil_sen_trend``: each micro-batch appends its per-(group,
+    day-bucket) partial counts to the sink; the live card is
+    ``theil_sen_from_counts`` of the merge-by-sum — "alarm when a
+    source's volume slope turns negative", maintained without
+    rescanning history. Bucket counts are additive partials, so for any
+    micro-batch boundaries the merged sink equals the one-shot count
+    and the drained card equals the batch card EXACTLY (the slope/
+    median arithmetic is ``theil_sen_from_counts`` VERBATIM — one
+    recipe for both twins). Replay safety mirrors balance_stream:
+    partials carry (run_id = digest(checkpoint path), batch_id) and the
+    read dedups (run_id, batch_id, group, bucket) before summing."""
+    import hashlib
+
+    from dabstract_spark.operators.events import theil_sen_from_counts
+
+    run_id = hashlib.md5(str(checkpoint).encode()).hexdigest()[:16]
+    bucket = F.expr(
+        f"CAST(floor(unix_timestamp({ts_col})) AS BIGINT) div {int(bucket_sec)}"
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(F.col(group_col).alias("__q0"), bucket.alias("__d"))
+            .groupBy("__q0", "__d")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    sink = _drain_foreach_batch(
+        doc_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "trend_stream",
+    )
+    merged = (
+        sink.dropDuplicates(["run_id", "batch_id", "__q0", "__d"])
+        .groupBy("__q0", "__d")
+        .agg(F.sum("n").alias("__c"))
+        .select(F.col("__q0").alias("__g"), "__d", "__c")
+    )
+    return theil_sen_from_counts(merged, group_col)

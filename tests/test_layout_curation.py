@@ -1068,3 +1068,67 @@ def test_lsh_parameter_plan_known_curve(spark):
 
     with pytest.raises(ValueError, match="n_hashes"):
         lsh_parameter_plan(spark, 0)
+
+
+def test_trend_stream_equals_batch_and_survives_replay(spark, tmp_path):
+    """trend_stream drained over a bounded backlog equals the batch
+    Theil-Sen card exactly (bucket counts are additive), and a replayed
+    partial append is absorbed by the (run_id, batch_id, group, bucket)
+    dedup."""
+    from dabstract_spark.operators.events import theil_sen_trend
+    from dabstract_spark.session import load_table
+    from dabstract_spark.streaming.ops import stream_events, trend_stream
+
+    SF = "/root/testdata/sf0.001"
+    ev = load_table(spark, SF, "events")
+    want = sorted(
+        tuple(r) for r in theil_sen_trend(ev, "event_type", "ts").collect()
+    )
+    src = stream_events(spark, f"{SF}/events.parquet").select("event_type", "ts")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    got = sorted(
+        tuple(r)
+        for r in trend_stream(src, "event_type", out, ckpt).collect()
+    )
+    assert got == want and len(want) > 0
+
+    spark.read.parquet(out).limit(2).write.mode("append").parquet(out)
+    got2 = sorted(
+        tuple(r)
+        for r in trend_stream(src.limit(0), "event_type", out, ckpt).collect()
+    )
+    assert got2 == want
+
+
+def test_weighted_sample_n_laws(spark):
+    """Exactly n winners, seed-reproducible, dominant weight always wins,
+    zero/NULL weights never selected, and heavy rows are systematically
+    overrepresented vs light rows."""
+    from dabstract_spark.operators.select import weighted_sample_n
+
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(400)]
+        + [(1000 + i, 20.0) for i in range(100)]
+        + [(2000, 0.0), (2001, None), (2002, -3.0)],
+        "row_id long, w double",
+    )
+    out = weighted_sample_n(df, 50, "w", seed=1).collect()
+    assert len(out) == 50
+    assert sorted(r.sample_rank for r in out) == list(range(1, 51))
+    ids = {r.row_id for r in out}
+    assert ids.isdisjoint({2000, 2001, 2002})
+    # 100 rows carry 20/21 of the total weight: the heavy cohort must
+    # dominate the sample (binomially impossible to fail by chance)
+    heavy = sum(1 for i in ids if i >= 1000)
+    assert heavy > 30
+
+    again = {r.row_id for r in weighted_sample_n(df, 50, "w", seed=1).collect()}
+    assert again == ids
+    other = {r.row_id for r in weighted_sample_n(df, 50, "w", seed=2).collect()}
+    assert other != ids
+
+    # a single overwhelming weight wins rank 1 under any seed
+    dom = df.union(spark.createDataFrame([(5000, 1e12)], "row_id long, w double"))
+    for seed in (0, 7):
+        top = weighted_sample_n(dom, 3, "w", seed=seed).collect()
+        assert min(top, key=lambda r: r.sample_rank).row_id == 5000

@@ -556,6 +556,15 @@ def main():
         )
 
     giant_probes = {
+        # r10 weighted sampler: the global top-n by exponential key
+        # routes through the two-level budget machinery — one giant
+        # implicit group by construction, the de-skew case it exists for
+        "weighted_sample": lambda d: sel.weighted_sample_n(
+            d.withColumn("w", (F.pmod(F.col("row_id"), F.lit(97)) + 1).cast("double")),
+            1000,
+            "w",
+            seed=5,
+        ),
         "rank_giantgroup_naive": _rank_naive,
         "rank_giantgroup_twolevel": lambda d: sel.sample_per_group(
             d, "grp", n=50, key="row_id"
