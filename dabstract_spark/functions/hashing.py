@@ -38,3 +38,16 @@ def md5_unit(col: Column | str, seed: int = 0) -> Column:
     """Uniform deterministic double in [0,1) from the md5 prefix."""
     h = md5_order(col, seed)
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(float(2**32))
+
+
+def md5_unit_open(col: Column | str, seed: int = 0) -> Column:
+    """Uniform deterministic double in the OPEN-below interval (0, 1]:
+    (md5_32 + 1) / 2^32. For samplers that feed ln(u) — the half-open
+    md5_unit IS zero once per ~4G keys and −ln(0) would poison the
+    race. Every step is exact in float64 (integers < 2^53), so this
+    equals the oracle-side ((\\'0x\\' || substr(md5(...),1,8))::BIGINT + 1)
+    / 4294967296.0 bit for bit."""
+    h = md5_order(col, seed)
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(float(2**32))

@@ -692,10 +692,16 @@ def theil_sen_from_counts(counts: DataFrame, group_col: str) -> DataFrame:
         F.row_number().over(w).alias("__rn"),
         F.count(F.lit(1)).over(wn).alias("__n"),
     )
-    ndays = counts.groupBy("__g").agg(F.count(F.lit(1)).alias("n_buckets"))
+    # null-safe bucket-count join: a NULL group is a real group — the
+    # pair join is already eqNullSafe and both oracles join with
+    # IS NOT DISTINCT FROM, so a USING join here would silently drop
+    # the NULL group's card
+    ndays = counts.groupBy(F.col("__g").alias("__g2")).agg(
+        F.count(F.lit(1)).alias("n_buckets")
+    )
     return (
         ranked.filter(F.col("__rn") == F.expr("CAST((__n + 1) div 2 AS BIGINT)"))
-        .join(ndays, "__g")
+        .join(ndays, F.col("__g").eqNullSafe(F.col("__g2")))
         .select(
             F.col("__g").alias(group_col),
             "n_buckets",

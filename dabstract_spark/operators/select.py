@@ -1426,11 +1426,14 @@ def weighted_sample_n(
     Portability: one libm ``ln`` + one division, then ``round(·, 6)``
     (the proven single-call recipe; a binary double never sits on a
     6-decimal rounding tie); remaining ties break on the key ascending.
-    ``u`` uses (md5_32 + 1)/2³² so u = 0 is impossible even at 100 TB
-    (a raw 32-bit prefix IS zero once per ~4G rows and −ln(0) would
-    poison the race). Rows with NULL or non-positive weight are
-    EXCLUDED (a zero-weight row has inclusion probability 0; matching
-    the SQL oracle's WHERE w > 0).
+    ``u`` uses ``md5_unit_open`` — (md5_32 + 1)/2³² — so u = 0 is
+    impossible even at 100 TB (a raw 32-bit prefix IS zero once per ~4G
+    rows and −ln(0) would poison the race). Rows with NULL or
+    non-positive weight are EXCLUDED (a zero-weight row has inclusion
+    probability 0; matching the SQL oracle's WHERE w > 0), and so are
+    NULL keys: md5 of NULL is NULL, whose NULL race key would sort
+    NULLS FIRST in Spark but NULLS LAST in SQL — exclusion is the only
+    deterministic cross-engine contract.
 
     Scale shape: the global top-n by e routes through
     ``token_budget_per_group``'s two-level 256-value-range-bucket
@@ -1438,18 +1441,16 @@ def weighted_sample_n(
     single-task corpus sort, no TakeOrdered with a data-scale limit;
     the "one giant group" case is exactly what that machinery de-skews.
     Returns the selected rows' (key, weight, sample_rank)."""
-    from dabstract_spark.functions.hashing import md5_order
+    from dabstract_spark.functions.hashing import md5_unit_open
 
     w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
         "double"
     )
-    u = (
-        F.conv(F.substring(md5_order(key, seed), 1, 8), 16, 10).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(float(2**32))
+    u = md5_unit_open(key, seed)
     staged = (
         df.select(F.col(key), w.alias("__w"))
         .filter(F.col("__w") > 0)
+        .filter(F.col(key).isNotNull())
         .withColumn("__e", F.round(-F.log(u) / F.col("__w"), 6))
         .withColumn("__wg", F.lit(0))
         # the budget machinery references its input several times

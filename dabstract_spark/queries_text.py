@@ -7825,7 +7825,7 @@ def q305_stream_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(-ln((('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
                        / 4294967296.0)
                    / CAST(n_chars + 1 AS DOUBLE), 6) AS e
-      FROM documents WHERE n_chars + 1 > 0)
+      FROM documents WHERE n_chars + 1 > 0 AND doc_id IS NOT NULL)
     SELECT doc_id, w AS weight,
            CAST(ROW_NUMBER() OVER (ORDER BY e, doc_id) AS BIGINT) AS sample_rank
     FROM k

@@ -1132,3 +1132,34 @@ def test_weighted_sample_n_laws(spark):
     for seed in (0, 7):
         top = weighted_sample_n(dom, 3, "w", seed=seed).collect()
         assert min(top, key=lambda r: r.sample_rank).row_id == 5000
+
+
+def test_theil_sen_trend_null_group_is_real(spark):
+    """A NULL group spanning >=2 buckets must emit its card — the pair
+    join is null-safe AND the bucket-count join must be too (a USING
+    join silently dropped it; both oracles join IS NOT DISTINCT FROM)."""
+    from dabstract_spark.operators.events import theil_sen_trend
+
+    rows = [(None, 0), (None, 0), (None, 1), ("a", 0), ("a", 1)]
+    df = spark.createDataFrame(rows, "g string, day int").select(
+        "g", F.timestamp_seconds(F.col("day") * 86400 + 5).alias("ts")
+    )
+    out = {r.g: r for r in theil_sen_trend(df, "g", "ts").collect()}
+    assert set(out) == {None, "a"}
+    # NULL group: counts {0: 2, 1: 1} -> single slope -1e6
+    assert (out[None].n_buckets, out[None].n_pairs) == (2, 1)
+    assert out[None].slope_ppm_per_bucket == -1_000_000
+
+
+def test_weighted_sample_n_null_key_excluded(spark):
+    """A NULL key row must never be selected (its md5 race key is NULL,
+    which would sort NULLS FIRST in Spark but NULLS LAST in SQL —
+    exclusion is the only deterministic cross-engine contract)."""
+    from dabstract_spark.operators.select import weighted_sample_n
+
+    df = spark.createDataFrame(
+        [(None, 1e12)] + [(i, 1.0) for i in range(20)],
+        "row_id long, w double",
+    )
+    out = weighted_sample_n(df, 5, "w", seed=0).collect()
+    assert len(out) == 5 and all(r.row_id is not None for r in out)

@@ -38,14 +38,49 @@ def test_cache_key_flips_on_every_component():
     assert base != co.cache_key("eng1", _q2, "SELECT 1", "/sf/a")
 
 
-def test_engine_digest_covers_every_engine_file(tmp_path, monkeypatch):
-    """The digest is deterministic on an unchanged tree and flips when
-    any engine file's CONTENT changes (simulated on a copied mini-tree
-    by monkeypatching the module's root resolution is overkill — instead
-    assert the real digest is stable AND that it folds per-file content
-    digests, by checking two consecutive calls agree)."""
-    d1, d2 = co.engine_digest(), co.engine_digest()
-    assert d1 == d2 and len(d1) == 32
+def test_engine_digest_is_content_sensitive(tmp_path):
+    """On an injected mini-tree: stable across calls, flips when any
+    file's CONTENT changes (even same-length), flips when a file is
+    added, and folds __spark_entry__.py — the exact laws the
+    --changed-only safety argument rests on."""
+    eng = tmp_path / "dabstract_spark"
+    eng.mkdir()
+    (eng / "a.py").write_text("x = 1\n")
+    (tmp_path / "__spark_entry__.py").write_text("entry = None\n")
+    d1 = co.engine_digest(tmp_path)
+    assert d1 == co.engine_digest(tmp_path) and len(d1) == 32
+    (eng / "a.py").write_text("x = 2\n")  # same length, new content
+    d2 = co.engine_digest(tmp_path)
+    assert d2 != d1
+    (eng / "b.py").write_text("")  # file added
+    d3 = co.engine_digest(tmp_path)
+    assert d3 != d2
+    (tmp_path / "__spark_entry__.py").write_text("entry = 1\n")
+    assert co.engine_digest(tmp_path) != d3
+    # the real tree digest is deterministic too
+    assert co.engine_digest() == co.engine_digest()
+
+
+def test_fixture_digest_flips_on_in_place_regeneration(tmp_path):
+    """Rewriting a fixture parquet IN PLACE (same path, new bytes/mtime)
+    must flip the fixture digest — otherwise --changed-only would serve
+    greens validated against data that no longer exists."""
+    import os
+
+    f = tmp_path / "documents.parquet"
+    f.write_bytes(b"v1-bytes")
+    os.utime(f, ns=(1_000_000_000, 1_000_000_000))
+    d1 = co.fixture_digest(str(tmp_path))
+    assert d1 == co.fixture_digest(str(tmp_path))
+    f.write_bytes(b"v2-bytes!")  # different size
+    os.utime(f, ns=(1_000_000_000, 1_000_000_000))
+    d2 = co.fixture_digest(str(tmp_path))
+    assert d2 != d1
+    os.utime(f, ns=(2_000_000_000, 2_000_000_000))  # same size, new mtime
+    assert co.fixture_digest(str(tmp_path)) != d2
+    assert co.fixture_digest(str(tmp_path / "absent")) == co.fixture_digest(
+        str(tmp_path / "absent")
+    )
 
 
 def test_cache_roundtrip_and_eviction(tmp_path, monkeypatch):

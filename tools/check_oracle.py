@@ -8,12 +8,14 @@ with max-abs-diff on mismatch).
 Usage: python tools/check_oracle.py [--changed-only] [sf_dir] [query_name ...]
 
 ``--changed-only`` skips queries whose green result is cached for an
-identical (engine source tree, query source, oracle text, sf_dir) key —
+identical (engine source tree, query source, oracle text, fixture) key —
 the mid-round iteration mode (a no-change tree re-checks in seconds).
 The key includes a digest of EVERY dabstract_spark/*.py file plus
 __spark_entry__.py, so any engine edit invalidates the whole cache (a
 query-source-only key would let an operator edit hide behind stale
-greens). Round-close sweeps must still run WITHOUT the flag.
+greens), AND a (name, size, mtime) digest of the fixture dir's parquet
+files, so regenerating testdata in place invalidates it too.
+Round-close sweeps must still run WITHOUT the flag.
 """
 
 from __future__ import annotations
@@ -65,18 +67,37 @@ def rows_to_multiset(cols, rows):
 CACHE_PATH = Path(__file__).resolve().parent / ".oracle_cache.json"
 
 
-def engine_digest() -> str:
+def engine_digest(root: Path | None = None) -> str:
     """md5 over every engine source file (path + content digest) plus
-    the entry module — ANY engine edit flips it."""
+    the entry module — ANY engine edit flips it. ``root`` is injectable
+    so the content-sensitivity law is unit-testable on a tmp tree."""
     import hashlib
 
-    root = Path(__file__).resolve().parent.parent
+    if root is None:
+        root = Path(__file__).resolve().parent.parent
     h = hashlib.md5()
     files = sorted((root / "dabstract_spark").rglob("*.py"))
-    files.append(root / "__spark_entry__.py")
+    entry = root / "__spark_entry__.py"
+    if entry.exists():
+        files.append(entry)
     for p in files:
         h.update(str(p.relative_to(root)).encode())
         h.update(hashlib.md5(p.read_bytes()).digest())
+    return h.hexdigest()
+
+
+def fixture_digest(sf_dir: str) -> str:
+    """md5 over (name, size, mtime_ns) of every parquet under sf_dir —
+    regenerating testdata IN PLACE (same path, new bytes) must flip the
+    cache key, or --changed-only would serve greens validated against
+    data that no longer exists."""
+    import hashlib
+
+    h = hashlib.md5()
+    base = Path(sf_dir)
+    for p in sorted(base.rglob("*.parquet")) if base.exists() else []:
+        st = p.stat()
+        h.update(f"{p.relative_to(base)}|{st.st_size}|{st.st_mtime_ns}".encode())
     return h.hexdigest()
 
 
@@ -127,8 +148,9 @@ def main():
     qs, oracles = queries(), oracle_sql()
     eng = engine_digest()
     cache = load_cache()
+    sf_token = f"{sf_dir}|{fixture_digest(sf_dir)}"
     keys = {
-        name: cache_key(eng, fn, oracles.get(name), sf_dir)
+        name: cache_key(eng, fn, oracles.get(name), sf_token)
         for name, fn in qs.items()
     }
     n_cached = 0
