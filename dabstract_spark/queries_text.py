@@ -7839,3 +7839,39 @@ def q306_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("n_chars") + 1).alias("__wt")
     )
     return weighted_sample_n(docs, 500, "__wt", seed=3, key="doc_id")
+
+
+# --------------------------------------------------------------------- #
+# Streaming weighted reservoir (streaming.ops.weighted_sample_stream):
+# per-batch top-n of the exponential race appended to the sink; live
+# sample = top-n over the key-deduped union — exact for any batching
+# (every global winner is inside its own batch's top-n; the race key is
+# a pure function of the key). Oracle = q306's batch SQL verbatim.
+# --------------------------------------------------------------------- #
+@query(
+    "q307_stream_weighted_sample",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, CAST(n_chars + 1 AS DOUBLE) AS w,
+             round(-ln((('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                       / 4294967296.0)
+                   / CAST(n_chars + 1 AS DOUBLE), 6) AS e
+      FROM documents WHERE n_chars + 1 > 0 AND doc_id IS NOT NULL)
+    SELECT doc_id, w AS weight,
+           CAST(ROW_NUMBER() OVER (ORDER BY e, doc_id) AS BIGINT) AS sample_rank
+    FROM k
+    QUALIFY ROW_NUMBER() OVER (ORDER BY e, doc_id) <= 500
+    """,
+)
+def q307_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.streaming.ops import stream_events, weighted_sample_stream
+
+    src = stream_events(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", (F.col("n_chars") + 1).alias("__wt")
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkdab_wres_")
+    return weighted_sample_stream(
+        src, 500, "__wt", f"{tmp}/out", f"{tmp}/ckpt", seed=3, key="doc_id"
+    )

@@ -1650,3 +1650,78 @@ def trend_stream(
         .select(F.col("__q0").alias("__g"), "__d", "__c")
     )
     return theil_sen_from_counts(merged, group_col)
+
+
+def weighted_sample_stream(
+    doc_stream: DataFrame,
+    n: int,
+    weight_col: str,
+    out_path: str,
+    checkpoint: str,
+    seed: int = 0,
+    key: str = "row_id",
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming weighted reservoir — the ONLINE twin of
+    ``select.weighted_sample_n``: each micro-batch appends ITS OWN
+    top-n of the exponential race to the sink (n rows per batch, never
+    the batch), and the live sample is the top-n over the union — exact
+    because any corpus-wide winner is by definition inside its own
+    batch's top-n (the A-ES race key is a pure deterministic function
+    of the key, so partials from different batches are comparable).
+    This is the classic mergeable weighted-reservoir law: stream ==
+    batch EXACTLY for any batching. Replay safety: the merge dedups on
+    the KEY itself (a replayed partial re-adds identical (key, w) rows;
+    deduping by key is strictly stronger than (run_id, batch_id)
+    markers, which are still written for lineage parity). The merged
+    sink is ≤ n·n_batches rows — bounded, so the final
+    ``orderBy().limit(n)`` rank runs on a table that never grows with
+    the corpus."""
+    import hashlib
+
+    from dabstract_spark.functions.hashing import md5_unit_open
+    from dabstract_spark.operators.select import weighted_sample_n
+
+    run_id = hashlib.md5(str(checkpoint).encode()).hexdigest()[:16]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            weighted_sample_n(batch_df, n, weight_col, seed=seed, key=key)
+            .select(
+                F.col(key).alias("__k"),
+                F.col("weight").alias("__w"),
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    sink = _drain_foreach_batch(
+        doc_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "weighted_sample_stream",
+    )
+    # recompute the race key (pure function of the key) on the bounded
+    # merged table, dedup by key, then the exact global top-n
+    merged = (
+        sink.select(F.col("__k"), F.col("__w"))
+        .dropDuplicates(["__k"])
+        .withColumn(
+            "__e", F.round(-F.log(md5_unit_open("__k", seed)) / F.col("__w"), 6)
+        )
+    )
+    from pyspark.sql import Window
+
+    top = merged.orderBy(F.asc("__e"), F.asc("__k")).limit(int(n))
+    w_rank = Window.partitionBy(F.lit(0)).orderBy(F.asc("__e"), F.asc("__k"))
+    return top.select(
+        F.col("__k").alias(key),
+        F.col("__w").cast("double").alias("weight"),
+        F.row_number().over(w_rank).cast("bigint").alias("sample_rank"),
+    )

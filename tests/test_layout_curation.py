@@ -1163,3 +1163,41 @@ def test_weighted_sample_n_null_key_excluded(spark):
     )
     out = weighted_sample_n(df, 5, "w", seed=0).collect()
     assert len(out) == 5 and all(r.row_id is not None for r in out)
+
+
+def test_weighted_sample_stream_equals_batch_and_survives_replay(spark, tmp_path):
+    """weighted_sample_stream drained over a bounded backlog equals the
+    batch sampler exactly (mergeable top-n: every global winner is in
+    its own batch's top-n), and a replayed partial append is absorbed by
+    the key dedup."""
+    from dabstract_spark.operators.select import weighted_sample_n
+    from dabstract_spark.session import load_table
+    from dabstract_spark.streaming.ops import stream_events, weighted_sample_stream
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", (F.col("n_chars") + 1).alias("wt")
+    )
+    want = sorted(
+        tuple(r) for r in weighted_sample_n(docs, 40, "wt", seed=3, key="doc_id").collect()
+    )
+    src = stream_events(spark, f"{SF}/documents.parquet").select(
+        "doc_id", (F.col("n_chars") + 1).alias("wt")
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    got = sorted(
+        tuple(r)
+        for r in weighted_sample_stream(
+            src, 40, "wt", out, ckpt, seed=3, key="doc_id"
+        ).collect()
+    )
+    assert got == want and len(want) == 40
+
+    spark.read.parquet(out).limit(10).write.mode("append").parquet(out)
+    got2 = sorted(
+        tuple(r)
+        for r in weighted_sample_stream(
+            src.limit(0), 40, "wt", out, ckpt, seed=3, key="doc_id"
+        ).collect()
+    )
+    assert got2 == want

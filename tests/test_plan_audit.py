@@ -244,10 +244,12 @@ WINDOW_LIT0_BOUNDS = {
     "operators/xval.py::group_random_kfold": ("contract", "distinct xval groups (reference contract)"),
     "operators/xval.py::xval_from_item": ("contract", "distinct fold items (reference contract)"),
     "queries_text.py::q177_heavy_hitters": ("limit-k", "≤50 CMS candidate rows (bounded upstream)"),
+    "streaming/ops.py::weighted_sample_stream": ("limit-k", "n rows post-limit over a ≤ n·n_batches merged sink"),
 }
 
 
 def _window_lit0_sites():
+    import ast
     import pathlib
     import re
 
@@ -256,15 +258,20 @@ def _window_lit0_sites():
     sites = set()
     for p in root.rglob("*.py"):
         src = p.read_text()
-        lines = src.split("\n")
-        for m in pat.finditer(src):
-            ln = src[: m.start()].count("\n")
-            func = "<module>"
-            for i in range(ln, -1, -1):
-                mm = re.match(r"\s*def\s+(\w+)", lines[i])
-                if mm:
-                    func = mm.group(1)
-                    break
+        hits = [src[: m.start()].count("\n") + 1 for m in pat.finditer(src)]
+        if not hits:
+            continue
+        # outermost module-level function containing the line (nested
+        # helpers like foreachBatch sinks attribute to their public owner)
+        spans = [
+            (node.name, node.lineno, node.end_lineno)
+            for node in ast.parse(src).body
+            if isinstance(node, ast.FunctionDef)
+        ]
+        for ln in hits:
+            func = next(
+                (n for n, lo, hi in spans if lo <= ln <= hi), "<module>"
+            )
             sites.add(f"{p.relative_to(root).as_posix()}::{func}")
     return sites
 
