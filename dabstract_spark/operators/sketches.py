@@ -314,3 +314,171 @@ def hll_distinct_card(
     """One-shot batch card: partials → card (partials are already the
     merged registers when built in one pass)."""
     return hll_card(hll_partials(df, key_col, group_cols), group_cols)
+
+
+# --------------------------------------------------------------------- #
+# KMV / theta distinct sketch (Bar-Yossef et al. 2002; Dasgupta et al.'s
+# theta framework): keep the k SMALLEST 48-bit md5 values per group.
+# Complements the HLL card with the one operation HLL cannot do: SET
+# INTERSECTION (theta-style: intersect the kept samples below the
+# smaller threshold) — "distinct-user overlap between two sources"
+# without an exact distinct shuffle. Every estimate is exact integer
+# arithmetic ((k−1)·2^48 div (h_k+1)), so the whole family is
+# value-oracled. Merge = k-smallest of the union — idempotent under
+# duplicates, the same replay-proof law as the HLL register max.
+# Hashes are kept as FIXED-WIDTH 12-char hex strings: lexicographic
+# order == numeric order, so ranks and joins never convert until the
+# one final conv() per group.
+# --------------------------------------------------------------------- #
+
+
+def _kmv_keep_k(hashes: DataFrame, group_cols: tuple[str, ...], k: int) -> DataFrame:
+    """k smallest h per group from a DISTINCT (groups, h) table via the
+    two-level composite-bucket rank (sample_per_group's discipline): a
+    corpus-dominating group spreads over 256 window tasks; ≤ 256·k
+    survivors per group reach the bounded second rank."""
+    from pyspark.sql import Window
+
+    b = hashes.withColumn("__b", F.substring("h", 1, 2))
+    w1 = Window.partitionBy(*group_cols, "__b").orderBy("h")
+    pruned = (
+        b.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__b")
+    )
+    # bounded by construction: ≤ 256·k rows per group reach this window
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_partials(
+    df: DataFrame,
+    key_col: str | Column,
+    group_cols: tuple[str, ...] = (),
+    k: int = 256,
+) -> DataFrame:
+    """Partial KMV sketch(es): (``*group_cols``, h) — the k smallest
+    distinct 48-bit md5 hex values per group. NULL keys excluded,
+    matching COUNT(DISTINCT)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    hashes = (
+        df.filter(c.isNotNull())
+        .select(*group_cols, F.substring(F.md5(c.cast("string")), 1, 12).alias("h"))
+        .distinct()
+    )
+    return _kmv_keep_k(hashes, group_cols, k)
+
+
+def kmv_merge(
+    partials: DataFrame, group_cols: tuple[str, ...] = (), k: int = 256
+) -> DataFrame:
+    """Merge sketches: k smallest of the distinct union — idempotent
+    (duplicate/replayed partials change nothing)."""
+    return _kmv_keep_k(partials.distinct(), group_cols, k)
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: tuple[str, ...] = (), k: int = 256
+) -> DataFrame:
+    """Distinct-count card per group: ``n_kept`` and the exact-integer
+    estimate — EXACT n_kept when the sketch is unfull (fewer than k
+    distincts exist), else ``(k−1)·2^48 div (h_k + 1)`` with h_k the
+    largest kept value (the unbiased KMV estimator on the integer
+    lattice)."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.expr("CAST(conv(h, 16, 10) AS BIGINT)")).alias("__hk"),
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("bigint")).otherwise(
+        F.expr(
+            f"CAST(CAST({k - 1} AS BIGINT) * CAST(281474976710656 AS BIGINT)"
+            " div (__hk + 1) AS BIGINT)"
+        )
+    )
+    return agg.select(*group_cols, "n_kept", est.alias("est_distinct"))
+
+
+def kmv_intersect_card(
+    sketch: DataFrame, group_col: str, k: int = 256
+) -> DataFrame:
+    """Pairwise distinct-OVERLAP card between groups — the theta-sketch
+    intersection HLL cannot express: per unordered group pair,
+    ``theta = min(theta_a, theta_b)`` (a group's theta is h_k + 1 when
+    full, 2^48 when unfull = exact), the common kept values below theta
+    are a uniform sample of the true intersection, and
+    ``est_intersection = n_common · 2^48 div theta``. ``jaccard_ppm``
+    derives from the three estimates (clamped at 10⁶). Pairs sharing
+    no sampled value do not emit. The sketch table is ≤ n_groups·k
+    rows — every join here is broadcast-sized by construction."""
+    two48 = 281474976710656
+    theta = (
+        sketch.groupBy(F.col(group_col).alias("__g")).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.max(F.expr("CAST(conv(h, 16, 10) AS BIGINT)")).alias("__hk"),
+        )
+        .select(
+            "__g",
+            "__n",
+            F.when(F.col("__n") < k, F.lit(two48).cast("bigint"))
+            .otherwise(F.col("__hk") + 1)
+            .alias("__theta"),
+        )
+    )
+    ests = kmv_estimate(sketch, (group_col,), k).select(
+        F.col(group_col).alias("__g"), "est_distinct"
+    )
+    a = sketch.select(F.col(group_col).alias("__ga"), "h")
+    b = sketch.select(F.col(group_col).alias("__gb"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("__ga") < F.col("__gb"))
+        .join(
+            F.broadcast(theta.select(F.col("__g").alias("__ga"), F.col("__theta").alias("__ta"))),
+            "__ga",
+        )
+        .join(
+            F.broadcast(theta.select(F.col("__g").alias("__gb"), F.col("__theta").alias("__tb"))),
+            "__gb",
+        )
+        .withColumn("__tmin", F.least("__ta", "__tb"))
+        .filter(F.expr("CAST(conv(h, 16, 10) AS BIGINT)") < F.col("__tmin"))
+        .groupBy("__ga", "__gb", "__tmin")
+        .agg(F.count(F.lit(1)).alias("n_common_sample"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(ests.select(F.col("__g").alias("__ga"), F.col("est_distinct").alias("est_a"))),
+            "__ga",
+        )
+        .join(
+            F.broadcast(ests.select(F.col("__g").alias("__gb"), F.col("est_distinct").alias("est_b"))),
+            "__gb",
+        )
+        .withColumn(
+            "est_intersection",
+            F.expr(
+                f"CAST(n_common_sample * CAST({two48} AS BIGINT)"
+                " div __tmin AS BIGINT)"
+            ),
+        )
+    )
+    return out.select(
+        F.col("__ga").alias("group_a"),
+        F.col("__gb").alias("group_b"),
+        "n_common_sample",
+        "est_a",
+        "est_b",
+        "est_intersection",
+        # DECIMAL(38,0) legs: est·10⁶ can pass 2^63 for near-theta-1
+        # sketches — a silent BIGINT wrap under non-ANSI Spark would
+        # show as a hash mismatch, never an error (the r9 overflow rule)
+        F.expr(
+            "CAST(least(CAST(est_intersection AS DECIMAL(38,0)) * 1000000"
+            " div greatest(CAST(est_a AS DECIMAL(38,0)) + est_b"
+            " - est_intersection, 1), 1000000) AS BIGINT)"
+        ).alias("jaccard_ppm"),
+    )

@@ -7875,3 +7875,61 @@ def q307_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_stream(
         src, 500, "__wt", f"{tmp}/out", f"{tmp}/ckpt", seed=3, key="doc_id"
     )
+
+
+# --------------------------------------------------------------------- #
+# KMV / theta distinct-overlap matrix (sketches.kmv_intersect_card): the
+# set-INTERSECTION sketch HLL cannot express — per event-type pair, the
+# estimated distinct-user overlap from the k smallest md5 values per
+# group (theta intersection: common kept values below min(theta_a,
+# theta_b) are a uniform sample of the true intersection). Every
+# estimate is exact integer arithmetic, so the card is value-oracled;
+# the sketch table is <= n_groups*k rows, all joins broadcast-sized.
+# --------------------------------------------------------------------- #
+@query(
+    "q308_kmv_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_type AS g,
+             substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS h
+      FROM events WHERE user_id IS NOT NULL),
+    s AS (SELECT g, h FROM d
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) <= 256),
+    t AS (SELECT g, COUNT(*)::BIGINT AS n,
+                 MAX(('0x' || h)::BIGINT) AS hk
+          FROM s GROUP BY g),
+    th AS (SELECT g, n,
+                  CASE WHEN n < 256 THEN CAST(281474976710656 AS BIGINT)
+                       ELSE hk + 1 END AS theta
+           FROM t),
+    e AS (SELECT g,
+                 CASE WHEN n < 256 THEN n
+                      ELSE CAST(CAST(255 AS BIGINT) * 281474976710656
+                                // (hk + 1) AS BIGINT) END AS est
+          FROM t),
+    p AS (SELECT a.g AS ga, b.g AS gb,
+                 least(ta.theta, tb.theta) AS tmin,
+                 COUNT(*)::BIGINT AS nc
+          FROM s a JOIN s b ON a.h = b.h AND a.g < b.g
+          JOIN th ta ON ta.g = a.g JOIN th tb ON tb.g = b.g
+          WHERE ('0x' || a.h)::BIGINT < least(ta.theta, tb.theta)
+          GROUP BY 1, 2, 3),
+    x AS (SELECT ga, gb, nc, tmin,
+                 CAST(nc * CAST(281474976710656 AS BIGINT) // tmin AS BIGINT)
+                   AS ei
+          FROM p)
+    SELECT ga AS group_a, gb AS group_b, nc AS n_common_sample,
+           ea.est AS est_a, eb.est AS est_b, ei AS est_intersection,
+           CAST(least(CAST(ei AS HUGEINT) * 1000000
+                      // greatest(CAST(ea.est AS HUGEINT) + eb.est - ei, 1),
+                      1000000) AS BIGINT) AS jaccard_ppm
+    FROM x JOIN e ea ON ea.g = ga JOIN e eb ON eb.g = gb
+    """,
+)
+def q308_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.sketches import kmv_intersect_card, kmv_partials
+
+    sk = kmv_partials(
+        _t(spark, sf_dir, "events"), "user_id", ("event_type",), k=256
+    )
+    return kmv_intersect_card(sk, "event_type", k=256)

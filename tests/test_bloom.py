@@ -195,3 +195,63 @@ def test_hll_stream_equals_batch_and_survives_replay(spark, tmp_path):
         ).collect()
     )
     assert got2 == want
+
+
+def test_kmv_exact_regime_and_intersection(spark):
+    """Below k the sketch IS the distinct set: estimates are exact, and
+    the theta intersection card reduces to the exact overlap (theta =
+    2^48 makes est_intersection = n_common exactly)."""
+    from dabstract_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_intersect_card,
+        kmv_partials,
+    )
+
+    rows = (
+        [("a", i) for i in range(30)]
+        + [("b", i) for i in range(20, 50)]
+        + [("b", 25)]  # duplicate key: distinct semantics
+        + [("c", 999)]
+    )
+    df = spark.createDataFrame(rows, "g string, k long")
+    sk = kmv_partials(df, "k", ("g",), k=256)
+    est = {r.g: (r.n_kept, r.est_distinct) for r in kmv_estimate(sk, ("g",), 256).collect()}
+    assert est == {"a": (30, 30), "b": (30, 30), "c": (1, 1)}
+    card = {
+        (r.group_a, r.group_b): r
+        for r in kmv_intersect_card(sk, "g", k=256).collect()
+    }
+    ab = card[("a", "b")]
+    assert (ab.n_common_sample, ab.est_intersection) == (10, 10)
+    assert (ab.est_a, ab.est_b) == (30, 30)
+    assert ab.jaccard_ppm == 10 * 10**6 // 50
+    assert ("a", "c") not in card and ("b", "c") not in card
+
+
+def test_kmv_estimate_accuracy_and_merge_idempotence(spark):
+    """Full-sketch estimate within 3/sqrt(k) of the truth on a 5k-key
+    corpus; merge with itself and split-and-merge are no-ops (k-smallest
+    of a union — the replay-safety law)."""
+    from dabstract_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_partials,
+    )
+
+    n = 5000
+    df = spark.range(20000).select((F.col("id") % n).alias("k"))
+    sk = kmv_partials(df, "k", (), k=256)
+    est = kmv_estimate(sk, (), 256).collect()[0]
+    assert est.n_kept == 256
+    assert abs(est.est_distinct - n) / n < 3 / (256 ** 0.5)
+
+    doubled = kmv_merge(sk.unionByName(sk), (), 256)
+    assert sorted(r.h for r in doubled.collect()) == sorted(r.h for r in sk.collect())
+    halves = kmv_merge(
+        kmv_partials(df.filter(F.col("k") % 2 == 0), "k", (), 256).unionByName(
+            kmv_partials(df.filter(F.col("k") % 2 == 1), "k", (), 256)
+        ),
+        (),
+        256,
+    )
+    assert sorted(r.h for r in halves.collect()) == sorted(r.h for r in sk.collect())

@@ -391,6 +391,13 @@ def main():
         "hll_distinct": lambda e: __import__(
             "dabstract_spark.operators.sketches", fromlist=["hll_distinct_card"]
         ).hll_distinct_card(e, "user_id", ("event_type",)),
+        # r10 KMV overlap: one distinct (g, h) shuffle + the two-level
+        # keep-k rank; everything after runs on the <= n_groups*k sketch
+        "kmv_overlap": lambda e: (lambda sk_mod: sk_mod.kmv_intersect_card(
+            sk_mod.kmv_partials(e, "user_id", ("event_type",), 256),
+            "event_type",
+            256,
+        ))(__import__("dabstract_spark.operators.sketches", fromlist=["kmv_partials"])),
     }
 
     # median-of-REPS per cell: single-run numbers in a long sequential
