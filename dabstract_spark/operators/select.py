@@ -1472,3 +1472,63 @@ def weighted_sample_n(
     return picked.select(
         key, F.col("__w").cast("double").alias("weight"), "sample_rank"
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_total: int,
+    seed: int = 0,
+    key: str = "row_id",
+) -> DataFrame:
+    """Mixture-preserving eval split, materialized: Hamilton-apportion
+    exactly ``n_total`` rows across groups proportional to corpus share
+    (``planning.proportional_allocation`` — exact quotas, largest-
+    remainder award), then draw each group's quota as its
+    ``alloc_rows`` md5-smallest members — the end-to-end "give me a
+    10k-doc eval set that matches the corpus mixture" one-liner the
+    two pieces exist for. Deterministic and seed-reproducible;
+    Σ sampled == n_total whenever every group holds at least its quota
+    (guaranteed for n_total ≤ corpus rows, since each quota ≤ the
+    group's own count by construction).
+
+    Scale shape: the allocation is one map-side count + an
+    n_groups-row award table (broadcast back); the draw is the
+    ``sample_per_group`` two-level composite-bucket rank with a
+    PER-GROUP variable cap (the group's alloc joined on before both
+    rank filters) — a corpus-dominating group spreads over 256 window
+    tasks, and ≤ 256·alloc survivors reach the bounded second rank.
+    Returns (key, group, strat_rank) with strat_rank 1..alloc within
+    each group."""
+    from dabstract_spark.functions.hashing import md5_order
+    from dabstract_spark.operators.planning import proportional_allocation
+
+    alloc = proportional_allocation(df, group_col, n_total).select(
+        F.col(group_col).alias("__ag"), F.col("alloc_rows").alias("__alloc")
+    )
+    shuffled = (
+        df.select(F.col(key), F.col(group_col))
+        .join(
+            F.broadcast(alloc),
+            F.col(group_col).eqNullSafe(F.col("__ag")),
+        )
+        .withColumn("__shuf", md5_order(key, seed))
+        .withColumn("__b", F.conv(F.substring("__shuf", 1, 2), 16, 10).cast("int"))
+    )
+    w1 = Window.partitionBy(group_col, "__b").orderBy("__shuf", key)
+    pruned = (
+        shuffled.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= F.col("__alloc"))
+        .drop("__rn", "__b")
+    )
+    # bounded by construction: ≤ 256·alloc rows per group reach this window
+    w2 = Window.partitionBy(group_col).orderBy("__shuf", key)
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= F.col("__alloc"))
+        .select(
+            key,
+            group_col,
+            F.col("__rn").cast("bigint").alias("strat_rank"),
+        )
+    )

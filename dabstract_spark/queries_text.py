@@ -7933,3 +7933,88 @@ def q308_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"), "user_id", ("event_type",), k=256
     )
     return kmv_intersect_card(sk, "event_type", k=256)
+
+
+# --------------------------------------------------------------------- #
+# Stratified eval split, end to end (select.stratified_sample): Hamilton
+# apportionment of exactly 200 rows across sources (q300's planner)
+# materialized by drawing each source's quota as its md5-smallest
+# members via the two-level variable-cap rank — the mixture-preserving
+# "give me an eval set that matches the corpus" one-liner.
+# --------------------------------------------------------------------- #
+@query(
+    "q309_stratified_sample",
+    oracle="""
+    WITH c AS (SELECT source AS g, COUNT(*)::BIGINT AS c
+               FROM documents GROUP BY 1),
+    t AS (SELECT CAST(COALESCE(SUM(c), 0) AS HUGEINT) AS t FROM c),
+    r AS (
+      SELECT g, c,
+             CAST((CAST(200 AS HUGEINT) * c)
+                  // greatest((SELECT t FROM t), 1) AS BIGINT) AS base,
+             CAST((CAST(200 AS HUGEINT) * c)
+                  % greatest((SELECT t FROM t), 1) AS BIGINT) AS rem
+      FROM c),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, c DESC, g ASC NULLS LAST) AS rk,
+             SUM(base) OVER () AS sb
+      FROM r),
+    alloc AS (
+      SELECT g, base + CASE WHEN rk <= 200 - sb THEN 1 ELSE 0 END AS alloc
+      FROM rk),
+    ranked AS (
+      SELECT d.doc_id, d.source, a.alloc,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('11:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d JOIN alloc a ON d.source IS NOT DISTINCT FROM a.g)
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS strat_rank
+    FROM ranked WHERE rn <= alloc
+    """,
+)
+def q309_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dabstract_spark.operators.select import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), "source", n_total=200, seed=11, key="doc_id"
+    )
+
+
+# --------------------------------------------------------------------- #
+# Streaming KMV distinct monitor (streaming.ops.kmv_stream): per-batch
+# k-smallest hash partials merged by k-smallest-of-union — idempotent
+# and commutative like the HLL register max, so stream == batch exactly
+# for any batching/replay. Oracle = the batch kmv_estimate SQL.
+# --------------------------------------------------------------------- #
+@query(
+    "q310_stream_kmv",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_type AS g,
+             substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS h
+      FROM events WHERE user_id IS NOT NULL),
+    s AS (SELECT g, h FROM d
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) <= 256),
+    t AS (SELECT g, COUNT(*)::BIGINT AS n,
+                 MAX(('0x' || h)::BIGINT) AS hk
+          FROM s GROUP BY g)
+    SELECT g AS event_type, n AS n_kept,
+           CASE WHEN n < 256 THEN n
+                ELSE CAST(CAST(255 AS BIGINT) * 281474976710656
+                          // (hk + 1) AS BIGINT) END AS est_distinct
+    FROM t
+    """,
+)
+def q310_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dabstract_spark.streaming.ops import kmv_stream, stream_events
+
+    src = stream_events(spark, f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkdab_kmv_")
+    return kmv_stream(
+        src, "user_id", ["event_type"], f"{tmp}/out", f"{tmp}/ckpt", k=256
+    )

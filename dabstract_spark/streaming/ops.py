@@ -1725,3 +1725,66 @@ def weighted_sample_stream(
         F.col("__w").cast("double").alias("weight"),
         F.row_number().over(w_rank).cast("bigint").alias("sample_rank"),
     )
+
+
+def kmv_stream(
+    doc_stream: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    out_path: str,
+    checkpoint: str,
+    k: int = 256,
+    timeout_sec: int = 120,
+    drain_partitions: int = 8,
+) -> DataFrame:
+    """Streaming KMV distinct monitor — the ONLINE twin of
+    ``sketches.kmv_partials`` → ``kmv_estimate``: each micro-batch
+    appends its own k-smallest hash table to the sink (≤ k rows per
+    group per batch); the live card is ``kmv_estimate`` of
+    ``kmv_merge`` over the union. Like the HLL registers, the merge
+    (k smallest of the distinct union) is idempotent AND commutative —
+    stream == batch EXACTLY for any batching, replay, or overlap, no
+    dedup markers needed (written for lineage parity only)."""
+    import hashlib
+
+    from dabstract_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_partials,
+    )
+
+    run_id = hashlib.md5(str(checkpoint).encode()).hexdigest()[:16]
+    safe = [f"__q{i}" for i in range(len(group_cols))]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            kmv_partials(
+                batch_df.select(
+                    F.col(key_col).alias("__k"),
+                    *[F.col(c).alias(a) for c, a in zip(group_cols, safe)],
+                ),
+                "__k",
+                tuple(safe),
+                k,
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    sink = _drain_foreach_batch(
+        doc_stream,
+        _sink,
+        checkpoint,
+        out_path,
+        timeout_sec,
+        drain_partitions,
+        "kmv_stream",
+    )
+    merged = kmv_merge(sink.select(*safe, "h"), tuple(safe), k)
+    return kmv_estimate(merged, tuple(safe), k).select(
+        *[F.col(a).alias(c) for c, a in zip(group_cols, safe)],
+        "n_kept",
+        "est_distinct",
+    )

@@ -1201,3 +1201,68 @@ def test_weighted_sample_stream_equals_batch_and_survives_replay(spark, tmp_path
         ).collect()
     )
     assert got2 == want
+
+
+def test_stratified_sample_known_answer(spark):
+    """Mixture preservation end to end: a 70/20/10 corpus sampled at
+    n_total=10 yields exactly 7/2/1 per group, Σ == n_total, ranks
+    contiguous from 1 within each group, deterministic under the seed;
+    n_total above the corpus degrades to whole groups (overfill regime:
+    every row sampled)."""
+    from dabstract_spark.operators.select import stratified_sample
+
+    rows = (
+        [(i, "a") for i in range(70)]
+        + [(100 + i, "b") for i in range(20)]
+        + [(200 + i, "c") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "row_id long, g string")
+    out = stratified_sample(df, "g", 10, seed=4).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r.strat_rank)
+    assert {g: len(v) for g, v in by_g.items()} == {"a": 7, "b": 2, "c": 1}
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_g.values())
+    assert len(out) == 10
+    assert {tuple(r) for r in stratified_sample(df, "g", 10, seed=4).collect()} == {
+        tuple(r) for r in out
+    }
+
+    whole = stratified_sample(df, "g", 1000, seed=4).collect()
+    assert len(whole) == 100  # overfill: every row of every group
+
+
+def test_kmv_stream_equals_batch_and_survives_replay(spark, tmp_path):
+    """kmv_stream drained over a bounded backlog equals the batch KMV
+    card exactly (k-smallest-of-union merge), and a replayed partial
+    append changes nothing — idempotence needs no dedup markers."""
+    from dabstract_spark.operators.sketches import kmv_estimate, kmv_partials
+    from dabstract_spark.session import load_table
+    from dabstract_spark.streaming.ops import kmv_stream, stream_events
+
+    SF = "/root/testdata/sf0.001"
+    ev = load_table(spark, SF, "events")
+    want = sorted(
+        tuple(r)
+        for r in kmv_estimate(
+            kmv_partials(ev, "user_id", ("event_type",), 256), ("event_type",), 256
+        ).collect()
+    )
+    src = stream_events(spark, f"{SF}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    got = sorted(
+        tuple(r)
+        for r in kmv_stream(src, "user_id", ["event_type"], out, ckpt, 256).collect()
+    )
+    assert got == want and len(want) > 0
+
+    spark.read.parquet(out).limit(5).write.mode("append").parquet(out)
+    got2 = sorted(
+        tuple(r)
+        for r in kmv_stream(
+            src.limit(0), "user_id", ["event_type"], out, ckpt, 256
+        ).collect()
+    )
+    assert got2 == want
