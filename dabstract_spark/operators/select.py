@@ -105,38 +105,64 @@ def threshold_subsample(df: DataFrame, ratio: float, seed: int = 0, key: str = "
     return df.filter(md5_unit(key, seed) < ratio)
 
 
+def two_level_keep_k(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    order_cols: list,
+    bucket_col,
+    cap,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """THE two-level composite-bucket keep-k rank, shared by every
+    grouped top-k in the engine (sample_per_group, stratified_sample,
+    the KMV keep-k) so the discipline lives in ONE place: first rank
+    within (group, bucket) and keep the per-bucket top ``cap`` — each
+    window task holds ~1/n_buckets of one group, so a corpus-dominating
+    group never lands in a single task's sort — then one tiny second
+    rank over the ≤ n_buckets·cap survivors per group. A row in the
+    true per-group top cap is in its bucket's top cap a fortiori, so
+    the survivor set contains the answer; the result is byte-identical
+    to the single-window form (``order_cols`` must be a total order).
+
+    ``bucket_col``: any expression partitioning the order (a 256-way
+    prefix of the primary sort key keeps buckets order-aligned, though
+    correctness only needs determinism). ``cap``: an int or a per-row
+    Column (the variable-quota case). ``rank_col``: keep the final
+    per-group rank under this name instead of dropping it."""
+    cap_col = F.lit(cap) if isinstance(cap, int) else cap
+    b = df.withColumn("__b", bucket_col)
+    w1 = Window.partitionBy(*group_cols, "__b").orderBy(*order_cols)
+    pruned = (
+        b.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= cap_col)
+        .drop("__rn", "__b")
+    )
+    # bounded by construction: ≤ n_buckets·cap rows per group reach this
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    out = pruned.withColumn("__rn", F.row_number().over(w2)).filter(
+        F.col("__rn") <= cap_col
+    )
+    if rank_col is None:
+        return out.drop("__rn")
+    return out.withColumnRenamed("__rn", rank_col)
+
+
 def sample_per_group(
     df: DataFrame, group_key: str, n: int, seed: int = 0, key: str = "row_id"
 ) -> DataFrame:
     """Keep at most ``n`` pseudo-random rows per ``group_key`` value —
     balanced class sampling for training sets. Deterministic (md5-ranked
     within each group) so it is oracle-expressible. Groups smaller than
-    n pass through whole.
-
-    Two-level rank (``curriculum_order``'s composite-bucket discipline):
-    first rank within (group, 256-way md5-hex prefix) — each window task
-    holds ~1/256 of one group, so a corpus-dominating group never lands
-    in a single task's sort — and keep the per-bucket top n. A row in
-    the true per-group top n is in its bucket's top n a fortiori, so the
-    ≤ 256·n survivors per group contain the answer; one tiny second rank
-    over the bounded survivor set merges them. Byte-identical to the
-    single-window form (md5 over distinct keys is a total order)."""
-    shuffled = df.withColumn("__shuf", md5_order(key, seed)).withColumn(
-        "__b", F.conv(F.substring("__shuf", 1, 2), 16, 10).cast("int")
-    )
-    w1 = Window.partitionBy(group_key, "__b").orderBy("__shuf", key)
-    pruned = (
-        shuffled.withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") <= n)
-        .drop("__rn", "__b")
-    )
-    # bounded by construction: ≤ 256·n rows per group reach this window
-    w2 = Window.partitionBy(group_key).orderBy("__shuf", key)
-    return (
-        pruned.withColumn("__rn", F.row_number().over(w2))
-        .filter(F.col("__rn") <= n)
-        .drop("__rn", "__shuf")
-    )
+    n pass through whole. Routed through ``two_level_keep_k`` (the
+    shared composite-bucket rank — no group-sized window)."""
+    shuffled = df.withColumn("__shuf", md5_order(key, seed))
+    return two_level_keep_k(
+        shuffled,
+        (group_key,),
+        [F.col("__shuf"), F.col(key)],
+        F.conv(F.substring("__shuf", 1, 2), 16, 10).cast("int"),
+        n,
+    ).drop("__shuf")
 
 
 _REGISTRY = {
@@ -1433,7 +1459,10 @@ def weighted_sample_n(
     probability 0; matching the SQL oracle's WHERE w > 0), and so are
     NULL keys: md5 of NULL is NULL, whose NULL race key would sort
     NULLS FIRST in Spark but NULLS LAST in SQL — exclusion is the only
-    deterministic cross-engine contract.
+    deterministic cross-engine contract. Keys must be UNIQUE row
+    identities (doc_id/row_id): duplicate key rows would carry
+    identical race keys (the sampler cannot distinguish them), and the
+    streaming twin collapses them by key.
 
     Scale shape: the global top-n by e routes through
     ``token_budget_per_group``'s two-level 256-value-range-bucket
@@ -1493,16 +1522,21 @@ def stratified_sample(
     group's own count by construction).
 
     Scale shape: the allocation is one map-side count + an
-    n_groups-row award table (broadcast back); the draw is the
-    ``sample_per_group`` two-level composite-bucket rank with a
+    n_groups-row award table (broadcast back); the draw is
+    ``two_level_keep_k`` (the shared composite-bucket rank) with a
     PER-GROUP variable cap (the group's alloc joined on before both
     rank filters) — a corpus-dominating group spreads over 256 window
     tasks, and ≤ 256·alloc survivors reach the bounded second rank.
+    Rows with a NULL ``key`` are EXCLUDED up front — from both the
+    quota counts and the draw — because a NULL md5 rank would sort
+    NULLS FIRST in Spark but NULLS LAST in SQL (the weighted_sample_n
+    contract; a keyless row cannot be sampled deterministically).
     Returns (key, group, strat_rank) with strat_rank 1..alloc within
     each group."""
     from dabstract_spark.functions.hashing import md5_order
     from dabstract_spark.operators.planning import proportional_allocation
 
+    df = df.filter(F.col(key).isNotNull())
     alloc = proportional_allocation(df, group_col, n_total).select(
         F.col(group_col).alias("__ag"), F.col("alloc_rows").alias("__alloc")
     )
@@ -1513,22 +1547,16 @@ def stratified_sample(
             F.col(group_col).eqNullSafe(F.col("__ag")),
         )
         .withColumn("__shuf", md5_order(key, seed))
-        .withColumn("__b", F.conv(F.substring("__shuf", 1, 2), 16, 10).cast("int"))
     )
-    w1 = Window.partitionBy(group_col, "__b").orderBy("__shuf", key)
-    pruned = (
-        shuffled.withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") <= F.col("__alloc"))
-        .drop("__rn", "__b")
-    )
-    # bounded by construction: ≤ 256·alloc rows per group reach this window
-    w2 = Window.partitionBy(group_col).orderBy("__shuf", key)
-    return (
-        pruned.withColumn("__rn", F.row_number().over(w2))
-        .filter(F.col("__rn") <= F.col("__alloc"))
-        .select(
-            key,
-            group_col,
-            F.col("__rn").cast("bigint").alias("strat_rank"),
-        )
+    return two_level_keep_k(
+        shuffled,
+        (group_col,),
+        [F.col("__shuf"), F.col(key)],
+        F.conv(F.substring("__shuf", 1, 2), 16, 10).cast("int"),
+        F.col("__alloc"),
+        rank_col="__strat",
+    ).select(
+        key,
+        group_col,
+        F.col("__strat").cast("bigint").alias("strat_rank"),
     )

@@ -334,24 +334,13 @@ def hll_distinct_card(
 
 def _kmv_keep_k(hashes: DataFrame, group_cols: tuple[str, ...], k: int) -> DataFrame:
     """k smallest h per group from a DISTINCT (groups, h) table via the
-    two-level composite-bucket rank (sample_per_group's discipline): a
+    shared ``select.two_level_keep_k`` composite-bucket rank: a
     corpus-dominating group spreads over 256 window tasks; ≤ 256·k
     survivors per group reach the bounded second rank."""
-    from pyspark.sql import Window
+    from dabstract_spark.operators.select import two_level_keep_k
 
-    b = hashes.withColumn("__b", F.substring("h", 1, 2))
-    w1 = Window.partitionBy(*group_cols, "__b").orderBy("h")
-    pruned = (
-        b.withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn", "__b")
-    )
-    # bounded by construction: ≤ 256·k rows per group reach this window
-    w2 = Window.partitionBy(*group_cols).orderBy("h")
-    return (
-        pruned.withColumn("__rn", F.row_number().over(w2))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+    return two_level_keep_k(
+        hashes, group_cols, [F.col("h")], F.substring("h", 1, 2), k
     )
 
 
@@ -415,6 +404,11 @@ def kmv_intersect_card(
     no sampled value do not emit. The sketch table is ≤ n_groups·k
     rows — every join here is broadcast-sized by construction."""
     two48 = 281474976710656
+    # the sketch plan (corpus distinct + two ranks) is referenced four
+    # times below (theta, estimates, both self-join sides) — checkpoint
+    # so the data-sized stage runs once, not once per reference (the
+    # grouped_mad_outliers composition lesson)
+    sketch = sketch.localCheckpoint(eager=False)
     theta = (
         sketch.groupBy(F.col(group_col).alias("__g")).agg(
             F.count(F.lit(1)).alias("__n"),
@@ -445,6 +439,12 @@ def kmv_intersect_card(
             "__gb",
         )
         .withColumn("__tmin", F.least("__ta", "__tb"))
+        # provably a no-op when BOTH sketches come from the same keep-k
+        # (every kept h < its own group's theta), but REQUIRED by the
+        # theta formalism the moment sketches with different k merge —
+        # the filter is the operator's correctness contract, kept on
+        # both engines (the oracle mirrors it); it runs on the tiny
+        # pair table, never data-sized
         .filter(F.expr("CAST(conv(h, 16, 10) AS BIGINT)") < F.col("__tmin"))
         .groupBy("__ga", "__gb", "__tmin")
         .agg(F.count(F.lit(1)).alias("n_common_sample"))

@@ -7946,7 +7946,7 @@ def q308_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q309_stratified_sample",
     oracle="""
     WITH c AS (SELECT source AS g, COUNT(*)::BIGINT AS c
-               FROM documents GROUP BY 1),
+               FROM documents WHERE doc_id IS NOT NULL GROUP BY 1),
     t AS (SELECT CAST(COALESCE(SUM(c), 0) AS HUGEINT) AS t FROM c),
     r AS (
       SELECT g, c,
@@ -7968,7 +7968,8 @@ def q308_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY d.source
                ORDER BY md5('11:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
              ) AS rn
-      FROM documents d JOIN alloc a ON d.source IS NOT DISTINCT FROM a.g)
+      FROM documents d JOIN alloc a ON d.source IS NOT DISTINCT FROM a.g
+      WHERE d.doc_id IS NOT NULL)
     SELECT doc_id, source, CAST(rn AS BIGINT) AS strat_rank
     FROM ranked WHERE rn <= alloc
     """,

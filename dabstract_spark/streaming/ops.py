@@ -1671,10 +1671,15 @@ def weighted_sample_stream(
     batch's top-n (the A-ES race key is a pure deterministic function
     of the key, so partials from different batches are comparable).
     This is the classic mergeable weighted-reservoir law: stream ==
-    batch EXACTLY for any batching. Replay safety: the merge dedups on
-    the KEY itself (a replayed partial re-adds identical (key, w) rows;
-    deduping by key is strictly stronger than (run_id, batch_id)
-    markers, which are still written for lineage parity). The merged
+    batch EXACTLY for any batching, UNDER THE UNIQUE-KEY CONTRACT the
+    batch sampler shares (keys are row identities — doc_id/row_id; a
+    corpus that repeats a key row is malformed for BOTH twins: the
+    batch form would hand duplicate rows identical race keys, and this
+    twin would collapse them). Replay safety: the merge dedups on the
+    KEY itself (a replayed partial re-adds identical (key, w) rows —
+    deterministic because under the contract a key maps to one weight;
+    key dedup is strictly stronger than (run_id, batch_id) markers,
+    which are still written for lineage parity). The merged
     sink is ≤ n·n_batches rows — bounded, so the final
     ``orderBy().limit(n)`` rank runs on a table that never grows with
     the corpus."""

@@ -261,17 +261,27 @@ def _window_lit0_sites():
         hits = [src[: m.start()].count("\n") + 1 for m in pat.finditer(src)]
         if not hits:
             continue
-        # outermost module-level function containing the line (nested
-        # helpers like foreachBatch sinks attribute to their public owner)
-        spans = [
-            (node.name, node.lineno, node.end_lineno)
-            for node in ast.parse(src).body
-            if isinstance(node, ast.FunctionDef)
-        ]
+        # INNERMOST function containing the line, keyed by its dotted
+        # path — so a future window added inside a nested helper (e.g. a
+        # foreachBatch _sink) gets its OWN registry key instead of
+        # silently inheriting the outer function's bound
+        spans = []
+
+        def walk(node, prefix):
+            for child in ast.iter_child_nodes(node):
+                if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    name = f"{prefix}.{child.name}" if prefix else child.name
+                    spans.append((name, child.lineno, child.end_lineno))
+                    walk(child, name)
+                else:
+                    walk(child, prefix)
+
+        walk(ast.parse(src), "")
         for ln in hits:
-            func = next(
-                (n for n, lo, hi in spans if lo <= ln <= hi), "<module>"
-            )
+            containing = [
+                (hi - lo, n) for n, lo, hi in spans if lo <= ln <= hi
+            ]
+            func = min(containing)[1] if containing else "<module>"
             sites.add(f"{p.relative_to(root).as_posix()}::{func}")
     return sites
 

@@ -1116,3 +1116,34 @@ def test_semantic_dedup_matches_brute_force_model(spark, vecs, n_centroids):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    sizes=st.lists(st.integers(1, 25), min_size=1, max_size=5),
+    n_total=st.integers(0, 60),
+)
+@settings(**_SETTINGS)
+def test_stratified_sample_laws(spark, sizes, n_total):
+    """Σ sampled == min(n_total, corpus) for ANY group-size profile
+    (each quota ≤ its group's count by Hamilton construction, so the
+    draw can always fill it below the corpus size); per-group ranks are
+    contiguous 1..alloc; no group exceeds its own size."""
+    from dabstract_spark.operators.select import stratified_sample
+
+    rows = []
+    rid = 0
+    for gi, sz in enumerate(sizes):
+        for _ in range(sz):
+            rows.append((rid, f"g{gi}"))
+            rid += 1
+    df = spark.createDataFrame(rows, "row_id long, g string")
+    out = stratified_sample(df, "g", n_total, seed=2).collect()
+    corpus = sum(sizes)
+    assert len(out) == min(n_total, corpus)
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r.strat_rank)
+    for gi, sz in enumerate(sizes):
+        got = sorted(by_g.get(f"g{gi}", []))
+        assert len(got) <= sz
+        assert got == list(range(1, len(got) + 1))
