@@ -278,7 +278,11 @@ def hll_card(
     ``m·ln(m/V)`` when E ≤ 2.5m and V > 0 (one libm call, round 6 —
     the proven portability recipe). The large-range correction is
     omitted: it matters only near 2^48 distincts, far beyond the 48-bit
-    rho stream's own design range (documented bound)."""
+    rho stream's own design range (documented bound). The micro-unit
+    leg is DECIMAL(38,6) in BOTH engines so estimates up to the BIGINT
+    micro cap (~9.2e12) never overflow the cast — non-ANSI Spark would
+    have turned a DECIMAL(18,6) overflow past ~1e12 into a silent NULL
+    while DuckDB errors loudly (the r9 cross-engine overflow rule)."""
     agg = registers.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__np"),
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - M)")).alias("__sp"),
@@ -300,7 +304,7 @@ def hll_card(
         *group_cols,
         "v_zero",
         "s_scaled",
-        (F.round(est, 6).cast("decimal(18,6)") * F.lit(1_000_000))
+        (F.round(est, 6).cast("decimal(38,6)") * F.lit(1_000_000))
         .cast("bigint")
         .alias("estimate_micro"),
     )

@@ -7721,7 +7721,7 @@ _HLL_SQL_CARD = """
     SELECT g AS event_type, v_zero, s_scaled,
            CAST(CAST(round(CASE WHEN E <= 640.0 AND v_zero > 0
                      THEN 256.0 * ln(256.0 / v_zero) ELSE E END, 6)
-                AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS estimate_micro
+                AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS estimate_micro
     FROM e
 """
 

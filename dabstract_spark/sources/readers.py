@@ -89,6 +89,8 @@ def _png_to_gray(raw: bytes) -> list[list[int]]:
         )
     if color == 3 and palette is None:
         raise ValueError("palette PNG without PLTE chunk")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PNG profile (empty image {w}x{h})")
     stream = zlib.decompress(bytes(idat))
     stride = w * channels
     if len(stream) < h * (stride + 1):
@@ -122,6 +124,11 @@ def _png_to_gray(raw: bytes) -> list[list[int]]:
             px = line[x * channels : (x + 1) * channels]
             if color == 3:
                 idx = px[0] * 3
+                if idx + 3 > len(palette):
+                    raise ValueError(
+                        f"palette index {px[0]} out of range for PLTE of "
+                        f"{len(palette) // 3} entries"
+                    )
                 r, g, b = palette[idx], palette[idx + 1], palette[idx + 2]
                 row.append((r * 299 + g * 587 + b * 114) // 1000)
             elif channels >= 3:

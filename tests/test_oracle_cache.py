@@ -91,3 +91,16 @@ def test_cache_roundtrip_and_eviction(tmp_path, monkeypatch):
     # corrupt cache file degrades to empty, never crashes the gate
     (tmp_path / "cache.json").write_text("{not json")
     assert co.load_cache() == {}
+
+
+def test_rowsonly_greens_cached_under_distinct_prefix():
+    """A rows-only green ('ran without error') must never be cache-
+    indistinguishable from an oracle-verified green: the cached value
+    carries a rowsonly: prefix, and adding an oracle to a previously
+    rows-only query invalidates the old entry even before the key's
+    oracle-text component is considered."""
+    assert co.expected_cache_value("k1", has_oracle=True) == "k1"
+    assert co.expected_cache_value("k1", has_oracle=False) == "rowsonly:k1"
+    assert co.expected_cache_value("k1", True) != co.expected_cache_value(
+        "k1", False
+    )

@@ -274,3 +274,33 @@ def test_png_unsupported_profile_raises():
         _png_to_gray(png16)
     with pytest.raises(ValueError, match="bad signature"):
         _png_to_gray(b"JFIF not a png")
+
+
+def test_png_empty_dims_and_palette_overrun_raise():
+    """Malformed-but-well-formed-looking PNGs keep the decoder's
+    ValueError contract (ADVICE r10): a 0-width/0-height IHDR and a
+    palette index past the PLTE table must raise the same loud
+    ValueError as the other guards, never an IndexError that surfaces
+    as an opaque executor stack trace inside the Arrow UDF."""
+    from dabstract_spark.sources.readers import _png_to_gray
+
+    zero_h = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 0, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b""))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="empty image"):
+        _png_to_gray(zero_h)
+    zero_w = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 4, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 4))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="empty image"):
+        _png_to_gray(zero_w)
+    # 2-entry palette, pixel references index 5
+    overrun = _png_encode([[0, 5]], 3, palette=[0, 0, 0, 255, 255, 255])
+    with pytest.raises(ValueError, match="palette index 5 out of range"):
+        _png_to_gray(overrun)

@@ -117,6 +117,14 @@ def cache_key(eng: str, fn, oracle_text: str | None, sf_dir: str) -> str:
     ).hexdigest()
 
 
+def expected_cache_value(key: str, has_oracle: bool) -> str:
+    """Cache value for a green query: the bare key for oracle-verified
+    greens, a 'rowsonly:'-prefixed key otherwise — so --changed-only can
+    report the two attestations separately (a rows-only green only says
+    'ran without error')."""
+    return key if has_oracle else "rowsonly:" + key
+
+
 def load_cache() -> dict:
     import json
 
@@ -153,16 +161,33 @@ def main():
         name: cache_key(eng, fn, oracles.get(name), sf_token)
         for name, fn in qs.items()
     }
-    n_cached = 0
+    expected = {
+        n: expected_cache_value(k, n in oracles) for n, k in keys.items()
+    }
+    n_cached = n_cached_rowsonly = 0
     if changed_only:
         pending = {
-            n for n in qs if not (only and n not in only) and cache.get(n) != keys[n]
+            n
+            for n in qs
+            if not (only and n not in only) and cache.get(n) != expected[n]
         }
         n_cached = sum(
-            1 for n in qs if not (only and n not in only) and n not in pending
+            1
+            for n in qs
+            if not (only and n not in only) and n not in pending and n in oracles
+        )
+        n_cached_rowsonly = sum(
+            1
+            for n in qs
+            if not (only and n not in only)
+            and n not in pending
+            and n not in oracles
         )
         if not pending:
-            print(f"\n0 pass, 0 fail, 0 rows-only ({n_cached} cached green)")
+            print(
+                f"\n0 pass, 0 fail, 0 rows-only ({n_cached} cached green, "
+                f"{n_cached_rowsonly} cached rows-only)"
+            )
             sys.exit(0)
         only = pending if not only else (only & pending)
 
@@ -202,7 +227,7 @@ def main():
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle — rows-only check)")
             n_rowsonly += 1
-            cache[name] = keys[name]
+            cache[name] = expected[name]
             continue
         try:
             res = con.execute(oracles[name])
@@ -233,7 +258,11 @@ def main():
             n_pass += 1
             cache[name] = keys[name]
     save_cache(cache)
-    cached = f" ({n_cached} cached green)" if changed_only else ""
+    cached = (
+        f" ({n_cached} cached green, {n_cached_rowsonly} cached rows-only)"
+        if changed_only
+        else ""
+    )
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only{cached}")
     sys.exit(1 if n_fail else 0)
 
