@@ -55,10 +55,6 @@ def main():
     print(f"wrote {len(rows)} wav files under {ROOT}")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def gen_jsonl(root=None):
     """Deterministic JSONL fixture with schema drift: rows 0-39 full,
     every 3rd missing 'score', every 5th carrying an extra field the
@@ -132,3 +128,336 @@ def gen_dcase(root=None):
         "\n".join("\t".join(r) for r in rows18) + "\n"
     )
     print(f"wrote dcase fixtures under {d20} and {d18}")
+
+
+# --------------------------------------------------------------------- #
+# Hostile fixture mode (--hostile): the full 10-table parquet layout of
+# /root/testdata/sf* regenerated with adversarial distributions, so the
+# FULL catalog can be swept through tools/check_oracle.py against data
+# the benign seed-42 fixtures can never produce:
+#   - NULL-heavy label/group/quasi-identifier columns (event_type,
+#     lang, mktsegment, returnflag, user_id, label, order/ship dates)
+#   - an EMPTY table (supplier) and a 1-row table (part)
+#   - one user owning 50% of events; one source owning 90% of documents;
+#     one customer owning 50% of orders; one hot lineitem order key
+#   - duplicate-bomb text (200 byte-identical docs — the LSH C(n,2)
+#     bomb from SCALE.md, as a fixture) + near-dup variants
+#   - unicode/emoji text, empty-string text, NULL text
+#   - zero-vector, all-equal, and cross-id duplicate embeddings
+#   - massive value ties (quantity, dates, timestamps) to force every
+#     rank/top-k/keep-k tie-break through its deterministic path
+# Event timestamps stay file-ordered and NON-NULL: the events table is
+# the streaming source, and "roughly time-ordered arrival" is its
+# documented contract (the benign fixtures are strictly sorted); the
+# hostile axes for events are ties, skew, and NULL everything-else.
+# Primary keys stay unique (that IS the data contract the operators
+# document). Deterministic: random.Random(11), no wall clock.
+# --------------------------------------------------------------------- #
+def gen_hostile(root=None):
+    import random
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = Path(
+        root or Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "hostile"
+    )
+    out.mkdir(parents=True, exist_ok=True)
+    rng = random.Random(11)
+
+    def write(name, schema, cols):
+        tbl = pa.table(
+            {f.name: pa.array(c, type=f.type) for f, c in zip(schema, cols)},
+            schema=pa.schema(schema),
+        )
+        pq.write_table(tbl, out / f"{name}.parquet")
+        print(f"wrote {name}: {tbl.num_rows} rows")
+
+    ts_us = pa.timestamp("us")
+
+    # region: 5 rows, 2 NULL names (NULL group keys in the smallest dim)
+    write(
+        "region",
+        [pa.field("r_regionkey", pa.int32()), pa.field("r_name", pa.string())],
+        [[0, 1, 2, 3, 4], ["AFRICA", None, "ASIA", None, "EUROPE"]],
+    )
+
+    # nation: unicode/emoji names, NULL names, NULL region keys, 60%
+    # of nations crowding one region
+    n_names = [
+        "ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", None,
+        "ESPAÑA 🌍", "FRANCE", "日本", "CÔTE D'IVOIRE", None,
+        "INDIA", "INDONESIA", "IRAN", "IRAQ", "JAPAN",
+        "JORDAN", "KENYA", "MOROCCO", "MOZAMBIQUE", "PERU",
+        "CHINA", "ROMANIA", "SAUDI ARABIA", "VIETNAM", "RUSSIA",
+    ]
+    n_region = [
+        (None if k in (7, 19) else (2 if k % 5 != 4 else rng.randrange(5)))
+        for k in range(25)
+    ]
+    write(
+        "nation",
+        [
+            pa.field("n_nationkey", pa.int32()),
+            pa.field("n_name", pa.string()),
+            pa.field("n_regionkey", pa.int32()),
+        ],
+        [list(range(25)), n_names, n_region],
+    )
+
+    # customer: 300 rows; duplicate names, 50% in one nation, NULL
+    # nationkey/acctbal/mktsegment; negative and tied balances
+    segs = ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]
+    c_key = list(range(1, 301))
+    c_name = [
+        "Customer#DUPLICATE" if k % 10 == 0 else f"Customer#{k:09d}" for k in c_key
+    ]
+    c_nat = [
+        None if k % 17 == 0 else (5 if k % 2 == 0 else rng.randrange(25))
+        for k in c_key
+    ]
+    c_bal = [
+        None
+        if k % 5 == 0
+        else (0.0 if k % 3 == 0 else round(rng.uniform(-999.99, 9999.99), 2))
+        for k in c_key
+    ]
+    c_seg = [None if k % 5 in (1, 2) else segs[k % len(segs)] for k in c_key]
+    write(
+        "customer",
+        [
+            pa.field("c_custkey", pa.int64()),
+            pa.field("c_name", pa.string()),
+            pa.field("c_nationkey", pa.int32()),
+            pa.field("c_acctbal", pa.float64()),
+            pa.field("c_mktsegment", pa.string()),
+        ],
+        [c_key, c_name, c_nat, c_bal, c_seg],
+    )
+
+    # supplier: EMPTY (0 rows, full schema) — every supplier join/agg
+    # must produce identical empty/zero results in both engines
+    write(
+        "supplier",
+        [
+            pa.field("s_suppkey", pa.int64()),
+            pa.field("s_name", pa.string()),
+            pa.field("s_nationkey", pa.int32()),
+            pa.field("s_acctbal", pa.float64()),
+        ],
+        [[], [], [], []],
+    )
+
+    # part: exactly 1 row
+    write(
+        "part",
+        [
+            pa.field("p_partkey", pa.int64()),
+            pa.field("p_name", pa.string()),
+            pa.field("p_brand", pa.string()),
+            pa.field("p_type", pa.string()),
+            pa.field("p_size", pa.int32()),
+            pa.field("p_retailprice", pa.float64()),
+        ],
+        [[1], ["hostile lone part"], ["Brand#13"], ["SMALL PLATED"], [1], [901.0]],
+    )
+
+    # orders: one customer owns 50%; NULL custkey/status/date/priority;
+    # 30% of dates collapse onto one day (rank ties)
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    o_key = list(range(1, 2001))
+    o_cust = [
+        None if k % 20 == 0 else (7 if k % 2 == 0 else rng.choice(c_key))
+        for k in o_key
+    ]
+    o_status = [None if k % 10 == 0 else ("POF"[k % 3]) for k in o_key]
+    o_total = [
+        0.0
+        if k % 25 == 0
+        else (1000.0 if k % 4 == 0 else round(rng.uniform(1.0, 500000.0), 2))
+        for k in o_key
+    ]
+    day0 = datetime(1995, 1, 1)
+    tie_day = datetime(1997, 1, 1)
+    o_date = [
+        None
+        if k % 40 == 0
+        else (tie_day if k % 3 == 0 else day0 + timedelta(days=rng.randrange(2400)))
+        for k in o_key
+    ]
+    o_prio = [None if k % 7 == 0 else prios[k % len(prios)] for k in o_key]
+    write(
+        "orders",
+        [
+            pa.field("o_orderkey", pa.int64()),
+            pa.field("o_custkey", pa.int64()),
+            pa.field("o_orderstatus", pa.string()),
+            pa.field("o_totalprice", pa.float64()),
+            pa.field("o_orderdate", ts_us),
+            pa.field("o_orderpriority", pa.string()),
+        ],
+        [o_key, o_cust, o_status, o_total, o_date, o_prio],
+    )
+
+    # lineitem: hot order key (30% on one order), dangling part/supp
+    # keys (part has 1 row, supplier none), 50% tied quantities, zero
+    # prices/discounts, NULL flags and ship dates
+    n_li = 6000
+    l_ok = [42 if i % 3 == 0 else rng.choice(o_key) for i in range(n_li)]
+    l_pk = [1 if i % 5 != 0 else rng.randrange(2, 201) for i in range(n_li)]
+    l_sk = [rng.randrange(1, 11) for _ in range(n_li)]
+    l_ln = [i % 7 + 1 for i in range(n_li)]
+    l_qty = [1.0 if i % 2 == 0 else float(rng.randrange(1, 51)) for i in range(n_li)]
+    l_price = [
+        0.0
+        if i % 10 == 0
+        else (100.0 if i % 5 == 0 else round(rng.uniform(1.0, 100000.0), 2))
+        for i in range(n_li)
+    ]
+    l_disc = [0.0 if i % 5 != 4 else round(rng.randrange(1, 11) / 100.0, 2) for i in range(n_li)]
+    l_tax = [0.0 if i % 4 != 3 else round(rng.randrange(1, 9) / 100.0, 2) for i in range(n_li)]
+    l_rf = [None if i % 10 == 9 else "RAN"[i % 3] for i in range(n_li)]
+    l_ls = [None if i % 11 == 10 else "OF"[i % 2] for i in range(n_li)]
+    l_ship = [
+        None
+        if i % 30 == 0
+        else (tie_day if i % 4 == 0 else day0 + timedelta(days=rng.randrange(2400)))
+        for i in range(n_li)
+    ]
+    write(
+        "lineitem",
+        [
+            pa.field("l_orderkey", pa.int64()),
+            pa.field("l_partkey", pa.int64()),
+            pa.field("l_suppkey", pa.int64()),
+            pa.field("l_linenumber", pa.int32()),
+            pa.field("l_quantity", pa.float64()),
+            pa.field("l_extendedprice", pa.float64()),
+            pa.field("l_discount", pa.float64()),
+            pa.field("l_tax", pa.float64()),
+            pa.field("l_returnflag", pa.string()),
+            pa.field("l_linestatus", pa.string()),
+            pa.field("l_shipdate", ts_us),
+        ],
+        [l_ok, l_pk, l_sk, l_ln, l_qty, l_price, l_disc, l_tax, l_rf, l_ls, l_ship],
+    )
+
+    # events: file-ordered NON-NULL timestamps with a 40% single-second
+    # tie bomb; one user owns 50%; NULL user/type/value; emoji type and
+    # props; empty-string props
+    n_ev = 2000
+    t0 = datetime(2024, 1, 1)
+    raw_ts = sorted(
+        (
+            t0 + timedelta(hours=6)  # the tie second
+            if i % 5 in (0, 1)
+            else t0 + timedelta(seconds=rng.randrange(30 * 86400), microseconds=rng.randrange(1000000))
+        )
+        for i in range(n_ev)
+    )
+    e_types = ["click", "view", "signup", "purchase", "error", "🔥crash"]
+    e_user = [3 if i % 2 == 0 else (None if i % 7 == 1 else rng.randrange(41)) for i in range(n_ev)]
+    e_type = [None if i % 4 == 3 else e_types[i % len(e_types)] for i in range(n_ev)]
+    e_val = [
+        None
+        if i % 10 == 7
+        else (0.0 if i % 3 == 0 else round(rng.uniform(-100.0, 100.0), 3))
+        for i in range(n_ev)
+    ]
+    e_props = [
+        None
+        if i % 9 == 0
+        else ("" if i % 9 == 1 else ('{"k": "🚀💥"}' if i % 9 == 2 else f'{{"k": {i % 97}}}'))
+        for i in range(n_ev)
+    ]
+    write(
+        "events",
+        [
+            pa.field("event_id", pa.int64()),
+            pa.field("ts", ts_us),
+            pa.field("user_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+            pa.field("value", pa.float64()),
+            pa.field("props", pa.string()),
+        ],
+        [list(range(1, n_ev + 1)), raw_ts, e_user, e_type, e_val, e_props],
+    )
+
+    # documents: 200-doc byte-identical bomb, near-dups, unicode/emoji,
+    # empty and NULL text, one source owning 90%, NULL-heavy lang
+    bomb = (
+        "dup dup bomb the fast key order sort table scan merge part window "
+        "small hash scan join order batch batch stream spark window dup"
+    )
+    vocab = bomb.split()
+    texts: list[str | None] = []
+    for i in range(600):
+        if i < 200:
+            texts.append(bomb)
+        elif i < 250:
+            words = bomb.split()
+            words[i % len(words)] = f"variant{i}"
+            texts.append(" ".join(words))
+        elif i < 280:
+            texts.append(f"héllo wörld 🌍 émoji 测试 naïve façade №{i} ñandú 🚀" * (1 + i % 3))
+        elif i < 300:
+            texts.append("")
+        elif i < 310:
+            texts.append(None)
+        else:
+            texts.append(" ".join(rng.choice(vocab) for _ in range(rng.randrange(30, 120))))
+    langs = ["en", "de", "fr", "zh", "es"]
+    d_lang = [None if i % 3 == 2 else ("en" if i % 2 == 0 else langs[i % len(langs)]) for i in range(600)]
+    d_src = [None if i % 50 == 49 else ("src0" if i % 10 != 7 else f"src{1 + i % 19}") for i in range(600)]
+    d_nch = [None if t is None else len(t) for t in texts]
+    write(
+        "documents",
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("text", pa.string()),
+            pa.field("lang", pa.string()),
+            pa.field("source", pa.string()),
+            pa.field("n_chars", pa.int64()),
+        ],
+        [list(range(1, 601)), texts, d_lang, d_src, d_nch],
+    )
+
+    # embeddings: 40 zero vectors, 100 byte-identical copies of one
+    # vector, 30 cross-id duplicates of another, a constant vector,
+    # NULL-heavy labels
+    dim = 64
+    shared_a = [round(rng.uniform(-1.0, 1.0), 3) for _ in range(dim)]
+    shared_b = [round(rng.uniform(-1.0, 1.0), 3) for _ in range(dim)]
+    vecs = []
+    for i in range(400):
+        if i < 40:
+            vecs.append([0.0] * dim)
+        elif i < 140:
+            vecs.append(list(shared_a))
+        elif i < 170:
+            vecs.append(list(shared_b))
+        elif i < 175:
+            vecs.append([0.5] * dim)
+        else:
+            vecs.append([round(rng.uniform(-1.0, 1.0), 3) for _ in range(dim)])
+    e_label = [None if i % 3 == 1 else (0 if i % 2 == 0 else i % 10) for i in range(400)]
+    write(
+        "embeddings",
+        [
+            pa.field("vec_id", pa.int64()),
+            pa.field("embedding", pa.list_(pa.float32())),
+            pa.field("label", pa.int32()),
+        ],
+        [list(range(400)), vecs, e_label],
+    )
+    print(f"hostile fixture complete under {out}")
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    if "--hostile" in _sys.argv:
+        gen_hostile()
+    else:
+        main()
