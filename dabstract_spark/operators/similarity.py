@@ -40,8 +40,22 @@ def norm(a: Column) -> Column:
     )
 
 
+def norm_denom(a: Column) -> Column:
+    """Cosine DENOMINATOR leg: ``||a||`` with zero mapped to 1, so a
+    zero vector reads cosine 0 instead of raising DIVIDE_BY_ZERO under
+    ANSI (dot is 0 whenever a norm is, so dividing by 1 is exact — the
+    same convention as ``_centroid_rank_exprs``'s guard and the GEMM
+    path's ``norms[norms == 0] = 1``). On real embeddings norms are
+    positive and the branch never fires; the paired DuckDB oracles carry
+    the identical ``CASE WHEN ... = 0 THEN 1`` legs."""
+    n2 = F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return F.sqrt(F.when(n2 == F.lit(0.0), F.lit(1.0)).otherwise(n2))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return dot(a, b) / (norm_denom(a) * norm_denom(b))
 
 
 def topk_bruteforce(
@@ -61,8 +75,8 @@ def topk_bruteforce(
     computed once per row instead of once per (query, corpus) pair)."""
     q = queries.select(
         F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec")
-    ).withColumn("__qn", norm(F.col("__qvec")))
-    staged = corpus.withColumn("__cn", norm(F.col(vec_col)))
+    ).withColumn("__qn", norm_denom(F.col("__qvec")))
+    staged = corpus.withColumn("__cn", norm_denom(F.col(vec_col)))
     joined = staged.join(F.broadcast(q), F.col(query_id) != F.col(id_col))
     scored = joined.select(
         query_id,
@@ -159,12 +173,12 @@ def topk_lsh(
     before the join (see topk_bruteforce)."""
     cb = corpus.withColumn(
         "bucket", hyperplane_bits(vec_col, n_bits, dim, seed)
-    ).withColumn("__cn", norm(F.col(vec_col)))
+    ).withColumn("__cn", norm_denom(F.col(vec_col)))
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         hyperplane_bits(vec_col, n_bits, dim, seed).alias("bucket"),
-    ).withColumn("__qn", norm(F.col("__qvec")))
+    ).withColumn("__qn", norm_denom(F.col("__qvec")))
     joined = cb.join(qb, "bucket").filter(F.col("query_id") != F.col(id_col))
     scored = joined.select(
         "query_id",
@@ -324,8 +338,8 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         F.transform(probes, lambda p: p["cid"]).alias("__probes"),
-    ).withColumn("__qn", norm(F.col("__qvec")))
-    joined = assigned.withColumn("__cn", norm(F.col(vec_col))).join(
+    ).withColumn("__qn", norm_denom(F.col("__qvec")))
+    joined = assigned.withColumn("__cn", norm_denom(F.col(vec_col))).join(
         F.broadcast(q),
         F.array_contains(F.col("__probes"), F.col("centroid_id"))
         & (F.col("query_id") != F.col(id_col)),
@@ -365,7 +379,7 @@ def embedding_neardup_pairs(
     (documented recall trade; keep-set is the deterministic md5-min
     prefix so the choice is reproducible)."""
     if exact:
-        staged = df.withColumn("__n", norm(F.col(vec_col)))
+        staged = df.withColumn("__n", norm_denom(F.col(vec_col)))
         a = staged.select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
             F.col("__n").alias("__na"),
@@ -393,7 +407,7 @@ def embedding_neardup_pairs(
                 .filter(F.col("__rn") <= max_bucket)
                 .drop("__rn")
             )
-        ab = ab.withColumn("__n", norm(F.col(vec_col)))
+        ab = ab.withColumn("__n", norm_denom(F.col(vec_col)))
         l = ab.select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
             F.col("__n").alias("__na"), "bucket",
@@ -514,7 +528,7 @@ def topk_lsh_multiprobe(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         hyperplane_bits(vec_col, n_bits, dim, seed).alias("__b0"),
-    ).withColumn("__qn", norm(F.col("__qvec")))
+    ).withColumn("__qn", norm_denom(F.col("__qvec")))
     # probe set = own bucket + n_probes single-bit flips (XOR with 2^b)
     qb = qb.select(
         "query_id",
@@ -530,7 +544,7 @@ def topk_lsh_multiprobe(
             )
         ).alias("bucket"),
     )
-    joined = cb.withColumn("__cn", norm(F.col(vec_col))).join(qb, "bucket").filter(
+    joined = cb.withColumn("__cn", norm_denom(F.col(vec_col))).join(qb, "bucket").filter(
         F.col("query_id") != F.col(id_col)
     )
     # no dedup needed: a corpus vector lives in exactly ONE bucket and a
@@ -720,8 +734,16 @@ def topk_quantized(
     scored = joined.select(
         query_id,
         F.col("id").alias(id_col),
+        # greatest(norm2, 1): a zero int8 code vector reads qsim 0 (dotq
+        # is 0 then) instead of DIVIDE_BY_ZERO under ANSI — the integer
+        # twin of norm_denom's convention; oracle carries the same legs
         F.round(
-            dotq.cast("double") / (F.sqrt(F.col("__qn")) * F.sqrt(F.col("qnorm2"))), 6
+            dotq.cast("double")
+            / (
+                F.sqrt(F.greatest(F.col("__qn"), F.lit(1)))
+                * F.sqrt(F.greatest(F.col("qnorm2"), F.lit(1)))
+            ),
+            6,
         ).alias("qsim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("qsim"), F.asc(id_col))
@@ -1002,8 +1024,8 @@ def hard_negatives(
         F.col(id_col).alias(query_id),
         F.col(label_col).alias("__qlab"),
         F.col(vec_col).alias("__qvec"),
-    ).withColumn("__qn", norm(F.col("__qvec")))
-    staged = corpus.withColumn("__cn", norm(F.col(vec_col)))
+    ).withColumn("__qn", norm_denom(F.col("__qvec")))
+    staged = corpus.withColumn("__cn", norm_denom(F.col(vec_col)))
     joined = staged.join(
         F.broadcast(q),
         (F.col(query_id) != F.col(id_col))

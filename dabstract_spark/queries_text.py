@@ -282,8 +282,13 @@ _DOT = (
     "list_sum(list_transform(generate_series(1, 64), "
     "j -> (a.embedding[j])::DOUBLE * (b.embedding[j])::DOUBLE))"
 )
-_NORM_A = "sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))"
-_NORM_B = "sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+# Denominator legs carry the engine's zero-norm convention
+# (similarity.norm_denom): a zero vector divides by 1 and reads cosine
+# 0 in BOTH engines, instead of ANSI DIVIDE_BY_ZERO / NaN ranks.
+_N2_A = "list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))"
+_N2_B = "list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))"
+_NORM_A = f"(CASE WHEN {_N2_A} = 0 THEN 1 ELSE sqrt({_N2_A}) END)"
+_NORM_B = f"(CASE WHEN {_N2_B} = 0 THEN 1 ELSE sqrt({_N2_B}) END)"
 
 
 @query(
@@ -354,8 +359,14 @@ def _norm_sql(a: str) -> str:
     return f"sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
 
 
+def _norm_denom_sql(a: str) -> str:
+    """Oracle twin of similarity.norm_denom: zero norm -> 1."""
+    n2 = f"list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))"
+    return f"(CASE WHEN {n2} = 0 THEN 1 ELSE sqrt({n2}) END)"
+
+
 def _cos_sql(a: str, b: str) -> str:
-    return f"{_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)})"
+    return f"{_dot_sql(a, b)} / ({_norm_denom_sql(a)} * {_norm_denom_sql(b)})"
 
 
 @query(
@@ -1058,8 +1069,10 @@ def q105_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT query_id, vec_id,
              ROUND(list_sum(list_transform(generate_series(1, 64), j -> (qe[j])::DOUBLE * (ce[j])::DOUBLE))
-                   / (sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))
-                      * sqrt(list_sum(list_transform(ce, x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim
+                   / ((CASE WHEN list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)) = 0 THEN 1
+                       ELSE sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE))) END)
+                      * (CASE WHEN list_sum(list_transform(ce, x -> x::DOUBLE * x::DOUBLE)) = 0 THEN 1
+                         ELSE sqrt(list_sum(list_transform(ce, x -> x::DOUBLE * x::DOUBLE))) END)), 6) AS sim
       FROM cand)
     SELECT query_id, vec_id, sim,
            CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
@@ -2429,7 +2442,7 @@ _QUANT_CTE = """
       SELECT a.vec_id AS query_id, b.vec_id,
              ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
                           j -> a.qvec[j] * b.qvec[j])) AS DOUBLE)
-                   / (sqrt(a.qnorm2) * sqrt(b.qnorm2)), 6) AS qsim
+                   / (sqrt(greatest(a.qnorm2, 1)) * sqrt(greatest(b.qnorm2, 1))), 6) AS qsim
       FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
       WHERE a.vec_id < 5)
     SELECT query_id, vec_id, qsim,
@@ -2625,8 +2638,10 @@ def q170_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(
         k=50,
         dot="list_sum(list_transform(generate_series(1, 64), j -> (a.embedding[j])::DOUBLE * (b.embedding[j])::DOUBLE))",
-        na="sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))",
-        nb="sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))",
+        na="(CASE WHEN list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)) = 0 THEN 1"
+        " ELSE sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) END)",
+        nb="(CASE WHEN list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)) = 0 THEN 1"
+        " ELSE sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))) END)",
     ),
 )
 def q171_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
