@@ -397,7 +397,13 @@ def q140_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_md5
     FROM new_batch
-    WHERE md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) NOT IN (SELECT h FROM seen)
+    -- NOT EXISTS, never NOT IN: a NULL digest in `seen` (NULL-text doc)
+    -- makes NOT IN never-true and collapses the result to 0 rows,
+    -- while the engine's anti-join/dropDuplicates keeps NULL-key rows
+    -- (equality with NULL never matches) — the hostile-fixture catch
+    WHERE NOT EXISTS (
+      SELECT 1 FROM seen
+      WHERE seen.h = md5(regexp_replace(trim(lower(new_batch.text)), '\\s+', ' ', 'g')))
     """,
 )
 def q162_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1870,11 +1870,15 @@ def q128_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q129_paragraph_dedup",
     oracle="""
     WITH lined AS (
+      -- list_filter(.., NOT NULL) mirrors Spark concat_ws, which SKIPS
+      -- NULL parts (a NULL-text doc contributes 2 paragraphs, not 4)
       SELECT doc_id,
-             [substr(text, 1, 60),
-              'shared boilerplate: subscribe to our newsletter.',
-              substr(text, 61, 50),
-              'footer id ' || CAST(doc_id % 7 AS VARCHAR)] AS ps
+             list_filter(
+               [substr(text, 1, 60),
+                'shared boilerplate: subscribe to our newsletter.',
+                substr(text, 61, 50),
+                'footer id ' || CAST(doc_id % 7 AS VARCHAR)],
+               x -> x IS NOT NULL) AS ps
       FROM documents),
     paras AS (
       SELECT doc_id, i - 1 AS pos, ps[i] AS para, md5(ps[i]) AS h
@@ -2162,7 +2166,11 @@ def q135_zorder_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch AS (SELECT doc_id, s, t[s : s + 15] AS c FROM st)
     SELECT doc_id, CAST((s - 1) // 8 AS INT) AS chunk_id,
            CAST(len(c) AS INT) AS n_tokens,
-           md5(array_to_string(c, ' ')) AS chunk_md5
+           -- Spark array_join([]) = '' but DuckDB array_to_string([])
+           -- = NULL: coalesce ONLY the empty-list case (a NULL token
+           -- list — NULL text — must stay NULL in both engines)
+           md5(CASE WHEN c IS NULL THEN NULL
+               ELSE coalesce(array_to_string(c, ' '), '') END) AS chunk_md5
     FROM ch WHERE len(c) = 16 OR s = 1
     """,
 )
@@ -2556,8 +2564,11 @@ def q167_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM fin)
     SELECT id AS doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
            CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
-           -- array_to_string([]) is NULL in DuckDB, '' in Spark's array_join
-           md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5
+           -- array_to_string([]) is NULL in DuckDB, '' in Spark's
+           -- array_join; coalesce ONLY the empty-list case — a NULL
+           -- token list (NULL text) stays NULL in both engines
+           md5(CASE WHEN t IS NULL THEN NULL
+               ELSE COALESCE(array_to_string(kept, ' '), '') END) AS clean_md5
     FROM reb
     """,
 )
@@ -3287,8 +3298,13 @@ def q210_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT d.doc_id FROM documents d
     WHERE d.doc_id % 3 = 0
-      AND {_DOC_DIGEST} NOT IN (
-        SELECT {_DOC_DIGEST} FROM documents WHERE doc_id % 3 <> 0)
+      -- NOT EXISTS, never NOT IN: a NULL corpus digest (NULL-text doc)
+      -- would make NOT IN never-true; the engine's anti-join keeps
+      -- NULL-digest probes
+      AND NOT EXISTS (
+        SELECT 1 FROM documents c
+        WHERE c.doc_id % 3 <> 0
+          AND md5({_NORM.format(c='c.text')}) = md5({_NORM.format(c='d.text')}))
     """,
 )
 def q211_bloom_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4243,12 +4259,16 @@ def q222_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q223_dedup_lines",
     oracle="""
     WITH lined AS (
+      -- list_filter + array_to_string mirrors Spark concat_ws, which
+      -- SKIPS NULL parts (a NULL-text doc still yields the 2 footers)
       SELECT doc_id,
-             substr(text, 1, 40) || chr(10) ||
-             'footer: all rights reserved' || chr(10) ||
-             substr(text, 41, 40) || chr(10) ||
-             'footer: all rights reserved' || chr(10) ||
-             substr(text, 1, 40) AS text
+             array_to_string(list_filter(
+               [substr(text, 1, 40),
+                'footer: all rights reserved',
+                substr(text, 41, 40),
+                'footer: all rights reserved',
+                substr(text, 1, 40)],
+               x -> x IS NOT NULL), chr(10)) AS text
       FROM documents),
     lx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
     kept AS (
@@ -4650,7 +4670,11 @@ def q230_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM newv n JOIN d USING (doc_id) WHERE d.status = 'unchanged')
     SELECT doc_id, status
     FROM delta
-    WHERE md5({_NORM.format(c='text')}) NOT IN (SELECT h FROM seen)
+    -- NOT EXISTS, never NOT IN: a NULL digest in `seen` would make
+    -- NOT IN never-true (0 rows); the engine's anti-join keeps
+    -- NULL-digest rows (NULL never equals anything)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM seen WHERE seen.h = md5({_NORM.format(c='delta.text')}))
     """,
 )
 def q231_incremental_recuration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6446,7 +6470,10 @@ def q275_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM toks),
     ch AS (SELECT doc_id, s, t[s : s + 15] AS c FROM st),
     chunks AS (
-      SELECT doc_id, md5(array_to_string(c, ' ')) AS chunk_md5
+      -- same empty-vs-NULL list convention as q136's oracle
+      SELECT doc_id,
+             md5(CASE WHEN c IS NULL THEN NULL
+                 ELSE coalesce(array_to_string(c, ' '), '') END) AS chunk_md5
       FROM ch WHERE len(c) = 16 OR s = 1)
     SELECT chunk_md5, COUNT(*)::BIGINT AS n_occurrences,
            COUNT(DISTINCT doc_id)::BIGINT AS n_docs
