@@ -122,9 +122,13 @@ def latest_event_dedup(
 
 
 def extract_props(df: DataFrame, props_col: str = "props", field: str = "k") -> DataFrame:
-    """Pull a typed field out of the JSON props column (JVM-side parse)."""
+    """Pull a typed field out of the JSON props column (JVM-side parse).
+    try_cast, not cast: a malformed/non-numeric field (or empty-string
+    props) reads NULL instead of raising CAST_INVALID_INPUT under ANSI —
+    the oracle carries the matching TRY_CAST."""
     return df.withColumn(
-        f"prop_{field}", F.get_json_object(F.col(props_col), f"$.{field}").cast("int")
+        f"prop_{field}",
+        F.get_json_object(F.col(props_col), f"$.{field}").try_cast("int"),
     )
 
 

@@ -268,8 +268,17 @@ class Aggregation(Processor):
                 out.append(mu)
             elif m == "std":
                 out.append(F.sqrt(_arr_moment(c, mu, 2)))
-            else:  # kurtosis: m4/m2^2 - 3
-                out.append(_arr_moment(c, mu, 4) / F.pow(_arr_moment(c, mu, 2), 2.0) - 3.0)
+            else:
+                # kurtosis: m4/m2^2 - 3; NULL for a constant array
+                # (m2 = 0 — undefined, and ANSI would raise
+                # DIVIDE_BY_ZERO; scipy emits nan there). Oracles carry
+                # the matching CASE WHEN m2 = 0 THEN NULL leg.
+                m2 = _arr_moment(c, mu, 2)
+                out.append(
+                    F.when(m2 == F.lit(0.0), F.lit(None).cast("double")).otherwise(
+                        _arr_moment(c, mu, 4) / F.pow(m2, 2.0) - 3.0
+                    )
+                )
         return out
 
     def expr(self, col, info):

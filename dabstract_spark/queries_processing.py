@@ -90,7 +90,10 @@ def q61_logarithm_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_sum(list_transform(embedding, x -> pow(x::DOUBLE - mu, 4))) / {_DIM} AS m4
       FROM m)
     SELECT vec_id, ROUND(mu, 6) + 0.0 AS mean, ROUND(sqrt(m2), 6) + 0.0 AS std,
-           ROUND(m4 / (m2 * m2) - 3.0, 6) + 0.0 AS kurtosis
+           -- kurtosis of a constant array (m2 = 0) is NULL in both
+           -- engines (the engine's ANSI-safe convention)
+           CASE WHEN m2 = 0 THEN NULL
+                ELSE ROUND(m4 / (m2 * m2) - 3.0, 6) + 0.0 END AS kurtosis
     FROM mo
     """,
 )

@@ -545,7 +545,10 @@ def q54_latest_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q55_props_extract",
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           -- TRY_CAST + NULLIF mirror the engine's try_cast +
+           -- get_json_object: malformed (emoji/non-numeric) fields and
+           -- empty-string props read NULL, not an error
+           CAST(SUM(TRY_CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
