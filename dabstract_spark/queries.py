@@ -462,7 +462,9 @@ def q141_exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select("event_type", "user_id")
         .distinct()
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_users"))
+        # count(user_id), not count(1): COUNT(DISTINCT) never counts
+        # NULL keys, so the deduped NULL-user row must not either
+        .agg(F.count(F.col("user_id")).alias("n_users"))
     )
 
 

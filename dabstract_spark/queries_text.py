@@ -68,8 +68,11 @@ _SW = "('the','a','of','and','to','in','is','it')"
                  / greatest(length(text), 1), 6) AS punct_ratio,
            ROUND(len(list_filter({_T}, t -> t IN {_SW}))
                  / greatest(len({_T}), 1), 6) AS stopword_ratio,
-           ROUND(list_sum(list_transform({_T}, t -> length(t)))
-                 / greatest(len({_T}), 1), 6) AS mean_token_len
+           -- DuckDB list_sum([]) is NULL but Spark's aggregate with a 0
+           -- seed is 0: empty docs read 0.0; NULL text stays NULL
+           CASE WHEN {_T} IS NULL THEN NULL
+                ELSE ROUND(coalesce(list_sum(list_transform({_T}, t -> length(t))), 0)
+                           / greatest(len({_T}), 1), 6) END AS mean_token_len
     FROM documents
     """,
 )
@@ -917,11 +920,15 @@ def q99_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q100_c4_line_filter",
     oracle=r"""
     WITH lined AS (
+      -- list_filter + array_to_string mirrors Spark concat_ws, which
+      -- SKIPS NULL parts (NULL-text docs still get the 2 literal lines)
       SELECT doc_id,
-             substr(text, 1, 50) || '.' || chr(10) ||
-             'too short.' || chr(10) ||
-             substr(text, 51, 40) || chr(10) ||
-             'keep this line too!' AS text
+             array_to_string(list_filter(
+               [substr(text, 1, 50) || '.',
+                'too short.',
+                substr(text, 51, 40),
+                'keep this line too!'],
+               x -> x IS NOT NULL), chr(10)) AS text
       FROM documents),
     kept AS (
       SELECT doc_id,
@@ -5003,7 +5010,12 @@ _GOPHER_CTES = f"""gs AS (
     gm AS (
       SELECT doc_id,
              len(tk)::BIGINT AS n_words,
-             COALESCE(list_sum(list_transform(tk, t -> length(t))), 0)::BIGINT AS chars,
+             -- NULL text keeps every metric NULL (the engine's NULL
+             -- propagation); the COALESCE only covers the empty-list
+             -- case where Spark's 0-seeded aggregate reads 0
+             (CASE WHEN tk IS NULL THEN NULL
+                   ELSE COALESCE(list_sum(list_transform(tk, t -> length(t))), 0)
+              END)::BIGINT AS chars,
              len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))::BIGINT AS alpha,
              len(list_filter(tk, t -> t IN {_SW}))::BIGINT AS stops,
              (length(text) - length(replace(text, '#', '')))::BIGINT

@@ -646,8 +646,12 @@ def q164_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
             FROM events)),
     paths AS (
+      -- list_filter mirrors Spark concat_ws, which SKIPS NULL event
+      -- types (an all-NULL entry reads '', never NULL)
       SELECT user_id, session_id,
-             array_to_string((list(event_type ORDER BY ts, event_id))[1:3], '>') AS path
+             coalesce(array_to_string(list_filter(
+               (list(event_type ORDER BY ts, event_id))[1:3],
+               x -> x IS NOT NULL), '>'), '') AS path
       FROM s GROUP BY user_id, session_id)
     SELECT path, COUNT(*) AS n_sessions
     FROM paths GROUP BY path
