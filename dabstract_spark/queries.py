@@ -386,7 +386,13 @@ def q19_summary_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q20_dictionary_encode",
     oracle="""
     SELECT c_custkey, c_mktsegment,
-           CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS INT) AS segment_code
+           -- NULL segments get no dictionary code (dense_codes leaves
+           -- them out of the dictionary; the join back is LEFT);
+           -- NULLS LAST keeps non-NULL codes identical to a ranking
+           -- over the non-NULL domain alone
+           CASE WHEN c_mktsegment IS NULL THEN NULL
+                ELSE CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment NULLS LAST) - 1 AS INT)
+           END AS segment_code
     FROM customer
     """,
 )
@@ -398,8 +404,12 @@ def q20_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path builds the (tiny) distinct dictionary window-free
     # (count-of-smaller self-join) and broadcast-joins it back.
     dic = dense_codes(cust, "c_mktsegment", "segment_code")
-    return cust.select("c_custkey", "c_mktsegment").join(F.broadcast(dic), "c_mktsegment").select(
-        "c_custkey", "c_mktsegment", "segment_code"
+    # LEFT join: NULL segments have no dictionary entry and must keep
+    # their rows with a NULL code, not vanish through an inner join
+    return (
+        cust.select("c_custkey", "c_mktsegment")
+        .join(F.broadcast(dic), "c_mktsegment", "left")
+        .select("c_custkey", "c_mktsegment", "segment_code")
     )
 
 

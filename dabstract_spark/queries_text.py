@@ -3687,10 +3687,12 @@ def q202_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q203_group_percentiles",
     oracle="""
     WITH c AS (
+      -- percentiles are over NON-NULL values (the engine filters the
+      -- same way): NULL rows would inflate n and shift every rank
       SELECT event_type,
              CAST(CAST(round(value, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
              COUNT(*) AS c
-      FROM events GROUP BY event_type, v),
+      FROM events WHERE value IS NOT NULL GROUP BY event_type, v),
     cum AS (
       SELECT event_type, v,
              SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
@@ -3712,7 +3714,12 @@ def q203_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v")
     )
-    counts = ev.groupBy("event_type", vm).agg(F.count(F.lit(1)).alias("c"))
+    # percentiles over NON-NULL values only (oracle filters identically)
+    counts = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", vm)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     # 100·cum >= p·n; a handful of event types -> hint 16
     return grouped_weighted_quantiles(
         counts,
@@ -4527,9 +4534,11 @@ _HIST_W = 4_000_000  # 4.0-unit bins x 128 bins covers [0, 512)
     "q229_hist_quantile_sketch",
     oracle=f"""
     WITH vm AS (
+      -- NON-NULL values only (q203's convention — the engine filters
+      -- identically before sketching)
       SELECT event_type, event_id % 4 AS part,
              CAST(CAST(round(value, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     partials AS (
       SELECT event_type, part,
              CAST(LEAST(GREATEST(floor(v / {_HIST_W}.0), 0), 127) AS INT) AS bin,
@@ -4581,7 +4590,7 @@ def q229_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v")
     )
-    tagged = evd.select(
+    tagged = evd.filter(F.col("value").isNotNull()).select(
         "event_type", (F.col("event_id") % 4).alias("part"), vm
     )
     # stage 1: partial histograms a pipeline would persist per partition

@@ -762,13 +762,19 @@ def q176_sketch_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
-    return exact.join(F.broadcast(merged), "event_type").select(
-        "event_type",
-        "exact_distinct",
-        (
-            F.abs(F.col("__est") - F.col("exact_distinct"))
-            <= 0.05 * F.col("exact_distinct")
-        ).alias("merge_ok"),
+    # eqNullSafe: a NULL event_type is a real group in both legs and
+    # must survive the join (plain equality would drop it)
+    merged_r = F.broadcast(merged.withColumnRenamed("event_type", "__et"))
+    return (
+        exact.join(merged_r, F.col("event_type").eqNullSafe(F.col("__et")))
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("__est") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("merge_ok"),
+        )
     )
 
 
