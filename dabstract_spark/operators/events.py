@@ -258,10 +258,21 @@ def time_grid_fill(
     """
     us = _epoch_us(ts_col)
     step_us = step_sec * 1_000_000
-    obs = df.groupBy(F.col(user_col).alias("__u"), us.alias("__us")).agg(
-        F.max_by(F.col(value_col), F.col("event_id")).alias("__v")
-        if "event_id" in df.columns
-        else F.max(F.col(value_col)).alias("__v")
+    # Per-key gap filling requires a key: NULL-key events are excluded
+    # entirely (no grid, no fill) — a relational equi/asof join cannot
+    # express "NULL is its own series" portably
+    df = df.filter(F.col(user_col).isNotNull())
+    # NULL-value events are NOT observations: they neither fill a bucket
+    # nor shadow an earlier same-timestamp reading (they still extend
+    # the grid bounds below, which scan the key-filtered input)
+    obs = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(user_col).alias("__u"), us.alias("__us"))
+        .agg(
+            F.max_by(F.col(value_col), F.col("event_id")).alias("__v")
+            if "event_id" in df.columns
+            else F.max(F.col(value_col)).alias("__v")
+        )
     )
     bounds = df.groupBy(F.col(user_col).alias("__u")).agg(
         F.min(us).alias("__lo"), F.max(us).alias("__hi")
@@ -547,10 +558,13 @@ def time_weighted_avg(
     DECIMAL(38,0) and the final division is integral (sign-safe
     magnitudes), giving a bit-identical twa_micro across engines.
     One shuffle on the key (lag window + aggregate share it); keys with
-    a single sample (zero span) are excluded — their TWA is undefined."""
+    a single sample (zero span) are excluded — their TWA is undefined.
+    NULL-value rows are ignored (no observation, no segment): keeping
+    them would also make the (t, v) order engine-dependent — Spark
+    sorts NULLs first, DuckDB last."""
     w = Window.partitionBy(key_col).orderBy(F.col("__t"), F.col("__v"))
     seg = (
-        df.select(
+        df.filter(F.col(value_col).isNotNull()).select(
             F.col(key_col),
             _epoch_us(ts_col).alias("__t"),
             (F.round(F.col(value_col), 6).cast("decimal(18,6)") * F.lit(1000000))

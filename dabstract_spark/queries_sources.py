@@ -844,11 +844,15 @@ _CMS_BUCKET_SQL = (
     "q201_stream_cms",
     oracle=f"""
     WITH sk AS (
+      -- NULL keys are not sketchable (md5(NULL) has no bucket): the
+      -- sketch and the probe set both exclude them, in both engines
       SELECT j, {_CMS_BUCKET_SQL.format(j='j', k='user_id')} AS bucket,
              COUNT(*) AS cnt
       FROM events, UNNEST(generate_series(0, 3)) AS t(j)
+      WHERE user_id IS NOT NULL
       GROUP BY j, bucket),
-    exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id),
+    exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events
+              WHERE user_id IS NOT NULL GROUP BY user_id),
     est AS (
       SELECT e.user_id, e.exact_cnt, MIN(s.cnt) AS est
       FROM exact e JOIN sk s
@@ -866,10 +870,16 @@ def q201_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dabstract_spark.streaming.ops import cms_sketch_stream, stream_events
 
     tmp = tempfile.mkdtemp(prefix="sparkdab_cms_")
-    src = stream_events(spark, f"{sf_dir}/events.parquet").select("user_id")
+    # NULL keys are not sketchable (md5(NULL) has no bucket) — both the
+    # sketch stream and the probe set exclude them, like the oracle
+    src = (
+        stream_events(spark, f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .filter(F.col("user_id").isNotNull())
+    )
     partials = cms_sketch_stream(src, "user_id", f"{tmp}/out", f"{tmp}/ckpt")
     merged = cms_merge(partials)
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     probes = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     est = cms_estimate(merged, probes, "user_id")
     return est.select(

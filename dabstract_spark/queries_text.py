@@ -1975,16 +1975,19 @@ def q130_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q131_time_grid_fill",
     oracle="""
     WITH b AS (
+      -- per-key gap filling requires a key: NULL users excluded
       SELECT user_id,
              epoch_us(min(ts)) // 21600000000 AS lob,
              epoch_us(max(ts)) // 21600000000 AS hib
-      FROM events GROUP BY user_id),
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
     g AS (
       SELECT user_id, CAST(to_timestamp(t.i * 21600) AS TIMESTAMP) AS bucket_ts
       FROM b, UNNEST(generate_series(lob, hib)) AS t(i)),
     e AS (
+      -- NULL-value events are not observations (engine convention);
+      -- bounds above still span the unfiltered stream
       SELECT user_id, ts, arg_max(value, event_id) AS v
-      FROM events GROUP BY user_id, ts)
+      FROM events WHERE value IS NOT NULL GROUP BY user_id, ts)
     SELECT g.user_id, g.bucket_ts, e.v AS value_ff
     FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.bucket_ts >= e.ts
     """,
@@ -3166,9 +3169,11 @@ def q192_stream_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q193_time_weighted_avg",
     oracle="""
     WITH pts AS (
+      -- NULL-value rows carry no observation (engine convention; they
+      -- would also make the (t, v) tiebreak order engine-dependent)
       SELECT user_id, epoch_us(ts) AS t,
              CAST(CAST(round(value, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     seg AS (
       SELECT user_id, t, v,
              LAG(t) OVER w AS pt, LAG(v) OVER w AS pv

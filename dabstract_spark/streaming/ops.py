@@ -481,9 +481,12 @@ def rolling_distinct_stream(
     dropDuplicates STATE — explode each event into the N window-ending
     days it serves, dedup on (key, window-day), then a plain streaming
     count per day. Two chained stateful operators; state is bounded by
-    (active keys × N), the same table the batch twin (q182) builds."""
+    (active keys × N), the same table the batch twin (q182) builds.
+    NULL keys are filtered — COUNT(DISTINCT key) never counts NULL, and
+    the dedup state otherwise would."""
     exploded = (
-        src.select(F.col(key_col), F.to_date(ts_col).alias("__day"))
+        src.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col), F.to_date(ts_col).alias("__day"))
         .select(
             key_col,
             F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("__i"),
