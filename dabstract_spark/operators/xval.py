@@ -62,8 +62,11 @@ def group_random_kfold(
 ) -> DataFrame:
     """K-fold over distinct groups, expanded to member rows — group
     integrity preserved (reference xval.py:27-43). The distinct-group
-    table is small: broadcast-joined back."""
-    groups = df.select(group).distinct()
+    table is small: broadcast-joined back. NULL groups get no fold (they
+    cannot survive the equi-join back anyway, and md5(NULL) would order
+    NULLS FIRST in Spark but LAST in SQL engines, shifting every other
+    group's fold)."""
+    groups = df.select(group).filter(F.col(group).isNotNull()).distinct()
     # constant partition key over the small distinct-group table: same
     # single-partition plan, no spurious no-partition WindowExec warning
     w = Window.partitionBy(F.lit(0)).orderBy(md5_order(group, seed))
@@ -99,9 +102,12 @@ def sequential_kfold(
 
 def xval_from_item(df: DataFrame, key: str, item: str, seed: int = 0) -> DataFrame:
     """One fold per distinct value of a predefined split column
-    (reference xval.py:12-24)."""
+    (reference xval.py:12-24). A NULL item carries no split value: the
+    row keeps a NULL fold (dictionary-encode convention — NULL is never
+    a fold, and its sort position differs across engines)."""
     dic = (
         df.select(item)
+        .filter(F.col(item).isNotNull())
         .distinct()
         .withColumn(
             "fold",
@@ -110,7 +116,11 @@ def xval_from_item(df: DataFrame, key: str, item: str, seed: int = 0) -> DataFra
             ).cast("int"),
         )
     )
-    return df.select(key, item).join(F.broadcast(dic), item).select(key, "fold")
+    return (
+        df.select(key, item)
+        .join(F.broadcast(dic), item, "left")
+        .select(key, "fold")
+    )
 
 
 def random_split(

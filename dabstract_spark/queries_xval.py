@@ -110,9 +110,12 @@ def q31_xval_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q32_xval_group_kfold",
     oracle="""
     WITH gfold AS (
+      -- NULL groups get no fold (engine convention: they cannot
+      -- survive the equi-join back, and their md5 sort position is
+      -- engine-dependent)
       SELECT c_nationkey,
              CAST((ROW_NUMBER() OVER (ORDER BY md5('1:' || CAST(c_nationkey AS VARCHAR))) - 1) % 5 AS INT) AS fold
-      FROM (SELECT DISTINCT c_nationkey FROM customer)
+      FROM (SELECT DISTINCT c_nationkey FROM customer WHERE c_nationkey IS NOT NULL)
     )
     SELECT c_custkey, fold FROM customer JOIN gfold USING (c_nationkey)
     """,
@@ -139,7 +142,12 @@ def q33_xval_sequential_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q34_xval_from_item",
     oracle="""
     SELECT o_orderkey,
-           CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS INT) AS fold
+           -- NULL items carry no split value -> NULL fold (engine
+           -- convention); NULLS LAST keeps non-NULL folds identical to
+           -- ranking the non-NULL domain alone
+           CASE WHEN o_orderpriority IS NULL THEN NULL
+                ELSE CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority NULLS LAST) - 1 AS INT)
+           END AS fold
     FROM orders
     """,
 )
@@ -189,7 +197,12 @@ def q36_get_xval_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = orders.select(
         "o_orderkey",
         "o_totalprice",
-        (F.col("o_orderstatus") == "P").cast("int").alias("test_only"),
+        # when/otherwise, not a bare comparison cast: (NULL == 'P')
+        # is NULL, which would silently drop NULL-status rows from
+        # BOTH the fold assignment and the test set
+        F.when(F.col("o_orderstatus") == "P", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("test_only"),
     )
     ds = Dataset(base, name="orders")
     ds = ds.set_xval("random_kfold", key="o_orderkey", folds=4, seed=0)
