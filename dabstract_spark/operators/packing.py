@@ -269,7 +269,11 @@ def length_bucket_batches(
     ``materialize_mixture`` recipe, so one dominant length bucket (most
     web text is short) never lands in a single task's sort; batch/slot
     are pure arithmetic on the index. Docs longer than ``batch_tokens``
-    still get cap-sized singleton batches (``div`` clamps to ≥ 1)."""
+    still get cap-sized singleton batches (``div`` clamps to ≥ 1).
+    A NULL token count rides in the cap-1 bucket (greatest(NULL, 1) is
+    1 — Spark's greatest ignores NULLs): unknown-length docs stay in
+    the manifest deterministically instead of vanishing; oracles carry
+    the matching ``nt IS NULL OR nt <= 1`` leg."""
     from dabstract_spark.operators.select import curriculum_order
 
     # 2^ceil(log2(n)) == 1 << bitlength(n-1): exact bigint for every n

@@ -803,26 +803,36 @@ def grouped_rank_ppm(
     execution), and past the threshold the shuffle join's exchange is
     reused by the bucket-local window that follows on the same keys."""
     width = max(1, -(-int(max_score) // 256))  # ceil division
-    keyed = df.withColumn(
+    # null-safe internal group key: a NULL group is a REAL group
+    # ("unknown" language/domain) but a plain name equi-join would drop
+    # it — and struct equality with a NULL field is NULL, so the key is
+    # (is-null flag, coalesced string form). NULL scores land in bucket
+    # 0 (Spark greatest ignores NULLs) and rank BEFORE score 0 — the
+    # oracle twin is ORDER BY score NULLS FIRST.
+    gk = F.struct(
+        F.col(group_col).isNull().alias("n"),
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("v"),
+    )
+    keyed = df.withColumn("__gk", gk).withColumn(
         "__b",
         F.least(
             F.lit(255), F.greatest(F.lit(0), (F.col(score_col) / width).cast("int"))
         ),
     )
-    counts = keyed.groupBy(group_col, "__b").agg(F.count(F.lit(1)).alias("__n"))
+    counts = keyed.groupBy("__gk", "__b").agg(F.count(F.lit(1)).alias("__n"))
     # bounded by construction: n_groups × 256 rows
     w_off = (
-        Window.partitionBy(group_col)
+        Window.partitionBy("__gk")
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_tot = (
-        Window.partitionBy(group_col)
+        Window.partitionBy("__gk")
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     offsets = counts.select(
-        group_col,
+        "__gk",
         "__b",
         F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
         F.sum("__n").over(w_tot).alias("__ng"),
@@ -831,9 +841,9 @@ def grouped_rank_ppm(
         n_groups_hint is not None
         and int(n_groups_hint) * 256 <= broadcast_threshold
     )
-    w_local = Window.partitionBy(group_col, "__b").orderBy(score_col, id_col)
+    w_local = Window.partitionBy("__gk", "__b").orderBy(score_col, id_col)
     return (
-        keyed.join(F.broadcast(offsets) if small else offsets, [group_col, "__b"])
+        keyed.join(F.broadcast(offsets) if small else offsets, ["__gk", "__b"])
         .withColumn(
             out_rank,
             (F.col("__off") + F.row_number().over(w_local)).cast("bigint"),
@@ -845,7 +855,7 @@ def grouped_rank_ppm(
                 " div CAST(greatest(__ng - 1, 1) AS DECIMAL(38,0)) AS BIGINT)"
             ),
         )
-        .drop("__b", "__off", "__ng")
+        .drop("__gk", "__b", "__off", "__ng")
     )
 
 

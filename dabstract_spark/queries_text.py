@@ -1164,7 +1164,12 @@ def q108_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     head = docs.filter(F.col("source").isin("src0", "src1", "src2"))
     mid = docs.filter(F.col("source").isin("src3", "src4", "src5"))
-    tail = docs.filter(~F.col("source").isin("src0", "src1", "src2", "src3", "src4", "src5"))
+    # isNull leg: NOT (NULL IN ...) is NULL and would silently drop
+    # NULL-source docs from every corpus — 'tail' is the ELSE bucket
+    tail = docs.filter(
+        F.col("source").isNull()
+        | ~F.col("source").isin("src0", "src1", "src2", "src3", "src4", "src5")
+    )
     return weighted_mix(
         {"head": head, "mid": mid, "tail": tail},
         {"head": 1.0, "mid": 0.3, "tail": 0.05},
@@ -1945,7 +1950,10 @@ def q129_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ROWS UNBOUNDED PRECEDING) AS cum_tokens
       FROM scored)
     SELECT doc_id, source, n_tokens, cum_tokens
-    FROM cum WHERE cum_tokens <= 800
+    -- a NULL token count cannot be budgeted: the engine's inclusive
+    -- cum <= budget test is NULL for such rows, dropping them (their
+    -- window contribution is 0 in both engines either way)
+    FROM cum WHERE cum_tokens <= 800 AND n_tokens IS NOT NULL
     """,
 )
 def q130_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5883,10 +5891,14 @@ def q260_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
                + 2 * (1000000 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::BIGINT * 1000000
                             // greatest(length(text), 1)) * 10, 1000000))) // 10) AS qp
       FROM documents)
+    -- NULLS FIRST mirrors the engine: NULL scores land in value
+    -- bucket 0 and rank before score 0 (Spark's default NULL order);
+    -- a NULL lang is a real group (the engine's group key is
+    -- null-safe)
     SELECT doc_id, lang, qp,
-           CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY qp, doc_id)
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY qp NULLS FIRST, doc_id)
                 AS BIGINT) AS rank_in_group,
-           CAST((CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY qp, doc_id)
+           CAST((CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY qp NULLS FIRST, doc_id)
                       - 1 AS HUGEINT) * 1000000)
                 // GREATEST(COUNT(*) OVER (PARTITION BY lang) - 1, 1)
                 AS BIGINT) AS pct_ppm
@@ -6050,8 +6062,9 @@ def q264_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT doc_id, CAST(len({_T}) AS BIGINT) AS nt FROM documents),
     caps AS (
+      -- NULL nt rides in the cap-1 bucket (engine: greatest(NULL,1)=1)
       SELECT doc_id, nt,
-             CASE WHEN nt <= 1 THEN 1
+             CASE WHEN nt IS NULL OR nt <= 1 THEN 1
                   ELSE (1::BIGINT << length(bin(nt - 1))) END AS cap
       FROM q),
     idx AS (
@@ -6658,8 +6671,9 @@ def q279_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT doc_id, CAST(len({_T}) AS BIGINT) AS nt FROM documents),
     caps AS (
+      -- NULL nt rides in the cap-1 bucket (engine: greatest(NULL,1)=1)
       SELECT doc_id, nt,
-             CASE WHEN nt <= 1 THEN 1
+             CASE WHEN nt IS NULL OR nt <= 1 THEN 1
                   ELSE (1::BIGINT << length(bin(nt - 1))) END AS cap
       FROM q),
     idx AS (
