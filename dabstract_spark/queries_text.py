@@ -7126,7 +7126,9 @@ def q288_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     med AS (SELECT lang, MIN(v) AS median FROM c1 WHERE 2 * cw >= n GROUP BY 1),
     cvm AS (
       SELECT cv.lang, cv.v, cv.w, m.median, abs(cv.v - m.median) AS dev
-      FROM cv JOIN med m ON cv.lang = m.lang),
+      -- IS NOT DISTINCT FROM: a NULL lang is a real group in the
+      -- engine (null-safe group keys); plain equality would drop it
+      FROM cv JOIN med m ON cv.lang IS NOT DISTINCT FROM m.lang),
     dv AS (SELECT lang, dev, CAST(SUM(w) AS BIGINT) AS w FROM cvm GROUP BY 1, 2),
     c2 AS (
       SELECT lang, dev, w,
@@ -7143,7 +7145,7 @@ def q288_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(SUM(CASE WHEN dev > 3 * mad.mad THEN w ELSE 0 END)
                      AS HUGEINT) * 1000000
                 // greatest(SUM(w), 1) AS BIGINT) AS outlier_ppm
-    FROM cvm JOIN mad ON cvm.lang = mad.lang
+    FROM cvm JOIN mad ON cvm.lang IS NOT DISTINCT FROM mad.lang
     GROUP BY cvm.lang
     """,
 )
@@ -7376,9 +7378,17 @@ def q293_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM toks),
     ch AS (SELECT doc_id, source, s, t[s : s + 15] AS c FROM st),
     dg AS (
-      SELECT DISTINCT source AS g, md5(array_to_string(c, ' ')) AS d
+      -- same empty-vs-NULL list convention as q136's oracle: Spark
+      -- array_join([]) = '' (the empty-doc chunk digests md5('') and
+      -- DOES count as shared); a NULL token list stays NULL and the
+      -- self-join on d drops it in both engines
+      SELECT DISTINCT source AS g,
+             md5(CASE WHEN c IS NULL THEN NULL
+                 ELSE coalesce(array_to_string(c, ' '), '') END) AS d
       FROM ch WHERE len(c) = 16 OR s = 1),
-    sizes AS (SELECT g, COUNT(*)::BIGINT AS nd FROM dg GROUP BY 1)
+    -- COUNT(d), not COUNT(*): the NULL digest (NULL-text chunks) is
+    -- not a chunk — the engine's countDistinct skips it too
+    sizes AS (SELECT g, COUNT(d)::BIGINT AS nd FROM dg GROUP BY 1)
     SELECT a.g AS group_a, b.g AS group_b,
            COUNT(*)::BIGINT AS n_shared,
            CAST(CAST(COUNT(*) AS HUGEINT) * 1000000
@@ -7581,7 +7591,9 @@ def q297_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     med AS (SELECT lang, MIN(v) AS median FROM c1 WHERE 2 * cw >= n GROUP BY 1),
     cvm AS (
       SELECT cv.lang, cv.v, cv.w, abs(cv.v - m.median) AS dev
-      FROM cv JOIN med m ON cv.lang = m.lang),
+      -- IS NOT DISTINCT FROM: a NULL lang is a real group in the
+      -- engine (null-safe group keys); plain equality would drop it
+      FROM cv JOIN med m ON cv.lang IS NOT DISTINCT FROM m.lang),
     dv AS (SELECT lang, dev, CAST(SUM(w) AS BIGINT) AS w FROM cvm GROUP BY 1, 2),
     c2 AS (
       SELECT lang, dev, w,
@@ -7591,7 +7603,7 @@ def q297_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad AS (SELECT lang, MIN(dev) AS mad FROM c2 WHERE 2 * cw >= n GROUP BY 1),
     bands AS (
       SELECT m.lang, m.median - 3 * d.mad AS lo, m.median + 3 * d.mad AS hi
-      FROM med m JOIN mad d ON m.lang = d.lang)
+      FROM med m JOIN mad d ON m.lang IS NOT DISTINCT FROM d.lang)
     SELECT d.doc_id, d.lang, d.n_chars,
            CASE WHEN d.n_chars IS NOT NULL AND b.lo IS NOT NULL
                 THEN least(greatest(d.n_chars, b.lo), b.hi) END
@@ -7599,7 +7611,7 @@ def q297_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN d.n_chars IS NOT NULL AND b.lo IS NOT NULL
                      AND (d.n_chars < b.lo OR d.n_chars > b.hi)
                 THEN 1 ELSE 0 END AS was_clipped
-    FROM documents d LEFT JOIN bands b ON d.lang = b.lang
+    FROM documents d LEFT JOIN bands b ON d.lang IS NOT DISTINCT FROM b.lang
     """,
 )
 def q298_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
