@@ -679,8 +679,9 @@ def q97_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # make_timestamp(epoch_us(...)) to mirror the operator's ns→µs
     # truncation; sums are rounded at 6 decimals on both sides because
     # the operator accumulates float64 in ts order while the oracle sums
-    # exact decimals (the true sums are 2-decimal, so round(6) is loss-
-    # free and order-independent).
+    # exact decimals (the true values carry <= 3 decimals, so round(6)
+    # is loss-free and order-independent). SUM semantics for NULL
+    # values match SQL: NULLs contribute nothing, all-NULL -> NULL.
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, value,
@@ -697,7 +698,7 @@ def q97_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              make_timestamp(MIN(epoch_us(ts))) AS session_start,
              make_timestamp(MAX(epoch_us(ts))) AS session_end,
              COUNT(*) AS n_events,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
       FROM sessioned GROUP BY user_id, sid)
     SELECT user_id, session_start, session_end, n_events, sum_value
     FROM sess

@@ -178,17 +178,17 @@ def stateful_sessionizer(
         f"{user_col} long, session_start timestamp, session_end timestamp, "
         "n_events long, sum_value double"
     )
-    state_schema = "start long, end long, n long, s double"
+    state_schema = "start long, end long, n long, s double, sn long"
 
     def fn(key, pdfs, state):
         import numpy as np
         import pandas as pd
 
         if state.exists:
-            start, end, n, s = state.get
+            start, end, n, s, sn = state.get
         else:
             start = end = None
-            n, s = 0, 0.0
+            n, s, sn = 0, 0.0, 0
         frames = list(pdfs)
         pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
         pdf = pdf.sort_values(ts_col)
@@ -197,23 +197,32 @@ def stateful_sessionizer(
         closed = []
         if len(ts):
             # vectorized gaps-and-islands: the only Python loop is over
-            # SEGMENTS (sessions in this batch), never rows
+            # SEGMENTS (sessions in this batch), never rows.
+            # SQL SUM semantics for NULL values: NaNs contribute 0 to
+            # the cumsum (a raw np.cumsum would poison every later
+            # segment) and a non-null counter decides sum-vs-NULL — an
+            # all-NULL session reads NULL, exactly like SUM(value)
+            notna = ~np.isnan(vals)
             brk = np.nonzero(np.diff(ts) > gap_us)[0]
             seg_a = np.concatenate(([0], brk + 1))
             seg_b = np.concatenate((brk, [len(ts) - 1]))
-            cum = np.concatenate(([0.0], np.cumsum(vals)))
+            cum = np.concatenate(([0.0], np.cumsum(np.where(notna, vals, 0.0))))
+            cumc = np.concatenate(([0], np.cumsum(notna.astype(np.int64))))
             for a, b in zip(seg_a, seg_b):
                 t0, t1 = int(ts[a]), int(ts[b])
                 cnt, tot = int(b - a + 1), float(cum[b + 1] - cum[a])
+                nn = int(cumc[b + 1] - cumc[a])
                 if start is not None and t0 - end <= gap_us:
                     # first segment continues the open session
-                    end, n, s = t1, n + cnt, s + tot
+                    end, n, s, sn = t1, n + cnt, s + tot, sn + nn
                 else:
                     if start is not None:
-                        closed.append((key[0], start, end, n, s))
-                    start, end, n, s = t0, t1, cnt, tot
+                        closed.append(
+                            (key[0], start, end, n, s if sn else None)
+                        )
+                    start, end, n, s, sn = t0, t1, cnt, tot, nn
         if start is not None:
-            state.update((int(start), int(end), int(n), float(s)))
+            state.update((int(start), int(end), int(n), float(s), int(sn)))
         out = pd.DataFrame(
             closed, columns=[user_col, "session_start", "session_end", "n_events", "sum_value"]
         )
