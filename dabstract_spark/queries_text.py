@@ -1233,7 +1233,12 @@ def q109_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT md5({_NORM.format(c='text')}) AS h FROM documents)
     SELECT n.doc_id, md5(n.text) AS content_md5
     FROM new_batch n
-    WHERE md5({_NORM.format(c='text').replace('text', 'n.text')}) NOT IN (SELECT h FROM seen)
+    -- NOT EXISTS, never NOT IN: a NULL digest in `seen` (NULL-text
+    -- doc) makes NOT IN never-true (0 rows); the engine's anti-join
+    -- keeps NULL-digest rows
+    WHERE NOT EXISTS (
+      SELECT 1 FROM seen
+      WHERE seen.h = md5({_NORM.format(c='text').replace('text', 'n.text')}))
     """,
 )
 def q110_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -647,18 +647,37 @@ def rollup_maintain_stream(
     base table. Signed count/sum deltas are commutative and
     associative, so the drained result is batch-boundary and
     arrival-order independent — the maintained view hash-checks against
-    a full batch recompute. Returns the re-read partials table (group
-    by ``keys`` + SUM, then ``apply_rollup_delta`` for the live view).
+    a full batch recompute. Returns the re-read, replay-deduped
+    partials table (group by ``keys`` + SUM, then
+    ``quality.apply_rollup_delta`` for the live view).
+
+    Replay safety (the calibration_stream discipline): foreachBatch is
+    AT-LEAST-ONCE, and a SIGNED sum cannot absorb a replayed batch the
+    way a SET sink can — a crash between the parquet append and the
+    checkpoint commit would double-count that batch's delta forever.
+    Each partial therefore carries (run_id, batch_id) markers and the
+    read path drops duplicate (run_id, batch_id, *keys) rows before
+    summing; restarts from the same checkpoint keep the same run_id, so
+    the replayed batch collapses onto its first append.
     """
+    import hashlib
+
+    run_id = hashlib.md5(str(checkpoint).encode()).hexdigest()[:16]
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         sign = F.when(F.col(op_col) == "insert", F.lit(1)).otherwise(F.lit(-1))
         partial = batch_df.groupBy(*keys).agg(
             F.sum(sign).alias("dcnt"),
             *[F.sum(sign * F.col(m)).alias(f"d_{m}") for m in sums],
         )
-        partial.write.mode("append").parquet(out_path)
+        (
+            partial.withColumn("run_id", F.lit(run_id))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(out_path)
+        )
 
-    return _drain_foreach_batch(
+    sink = _drain_foreach_batch(
         delta_stream,
         _sink,
         checkpoint,
@@ -667,6 +686,25 @@ def rollup_maintain_stream(
         drain_partitions,
         "rollup_maintain_stream",
     )
+    return dedup_marked_partials(sink, list(keys)).drop("run_id", "batch_id")
+
+
+def dedup_marked_partials(sink: DataFrame, subset: list) -> DataFrame:
+    """Replay dedup for (run_id, batch_id)-marked partial sinks: drop
+    duplicate (run_id, batch_id, *subset) rows — a foreachBatch replay
+    after a crash-between-append-and-commit re-appends an identical
+    partial, which must collapse onto its first write. Legacy tolerance:
+    a sink written by a pre-marker operator version (no marker columns,
+    or NULL-marker rows inside a mixed directory) passes through under
+    its contemporary plain-sum semantics instead of being swallowed by
+    a shared-NULL dedup."""
+    if "run_id" not in sink.columns or "batch_id" not in sink.columns:
+        return sink
+    marked = sink.filter(F.col("run_id").isNotNull()).dropDuplicates(
+        ["run_id", "batch_id", *subset]
+    )
+    legacy = sink.filter(F.col("run_id").isNull())
+    return marked.unionByName(legacy)
 
 
 def minhash_sigs_stream(
