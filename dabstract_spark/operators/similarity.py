@@ -1252,3 +1252,279 @@ def centroid_shift_from_sums(
             ).alias("l2"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# IVF-PQ: product-quantized ANN (Jégou, Douze & Schmid 2011, "Product
+# Quantization for Nearest Neighbor Search") — the 100 TB memory answer
+# the int8 (quantize_embeddings) and JL (jl_project) paths approximate
+# from other angles: a dim-D vector stores as ONE coarse cell id plus
+# m sub-codes (here 8 bytes for D=64), and query scoring is ADC —
+# per-(cell, subspace, code) lookup-table sums, never a full-vector
+# distance against the corpus.
+#
+# Everything is EXACT integer arithmetic so the whole pipeline is
+# value-oracled (the fixed-point codebook replay lives in the q311/q312
+# oracles): coordinates become micro-unit int64 (round(x,6)·1e6 — the
+# embedding encode recipe), residuals/squared-L2 stay in int64
+# (|coord| ≤ ~2e6 micro ⇒ Σ_64 (Δ)² ≤ ~1e15, far inside int64), and
+# Lloyd centroid updates are truncating integer means (sum div n,
+# toward zero — Spark div == DuckDB // semantics, verified for negative
+# operands). Seeds are the lowest-id vectors (ivf_centroids'
+# convention); empty clusters keep their seed. All argmins tie-break to
+# the LOWEST candidate index (first position of the min), so every step
+# is deterministic under duplicate/zero vectors.
+# --------------------------------------------------------------------- #
+def _micro_vec(col: Column) -> Column:
+    """Elementwise micro-unit encode: round(x, 6)·1e6 as bigint."""
+    return F.transform(
+        col,
+        lambda x: (
+            F.round(x.cast("double"), 6).cast("decimal(18,6)") * F.lit(1_000_000)
+        ).cast("bigint"),
+    )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integral division truncating toward zero (Spark div / DuckDB //
+    semantics) — Python's // floors, which differs on negatives."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _arr_sql(vals) -> str:
+    return "array(" + ", ".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def _books_sql(books: list[list[list[int]]]) -> str:
+    """SQL literal for a per-subspace codebook: array[s][code] -> subvec."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_arr_sql(cv) for cv in book) + ")"
+            for book in books
+        )
+        + ")"
+    )
+
+
+_SQL2 = (
+    "aggregate(zip_with({a}, {b}, (p, q) -> (p - q) * (p - q)),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def _pq_code_expr(books: list[list[list[int]]], x_col: str, s_col: str) -> Column:
+    """Argmin code for an exploded (subspace, subvector) row against the
+    literal codebook: one F.expr parse (the hyperplane-fold lesson —
+    building ~1k-node trees Column-by-Column costs seconds of py4j
+    time), ties to the lowest code via first-position-of-min."""
+    dists = (
+        f"transform(element_at({_books_sql(books)}, {s_col} + 1),"
+        f" c -> {_SQL2.format(a=x_col, b='c')})"
+    )
+    return (F.expr(f"array_position({dists}, array_min({dists}))") - 1).cast("int")
+
+
+def _argmin_cell_expr(coarse: list[list[int]], v_col: str) -> Column:
+    """Argmin coarse cell for a full micro-vector against literal coarse
+    centroids (map-side, no join), ties to the lowest cell."""
+    lut = "array(" + ", ".join(_arr_sql(cv) for cv in coarse) + ")"
+    dists = f"transform({lut}, c -> {_SQL2.format(a=v_col, b='c')})"
+    return (F.expr(f"array_position({dists}, array_min({dists}))") - 1).cast("int")
+
+
+def ivf_pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_coarse: int = 8,
+    m: int = 8,
+    pq_k: int = 16,
+    iters: int = 1,
+):
+    """Train the IVF-PQ index: coarse centroids (the ``n_coarse``
+    lowest-id vectors, micro-encoded) and per-subspace residual
+    codebooks (``pq_k`` entries each, seeded from the ``pq_k`` lowest-id
+    residuals, refined by ``iters`` integer-Lloyd steps).
+
+    Scale shape: each Lloyd iteration is ONE pass over the exploded
+    (id, subspace, residual-subvector) frame — code assignment is a
+    map-side literal-codebook expression, the update a
+    groupBy(subspace, code) with map-side partial sums collecting
+    m·pq_k rows to the driver (bounded by construction, the kmeans-loop
+    contract). Returns (coarse, books): plain nested int lists, ready
+    to fold back into scan expressions."""
+    sub = dim // m
+    vm = df.select(F.col(id_col).alias("__id"), _micro_vec(F.col(vec_col)).alias("__vm"))
+    coarse_rows = sorted(
+        (int(r[0]), [int(v) for v in r[1]])
+        for r in vm.filter(F.col("__id") < n_coarse).collect()
+    )
+    coarse = [cv for _, cv in coarse_rows]
+    cell_lut = "array(" + ", ".join(_arr_sql(cv) for cv in coarse) + ")"
+    res = F.zip_with(
+        F.col("__vm"),
+        F.expr(f"element_at({cell_lut}, __cell + 1)"),
+        lambda a, b: a - b,
+    )
+    ex = (
+        vm.withColumn("__cell", _argmin_cell_expr(coarse, "__vm"))
+        .select(
+            "__id",
+            "__cell",
+            F.posexplode(
+                F.array(*[F.slice(res, s * sub + 1, sub) for s in range(m)])
+            ).alias("__s", "__x"),
+        )
+        # 3 lineage reads (seed collect, each Lloyd pass, final encode):
+        # bound the recompute at one materialization
+        .localCheckpoint(eager=False)
+    )
+    seed_rows = ex.filter(F.col("__id") < pq_k).collect()
+    seeds: dict[tuple[int, int], list[int]] = {
+        (int(r["__s"]), int(r["__id"])): [int(v) for v in r["__x"]] for r in seed_rows
+    }
+    books = [[seeds[(s, c)] for c in range(pq_k)] for s in range(m)]
+    for _ in range(iters):
+        coded = ex.withColumn("__code", _pq_code_expr(books, "__x", "__s"))
+        sums = coded.groupBy("__s", "__code").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.element_at("__x", j + 1)).alias(f"__c{j}")
+                for j in range(sub)
+            ],
+        )
+        got = {
+            (int(r[0]), int(r[1])): (
+                int(r[2]),
+                [int(r[3 + j]) for j in range(sub)],
+            )
+            for r in sums.collect()
+        }
+        books = [
+            [
+                (
+                    [_trunc_div(c, got[(s, k_)][0]) for c in got[(s, k_)][1]]
+                    if (s, k_) in got
+                    else books[s][k_]  # empty cluster keeps its centroid
+                )
+                for k_ in range(pq_k)
+            ]
+            for s in range(m)
+        ]
+    return coarse, books
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    dim: int = 64,
+    n_coarse: int = 8,
+    m: int = 8,
+    pq_k: int = 16,
+    iters: int = 1,
+):
+    """IVF-PQ approximate top-k by squared L2 (ascending): encode the
+    corpus as (cell, m sub-codes), probe each query's ``nprobe`` nearest
+    coarse cells, and score candidates by ADC — the query's
+    per-(cell, subspace, code) residual distance table (a tiny
+    broadcast: |queries|·nprobe·m·pq_k rows) joined to the exploded
+    corpus codes and summed per (query, candidate). The only data-sized
+    shuffle is that m-row-per-candidate sum, already cut to the probed
+    cells' inverted lists; at 100 TB the codes table (1 int + m bytes a
+    row) is the persisted artifact and everything else is sketch-sized.
+    Returns (query_id, vec_id, adist, rank) — adist in exact squared
+    micro-units, rank ties to the lowest id."""
+    sub = dim // m
+    coarse, books = ivf_pq_train(
+        corpus, id_col, vec_col, dim, n_coarse, m, pq_k, iters
+    )
+    cell_lut = "array(" + ", ".join(_arr_sql(cv) for cv in coarse) + ")"
+    vm = corpus.select(
+        F.col(id_col), _micro_vec(F.col(vec_col)).alias("__vm")
+    ).withColumn("__cell", _argmin_cell_expr(coarse, "__vm"))
+    res = F.zip_with(
+        F.col("__vm"),
+        F.expr(f"element_at({cell_lut}, __cell + 1)"),
+        lambda a, b: a - b,
+    )
+    codes = vm.select(
+        id_col,
+        "__cell",
+        F.posexplode(
+            F.array(*[F.slice(res, s * sub + 1, sub) for s in range(m)])
+        ).alias("__s", "__x"),
+    ).select(
+        id_col,
+        "__cell",
+        "__s",
+        _pq_code_expr(books, "__x", "__s").alias("__code"),
+    )
+
+    qm = queries.select(
+        F.col(id_col).alias(query_id), _micro_vec(F.col(vec_col)).alias("__qm")
+    )
+    cdists = f"transform({cell_lut}, c -> {_SQL2.format(a='__qm', b='c')})"
+    probes = qm.select(
+        query_id,
+        "__qm",
+        F.posexplode(
+            F.expr(
+                # (dist, cell) structs sorted ascending -> first nprobe;
+                # struct order breaks distance ties to the lowest cell
+                f"slice(array_sort(zip_with({cdists},"
+                f" sequence(0, {len(coarse) - 1}),"
+                " (d, i) -> struct(d AS d, i AS cell))),"
+                f" 1, {nprobe})"
+            )
+        ).alias("__p", "__dc"),
+    ).select(query_id, "__qm", F.col("__dc.cell").alias("__cell"))
+    qres = F.zip_with(
+        F.col("__qm"),
+        F.expr(f"element_at({cell_lut}, __cell + 1)"),
+        lambda a, b: a - b,
+    )
+    qsub = probes.select(
+        query_id,
+        "__cell",
+        F.posexplode(
+            F.array(*[F.slice(qres, s * sub + 1, sub) for s in range(m)])
+        ).alias("__s", "__qx"),
+    )
+    qd = qsub.select(
+        query_id,
+        "__cell",
+        "__s",
+        F.posexplode(
+            F.expr(
+                f"transform(element_at({_books_sql(books)}, __s + 1),"
+                f" c -> {_SQL2.format(a='__qx', b='c')})"
+            )
+        ).alias("__c1", "__d"),
+    ).select(
+        query_id, "__cell", "__s", (F.col("__c1")).cast("int").alias("__code"), "__d"
+    )
+    scored = (
+        codes.join(F.broadcast(qd), ["__cell", "__s", "__code"])
+        .filter(F.col(query_id) != F.col(id_col))
+        .groupBy(query_id, id_col)
+        .agg(F.sum("__d").cast("bigint").alias("adist"))
+    )
+    ranked = scored.select(
+        query_id,
+        id_col,
+        "adist",
+        F.row_number()
+        .over(
+            Window.partitionBy(query_id).orderBy(F.asc("adist"), F.asc(id_col))
+        )
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= k)

@@ -8122,3 +8122,176 @@ def q310_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_stream(
         src, "user_id", ["event_type"], f"{tmp}/out", f"{tmp}/ckpt", k=256
     )
+
+
+# --------------------------------------------------------------------- #
+# IVF-PQ quantized ANN (similarity.ivf_pq_topk; Jégou et al. 2011) —
+# the product-quantization memory answer at 100 TB: a vector stores as
+# one coarse cell + 8 sub-codes, scoring is ADC lookup-table sums over
+# the probed cells' inverted lists. EVERY step is exact integer
+# arithmetic (micro-unit coords, integer Lloyd means with truncating
+# division, first-position-of-min tie-breaks), so the oracle replays
+# the full pipeline — coarse assign → residuals → seeded codebooks →
+# one Lloyd step → encode → probes → ADC — value-exactly in SQL.
+# --------------------------------------------------------------------- #
+def _pq_d_sql(a: str, b: str, d: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {d}),"
+        f" j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])))"
+    )
+
+
+def _ivf_pq_ctes(n_coarse=8, m=8, sub=8, pq_k=16, nprobe=2) -> str:
+    vm = (
+        "list_transform(embedding, x -> CAST(CAST(round(x::DOUBLE, 6)"
+        " AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
+    )
+    sums = ", ".join(f"SUM(x[{j + 1}]) AS s{j}" for j in range(sub))
+    mean_list = "[" + ", ".join(
+        f"CAST(m0.s{j} // m0.n AS BIGINT)" for j in range(sub)
+    ) + "]"
+    return f"""v AS (SELECT vec_id, {vm} AS vm FROM embeddings),
+    co AS (SELECT vec_id AS cell, vm AS cv FROM v WHERE vec_id < {n_coarse}),
+    cell_of AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, co.cell, {_pq_d_sql('v.vm', 'co.cv', 64)} AS d
+        FROM v CROSS JOIN co)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+    res AS (
+      SELECT v.vec_id, c.cell,
+             list_transform(generate_series(1, 64), j -> v.vm[j] - co.cv[j]) AS r
+      FROM v JOIN cell_of c USING (vec_id) JOIN co ON co.cell = c.cell),
+    sx AS (
+      SELECT vec_id, cell, s, r[s * {sub} + 1 : s * {sub} + {sub}] AS x
+      FROM res, UNNEST(generate_series(0, {m - 1})) t(s)),
+    seeds AS (SELECT s, vec_id AS code, x AS cv FROM sx WHERE vec_id < {pq_k}),
+    a0 AS (
+      SELECT vec_id, s, x, code FROM (
+        SELECT sx.vec_id, sx.s, sx.x, sd.code,
+               {_pq_d_sql('sx.x', 'sd.cv', sub)} AS d
+        FROM sx JOIN seeds sd USING (s))
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, code) = 1),
+    m0 AS (SELECT s, code, COUNT(*)::BIGINT AS n, {sums}
+           FROM a0 GROUP BY s, code),
+    cb AS (
+      -- integer Lloyd mean, // truncating toward zero (== Spark div);
+      -- empty clusters keep their seed
+      SELECT seeds.s, seeds.code,
+             CASE WHEN m0.n IS NULL THEN seeds.cv ELSE {mean_list} END AS cv
+      FROM seeds LEFT JOIN m0 ON m0.s = seeds.s AND m0.code = seeds.code),
+    codes AS (
+      SELECT vec_id, cell, s, code FROM (
+        SELECT sx.vec_id, sx.cell, sx.s, cb.code,
+               {_pq_d_sql('sx.x', 'cb.cv', sub)} AS d
+        FROM sx JOIN cb ON cb.s = sx.s)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, code) = 1),
+    qv AS (SELECT vec_id AS query_id, vm AS qm FROM v WHERE vec_id < 5),
+    qprobe AS (
+      SELECT query_id, cell, qm FROM (
+        SELECT q.query_id, co.cell, q.qm, {_pq_d_sql('q.qm', 'co.cv', 64)} AS d
+        FROM qv q CROSS JOIN co)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cell)
+              <= {nprobe}),
+    qsx AS (
+      SELECT query_id, cell, s, qr[s * {sub} + 1 : s * {sub} + {sub}] AS qx
+      FROM (
+        SELECT p.query_id, p.cell,
+               list_transform(generate_series(1, 64), j -> p.qm[j] - co.cv[j]) AS qr
+        FROM qprobe p JOIN co USING (cell)),
+      UNNEST(generate_series(0, {m - 1})) t(s)),
+    qd AS (
+      SELECT qsx.query_id, qsx.cell, qsx.s, cb.code,
+             {_pq_d_sql('qsx.qx', 'cb.cv', sub)} AS d
+      FROM qsx JOIN cb ON cb.s = qsx.s),
+    adc AS (
+      SELECT qd.query_id, c.vec_id, CAST(SUM(qd.d) AS BIGINT) AS adist
+      FROM codes c
+      JOIN qd ON qd.cell = c.cell AND qd.s = c.s AND qd.code = c.code
+      WHERE qd.query_id <> c.vec_id
+      GROUP BY qd.query_id, c.vec_id),
+    pq_topk AS (
+      SELECT query_id, vec_id, adist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist, vec_id) AS INT) AS rank
+      FROM adc
+      QUALIFY rank <= 10)"""
+
+
+@query(
+    "q311_ivf_pq_topk",
+    oracle=f"""
+    WITH {_ivf_pq_ctes()}
+    SELECT query_id, vec_id, adist, rank FROM pq_topk
+    """,
+)
+def q311_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim.ivf_pq_topk(emb, queries_df, k=10, nprobe=2).select(
+        "query_id", "vec_id", "adist", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# --------------------------------------------------------------------- #
+# PQ recall eval (the q167/q249 pattern for the IVF-PQ path): per
+# query, |ADC top-10 ∩ exact integer-L2 top-10| / 10 in exact ppm —
+# the quality dial for (n_coarse, nprobe, m, pq_k). The exact baseline
+# is the same micro-unit squared L2, so the whole card is one integer
+# pipeline.
+# --------------------------------------------------------------------- #
+@query(
+    "q312_pq_recall",
+    oracle=f"""
+    WITH {_ivf_pq_ctes()},
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, v.vec_id, {_pq_d_sql('q.qm', 'v.vm', 64)} AS d
+        FROM qv q JOIN v ON v.vec_id <> q.query_id)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, vec_id) <= 10)
+    SELECT e.query_id,
+           CAST(COALESCE(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+                * 100000 AS BIGINT) AS recall_ppm
+    FROM exact e
+    LEFT JOIN pq_topk p ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def q312_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    approx = sim.ivf_pq_topk(emb, queries_df, k=10, nprobe=2).select(
+        "query_id", "vec_id"
+    )
+    vm = emb.select("vec_id", sim._micro_vec(F.col("embedding")).alias("__vm"))
+    qm = vm.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("__vm").alias("__qm")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("__qm"), F.col("__vm"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        vm.join(F.broadcast(qm), F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", d.alias("__d"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("__rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hit = approx.withColumn("__hit", F.lit(1))
+    return (
+        exact.join(hit, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            (F.coalesce(F.sum("__hit"), F.lit(0)) * F.lit(100000))
+            .cast("bigint")
+            .alias("recall_ppm")
+        )
+    )

@@ -1102,3 +1102,53 @@ def test_dataset_semantic_dedup_facade(spark):
     assert len(rows) == emb.count()
     assert {c for c in out.columns} == {"vec_id", "centroid_id", "keep"}
     assert any(not r.keep for r in rows) and any(r.keep for r in rows)
+
+
+def test_trunc_div_matches_spark_div_semantics():
+    from dabstract_spark.operators.similarity import _trunc_div
+
+    # toward-zero truncation (Spark div / DuckDB //), NOT Python floor
+    assert _trunc_div(7, 2) == 3
+    assert _trunc_div(-7, 2) == -3
+    assert _trunc_div(7, -2) == -3
+    assert _trunc_div(-7, -2) == 3
+    assert _trunc_div(0, 5) == 0
+
+
+def test_ivf_pq_exact_on_cluster_pure_corpus(spark):
+    """Constructive exactness: a corpus of identical copies of a few
+    patterns makes every residual cluster degenerate (mean == member),
+    so PQ reconstruction is LOSSLESS — a query's pattern twins must
+    score adist 0 and fill the top ranks in id order; the recall
+    against exact L2 is then total for same-pattern neighbors."""
+    from dabstract_spark.operators.similarity import ivf_pq_topk
+
+    patterns = [
+        [float(((i * 7 + j * 3) % 11) - 5) / 4.0 for j in range(64)]
+        for i in range(4)
+    ]
+    rows = [(vid, patterns[vid % 4]) for vid in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 20)  # pattern 0, not a seed
+    out = ivf_pq_topk(emb, q, k=9, nprobe=2).collect()
+    assert len(out) == 9
+    twins = sorted(v for v in range(40) if v % 4 == 0 and v != 20)
+    zero_rows = [r for r in out if r["adist"] == 0]
+    assert sorted(r["vec_id"] for r in zero_rows) == twins
+    # twins rank first, in id order (the deterministic tie-break)
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])][: len(twins)] == twins
+
+
+def test_ivf_pq_deterministic_and_code_bounds(spark, sf_dir):
+    from dabstract_spark.operators.similarity import ivf_pq_topk, ivf_pq_train
+    from dabstract_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse, books = ivf_pq_train(emb)
+    assert len(coarse) == 8 and all(len(cv) == 64 for cv in coarse)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(cv) == 8 for b in books for cv in b)
+    q = emb.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, ivf_pq_topk(emb, q, k=5).collect()))
+    b = sorted(map(tuple, ivf_pq_topk(emb, q, k=5).collect()))
+    assert a == b and len(a) == 15
