@@ -340,6 +340,13 @@ def main():
         "topk_quantized": lambda e: __import__(
             "dabstract_spark.operators.similarity", fromlist=["topk_quantized"]
         ).topk_quantized(e, e.filter(F.col("vec_id") < 5), k=10),
+        # IVF-PQ: training is one exploded pass per Lloyd iteration
+        # (codes map-side vs literal books, update a 128-row agg), ADC
+        # an m-rows-per-candidate sum over the probed lists — linear in
+        # corpus, query set fixed at 5
+        "ivf_pq_topk": lambda e: __import__(
+            "dabstract_spark.operators.similarity", fromlist=["ivf_pq_topk"]
+        ).ivf_pq_topk(e, e.filter(F.col("vec_id") < 5), k=10, nprobe=2),
         # rows x dim^2 integer sums + a dim^2-row shuffle; the power
         # iteration itself is driver-side on a 64x64 matrix
         "pca_projection": lambda e: __import__(
