@@ -997,6 +997,81 @@ class Dataset:
 
         return proportional_allocation(self._df, group_key, n_total, **kw)
 
+    def weighted_sample(self, n: int, weight_col, seed: int = 0) -> "Dataset":
+        """Exactly-n weighted sample without replacement (A-ES
+        exponential race; see select.weighted_sample_n) — rows kept by
+        row identity, proportional to weight."""
+        from dabstract_spark.operators.select import weighted_sample_n
+
+        picked = weighted_sample_n(self._df, n, weight_col, seed=seed, key=ROW_ID)
+        return self._evolve(
+            self._df.join(picked.select(ROW_ID), ROW_ID, "left_semi")
+        )
+
+    def stratified_sample(self, group_key: str, n_total: int, seed: int = 0) -> "Dataset":
+        """Mixture-preserving eval split: Hamilton-apportioned exact
+        quotas per group, drawn as each group's md5-smallest members
+        (see select.stratified_sample)."""
+        from dabstract_spark.operators.select import stratified_sample
+
+        picked = stratified_sample(self._df, group_key, n_total, seed=seed, key=ROW_ID)
+        return self._evolve(
+            self._df.join(picked.select(ROW_ID), ROW_ID, "left_semi")
+        )
+
+    def hll_distinct(self, key: str, group_key: str | None = None):
+        """Approximate distinct count card per group from the
+        deterministic md5 HLL (see sketches.hll_distinct_card) —
+        re-aggregatable registers, value-oracled estimates."""
+        from dabstract_spark.operators.sketches import hll_distinct_card
+
+        return hll_distinct_card(
+            self._df, key, (group_key,) if group_key else ()
+        )
+
+    def kmv_overlap(self, key: str, group_key: str, k: int = 256):
+        """Pairwise distinct-overlap card between groups via KMV/theta
+        sketches (see sketches.kmv_intersect_card) — the set
+        intersection HLL cannot express, without an exact distinct
+        shuffle."""
+        from dabstract_spark.operators.sketches import kmv_intersect_card, kmv_partials
+
+        return kmv_intersect_card(
+            kmv_partials(self._df, key, (group_key,), k=k), group_key, k=k
+        )
+
+    def value_percentiles(
+        self,
+        value_micro: str,
+        group_key: str | None = None,
+        percentiles: tuple[int, ...] = (50, 95, 99),
+        width_micro: int = 4_000_000,
+        bins: int = 128,
+    ):
+        """Histogram-sketch percentile card over a micro-unit value
+        column (see sketches.hist_sketch/hist_quantiles) — mergeable
+        equi-width partials, one-bin-width error bound."""
+        from dabstract_spark.operators.sketches import hist_quantiles, hist_sketch
+
+        groups = (group_key,) if group_key else ()
+        sk = hist_sketch(
+            self._df.filter(F.col(value_micro).isNotNull()),
+            value_micro,
+            groups,
+            width_micro,
+            bins,
+        )
+        return hist_quantiles(sk, percentiles, groups, width_micro)
+
+    def ivf_pq_topk(self, queries: "Dataset | DataFrame", k: int = 10, **kw):
+        """Product-quantized approximate top-k neighbors for a query
+        set (see similarity.ivf_pq_topk) — integer IVF-PQ with ADC
+        scoring over probed inverted lists."""
+        from dabstract_spark.operators.similarity import ivf_pq_topk
+
+        q = queries.full_df if isinstance(queries, Dataset) else queries
+        return ivf_pq_topk(self._df, q, k=k, **kw)
+
     def preflight(self, keys: list[str] | str, n_partitions: int = 32, **kw):
         """Pre-flight skew advisory for a prospective join/groupBy on
         ``keys`` (see skew.skew_advice): profiles the named key columns

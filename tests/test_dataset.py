@@ -340,3 +340,33 @@ def test_dataset_facades_r8_analytics(spark):
         "src", F.size(F.split("text", " ")).cast("bigint"), total_budget=20
     ).collect()}
     assert sum(r.alloc_tokens for r in ba.values()) == 20
+
+
+def test_facade_sketch_and_sampler_hooks(spark, sf_dir):
+    """Round-11 facade hooks: sketches (hll/kmv/histogram percentiles),
+    the round-10 samplers, and IVF-PQ reachable as Dataset one-liners."""
+    from dabstract_spark.core import with_row_id
+    from dabstract_spark.session import load_table
+
+    docs = with_row_id(load_table(spark, sf_dir, "documents"), "doc_id")
+    ds = Dataset(docs, name="docs")
+    assert ds.weighted_sample(10, F.col("n_chars")).full_df.count() == 10
+    assert ds.stratified_sample("lang", 20).full_df.count() == 20
+
+    ev = Dataset(load_table(spark, sf_dir, "events"), name="ev")
+    hll = ev.hll_distinct("user_id", "event_type")
+    assert {"estimate_micro", "event_type"} <= set(hll.columns)
+    assert hll.count() > 0
+    assert ev.kmv_overlap("user_id", "event_type", k=64).count() > 0
+
+    vm = (F.round(F.col("value"), 6).cast("decimal(18,6)") * 1000000).cast("bigint")
+    ev2 = Dataset(
+        load_table(spark, sf_dir, "events").select("event_type", vm.alias("vm")),
+        name="ev2",
+    )
+    pct = ev2.value_percentiles("vm", "event_type")
+    assert {"p50_lo_micro", "p95_lo_micro"} <= set(pct.columns)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq = Dataset(emb, name="emb").ivf_pq_topk(emb.filter(F.col("vec_id") < 2), k=3)
+    assert pq.count() == 6
