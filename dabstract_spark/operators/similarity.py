@@ -1356,12 +1356,23 @@ def ivf_pq_train(
     m·pq_k rows to the driver (bounded by construction, the kmeans-loop
     contract). Returns (coarse, books): plain nested int lists, ready
     to fold back into scan expressions."""
+    if dim % m != 0:
+        raise ValueError(
+            f"dim={dim} is not divisible by m={m} subspaces — the trailing "
+            f"{dim % m} dimensions would be silently dropped from every "
+            "code and ADC distance"
+        )
     sub = dim // m
     vm = df.select(F.col(id_col).alias("__id"), _micro_vec(F.col(vec_col)).alias("__vm"))
+    # seeds are the n LOWEST ids PRESENT (orderBy + tiny limit-collect),
+    # not `id < n`: an id space with gaps or an offset (a filtered
+    # corpus through the Dataset facade) must not crash or under-seed
     coarse_rows = sorted(
         (int(r[0]), [int(v) for v in r[1]])
-        for r in vm.filter(F.col("__id") < n_coarse).collect()
+        for r in vm.orderBy("__id").limit(n_coarse).collect()
     )
+    if not coarse_rows:
+        raise ValueError("ivf_pq_train: empty corpus")
     coarse = [cv for _, cv in coarse_rows]
     cell_lut = "array(" + ", ".join(_arr_sql(cv) for cv in coarse) + ")"
     res = F.zip_with(
@@ -1382,9 +1393,14 @@ def ivf_pq_train(
         # bound the recompute at one materialization
         .localCheckpoint(eager=False)
     )
-    seed_rows = ex.filter(F.col("__id") < pq_k).collect()
+    seed_ids = sorted(
+        int(r[0]) for r in vm.select("__id").orderBy("__id").limit(pq_k).collect()
+    )
+    pq_k = len(seed_ids)  # a corpus smaller than pq_k seeds what it has
+    seed_rows = ex.filter(F.col("__id").isin(seed_ids)).collect()
     seeds: dict[tuple[int, int], list[int]] = {
-        (int(r["__s"]), int(r["__id"])): [int(v) for v in r["__x"]] for r in seed_rows
+        (int(r["__s"]), seed_ids.index(int(r["__id"]))): [int(v) for v in r["__x"]]
+        for r in seed_rows
     }
     books = [[seeds[(s, c)] for c in range(pq_k)] for s in range(m)]
     for _ in range(iters):

@@ -1948,7 +1948,9 @@ def q129_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(regexp_extract_all(lower(text),
                '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
                AS n_tokens
-      FROM documents),
+      -- unbudgetable (NULL-token) docs are excluded upfront, mirroring
+      -- the query's filter: an unknown cost cannot spend a budget
+      FROM documents WHERE text IS NOT NULL),
     cum AS (
       SELECT doc_id, source, n_tokens,
              SUM(n_tokens) OVER (PARTITION BY source
@@ -1956,10 +1958,7 @@ def q129_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ROWS UNBOUNDED PRECEDING) AS cum_tokens
       FROM scored)
     SELECT doc_id, source, n_tokens, cum_tokens
-    -- a NULL token count cannot be budgeted: the engine's inclusive
-    -- cum <= budget test is NULL for such rows, dropping them (their
-    -- window contribution is 0 in both engines either way)
-    FROM cum WHERE cum_tokens <= 800 AND n_tokens IS NOT NULL
+    FROM cum WHERE cum_tokens <= 800
     """,
 )
 def q130_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1968,13 +1967,17 @@ def q130_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", "source", "n_chars", tx.bpe_token_count("text").alias("n_tokens")
-    )
+    ).filter(F.col("n_tokens").isNotNull())
     # sources are human-scale: the hint keeps both side-table joins
-    # statically broadcast; n_chars is non-null so NULL placement moot
+    # statically broadcast. nulls_last=True per the operator's contract
+    # for a DESCENDING primary sort: desc() places NULL keys last, so
+    # their value bucket must be 256 (last), not -1 — without it a row
+    # whose n_chars is NULL but whose tokens are not would bucket first
+    # while sorting last and cumsum against the wrong prefix
     out = token_budget_per_group(
         scored, "source", "n_tokens",
         [F.col("n_chars").desc(), F.col("doc_id")], budget=800,
-        order_key=-F.col("n_chars"), n_groups_hint=64,
+        order_key=-F.col("n_chars"), n_groups_hint=64, nulls_last=True,
     )
     return out.select("doc_id", "source", "n_tokens", "cum_tokens")
 

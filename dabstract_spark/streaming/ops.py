@@ -290,7 +290,12 @@ def _drain_foreach_batch(
         drain_partitions,
         label,
     )
-    return spark.read.parquet(out_path)
+    # mergeSchema: a sink directory UPGRADED mid-life (legacy files
+    # without (run_id, batch_id) markers + marked files) must surface
+    # BOTH schemas — default inference takes an arbitrary footer, and a
+    # legacy pick would hide the marker columns and silently disable
+    # replay dedup downstream
+    return spark.read.option("mergeSchema", "true").parquet(out_path)
 
 
 def run_to_memory(
@@ -1167,14 +1172,8 @@ def calibration_stream(
     # markers under the marked schema: dedup only the marked rows —
     # collapsing distinct legacy batches on a shared NULL marker would
     # silently swallow their partials.
-    if "run_id" not in sink.columns or "batch_id" not in sink.columns:
-        return sink.groupBy(group_col, "bucket").agg(F.sum("n").alias("n"))
-    marked = sink.filter(F.col("run_id").isNotNull()).dropDuplicates(
-        ["run_id", "batch_id", group_col, "bucket"]
-    )
-    legacy = sink.filter(F.col("run_id").isNull())
     return (
-        marked.unionByName(legacy)
+        dedup_marked_partials(sink, [group_col, "bucket"])
         .groupBy(group_col, "bucket")
         .agg(F.sum("n").alias("n"))
     )

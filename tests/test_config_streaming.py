@@ -546,10 +546,15 @@ def test_file_sink_killed_mid_drain_recovers_exactly_once(spark, tmp_path):
     g = sorted(map(tuple, got.drop("__f", "f").collect()), key=str)
     e = sorted(map(tuple, expected.collect()), key=str)
     assert g == e and len(g) > 0
-    # the kill is expected to land mid-drain on this backlog; if the
-    # whole drain ever finishes before one batch reports, the test
-    # degrades to restart-no-dup (still a valid exactly-once check)
-    assert interrupted_midway or True
+    # the stop MUST have landed mid-drain (8 one-file micro-batches at
+    # ~0.5s each vs a 20ms poll): a drain that completes before the
+    # kill would silently degrade this to a restart-no-op check and
+    # stop proving recovery at all
+    assert interrupted_midway, (
+        "drain finished before the kill landed — the backlog is too "
+        "small/fast for this box; grow the file count so the test "
+        "exercises a genuine mid-drain crash"
+    )
 
 
 def test_rollup_partials_replayed_batch_collapses(spark, tmp_path):

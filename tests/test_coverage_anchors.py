@@ -94,7 +94,6 @@ def test_every_operator_module_has_facade_hook_or_documented_exclusion():
     }
     import pathlib
 
-    mod_dir = pathlib.Path(Dataset.__module__.replace(".", "/")).parent
     import dabstract_spark.operators as ops_pkg
 
     modules = sorted(
