@@ -8144,7 +8144,7 @@ def _pq_d_sql(a: str, b: str, d: int) -> str:
     )
 
 
-def _ivf_pq_ctes(n_coarse=8, m=8, sub=8, pq_k=16, nprobe=2) -> str:
+def _ivf_pq_ctes(n_coarse=8, m=8, sub=8, pq_k=16, nprobe=2, coarse_iters=1) -> str:
     vm = (
         "list_transform(embedding, x -> CAST(CAST(round(x::DOUBLE, 6)"
         " AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
@@ -8153,8 +8153,36 @@ def _ivf_pq_ctes(n_coarse=8, m=8, sub=8, pq_k=16, nprobe=2) -> str:
     mean_list = "[" + ", ".join(
         f"CAST(m0.s{j} // m0.n AS BIGINT)" for j in range(sub)
     ) + "]"
+    csums = ", ".join(f"SUM(vm[{j + 1}]) AS t{j}" for j in range(m * sub))
+    cmean = "[" + ", ".join(
+        f"CAST(cm.t{j} // cm.n AS BIGINT)" for j in range(m * sub)
+    ) + "]"
+    # coarse integer-Lloyd chain (mirrors ivf_pq_train coarse_iters):
+    # assign -> per-cell integer mean (// truncating), empty keeps seed
+    refine, co_prev = "", "co0"
+    for it in range(coarse_iters):
+        nxt = f"co{it + 1}"
+        refine += f""",
+    ca{it} AS (
+      SELECT vec_id, cell, vm FROM (
+        SELECT v.vec_id, c.cell, v.vm, {_pq_d_sql('v.vm', 'c.cv', m * sub)} AS d
+        FROM v CROSS JOIN {co_prev} c)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+    cm{it} AS (SELECT cell, COUNT(*)::BIGINT AS n, {csums}
+               FROM ca{it} GROUP BY cell),
+    {nxt} AS (
+      SELECT c.cell, CASE WHEN cm.n IS NULL THEN c.cv ELSE {cmean} END AS cv
+      FROM {co_prev} c LEFT JOIN cm{it} cm USING (cell))"""
+        co_prev = nxt
     return f"""v AS (SELECT vec_id, {vm} AS vm FROM embeddings),
-    co AS (SELECT vec_id AS cell, vm AS cv FROM v WHERE vec_id < {n_coarse}),
+    -- seed order = md5(id) rank (id tie-break): the engine's unbiased
+    -- deterministic draw; rank-1 IS the cell / code index
+    vr AS (SELECT vec_id, vm,
+                  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                          vec_id) - 1 AS BIGINT) AS mrank
+           FROM v),
+    co0 AS (SELECT mrank AS cell, vm AS cv FROM vr WHERE mrank < {n_coarse}){refine},
+    co AS (SELECT * FROM {co_prev}),
     cell_of AS (
       SELECT vec_id, cell FROM (
         SELECT v.vec_id, co.cell, {_pq_d_sql('v.vm', 'co.cv', 64)} AS d
@@ -8167,7 +8195,8 @@ def _ivf_pq_ctes(n_coarse=8, m=8, sub=8, pq_k=16, nprobe=2) -> str:
     sx AS (
       SELECT vec_id, cell, s, r[s * {sub} + 1 : s * {sub} + {sub}] AS x
       FROM res, UNNEST(generate_series(0, {m - 1})) t(s)),
-    seeds AS (SELECT s, vec_id AS code, x AS cv FROM sx WHERE vec_id < {pq_k}),
+    seeds AS (SELECT sx.s, vr.mrank AS code, sx.x AS cv
+              FROM sx JOIN vr USING (vec_id) WHERE vr.mrank < {pq_k}),
     a0 AS (
       SELECT vec_id, s, x, code FROM (
         SELECT sx.vec_id, sx.s, sx.x, sd.code,
@@ -8267,6 +8296,88 @@ def q312_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = sim.ivf_pq_topk(emb, queries_df, k=10, nprobe=2).select(
         "query_id", "vec_id"
     )
+    vm = emb.select("vec_id", sim._micro_vec(F.col("embedding")).alias("__vm"))
+    qm = vm.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("__vm").alias("__qm")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("__qm"), F.col("__vm"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        vm.join(F.broadcast(qm), F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", d.alias("__d"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("__rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hit = approx.withColumn("__hit", F.lit(1))
+    return (
+        exact.join(hit, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            (F.coalesce(F.sum("__hit"), F.lit(0)) * F.lit(100000))
+            .cast("bigint")
+            .alias("recall_ppm")
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# IVF-PQ + exact re-rank recall eval (similarity.ivf_pq_topk rerank=C —
+# the FAISS refine step): each query's ADC top-100 candidates are
+# re-scored by exact integer L2 via one broadcast join back to the
+# corpus vectors, then recall@10 of the re-ranked list vs the exact
+# top-10. On near-isotropic embeddings ADC quantization noise swamps
+# the tiny true-distance gaps, so pure-ADC recall (q312, ~22%) sits
+# far below the probe ceiling (82% at nprobe=4); the bounded refine
+# pass recovers most of the ceiling (~74% here) at the cost of
+# |queries|·C exact distances — the standard quality/cost dial for a
+# production ANN serving path.
+# --------------------------------------------------------------------- #
+@query(
+    "q313_pq_rerank_recall",
+    oracle=f"""
+    WITH {_ivf_pq_ctes(nprobe=4)},
+    cand AS (
+      SELECT query_id, vec_id FROM adc
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adist, vec_id) <= 100),
+    rr AS (
+      SELECT query_id, vec_id FROM (
+        SELECT cand.query_id, cand.vec_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                                       ORDER BY {_pq_d_sql('q.qm', 'v.vm', 64)},
+                                                cand.vec_id) AS INT) AS rank
+        FROM cand JOIN qv q USING (query_id) JOIN v USING (vec_id))
+      WHERE rank <= 10),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, v.vec_id, {_pq_d_sql('q.qm', 'v.vm', 64)} AS d
+        FROM qv q JOIN v ON v.vec_id <> q.query_id)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, vec_id) <= 10)
+    SELECT e.query_id,
+           CAST(COALESCE(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+                * 100000 AS BIGINT) AS recall_ppm
+    FROM exact e
+    LEFT JOIN rr p ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def q313_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    approx = sim.ivf_pq_topk(
+        emb, queries_df, k=10, nprobe=4, rerank=100
+    ).select("query_id", "vec_id")
     vm = emb.select("vec_id", sim._micro_vec(F.col("embedding")).alias("__vm"))
     qm = vm.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("__vm").alias("__qm")

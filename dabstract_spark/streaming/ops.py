@@ -10,6 +10,7 @@ backlog with the same bounded-state guarantees.
 
 from __future__ import annotations
 
+import hashlib
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -457,8 +458,13 @@ def incremental_dedup_stream(
       makes it co-located at scale (same posture as dedup_against).
 
     Emits (content_md5) rows — set semantics, so the result is
-    arrival-order independent and oracle-checkable. Returns the re-read
-    sink.
+    arrival-order independent and oracle-checkable.
+
+    Replay safety (r12 sink audit): foreachBatch is at-least-once, so
+    a replayed batch re-appends its (byte-identical) digests; the
+    result is a SET, so the read path is DISTINCT of the sink — the
+    idempotent-merge armor, no markers needed. Returns the re-read
+    DISTINCT sink.
     """
     from dabstract_spark.operators.dedup import normalize_text
 
@@ -481,7 +487,7 @@ def incremental_dedup_stream(
         timeout_sec,
         drain_partitions,
         "incremental_dedup_stream",
-    )
+    ).distinct()
 
 
 def rolling_distinct_stream(
@@ -529,18 +535,30 @@ def cms_sketch_stream(
     the sink, never a rescan of past batches. Because merge is a plain
     SUM, the drained result is arrival-order and batch-boundary
     independent — exactly the batch sketch, so it hash-checks against
-    the batch SQL oracle. Returns the re-read partial-sketch table.
+    the batch SQL oracle.
+
+    Replay safety (r12 sink audit): merge-by-SUM is NOT idempotent —
+    foreachBatch is at-least-once, so a replayed batch would
+    double-count every key. Each partial row therefore carries
+    (run_id, batch_id) markers (the calibration_stream discipline) and
+    the read path drops duplicate (run_id, batch_id, j, bucket) rows
+    before returning. Returns the partial-sketch table in the
+    pre-marker (j, bucket, cnt) schema.
     """
     from dabstract_spark.operators.sketches import cms_sketch
+
+    run_id = hashlib.md5(str(checkpoint).encode()).hexdigest()[:16]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         (
             cms_sketch(batch_df, key_col, depth=depth, width=width)
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("append")
             .parquet(out_path)
         )
 
-    return _drain_foreach_batch(
+    sink = _drain_foreach_batch(
         new_stream,
         _sink,
         checkpoint,
@@ -549,6 +567,7 @@ def cms_sketch_stream(
         drain_partitions,
         "cms_sketch_stream",
     )
+    return dedup_marked_partials(sink, ["j", "bucket"]).drop("run_id", "batch_id")
 
 
 def hist_sketch_stream(
@@ -571,19 +590,34 @@ def hist_sketch_stream(
     SUM, so the drained result is arrival-order and batch-boundary
     independent — exactly the batch sketch, hash-checkable against the
     batch SQL oracle. ``value_col`` must already be bigint micro-units.
-    Returns the re-read partial-sketch table."""
+
+    Replay safety (r12 sink audit): merge-by-SUM is NOT idempotent, so
+    each partial row carries (run_id, batch_id) markers and the read
+    path drops duplicate (run_id, batch_id, *group_cols, bin) rows
+    before returning (the calibration_stream discipline). Returns the
+    partial-sketch table in the pre-marker (*group_cols, bin, cnt)
+    schema."""
     from dabstract_spark.operators.sketches import hist_sketch
+
+    if {"run_id", "batch_id"} & set(group_cols):
+        raise ValueError(
+            "hist_sketch_stream: group_cols may not be named run_id/batch_id "
+            "(reserved for the sink's replay markers)"
+        )
+    run_id = hashlib.md5(str(checkpoint).encode()).hexdigest()[:16]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         (
             hist_sketch(
                 batch_df, value_col, group_cols, width_micro=width_micro, bins=bins
             )
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("append")
             .parquet(out_path)
         )
 
-    return _drain_foreach_batch(
+    sink = _drain_foreach_batch(
         new_stream,
         _sink,
         checkpoint,
@@ -591,6 +625,9 @@ def hist_sketch_stream(
         timeout_sec,
         drain_partitions,
         "hist_sketch_stream",
+    )
+    return dedup_marked_partials(sink, [*group_cols, "bin"]).drop(
+        "run_id", "batch_id"
     )
 
 
@@ -781,7 +818,15 @@ def decontaminate_stream(
     persisted once. The keep/drop decision is per-document and
     independent of batching, so the drained sink equals the batch
     decontaminate EXACTLY regardless of micro-batch boundaries or
-    arrival order. Returns the re-read sink."""
+    arrival order.
+
+    Replay safety (r12 sink audit): a replayed batch re-appends its
+    byte-identical clean rows (every output column is a deterministic
+    function of the document), so the read path is DISTINCT of the
+    sink — idempotent-merge armor, no markers needed. Contract: input
+    rows are unique (distinct ids), as in the batch twin — genuine
+    duplicate INPUT rows would also collapse. Returns the re-read
+    DISTINCT sink."""
     from dabstract_spark.operators.dedup import decontaminate
 
     test_static = test_df.persist()
@@ -806,7 +851,7 @@ def decontaminate_stream(
             timeout_sec,
             drain_partitions,
             "decontaminate_stream",
-        )
+        ).distinct()
     finally:
         test_static.unpersist()
 
@@ -1006,13 +1051,22 @@ def bootstrap_stream(
     sink, never a rescan of past documents. Weights are per-(seed, b,
     key) deterministic and the partials are plain sums, so the drained
     means equal the batch bootstrap EXACTLY under any batching or
-    arrival order (the CMS/histogram maintenance algebra). Returns the
-    merged (b, n_eff, mean_ppm) table."""
+    arrival order (the CMS/histogram maintenance algebra).
+
+    Replay safety (r12 sink audit): merge-by-SUM is NOT idempotent, so
+    each partial row carries (run_id, batch_id) markers and the read
+    path drops duplicate (run_id, batch_id, b) rows before summing
+    (the calibration_stream discipline). Returns the merged
+    (b, n_eff, mean_ppm) table."""
     from dabstract_spark.operators.select import bootstrap_partials
+
+    run_id = hashlib.md5(str(checkpoint).encode()).hexdigest()[:16]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         (
             bootstrap_partials(batch_df, key, value_col, n_boot=n_boot, seed=seed)
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("append")
             .parquet(out_path)
         )
@@ -1026,6 +1080,7 @@ def bootstrap_stream(
         drain_partitions,
         "bootstrap_stream",
     )
+    sink = dedup_marked_partials(sink, ["b"]).drop("run_id", "batch_id")
     return sink.groupBy("b").agg(
         F.sum("n_eff").alias("n_eff"),
         F.expr("CAST(sum(s) div greatest(sum(n_eff), 1) AS BIGINT)").alias("mean_ppm"),
@@ -1297,7 +1352,7 @@ def drift_monitor_stream(
         "drift_monitor_stream",
     )
     merged = (
-        sink.dropDuplicates(["run_id", "batch_id", bucket_col])
+        dedup_marked_partials(sink, [bucket_col])
         .groupBy(bucket_col)
         .agg(F.sum("n").alias("n_b"))
     )
@@ -1368,7 +1423,7 @@ def uniqueness_stream(
         "uniqueness_stream",
     )
     merged = (
-        sink.dropDuplicates(["run_id", "batch_id", *safe])
+        dedup_marked_partials(sink, list(safe))
         .groupBy(*safe)
         .agg(F.sum("n").alias("__k"))
         .select(
@@ -1433,7 +1488,7 @@ def balance_stream(
         "balance_stream",
     )
     merged = (
-        sink.dropDuplicates(["run_id", "batch_id", *safe])
+        dedup_marked_partials(sink, list(safe))
         .groupBy(*safe)
         .agg(F.sum("n").alias("__n"))
         .select(
@@ -1510,7 +1565,7 @@ def centroid_shift_stream(
         "centroid_shift_stream",
     )
     merged = (
-        sink.dropDuplicates(["run_id", "batch_id", "__l", "__i"])
+        dedup_marked_partials(sink, ["__l", "__i"])
         .groupBy("__l", "__i")
         .agg(
             F.expr("CAST(sum(s) AS DECIMAL(38,0))").alias("__sb"),
@@ -1573,7 +1628,7 @@ def agreement_stream(
         "agreement_stream",
     )
     merged = (
-        sink.dropDuplicates(["run_id", "batch_id", "g", "p"])
+        dedup_marked_partials(sink, ["g", "p"])
         .groupBy(F.col("g").alias("__gold"), F.col("p").alias("__pred"))
         .agg(F.sum("n").alias("__n"))
     )
@@ -1693,7 +1748,7 @@ def trend_stream(
         "trend_stream",
     )
     merged = (
-        sink.dropDuplicates(["run_id", "batch_id", "__q0", "__d"])
+        dedup_marked_partials(sink, ["__q0", "__d"])
         .groupBy("__q0", "__d")
         .agg(F.sum("n").alias("__c"))
         .select(F.col("__q0").alias("__g"), "__d", "__c")
