@@ -77,8 +77,11 @@ def _dec(col, scale=2):
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
            ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
            COUNT(*) AS count_order
@@ -90,14 +93,30 @@ def _dec(col, scale=2):
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     qty, price, disc, tax = (_dec(c) for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    # sum_disc_price/sum_charge: bound every factor's precision so the
+    # decimal products stay EXACT in both engines — the naive (18,2)
+    # three-factor product exceeds precision 38, and Spark's
+    # allowPrecisionLoss then ROUNDS per-row products where DuckDB
+    # widens exactly; the last-ulp drift only surfaces once sums reach
+    # ~11 integer digits (found by the sf1 full-catalog sweep, r12).
+    # (12,2)x(5,2)x(5,2) -> (24,6): exact, sums exact. The final ROUND
+    # to 2 keeps the summed unscaled value under 2^53 before the double
+    # cast: DuckDB's decimal->double is int->double / 10^scale (TWO
+    # roundings, off by an ulp past 53 bits) while Spark's
+    # BigDecimal.doubleValue is correctly rounded — under 2^53 both
+    # collapse to one exact IEEE division and agree bit-for-bit.
+    price12 = F.col("l_extendedprice").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc4 = F.col("l_discount").cast("decimal(4,2)")
+    tax4 = F.col("l_tax").cast("decimal(4,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).cast("double").alias("sum_qty"),
             F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            F.round(F.sum(price12 * (one - disc4)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(price12 * (one - disc4) * (one + tax4)), 2).cast("double").alias("sum_charge"),
             F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
             F.round(F.sum(disc).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
