@@ -6,7 +6,12 @@ correctness gate uses — serves as the measurable single-node yardstick
 at the same scale factor. Prints per-query and total wall seconds for
 both engines; summarized in SCALE.md.
 
-Usage: python tools/bench_oracle.py [sf_dir]
+Usage: python tools/bench_oracle.py [sf_dir] [query_name ...]
+
+With query names, only that subset is timed (e.g. the 39-query
+data-sized family on the hostile-at-scale fixture) and the per-query
+cells go to BENCH_ORACLE_SUBSET.json — the committed full-catalog
+record BENCH_ORACLE_DETAIL.json is only written by full runs.
 """
 
 from __future__ import annotations
@@ -26,11 +31,17 @@ TABLES = (
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])
 
     from __spark_entry__ import oracle_sql, queries
 
     qs, oracles = queries(), oracle_sql()
     names = sorted(oracles)
+    if only:
+        unknown = only - set(names)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        names = sorted(only)
 
     # DUCKDB PHASE FIRST, BEFORE the JVM exists: running DuckDB in the
     # same process as a hot Spark session inflates its cells ~2x
@@ -141,7 +152,8 @@ def main():
     # batch/streaming retro an estimate — never again)
     import json
 
-    out_path = Path(__file__).resolve().parent.parent / "BENCH_ORACLE_DETAIL.json"
+    out_name = "BENCH_ORACLE_SUBSET.json" if only else "BENCH_ORACLE_DETAIL.json"
+    out_path = Path(__file__).resolve().parent.parent / out_name
     out_path.write_text(
         json.dumps(
             {

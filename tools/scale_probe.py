@@ -347,6 +347,14 @@ def main():
         "ivf_pq_topk": lambda e: __import__(
             "dabstract_spark.operators.similarity", fromlist=["ivf_pq_topk"]
         ).ivf_pq_topk(e, e.filter(F.col("vec_id") < 5), k=10, nprobe=2),
+        # r12: the exact-re-rank refine path — ADC as above plus one
+        # broadcast join of the |queries|*C candidate set back against
+        # the corpus vectors; still linear in corpus, C fixed at 100
+        "ivf_pq_rerank": lambda e: __import__(
+            "dabstract_spark.operators.similarity", fromlist=["ivf_pq_topk"]
+        ).ivf_pq_topk(
+            e, e.filter(F.col("vec_id") < 5), k=10, nprobe=4, rerank=100
+        ),
         # rows x dim^2 integer sums + a dim^2-row shuffle; the power
         # iteration itself is driver-side on a 64x64 matrix
         "pca_projection": lambda e: __import__(
