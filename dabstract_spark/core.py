@@ -30,6 +30,40 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 ROW_ID = "row_id"
 
+
+# --------------------------------------------------------------------- #
+# SQL-literal interpolation helpers (optimization r12, guide §1.2/2 —
+# driver-side per-task work): building a K×dim literal vector expression
+# one Column op at a time costs hundreds of py4j round trips PER CALL
+# (measured ~27 ms per Column op on a high-IPC-latency host vs ~0.8 ms
+# for one F.expr parse of the whole expression). Operators with literal
+# vectors/matrices in their plans (centroid assignment, JL/PQ, k-center)
+# therefore build ONE SQL string and pay ONE round trip. Literal
+# formatting is exact: repr(float) round-trips (shortest repr), and
+# Spark's parser uses Double.parseDouble — bit-identical to F.lit(v).
+# --------------------------------------------------------------------- #
+def sql_double(v: float) -> str:
+    """Exact SQL double literal for ``float(v)`` (D suffix, special
+    values via double('...'))."""
+    f = float(v)
+    if f != f:
+        return "double('NaN')"
+    if f == float("inf"):
+        return "double('Infinity')"
+    if f == float("-inf"):
+        return "double('-Infinity')"
+    return repr(f) + "D"
+
+
+def sql_bigint_array(vals) -> str:
+    """SQL literal array<bigint>."""
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def sql_double_array(vals) -> str:
+    """SQL literal array<double> (exact per-element round trip)."""
+    return "array(" + ",".join(sql_double(v) for v in vals) + ")"
+
 # Strictly greater than the largest Unicode code point, so
 # cp(c1)*_CP_BASE + cp(c2) is monotone w.r.t. the 2-char prefix.
 _CP_BASE = 1_114_112

@@ -23,6 +23,8 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from dabstract_spark.core import sql_bigint_array, sql_double, sql_double_array
+
 
 def dot(a: Column, b: Column) -> Column:
     """Float64 dot product of two array columns (sequential fold — same
@@ -192,48 +194,59 @@ def topk_lsh(
 
 
 def _centroid_rank_exprs(
-    vec_col: Column,
+    vec_sql: str,
     centroids: list[tuple[int, list[float]]],
-    vec_norm: Column | None = None,
-) -> list[tuple[int, Column]]:
-    """(centroid_id, cosine-sim Column) per centroid, with the centroid
-    vectors folded in as literal arrays AND their norms folded to Python
-    scalars (same sequential sum both engines compute) — the whole
-    assignment is map-side expression work, no join, no shuffle.
-    ``vec_norm``: pass a staged ||vec|| column so it is evaluated once
-    rather than once per centroid."""
+    vec_norm_sql: str | None = None,
+) -> list[tuple[int, str]]:
+    """(centroid_id, cosine-sim SQL snippet) per centroid, with the
+    centroid vectors folded in as literal arrays AND their norms folded
+    to Python scalars (same sequential sum both engines compute) — the
+    whole assignment is map-side expression work, no join, no shuffle.
+    ``vec_norm_sql``: pass a staged ||vec|| column name so it is
+    evaluated once rather than once per centroid.
+
+    Returns SQL snippets, not Columns (optimization r12): K centroids ×
+    dim literals built one Column op at a time cost thousands of py4j
+    round trips per call; composed as ONE string and parsed with a
+    single F.expr, the expression tree — and therefore every result —
+    is identical."""
     import math
 
-    vn = vec_norm if vec_norm is not None else norm(vec_col)
+    vn = (
+        vec_norm_sql
+        if vec_norm_sql is not None
+        else f"sqrt(aggregate({vec_sql}, 0.0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    )
     # zero-norm guard: a zero vector (or zero centroid) must read cosine
     # 0, not raise DIVIDE_BY_ZERO under ANSI — dot is 0 whenever a norm
     # is, so dividing by 1 instead is exact (mirrors the GEMM path's
     # norms[norms == 0] = 1). On real embeddings norms are > 0 and the
     # guard branch never fires, so oracle parity is untouched.
-    vn = F.when(vn == 0.0, F.lit(1.0)).otherwise(vn)
+    vn = f"(CASE WHEN {vn} = 0.0D THEN 1.0D ELSE {vn} END)"
     out = []
     for cid, cvec in centroids:
-        lit_vec = F.array(*[F.lit(float(v)) for v in cvec])
+        lit_vec = sql_double_array(float(v) for v in cvec)
         acc = 0.0
         for v in cvec:
             acc += float(v) * float(v)
-        out.append(
-            (cid, dot(vec_col, lit_vec) / (vn * F.lit(math.sqrt(acc) or 1.0)))
+        dot_sql = (
+            f"aggregate(zip_with({vec_sql}, {lit_vec}, "
+            "(x, y) -> cast(x as double) * cast(y as double)), "
+            "0.0D, (acc, v) -> acc + v)"
         )
+        out.append((cid, f"({dot_sql} / ({vn} * {sql_double(math.sqrt(acc) or 1.0)}))"))
     return out
 
 
-def _argmax_centroid(sims: list[tuple[int, Column]]) -> Column:
+def _argmax_centroid(sims: list[tuple[int, str]]) -> Column:
     """Argmax via array_max over (sim, -cid) structs — each similarity
     expression appears exactly ONCE in the plan (a WHEN-fold would
     re-reference the running best per level and blow the expression tree
     up exponentially in the number of centroids). Struct comparison is
     lexicographic, so ties break to the LOWEST centroid id (mirrors
     ORDER BY sim DESC, cid ASC in the oracle)."""
-    best = F.array_max(
-        F.array(*[F.struct(s.alias("s"), F.lit(-cid).alias("nc")) for cid, s in sims])
-    )
-    return -best["nc"]
+    structs = ",".join(f"named_struct('s', {s}, 'nc', {-cid})" for cid, s in sims)
+    return F.expr(f"-(array_max(array({structs})).nc)")
 
 
 def ivf_centroids(
@@ -275,10 +288,10 @@ def ivf_refine(
     for _ in range(iters):
         assigned = ivf_assign(df, centroids, id_col, vec_col)
         if exact:
-            aggs = [F.count(F.lit(1)).alias("__n")] + [
-                F.sum(
-                    F.element_at(F.col(vec_col), j + 1).cast("decimal(27,10)")
-                ).alias(f"c{j}")
+            aggs = [F.expr("count(1) AS __n")] + [
+                F.expr(
+                    f"sum(cast(element_at(`{vec_col}`, {j + 1}) as decimal(27,10))) AS c{j}"
+                )
                 for j in range(dim)
             ]
             rows = assigned.groupBy("centroid_id").agg(*aggs).collect()
@@ -289,7 +302,7 @@ def ivf_refine(
         else:
             rows = (
                 assigned.groupBy("centroid_id")
-                .agg(*[F.avg(F.element_at(F.col(vec_col), j + 1)).alias(f"c{j}") for j in range(dim)])
+                .agg(*[F.expr(f"avg(element_at(`{vec_col}`, {j + 1})) AS c{j}") for j in range(dim)])
                 .collect()
             )
             new = {int(r[0]): [float(r[j + 1]) for j in range(dim)] for r in rows}
@@ -307,7 +320,7 @@ def ivf_assign(
     literals) centroid set. Pure map-side — at 100 TB this is a scan
     with K fused dot products per row, no shuffle at all."""
     staged = df.withColumn("__vn", norm(F.col(vec_col)))
-    sims = _centroid_rank_exprs(F.col(vec_col), centroids, vec_norm=F.col("__vn"))
+    sims = _centroid_rank_exprs(f"`{vec_col}`", centroids, vec_norm_sql="`__vn`")
     return staged.withColumn("centroid_id", _argmax_centroid(sims)).drop("__vn")
 
 
@@ -326,18 +339,21 @@ def ivf_topk(
     small and broadcast; the corpus is scanned once with its map-side
     cluster assignment."""
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    qsims = _centroid_rank_exprs(F.col(vec_col), centroids)
+    qsims = _centroid_rank_exprs(f"`{vec_col}`", centroids)
     # nprobe nearest centroids per query as a literal-sized sorted array
-    probe_structs = F.array(
-        *[F.struct(s.alias("sim"), F.lit(cid).alias("cid")) for cid, s in qsims]
+    probe_structs = (
+        "array("
+        + ",".join(f"named_struct('sim', {s}, 'cid', {cid})" for cid, s in qsims)
+        + ")"
     )
-    probes = F.slice(
-        F.reverse(F.array_sort(probe_structs)), 1, nprobe
-    )  # sort asc (sim, cid) -> reverse = sim desc, cid desc; ties rare with real sims
+    # sort asc (sim, cid) -> reverse = sim desc, cid desc; ties rare with real sims
+    probes = F.expr(
+        f"transform(slice(reverse(array_sort({probe_structs})), 1, {int(nprobe)}), p -> p.cid)"
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        F.transform(probes, lambda p: p["cid"]).alias("__probes"),
+        probes.alias("__probes"),
     ).withColumn("__qn", norm_denom(F.col("__qvec")))
     joined = assigned.withColumn("__cn", norm_denom(F.col(vec_col))).join(
         F.broadcast(q),
@@ -980,23 +996,19 @@ def jl_project(
     O(out_dim), work O(rows·in_dim·out_dim). Returns exploded
     (id, k, y_ppm) rows."""
     signs = jl_signs(in_dim, out_dim, seed)
-    enc = lambda c: (  # noqa: E731
-        F.round(c.cast("double"), 6).cast("decimal(18,6)") * F.lit(1000000)
-    ).cast("bigint")
-    comps = [
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(s) for s in signs[k]]),
-                lambda x, s: s.cast("bigint") * enc(x),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda a, y: a + y,
-        )
+    # one F.expr parse for the whole out_dim-component array instead of
+    # out_dim × in_dim F.lit round trips (r12); expression tree identical
+    enc = (
+        "cast(cast(round(cast(x as double), 6) as decimal(18,6)) * 1000000 as bigint)"
+    )
+    comps = ",".join(
+        "aggregate(zip_with(`%s`, %s, (x, s) -> cast(s as bigint) * %s), "
+        "cast(0 as bigint), (a, y) -> a + y)"
+        % (vec_col, sql_bigint_array(signs[k]), enc)
         for k in range(out_dim)
-    ]
+    )
     return df.select(
-        F.col(id_col), F.posexplode(F.array(*comps)).alias("k", "y_ppm")
+        F.col(id_col), F.posexplode(F.expr(f"array({comps})")).alias("k", "y_ppm")
     ).select(id_col, F.col("k").cast("int").alias("k"), "y_ppm")
 
 
@@ -1091,11 +1103,11 @@ def kcenter_select(
     ).localCheckpoint(eager=False)
 
     def d2(center_vals):
-        arr = F.array(*[F.lit(int(c)).cast("bigint") for c in center_vals])
-        return F.aggregate(
-            F.zip_with("__v", arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
+        # one F.expr parse instead of dim F.lit round trips (r12)
+        arr = sql_bigint_array(int(c) for c in center_vals)
+        return F.expr(
+            f"aggregate(zip_with(__v, {arr}, (a, b) -> (a - b) * (a - b)), "
+            "cast(0 as bigint), (acc, v) -> acc + v)"
         )
 
     def _release(chk_df):

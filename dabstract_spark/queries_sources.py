@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dabstract_spark.processing import ProcessingChain
 from dabstract_spark.queries import _t, query
+from dabstract_spark.session import scratch_dir
 from dabstract_spark.sources import attach_csv_metadata, folder_dataset, get_dir_info
 
 # fixture paths derive from the package location so the catalog (and the
@@ -416,7 +417,7 @@ def q162_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         F.concat(F.col("text"), F.lit(" uniq"), F.col("doc_id").cast("string")).alias("text")
     )
     dup = docs.select("text")
-    tmp = tempfile.mkdtemp(prefix="sparkdab_incdedup_")
+    tmp = scratch_dir("sparkdab_incdedup_")
     # file 1: fresh only; file 2: fresh AGAIN + corpus duplicates
     fresh.coalesce(1).write.parquet(f"{tmp}/in/f1")
     fresh.unionByName(dup).coalesce(1).write.parquet(f"{tmp}/in/f2")
@@ -453,7 +454,7 @@ def q163_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     events = _t(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="sparkdab_part_")
+    tmp = scratch_dir("sparkdab_part_")
     (
         events.withColumn("event_day", F.date_format("ts", "yyyy-MM-dd"))
         .write.partitionBy("event_day")
@@ -489,7 +490,7 @@ def q172_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dabstract_spark.functions.hashing import md5_bucket
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    tmp = tempfile.mkdtemp(prefix="sparkdab_shards_")
+    tmp = scratch_dir("sparkdab_shards_")
     sharded = docs.withColumn("shard", md5_bucket("doc_id", 8, seed=7))
     sharded.write.partitionBy("shard").parquet(f"{tmp}/out")
     back = spark.read.parquet(f"{tmp}/out")
@@ -757,7 +758,7 @@ def q189_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dabstract_spark.operators.layout import compact_parquet
     from dabstract_spark.session import load_table
 
-    base = tempfile.mkdtemp(prefix="sparkdab_compact_")
+    base = scratch_dir("sparkdab_compact_")
     ev = load_table(spark, sf_dir, "events")
     # the fragmented "many small appends" state being repaired
     ev.select("event_id").repartition(37).write.mode("overwrite").parquet(f"{base}/frag")
@@ -869,7 +870,7 @@ def q201_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dabstract_spark.operators.sketches import cms_estimate, cms_merge
     from dabstract_spark.streaming.ops import cms_sketch_stream, stream_events
 
-    tmp = tempfile.mkdtemp(prefix="sparkdab_cms_")
+    tmp = scratch_dir("sparkdab_cms_")
     # NULL keys are not sketchable (md5(NULL) has no bucket) — both the
     # sketch stream and the probe set exclude them, like the oracle
     src = (
@@ -915,7 +916,7 @@ def q213_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dabstract_spark.operators.bloom import bloom_merge
     from dabstract_spark.streaming.ops import bloom_sketch_stream, stream_events
 
-    tmp = tempfile.mkdtemp(prefix="sparkdab_bloom_")
+    tmp = scratch_dir("sparkdab_bloom_")
     src = stream_events(spark, f"{sf_dir}/events.parquet").select("user_id")
     partials = bloom_sketch_stream(src, "user_id", f"{tmp}/out", f"{tmp}/ckpt")
     return bloom_merge(partials)
@@ -941,7 +942,7 @@ def q208_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = _t(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="sparkdab_orc_")
+    tmp = scratch_dir("sparkdab_orc_")
     ev.write.mode("overwrite").partitionBy("event_type").orc(f"{tmp}/events_orc")
     back = spark.read.orc(f"{tmp}/events_orc").filter(F.col("event_type") == "click")
     return back.groupBy("user_id").agg(
@@ -1037,7 +1038,7 @@ def q233_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dabstract_spark.operators.sketches import hist_merge, hist_quantiles
     from dabstract_spark.streaming.ops import hist_sketch_stream, stream_events
 
-    tmp = tempfile.mkdtemp(prefix="sparkdab_hist_")
+    tmp = scratch_dir("sparkdab_hist_")
     vm = (
         (F.round(F.col("value"), 6).cast("decimal(18,6)") * F.lit(1000000))
         .cast("bigint")

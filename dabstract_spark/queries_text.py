@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dabstract_spark.operators import dedup as dd, events as ev, similarity as sim, text as tx
 from dabstract_spark.queries import _t, query
+from dabstract_spark.session import scratch_dir
 
 # ---- shared DuckDB SQL fragments ------------------------------------- #
 _TOKENS = "list_filter(string_split_regex(lower({c}), '\\W+'), t -> t <> '')"
@@ -1211,7 +1212,7 @@ def q109_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # short watermark so every window is closed (and therefore APPENDED
     # to the file sink) once the backlog drains
     agg = tumbling_agg_stream(src, width="1 hour", watermark="0 seconds")
-    tmp = tempfile.mkdtemp(prefix="sparkdab_sink_")
+    tmp = scratch_dir("sparkdab_sink_")
     return run_to_parquet(agg, f"{tmp}/out", f"{tmp}/ckpt")
 
 
@@ -4071,7 +4072,7 @@ def q218_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("op", "o_custkey", "total")
     )
-    tmp = tempfile.mkdtemp(prefix="sparkdab_ivm_")
+    tmp = scratch_dir("sparkdab_ivm_")
     # 4 files + maxFilesPerTrigger=1 forces a multi-batch drain, so the
     # boundary-independence claim is actually exercised
     delta.repartition(4).write.parquet(f"{tmp}/delta")
@@ -4396,7 +4397,7 @@ def q225_stream_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dabstract_spark.streaming.ops import minhash_sigs_stream, stream_events
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    tmp = tempfile.mkdtemp(prefix="sparkdab_mhs_")
+    tmp = scratch_dir("sparkdab_mhs_")
     # 4 files + maxFilesPerTrigger=1 forces a multi-batch drain, so the
     # boundary-independence claim is actually exercised
     docs.repartition(4).write.parquet(f"{tmp}/docs")
@@ -5012,7 +5013,7 @@ def q238_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 5 != 0
     )
     test = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    tmp = tempfile.mkdtemp(prefix="sparkdab_decon_")
+    tmp = scratch_dir("sparkdab_decon_")
     return decontaminate_stream(
         src,
         test,
@@ -5191,7 +5192,7 @@ def q243_stream_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dabstract_spark.streaming.ops import cohort_activity_stream, stream_events
 
     src = stream_events(spark, f"{sf_dir}/events.parquet").select("user_id", "ts")
-    tmp = tempfile.mkdtemp(prefix="sparkdab_cohort_")
+    tmp = scratch_dir("sparkdab_cohort_")
     active = cohort_activity_stream(
         src, "user_id", "ts", f"{tmp}/out", f"{tmp}/ckpt"
     )
@@ -5368,7 +5369,7 @@ def q247_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 5 != 0
     )
     test = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    tmp = tempfile.mkdtemp(prefix="sparkdab_curate_")
+    tmp = scratch_dir("sparkdab_curate_")
     return curate_stream(
         src,
         test,
@@ -5632,7 +5633,7 @@ def q251_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 3 != 0
     )
     corpus = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
-    tmp = tempfile.mkdtemp(prefix="sparkdab_ndi_")
+    tmp = scratch_dir("sparkdab_ndi_")
     return neardup_ingest_stream(
         src, corpus, "doc_id", "text", f"{tmp}/out", f"{tmp}/ckpt",
         n_hashes=16, bands=4, k=3, max_bucket=64,
@@ -5723,7 +5724,7 @@ def q255_stream_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream_events(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", tx.quality_score_ppm("text").alias("qp")
     )
-    tmp = tempfile.mkdtemp(prefix="sparkdab_boot_")
+    tmp = scratch_dir("sparkdab_boot_")
     out = bootstrap_stream(
         src, "doc_id", "qp", f"{tmp}/out", f"{tmp}/ckpt", n_boot=32, seed=7
     )
@@ -5867,7 +5868,7 @@ def q260_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream_events(spark, f"{sf_dir}/documents.parquet").filter(
         ~F.col("source").isin("src0", "src1")
     )
-    tmp = tempfile.mkdtemp(prefix="sparkdab_dsir_")
+    tmp = scratch_dir("sparkdab_dsir_")
     return dsir_score_stream(
         src,
         table,
@@ -6052,7 +6053,7 @@ def q264_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream_events(spark, f"{sf_dir}/documents.parquet").select(
         "lang", tx.quality_score_ppm("text").alias("qp")
     )
-    tmp = tempfile.mkdtemp(prefix="sparkdab_calib_")
+    tmp = scratch_dir("sparkdab_calib_")
     return calibration_stream(
         src, "lang", "qp", f"{tmp}/out", f"{tmp}/ckpt", max_score=1_000_000
     )
@@ -6354,7 +6355,7 @@ def q272_stream_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream_events(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    tmp = tempfile.mkdtemp(prefix="sparkdab_oov_")
+    tmp = scratch_dir("sparkdab_oov_")
     return oov_score_stream(
         src,
         vocab,
@@ -6879,7 +6880,7 @@ def q283_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lang") != "en")
         .select(F.least(F.lit(9), F.expr("n_chars div 64")).alias("len_bucket"))
     )
-    tmp = tempfile.mkdtemp(prefix="sparkdab_drift_")
+    tmp = scratch_dir("sparkdab_drift_")
     return drift_monitor_stream(
         src, ref, "len_bucket", f"{tmp}/out", f"{tmp}/ckpt"
     )
@@ -7207,7 +7208,7 @@ def q290_stream_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.least(F.lit(9), F.expr("n_chars div 64")).alias("lb"),
     )
-    tmp = tempfile.mkdtemp(prefix="sparkdab_uniq_")
+    tmp = scratch_dir("sparkdab_uniq_")
     return uniqueness_stream(
         src, ["lang", "source", "lb"], f"{tmp}/out", f"{tmp}/ckpt"
     )
@@ -7263,7 +7264,7 @@ def q291_stream_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream_events(spark, f"{sf_dir}/documents.parquet").select(
         "lang", "source"
     )
-    tmp = tempfile.mkdtemp(prefix="sparkdab_bal_")
+    tmp = scratch_dir("sparkdab_bal_")
     return balance_stream(
         src, ["lang", "source"], f"{tmp}/out", f"{tmp}/ckpt"
     )
@@ -7508,7 +7509,7 @@ def q296_stream_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream_events(spark, f"{sf_dir}/embeddings.parquet").filter(
         F.col("vec_id") % 2 == 1
     )
-    tmp = tempfile.mkdtemp(prefix="sparkdab_cshift_")
+    tmp = scratch_dir("sparkdab_cshift_")
     return centroid_shift_stream(
         src, ref, "label", "embedding", f"{tmp}/out", f"{tmp}/ckpt"
     )
@@ -7674,7 +7675,7 @@ def q299_stream_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream_events(spark, f"{sf_dir}/documents.parquet").select(
         "lang", tx.lang_id("text").alias("lang_pred")
     )
-    tmp = tempfile.mkdtemp(prefix="sparkdab_agr_")
+    tmp = scratch_dir("sparkdab_agr_")
     return agreement_stream(
         src, "lang", "lang_pred", f"{tmp}/out", f"{tmp}/ckpt"
     )
@@ -7865,7 +7866,7 @@ def q304_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream_events(spark, f"{sf_dir}/events.parquet").select(
         "event_type", "user_id"
     )
-    tmp = tempfile.mkdtemp(prefix="sparkdab_hll_")
+    tmp = scratch_dir("sparkdab_hll_")
     return hll_stream(
         src, "user_id", ["event_type"], f"{tmp}/out", f"{tmp}/ckpt"
     )
@@ -7910,7 +7911,7 @@ def q305_stream_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream_events(spark, f"{sf_dir}/events.parquet").select(
         "event_type", "ts"
     )
-    tmp = tempfile.mkdtemp(prefix="sparkdab_trend_")
+    tmp = scratch_dir("sparkdab_trend_")
     return trend_stream(src, "event_type", f"{tmp}/out", f"{tmp}/ckpt")
 
 
@@ -7977,7 +7978,7 @@ def q307_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream_events(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", (F.col("n_chars") + 1).alias("__wt")
     )
-    tmp = tempfile.mkdtemp(prefix="sparkdab_wres_")
+    tmp = scratch_dir("sparkdab_wres_")
     return weighted_sample_stream(
         src, 500, "__wt", f"{tmp}/out", f"{tmp}/ckpt", seed=3, key="doc_id"
     )
@@ -8121,7 +8122,7 @@ def q310_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream_events(spark, f"{sf_dir}/events.parquet").select(
         "event_type", "user_id"
     )
-    tmp = tempfile.mkdtemp(prefix="sparkdab_kmv_")
+    tmp = scratch_dir("sparkdab_kmv_")
     return kmv_stream(
         src, "user_id", ["event_type"], f"{tmp}/out", f"{tmp}/ckpt", k=256
     )
