@@ -1410,9 +1410,9 @@ def ivf_pq_train(
             vm.withColumn("__cell", _argmin_cell_expr(coarse, "__vm"))
             .groupBy("__cell")
             .agg(
-                F.count(F.lit(1)).alias("__n"),
+                F.expr("count(1) AS __n"),
                 *[
-                    F.sum(F.element_at("__vm", j + 1)).alias(f"__t{j}")
+                    F.expr(f"sum(element_at(__vm, {j + 1})) AS __t{j}")
                     for j in range(dim)
                 ],
             )
@@ -1465,9 +1465,9 @@ def ivf_pq_train(
     for _ in range(iters):
         coded = ex.withColumn("__code", _pq_code_expr(books, "__x", "__s"))
         sums = coded.groupBy("__s", "__code").agg(
-            F.count(F.lit(1)).alias("__n"),
+            F.expr("count(1) AS __n"),
             *[
-                F.sum(F.element_at("__x", j + 1)).alias(f"__c{j}")
+                F.expr(f"sum(element_at(__x, {j + 1})) AS __c{j}")
                 for j in range(sub)
             ],
         )

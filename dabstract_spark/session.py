@@ -82,6 +82,17 @@ def get_spark(
         # fixture events.parquet stores TIMESTAMP(NANOS); read as long and
         # convert explicitly (load_table) — Spark has no nanos timestamp.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # PySpark 4 wraps every Column/DataFrame API call with error-
+        # context capture (errors/utils.py _with_origin): a Python stack
+        # walk plus ~4 py4j round trips (conf.get, JVM getattr,
+        # PySparkCurrentOrigin.set/clear) PER OPERATION, purely to
+        # decorate error messages with the user call site. On this
+        # host's ~0.5-6 ms IPC latency that is the single largest
+        # driver-side cost in plan construction — measured 1126 -> 116
+        # round trips for the same 100-op Column chain. Results are
+        # byte-identical; only failure messages lose the "called from
+        # file:line" hint.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     # shuffle files / spill on the fastest local storage (guide §6);
     # no-op when the session already exists (conf binds at JVM start)
@@ -230,6 +241,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     if id(spark) not in _NANOS_CONF_SET:
         # one py4j round trip per session, not per table load
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # drop per-Column-op error-context capture on the CALLER's
+        # session too (see get_spark): the driver runs queries with its
+        # own SparkSession, and pyspark caches this flag at first
+        # decorated call — load_table is the first thing every query
+        # does, so setting it here lands before plan construction.
+        try:
+            spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
+        except Exception:
+            pass  # older/remote sessions without the conf: keep default
         _NANOS_CONF_SET.add(id(spark))
     path = f"{sf_dir}/{name}.parquet"
     try:

@@ -267,8 +267,8 @@ def test_ivf_refine_improves_objective(spark):
     assert len(c1) == 4 and all(len(v) == 64 for _, v in c1)
 
     def objective(cents):
-        sims = sim._centroid_rank_exprs(F.col("embedding"), cents)
-        best = F.array_max(F.array(*[s for _, s in sims]))
+        sims = sim._centroid_rank_exprs("`embedding`", cents)
+        best = F.array_max(F.array(*[F.expr(s) for _, s in sims]))
         return emb.select(F.sum(best)).first()[0]
 
     assert objective(c1) >= objective(c0) - 1e-9
