@@ -84,20 +84,24 @@ def bind_once(expr: Column, fn) -> Column:
     return F.element_at(F.transform(F.array(expr), fn), 1)
 
 
-def _string_bucket(c: Column, prefix_skip: int = 0) -> Column:
-    """Deterministic monotone bucket for string keys: the code points of
-    the first two characters after ``prefix_skip``. Monotone w.r.t.
-    Spark's string ordering (valid when every key shares an identical
-    prefix of that length — e.g. filepaths under one base dir), ties
-    share a bucket, and for uniform keys (md5-hex ordinals — the engine's
-    own pseudo-random orderings) it yields 256 balanced groups.
-    NULLs map below every non-NULL (Spark sorts NULLS FIRST asc)."""
+def _string_bucket(name: str, prefix_skip: int = 0) -> Column:
+    """Deterministic monotone bucket for a string key COLUMN NAME: the
+    code points of the first two characters after ``prefix_skip``.
+    Monotone w.r.t. Spark's string ordering (valid when every key shares
+    an identical prefix of that length — e.g. filepaths under one base
+    dir), ties share a bucket, and for uniform keys (md5-hex ordinals —
+    the engine's own pseudo-random orderings) it yields 256 balanced
+    groups. NULLs map below every non-NULL (Spark sorts NULLS FIRST
+    asc). One F.expr parse of the same tree (r12 chatter cut)."""
+    c = f"`{name}`"
     g = (
-        F.coalesce(F.ascii(F.substring(c, prefix_skip + 1, 1)), F.lit(-1)).cast("bigint")
-        * _CP_BASE
-        + F.coalesce(F.ascii(F.substring(c, prefix_skip + 2, 1)), F.lit(-1)).cast("bigint")
+        f"(cast(coalesce(ascii(substring({c}, {prefix_skip + 1}, 1)), -1) as bigint)"
+        f" * {_CP_BASE}"
+        f" + cast(coalesce(ascii(substring({c}, {prefix_skip + 2}, 1)), -1) as bigint))"
     )
-    return F.when(c.isNull(), F.lit(-(_CP_BASE**2))).otherwise(g)
+    return F.expr(
+        f"(CASE WHEN {c} IS NULL THEN {-(_CP_BASE**2)} ELSE {g} END)"
+    )
 
 
 def _numeric_bucket(df: DataFrame, c: Column, buckets: int) -> tuple[DataFrame, Column]:
@@ -136,7 +140,7 @@ def with_row_id(df: DataFrame, order_by: str | list[str], prefix_skip: int = 0) 
 
     drop_extra = ["__g", "__off"]
     if dtype == "string":
-        bucketed = df.withColumn("__g", _string_bucket(F.col(first), prefix_skip))
+        bucketed = df.withColumn("__g", _string_bucket(first, prefix_skip))
     else:
         src, g = _numeric_bucket(df, F.col(first), buckets=npart * 4)
         bucketed = src.withColumn("__g", g)
@@ -145,23 +149,26 @@ def with_row_id(df: DataFrame, order_by: str | list[str], prefix_skip: int = 0) 
     # Tiny per-bucket counts → cumulative offsets. The window runs over
     # ≤ #distinct-buckets rows (256 for hex keys, 4·npart for numeric) —
     # a single small task, not a data-sized stage.
-    counts = bucketed.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    counts = bucketed.groupBy("__g").agg(F.expr("count(1) AS __n"))
     # explicit constant partition key: identical single-partition plan,
     # but keeps the WindowExec no-partition warning reserved for real
     # data-scale windows (this table is bounded by construction)
-    w = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("__g")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "__g", F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off")
+    offsets = counts.selectExpr(
+        "__g",
+        "coalesce(sum(__n) OVER (PARTITION BY 0 ORDER BY __g "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS __off",
     )
 
-    w_local = Window.partitionBy("__g").orderBy(*[F.col(c) for c in cols])
+    order_sql = ", ".join(f"`{c}`" for c in cols)
     return (
         bucketed.join(F.broadcast(offsets), "__g")
-        .withColumn(ROW_ID, (F.col("__off") + F.row_number().over(w_local) - 1).cast("bigint"))
+        .withColumn(
+            ROW_ID,
+            F.expr(
+                "cast(__off + row_number() OVER "
+                f"(PARTITION BY __g ORDER BY {order_sql}) - 1 as bigint)"
+            ),
+        )
         .drop(*drop_extra)
     )
 

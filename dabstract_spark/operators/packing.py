@@ -48,58 +48,64 @@ def block_prefix_sum(
     ill-defined; uniqueness makes the result deterministic and
     oracle-checkable against ``SUM(...) OVER (ORDER BY order_col)``.
     """
-    val = F.col(value_col) if isinstance(value_col, str) else value_col
-    blk = F.floor(F.col(order_col) / F.lit(block_size)).alias("__blk")
-    with_blk = df.withColumn("__blk", blk).withColumn("__v", val.cast("bigint"))
+    # window/bucket expressions via one-shot F.expr (r12 chatter cut:
+    # identical trees, parsed once instead of built Column-op-by-op)
+    extra_drop = []
+    val_sql = f"`{value_col}`" if isinstance(value_col, str) else None
+    if val_sql is None:
+        df = df.withColumn("__vc", value_col)
+        val_sql, extra_drop = "`__vc`", ["__vc"]
+    with_blk = df.withColumn(
+        "__blk", F.expr(f"floor(`{order_col}` / {block_size})")
+    ).withColumn("__v", F.expr(f"cast({val_sql} as bigint)"))
 
     # per-block totals: map-side combine shrinks this to n_blocks rows
     # before the (tiny) shuffle — this table stays on executors.
-    totals = with_blk.groupBy("__blk").agg(F.sum("__v").alias("__tot"))
+    totals = with_blk.groupBy("__blk").agg(F.expr("sum(__v) AS __tot"))
 
     # exclusive prefix sum OVER THE TOTALS, same blocking one level up:
     # within-super-block window (bounded at block_size rows per task),
     # then a global window over the super-block totals — a table of
     # n_blocks/block_size rows, i.e. n/block_size² (~233 rows for 10^12
     # input rows): small by construction, not by assumption.
-    totals = totals.withColumn("__sb", F.floor(F.col("__blk") / F.lit(block_size)))
-    w_in = (
-        Window.partitionBy("__sb")
-        .orderBy("__blk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    totals = totals.withColumn("__sb", F.expr(f"floor(__blk / {block_size})"))
     totals = totals.withColumn(
-        "__off_in", F.coalesce(F.sum("__tot").over(w_in), F.lit(0))
+        "__off_in",
+        F.expr(
+            "coalesce(sum(__tot) OVER (PARTITION BY __sb ORDER BY __blk "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        ),
     )
-    sb_tot = totals.groupBy("__sb").agg(F.sum("__tot").alias("__sbt"))
+    sb_tot = totals.groupBy("__sb").agg(F.expr("sum(__tot) AS __sbt"))
     # constant partition key: same single-partition plan over the ~233-row
     # super-block table, but no spurious no-partition WindowExec warning
-    w_sb = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("__sb")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     sb_off = sb_tot.withColumn(
-        "__off_sb", F.coalesce(F.sum("__sbt").over(w_sb), F.lit(0))
+        "__off_sb",
+        F.expr(
+            "coalesce(sum(__sbt) OVER (PARTITION BY 0 ORDER BY __sb "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        ),
     ).select("__sb", "__off_sb")
     off_df = (
         totals.join(F.broadcast(sb_off), "__sb")
-        .select("__blk", (F.col("__off_in") + F.col("__off_sb")).alias("__off"))
+        .selectExpr("__blk", "(__off_in + __off_sb) AS __off")
     )
 
-    w = (
-        Window.partitionBy("__blk")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     # no broadcast hint on the offsets join: off_df is n/block_size rows
     # — usually broadcastable, but at extreme n AQE should be free to
     # pick a shuffle join on __blk (the data side is already exchanged
     # on __blk by the window above, so the exchange is reused).
     return (
-        with_blk.withColumn("__loc", F.sum("__v").over(w))
+        with_blk.withColumn(
+            "__loc",
+            F.expr(
+                f"sum(__v) OVER (PARTITION BY __blk ORDER BY `{order_col}` "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            ),
+        )
         .join(off_df, "__blk")
-        .withColumn(out_col, F.col("__loc") + F.col("__off"))
-        .drop("__blk", "__v", "__loc", "__off")
+        .withColumn(out_col, F.expr("__loc + __off"))
+        .drop("__blk", "__v", "__loc", "__off", *extra_drop)
     )
 
 
@@ -122,24 +128,28 @@ def sequence_pack(
     Zero-token documents sit at a boundary without occupying space:
     first_chunk == last_chunk == the window of their start offset.
     """
-    tok = F.col(token_col) if isinstance(token_col, str) else token_col
-    cum = block_prefix_sum(
-        df.withColumn("__n", tok.cast("bigint")),
-        id_col,
-        "__n",
-        out_col="__end",
-        block_size=block_size,
+    tok_sql = (
+        f"`{token_col}`" if isinstance(token_col, str) else None
     )
-    start = F.col("__end") - F.col("__n")
-    last = F.when(
-        F.col("__n") > 0, F.floor((F.col("__end") - 1) / capacity)
-    ).otherwise(F.floor(start / capacity))
+    ncol = (
+        df.withColumn("__n", F.expr(f"cast({tok_sql} as bigint)"))
+        if tok_sql is not None
+        else df.withColumn("__n", token_col.cast("bigint"))
+    )
+    cum = block_prefix_sum(
+        ncol, id_col, "__n", out_col="__end", block_size=block_size
+    )
+    start = "(__end - __n)"
+    last = (
+        f"(CASE WHEN __n > 0 THEN floor((__end - 1) / {capacity}) "
+        f"ELSE floor({start} / {capacity}) END)"
+    )
     return (
-        cum.withColumn("n_tokens", F.col("__n"))
-        .withColumn("start_offset", start)
-        .withColumn("first_chunk", F.floor(start / capacity))
-        .withColumn("last_chunk", last)
-        .withColumn("n_chunks", F.col("last_chunk") - F.col("first_chunk") + F.lit(1))
+        cum.withColumn("n_tokens", F.expr("__n"))
+        .withColumn("start_offset", F.expr(start))
+        .withColumn("first_chunk", F.expr(f"floor({start} / {capacity})"))
+        .withColumn("last_chunk", F.expr(last))
+        .withColumn("n_chunks", F.expr("last_chunk - first_chunk + 1"))
         .drop("__n", "__end")
     )
 
@@ -156,25 +166,17 @@ def chunk_manifest(packed: DataFrame, id_col: str, capacity: int) -> DataFrame:
     most). Zero-token documents keep their boundary row with an empty
     segment (seg_start == seg_end), mirroring sequence_pack's
     zero-width placement."""
-    end = F.col("start_offset") + F.col("n_tokens")
     return (
         packed.withColumn(
-            "chunk", F.explode(F.sequence("first_chunk", "last_chunk"))
+            "chunk", F.expr("explode(sequence(first_chunk, last_chunk))")
         )
-        .select(
-            F.col(id_col),
-            F.col("chunk"),
-            F.greatest(
-                F.col("start_offset") - F.col("chunk") * capacity, F.lit(0)
-            )
-            .cast("int")
-            .alias("seg_start"),
-            (
-                F.least(end, (F.col("chunk") + 1) * capacity)
-                - F.col("chunk") * capacity
-            )
-            .cast("int")
-            .alias("seg_end"),
+        .selectExpr(
+            f"`{id_col}`",
+            "chunk",
+            f"cast(greatest(start_offset - chunk * {capacity}, 0) as int)"
+            " AS seg_start",
+            f"cast(least(start_offset + n_tokens, (chunk + 1) * {capacity})"
+            f" - chunk * {capacity} as int) AS seg_end",
         )
     )
 

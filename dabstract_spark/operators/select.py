@@ -27,7 +27,7 @@ def random_subsample(df: DataFrame, ratio: float, seed: int = 0, key: str = "row
     from dabstract_spark.core import _string_bucket
 
     ranked = df.withColumn("__rk", md5_order(key, seed))
-    bucketed = ranked.withColumn("__g", _string_bucket(F.col("__rk"), 0))
+    bucketed = ranked.withColumn("__g", _string_bucket("__rk", 0))
     # 256-row bucket-count table: cumulative offsets AND the grand total
     # come from the same tiny aggregate — one extra column, zero jobs.
     counts = bucketed.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
@@ -68,7 +68,7 @@ def random_sample_n(df: DataFrame, n: int, seed: int = 0, key: str = "row_id") -
     from dabstract_spark.core import _string_bucket
 
     ranked = df.withColumn("__rk", md5_order(key, seed))
-    bucketed = ranked.withColumn("__g", _string_bucket(F.col("__rk"), 0))
+    bucketed = ranked.withColumn("__g", _string_bucket("__rk", 0))
     counts = bucketed.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
     # constant partition key on the 256-row table — see random_subsample
     w_off = (

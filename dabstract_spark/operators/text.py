@@ -33,6 +33,76 @@ def tokens(col: Column | str, pattern: str = r"\W+") -> Column:
     return F.filter(F.split(F.lower(c), pattern), lambda t: t != "")
 
 
+# --------------------------------------------------------------------- #
+# SQL-snippet composers (optimization r12): the scoring expressions below
+# are built from dozens of Column ops, and every Column op is at least one
+# py4j round trip — a pure driver-latency tax that the hot pipelines
+# (q221/q228 and the whole text-stats family) pay per query build. The
+# _sql composers spell out the IDENTICAL expression trees as strings and
+# parse once with F.expr; results (and oracle hashes) are unchanged.
+# Inputs are SQL fragments (a backtick-quoted column name or a nested
+# snippet), mirroring the dedup.py hash-family composers.
+# --------------------------------------------------------------------- #
+
+
+def _tokens_sql(col_sql: str, pattern: str = r"\W+") -> str:
+    """SQL form of ``tokens`` (split + empty filter; same tree)."""
+    pat = pattern.replace("\\", "\\\\")
+    return f"filter(split(lower({col_sql}), '{pat}'), t -> t != '')"
+
+
+def _in_sql(var: str, words) -> str:
+    """SQL membership test matching Column.isin over string literals."""
+    vals = ", ".join("'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'" for w in words)
+    return f"{var} IN ({vals})"
+
+
+def _shingles_sql(t_sql: str, k: int) -> str:
+    """SQL form of ``shingles_from_tokens`` over a staged token array."""
+    return (
+        f"(CASE WHEN size({t_sql}) >= {k} THEN "
+        f"transform(sequence(1, size({t_sql}) - {k - 1}), "
+        f"i -> array_join(slice({t_sql}, i, {k}), ' ')) "
+        f"ELSE cast(array() as array<string>) END)"
+    )
+
+
+def quality_score_ppm_sql(col_sql: str, token_sql: str | None = None) -> str:
+    """SQL form of ``quality_score_ppm`` (same integer-ppm tree)."""
+    t = token_sql if token_sql is not None else _tokens_sql(col_sql)
+    n_tok = f"cast(greatest(size({t}), 1) as bigint)"
+    n_chars = f"cast(greatest(length({col_sql}), 1) as bigint)"
+    hits = f"cast(size(filter({t}, x -> {_in_sql('x', STOPWORDS)})) as bigint)"
+    n_punct = (
+        f"cast(length(regexp_replace({col_sql}, '[^.!?,;:]', '')) as bigint)"
+    )
+    m = "cast(1000000 as bigint)"
+    len_ppm = f"least(cast(length({col_sql}) as bigint) * 2500, {m})"
+    sw_capped = f"least(floor({hits} * 1000000 / {n_tok}) * 5, {m})"
+    punct_capped = f"least(floor({n_punct} * 1000000 / {n_chars}) * 10, {m})"
+    return (
+        f"cast(floor((5 * {len_ppm} + 3 * {sw_capped} + "
+        f"2 * ({m} - {punct_capped})) / 10) as bigint)"
+    )
+
+
+def lang_id_sql(
+    col_sql: str,
+    markers: dict[str, tuple[str, ...]] | None = None,
+    token_sql: str | None = None,
+) -> str:
+    """SQL form of ``lang_id`` (same ascending strict-> fold)."""
+    markers = markers or LANG_MARKERS
+    t = token_sql if token_sql is not None else _tokens_sql(col_sql)
+    best, best_score = "'und'", "0"
+    for lang in sorted(markers):
+        s = f"size(filter({t}, x -> {_in_sql('x', markers[lang])}))"
+        new_best = f"(CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best} END)"
+        best_score = f"(CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END)"
+        best = new_best
+    return best
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("bigint")
 
@@ -99,7 +169,7 @@ def mean_token_len(col: Column | str) -> Column:
     return F.round(total / F.greatest(F.size(t), F.lit(1)), 6)
 
 
-def quality_score(col: Column | str, token_col: Column | None = None) -> Column:
+def quality_score(col: str, token_col: str | None = None) -> Column:
     """Composite document-quality heuristic in [0,1]: favors mid-length
     docs with low punctuation density and some stopword structure
     (the C4/Gopher-rule shape, reduced to fixture-safe signals).
@@ -107,63 +177,40 @@ def quality_score(col: Column | str, token_col: Column | None = None) -> Column:
     Computed entirely in integer parts-per-million — float round() at
     half-boundaries differs between engines, integer division doesn't.
     quality = (5*len + 3*min(5*sw,1) + 2*(1-min(10*punct,1))) / 10.
-    ``token_col``: pass an already-staged token array to avoid
-    re-tokenizing when several stats share one select.
+    ``token_col``: pass the name of an already-staged token array column
+    to avoid re-tokenizing when several stats share one select.
 
     Defined AS ``quality_score_ppm / 1e6`` — one expression tree, so the
     float and integer forms can never silently drift apart."""
-    return (quality_score_ppm(col, token_col) / F.lit(1000000.0)).alias("quality")
+    ppm = quality_score_ppm_sql(f"`{col}`", _stage(token_col))
+    return F.expr(f"({ppm} / 1.0E6)").alias("quality")
 
 
-def quality_score_ppm(col: Column | str, token_col: Column | None = None) -> Column:
+def _stage(token_col: str | None) -> str | None:
+    """Staged token-array column NAME → backticked SQL ref (or None)."""
+    return f"`{token_col}`" if token_col is not None else None
+
+
+def quality_score_ppm(col: str, token_col: str | None = None) -> Column:
     """quality_score BEFORE the final /1e6 — the exact bigint ppm value,
     for aggregations that must stay in integer arithmetic (a mean over
     the float form would round-trip through an inexact double). This is
-    the single source of truth; quality_score IS this / 1e6."""
-    c = F.col(col) if isinstance(col, str) else col
-    t = token_col if token_col is not None else tokens(c)
-    n_tok = F.greatest(F.size(t), F.lit(1)).cast("bigint")
-    n_chars = F.greatest(F.length(c), F.lit(1)).cast("bigint")
-    hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("bigint")
-    n_punct = F.length(F.regexp_replace(c, r"[^.!?,;:]", "")).cast("bigint")
-    m = F.lit(1000000).cast("bigint")
-    len_ppm = F.least(F.length(c).cast("bigint") * 2500, m)
-    sw_capped = F.least(F.floor(hits * 1000000 / n_tok) * 5, m)
-    punct_capped = F.least(F.floor(n_punct * 1000000 / n_chars) * 10, m)
-    return F.floor((5 * len_ppm + 3 * sw_capped + 2 * (m - punct_capped)) / 10).cast(
-        "bigint"
-    )
+    the single source of truth; quality_score IS this / 1e6.
+    ``token_col``: the NAME of an already-staged token array column."""
+    return F.expr(quality_score_ppm_sql(f"`{col}`", _stage(token_col)))
 
 
 def lang_id(
-    col: Column | str,
+    col: str,
     markers: dict[str, tuple[str, ...]] | None = None,
-    token_col: Column | None = None,
+    token_col: str | None = None,
 ) -> Column:
     """N-gram/stopword language heuristic: argmax of marker-hit counts,
-    'und' when no marker hits. Deterministic tie-break by language code.
-    ``token_col``: optional staged token array (see quality_score)."""
-    markers = markers or LANG_MARKERS
-    t = token_col if token_col is not None else tokens(col)
-
-    # NB: bind via closure factory, not lambda default args — PySpark
-    # counts lambda params, and a 2-param lambda gets (element, index).
-    def hit(m):
-        return lambda x: x.isin(*m)
-
-    scores = {
-        lang: F.size(F.filter(t, hit(m))) for lang, m in sorted(markers.items())
-    }
-    # fold ascending with strict >: alphabetically-first language wins ties,
-    # 'und' when every score is 0
-    best = F.lit("und")
-    best_score = F.lit(0)
-    for lang in sorted(scores):
-        s = scores[lang]
-        new_best = F.when(s > best_score, F.lit(lang)).otherwise(best)
-        best_score = F.when(s > best_score, s).otherwise(best_score)
-        best = new_best
-    return best
+    'und' when no marker hits. Deterministic tie-break by language code
+    (ascending fold with strict >: alphabetically-first language wins
+    ties, 'und' when every score is 0). ``token_col``: the NAME of an
+    already-staged token array column (see quality_score)."""
+    return F.expr(lang_id_sql(f"`{col}`", markers, _stage(token_col)))
 
 
 def fingerprint(col: Column | str) -> Column:
@@ -367,8 +414,8 @@ def add_text_stats(df: DataFrame, key: str = "text") -> DataFrame:
         .withColumn("punct_ratio", punct_ratio(key))
         .withColumn("stopword_ratio", F.round(sw_hits / n, 6))
         .withColumn("mean_token_len", F.round(tok_chars / n, 6))
-        .withColumn("quality", quality_score(key, token_col=t))
-        .withColumn("lang_pred", lang_id(key, token_col=t))
+        .withColumn("quality", quality_score(key, token_col="__t"))
+        .withColumn("lang_pred", lang_id(key, token_col="__t"))
         .withColumn("fingerprint", fingerprint(key))
         .drop("__t")
     )

@@ -254,7 +254,12 @@ def _window_lit0_sites():
     import re
 
     root = pathlib.Path(__file__).resolve().parent.parent / "dabstract_spark"
-    pat = re.compile(r"Window\s*\.\s*partitionBy\(\s*F\.lit\(0\)\s*\)")
+    # both spellings of a constant-key window: the Column form and the
+    # SQL form used by the F.expr one-shot builders (r12 chatter cuts)
+    pat = re.compile(
+        r"Window\s*\.\s*partitionBy\(\s*F\.lit\(0\)\s*\)"
+        r"|OVER\s*\(PARTITION BY 0[\s)]"
+    )
     sites = set()
     for p in root.rglob("*.py"):
         src = p.read_text()
