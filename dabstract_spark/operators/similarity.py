@@ -1297,6 +1297,34 @@ def _micro_vec(col: Column) -> Column:
     )
 
 
+# SQL-text twin of _micro_vec for one-parse composers (r12 chatter cut):
+# identical expression tree — round→DECIMAL(18,6)→×1000000(int literal)→
+# BIGINT — so results are bit-identical to the Column form.
+_MICRO_SQL = (
+    "transform({c}, x -> CAST(CAST(round(CAST(x AS DOUBLE), 6)"
+    " AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
+)
+
+
+def _py_sq_l2(a: list[int], b: list[int]) -> int:
+    """Exact integer squared L2 — the Python twin of _SQL2 (bigint
+    arithmetic; Python ints are exact)."""
+    return sum((p - q) * (p - q) for p, q in zip(a, b))
+
+
+def _py_argmin_cell(coarse: list[list[int]], v: list[int]) -> int:
+    """Python twin of _argmin_cell_expr: argmin cell, ties to the lowest
+    cell (strict < keeps the first minimum — same as
+    array_position(first occurrence of array_min))."""
+    best = None
+    bi = 0
+    for i, cv in enumerate(coarse):
+        d = _py_sq_l2(v, cv)
+        if best is None or d < best:
+            best, bi = d, i
+    return bi
+
+
 def _trunc_div(a: int, b: int) -> int:
     """Integral division truncating toward zero (Spark div / DuckDB //
     semantics) — Python's // floors, which differs on negatives."""
@@ -1386,22 +1414,30 @@ def ivf_pq_train(
             "code and ADC distance"
         )
     sub = dim // m
-    vm = df.select(
-        F.col(id_col).alias("__id"),
-        _micro_vec(F.col(vec_col)).alias("__vm"),
-        F.md5(F.col(id_col).cast("string")).alias("__h"),
+    # one-parse plan build (r12 chatter cut, guide §1.2 per-task work on
+    # the DRIVER): the Column-by-Column form of this function cost ~750
+    # py4j round trips per call — selectExpr/struct-agg composers below
+    # build identical expression trees in ~1 parse each
+    vm = df.selectExpr(
+        f"`{id_col}` AS __id",
+        _MICRO_SQL.format(c=f"`{vec_col}`") + " AS __vm",
+        f"md5(CAST(`{id_col}` AS STRING)) AS __h",
     )
     # seeds are the n smallest-md5(id) rows PRESENT (orderBy + tiny
     # limit-collect), not `id < n`: an id space with gaps or an offset
     # (a filtered corpus through the Dataset facade) must not crash or
-    # under-seed; md5-rank order (id tie-break) IS the cell/code index
-    coarse_rows = sorted(
+    # under-seed; md5-rank order (id tie-break) IS the cell/code index.
+    # ONE TakeOrdered job serves BOTH seed sets (coarse cells and PQ
+    # codes — r12: was two limit-collect jobs plus a data-sized
+    # filter-collect for the seed residuals, now computed in Python
+    # from the same rows with exact integer arithmetic).
+    seed_rows = sorted(
         (str(r[2]), int(r[0]), [int(v) for v in r[1]])
-        for r in vm.orderBy("__h", "__id").limit(n_coarse).collect()
+        for r in vm.orderBy("__h", "__id").limit(max(n_coarse, pq_k)).collect()
     )
-    if not coarse_rows:
+    if not seed_rows:
         raise ValueError("ivf_pq_train: empty corpus")
-    coarse = [cv for _, _, cv in coarse_rows]
+    coarse = [cv for _, _, cv in seed_rows[:n_coarse]]
     for _ in range(coarse_iters):
         # one coarse Lloyd step: map-side literal-LUT assignment, then a
         # groupBy(cell) with dim partial sums — collects <= n_coarse
@@ -1410,15 +1446,18 @@ def ivf_pq_train(
             vm.withColumn("__cell", _argmin_cell_expr(coarse, "__vm"))
             .groupBy("__cell")
             .agg(
-                F.expr("count(1) AS __n"),
-                *[
-                    F.expr(f"sum(element_at(__vm, {j + 1})) AS __t{j}")
-                    for j in range(dim)
-                ],
+                F.expr(
+                    "struct(count(1) AS n, "
+                    + ", ".join(
+                        f"sum(element_at(__vm, {j + 1})) AS t{j}"
+                        for j in range(dim)
+                    )
+                    + ") AS __s"
+                )
             )
         )
         cgot = {
-            int(r[0]): (int(r[1]), [int(r[2 + j]) for j in range(dim)])
+            int(r[0]): (int(r[1][0]), [int(r[1][1 + j]) for j in range(dim)])
             for r in csums.collect()
         }
         coarse = [
@@ -1430,51 +1469,55 @@ def ivf_pq_train(
             for c in range(len(coarse))
         ]
     cell_lut = "array(" + ", ".join(_arr_sql(cv) for cv in coarse) + ")"
-    res = F.zip_with(
-        F.col("__vm"),
-        F.expr(f"element_at({cell_lut}, __cell + 1)"),
-        lambda a, b: a - b,
+    # residual computed ONCE per row (bind through a 1-element array —
+    # a bare column reference would be inlined by CollapseProject into
+    # the transform lambda and re-evaluated per subspace), then sliced
+    # into the m subvectors; identical values to the slice-loop form
+    res_sql = (
+        f"zip_with(__vm, element_at({cell_lut}, __cell + 1), (a, b) -> a - b)"
     )
     ex = (
         vm.withColumn("__cell", _argmin_cell_expr(coarse, "__vm"))
-        .select(
+        .selectExpr(
             "__id",
             "__cell",
-            F.posexplode(
-                F.array(*[F.slice(res, s * sub + 1, sub) for s in range(m)])
-            ).alias("__s", "__x"),
+            f"posexplode(element_at(transform(array({res_sql}),"
+            f" r -> transform(sequence(0, {m - 1}),"
+            f" s -> slice(r, s * {sub} + 1, {sub}))), 1)) AS (__s, __x)",
         )
-        # 3 lineage reads (seed collect, each Lloyd pass, final encode):
-        # bound the recompute at one materialization
+        # 2 lineage reads (each Lloyd pass, final encode): bound the
+        # recompute at one materialization
         .localCheckpoint(eager=False)
     )
-    seed_ids = [
-        int(r[1])
-        for r in sorted(
-            (str(r[0]), int(r[1]))
-            for r in vm.select("__h", "__id").orderBy("__h", "__id").limit(pq_k).collect()
-        )
-    ]  # md5-rank order; list position IS the code index
+    seed_ids = [i for _, i, _ in seed_rows[:pq_k]]  # md5-rank order;
+    # list position IS the code index
     pq_k = len(seed_ids)  # a corpus smaller than pq_k seeds what it has
-    seed_rows = ex.filter(F.col("__id").isin(seed_ids)).collect()
-    seeds: dict[tuple[int, int], list[int]] = {
-        (int(r["__s"]), seed_ids.index(int(r["__id"]))): [int(v) for v in r["__x"]]
-        for r in seed_rows
-    }
+    # seed residuals in exact Python integer arithmetic (the _SQL2 twin):
+    # cell assignment against the REFINED coarse, residual, m slices —
+    # byte-identical to the former filter-collect over `ex`, minus a
+    # data-sized job
+    seeds: dict[tuple[int, int], list[int]] = {}
+    for _, sid, v in seed_rows[:pq_k]:
+        cell = _py_argmin_cell(coarse, v)
+        r = [a - b for a, b in zip(v, coarse[cell])]
+        for s in range(m):
+            seeds[(s, seed_ids.index(sid))] = r[s * sub : (s + 1) * sub]
     books = [[seeds[(s, c)] for c in range(pq_k)] for s in range(m)]
     for _ in range(iters):
         coded = ex.withColumn("__code", _pq_code_expr(books, "__x", "__s"))
         sums = coded.groupBy("__s", "__code").agg(
-            F.expr("count(1) AS __n"),
-            *[
-                F.expr(f"sum(element_at(__x, {j + 1})) AS __c{j}")
-                for j in range(sub)
-            ],
+            F.expr(
+                "struct(count(1) AS n, "
+                + ", ".join(
+                    f"sum(element_at(__x, {j + 1})) AS c{j}" for j in range(sub)
+                )
+                + ") AS __t"
+            )
         )
         got = {
             (int(r[0]), int(r[1])): (
-                int(r[2]),
-                [int(r[3 + j]) for j in range(sub)],
+                int(r[2][0]),
+                [int(r[2][1 + j]) for j in range(sub)],
             )
             for r in sums.collect()
         }
@@ -1533,20 +1576,19 @@ def ivf_pq_topk(
         corpus, id_col, vec_col, dim, n_coarse, m, pq_k, iters, coarse_iters
     )
     cell_lut = "array(" + ", ".join(_arr_sql(cv) for cv in coarse) + ")"
-    vm = corpus.select(
-        F.col(id_col), _micro_vec(F.col(vec_col)).alias("__vm")
+    # one-parse composers throughout (r12 chatter cut — see ivf_pq_train)
+    vm = corpus.selectExpr(
+        f"`{id_col}`", _MICRO_SQL.format(c=f"`{vec_col}`") + " AS __vm"
     ).withColumn("__cell", _argmin_cell_expr(coarse, "__vm"))
-    res = F.zip_with(
-        F.col("__vm"),
-        F.expr(f"element_at({cell_lut}, __cell + 1)"),
-        lambda a, b: a - b,
+    res_sql = (
+        f"zip_with(__vm, element_at({cell_lut}, __cell + 1), (a, b) -> a - b)"
     )
-    codes = vm.select(
-        id_col,
+    codes = vm.selectExpr(
+        f"`{id_col}`",
         "__cell",
-        F.posexplode(
-            F.array(*[F.slice(res, s * sub + 1, sub) for s in range(m)])
-        ).alias("__s", "__x"),
+        f"posexplode(element_at(transform(array({res_sql}),"
+        f" r -> transform(sequence(0, {m - 1}),"
+        f" s -> slice(r, s * {sub} + 1, {sub}))), 1)) AS (__s, __x)",
     ).select(
         id_col,
         "__cell",
@@ -1554,48 +1596,39 @@ def ivf_pq_topk(
         _pq_code_expr(books, "__x", "__s").alias("__code"),
     )
 
-    qm = queries.select(
-        F.col(id_col).alias(query_id), _micro_vec(F.col(vec_col)).alias("__qm")
+    qm = queries.selectExpr(
+        f"`{id_col}` AS `{query_id}`",
+        _MICRO_SQL.format(c=f"`{vec_col}`") + " AS __qm",
     )
     cdists = f"transform({cell_lut}, c -> {_SQL2.format(a='__qm', b='c')})"
-    probes = qm.select(
-        query_id,
+    probes = qm.selectExpr(
+        f"`{query_id}`",
         "__qm",
-        F.posexplode(
-            F.expr(
-                # (dist, cell) structs sorted ascending -> first nprobe;
-                # struct order breaks distance ties to the lowest cell
-                f"slice(array_sort(zip_with({cdists},"
-                f" sequence(0, {len(coarse) - 1}),"
-                " (d, i) -> struct(d AS d, i AS cell))),"
-                f" 1, {nprobe})"
-            )
-        ).alias("__p", "__dc"),
-    ).select(query_id, "__qm", F.col("__dc.cell").alias("__cell"))
-    qres = F.zip_with(
-        F.col("__qm"),
-        F.expr(f"element_at({cell_lut}, __cell + 1)"),
-        lambda a, b: a - b,
+        # (dist, cell) structs sorted ascending -> first nprobe;
+        # struct order breaks distance ties to the lowest cell
+        f"posexplode(slice(array_sort(zip_with({cdists},"
+        f" sequence(0, {len(coarse) - 1}),"
+        " (d, i) -> struct(d AS d, i AS cell))),"
+        f" 1, {nprobe})) AS (__p, __dc)",
+    ).selectExpr(f"`{query_id}`", "__qm", "__dc.cell AS __cell")
+    qres_sql = (
+        f"zip_with(__qm, element_at({cell_lut}, __cell + 1), (a, b) -> a - b)"
     )
-    qsub = probes.select(
-        query_id,
+    qsub = probes.selectExpr(
+        f"`{query_id}`",
         "__cell",
-        F.posexplode(
-            F.array(*[F.slice(qres, s * sub + 1, sub) for s in range(m)])
-        ).alias("__s", "__qx"),
+        f"posexplode(element_at(transform(array({qres_sql}),"
+        f" r -> transform(sequence(0, {m - 1}),"
+        f" s -> slice(r, s * {sub} + 1, {sub}))), 1)) AS (__s, __qx)",
     )
-    qd = qsub.select(
-        query_id,
+    qd = qsub.selectExpr(
+        f"`{query_id}`",
         "__cell",
         "__s",
-        F.posexplode(
-            F.expr(
-                f"transform(element_at({_books_sql(books)}, __s + 1),"
-                f" c -> {_SQL2.format(a='__qx', b='c')})"
-            )
-        ).alias("__c1", "__d"),
-    ).select(
-        query_id, "__cell", "__s", (F.col("__c1")).cast("int").alias("__code"), "__d"
+        f"posexplode(transform(element_at({_books_sql(books)}, __s + 1),"
+        f" c -> {_SQL2.format(a='__qx', b='c')})) AS (__c1, __d)",
+    ).selectExpr(
+        f"`{query_id}`", "__cell", "__s", "CAST(__c1 AS INT) AS __code", "__d"
     )
     scored = (
         codes.join(F.broadcast(qd), ["__cell", "__s", "__code"])
@@ -1616,16 +1649,10 @@ def ivf_pq_topk(
     if not rerank:
         return ranked.filter(F.col("rank") <= k)
     cand = ranked.filter(F.col("rank") <= rerank).select(query_id, id_col)
-    corpus_vm = corpus.select(
-        F.col(id_col), _micro_vec(F.col(vec_col)).alias("__cvm")
+    corpus_vm = corpus.selectExpr(
+        f"`{id_col}`", _MICRO_SQL.format(c=f"`{vec_col}`") + " AS __cvm"
     )
-    exact_d = F.aggregate(
-        F.zip_with(
-            F.col("__qm"), F.col("__cvm"), lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    exact_d = F.expr(_SQL2.format(a="__qm", b="__cvm"))
     return (
         corpus_vm.join(F.broadcast(cand), id_col)
         .join(F.broadcast(qm), query_id)

@@ -8297,15 +8297,13 @@ def q312_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = sim.ivf_pq_topk(emb, queries_df, k=10, nprobe=2).select(
         "query_id", "vec_id"
     )
-    vm = emb.select("vec_id", sim._micro_vec(F.col("embedding")).alias("__vm"))
+    vm = emb.selectExpr(
+        "vec_id", sim._MICRO_SQL.format(c="embedding") + " AS __vm"
+    )
     qm = vm.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("__vm").alias("__qm")
     )
-    d = F.aggregate(
-        F.zip_with(F.col("__qm"), F.col("__vm"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    d = F.expr(sim._SQL2.format(a="__qm", b="__vm"))
     exact = (
         vm.join(F.broadcast(qm), F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id", d.alias("__d"))
@@ -8379,15 +8377,13 @@ def q313_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = sim.ivf_pq_topk(
         emb, queries_df, k=10, nprobe=4, rerank=100
     ).select("query_id", "vec_id")
-    vm = emb.select("vec_id", sim._micro_vec(F.col("embedding")).alias("__vm"))
+    vm = emb.selectExpr(
+        "vec_id", sim._MICRO_SQL.format(c="embedding") + " AS __vm"
+    )
     qm = vm.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("__vm").alias("__qm")
     )
-    d = F.aggregate(
-        F.zip_with(F.col("__qm"), F.col("__vm"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    d = F.expr(sim._SQL2.format(a="__qm", b="__vm"))
     exact = (
         vm.join(F.broadcast(qm), F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id", d.alias("__d"))
