@@ -34,6 +34,16 @@ def md5_bucket(col: Column | str, buckets: int, seed: int = 0) -> Column:
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets).cast("int")
 
 
+def md5_bucket_sql(expr: str, buckets: int, seed: int = 0) -> str:
+    """Spark-SQL text twin of ``md5_bucket`` (one-parse composers, r12
+    chatter cut): identical expression tree, identical buckets."""
+    return (
+        f"CAST(CAST(conv(substring(md5(concat('{seed}:',"
+        f" CAST({expr} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        f" % {buckets} AS INT)"
+    )
+
+
 def md5_unit(col: Column | str, seed: int = 0) -> Column:
     """Uniform deterministic double in [0,1) from the md5 prefix."""
     h = md5_order(col, seed)

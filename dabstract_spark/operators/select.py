@@ -913,7 +913,6 @@ def grouped_weighted_quantiles(
     fits ``broadcast_threshold``; hint-less callers get plain joins AQE
     converts at runtime, no plan-build count job, no driver bomb on a
     high-cardinality group column."""
-    w = F.col(weight_col).cast("bigint")
     vtype = counts.schema[value_col].dataType.simpleString()
     if not (
         vtype in ("tinyint", "smallint", "int", "bigint", "float", "double")
@@ -931,49 +930,41 @@ def grouped_weighted_quantiles(
     else:
         maybe_bcast = lambda d: d  # noqa: E731
 
-    keyed = counts.withColumn("__k", F.col(value_col).cast("double"))
+    # one-parse composers (r12 chatter cut): the Column-by-Column form
+    # of this function cost ~420 py4j round trips per call (×2 per
+    # median/MAD caller); every block below builds the identical
+    # expression tree in one F.expr/selectExpr parse.
+    g = f"`{group_col}`"
+    v = f"`{value_col}`"
+    wsql = f"CAST(`{weight_col}` AS BIGINT)"
+    keyed = counts.withColumn("__k", F.expr(f"CAST({v} AS DOUBLE)"))
     stats = keyed.groupBy(group_col).agg(
-        F.min("__k").alias("__kmin"), F.max("__k").alias("__kmax")
+        F.expr("min(__k) AS __kmin"), F.expr("max(__k) AS __kmax")
     )
-    span = F.col("__kmax") - F.col("__kmin")
-    bucket = (
-        F.when(F.col("__k").isNull(), F.lit(-1))
-        .when(span <= 0, F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(255),
-                F.floor((F.col("__k") - F.col("__kmin")) * 256.0 / span).cast(
-                    "int"
-                ),
-            )
-        )
+    bucket_sql = (
+        "CASE WHEN __k IS NULL THEN -1"
+        " WHEN (__kmax - __kmin) <= 0 THEN 0"
+        " ELSE least(255, CAST(floor((__k - __kmin) * 256.0"
+        " / (__kmax - __kmin)) AS INT)) END"
     )
     # null-safe group join: a NULL group is a real window partition in
     # the naive form, so it must match its own stats/offsets row here
     st = stats.withColumnRenamed(group_col, "__g")
     bucketed = (
-        keyed.join(maybe_bcast(st), F.col(group_col).eqNullSafe(F.col("__g")))
-        .withColumn("__b", bucket)
+        keyed.join(maybe_bcast(st), F.expr(f"{g} <=> __g"))
+        .withColumn("__b", F.expr(bucket_sql))
         .drop("__g", "__kmin", "__kmax")
     )
-    sums = bucketed.groupBy(group_col, "__b").agg(F.sum(w).alias("__t"))
+    sums = bucketed.groupBy(group_col, "__b").agg(F.expr(f"sum({wsql}) AS __t"))
     # bounded by construction: <= n_groups × 257 rows
-    w_off = (
-        Window.partitionBy(group_col)
-        .orderBy("__b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_tot = (
-        Window.partitionBy(group_col)
-        .orderBy("__b")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    offsets = sums.select(
-        F.col(group_col).alias("__g"),
-        F.col("__b").alias("__ob"),
-        F.col("__t"),
-        F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
-        F.sum("__t").over(w_tot).alias("__n"),
+    offsets = sums.selectExpr(
+        f"{g} AS __g",
+        "__b AS __ob",
+        "__t",
+        f"coalesce(sum(__t) OVER (PARTITION BY {g} ORDER BY __b"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS __off",
+        f"sum(__t) OVER (PARTITION BY {g} ORDER BY __b"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS __n",
     )
     # BOUNDARY-BUCKET PRUNING: cum is non-decreasing in value order and
     # every threshold test is monotone, so each quantile's qualifying
@@ -988,56 +979,40 @@ def grouped_weighted_quantiles(
     # bucket-local cumsum then touches <= k+2 buckets per group instead
     # of the whole table — the full-data path is pure map-side-combined
     # aggregation.
-    from functools import reduce as _reduce
-    from operator import or_ as _or
-
-    crossing = _reduce(
-        _or,
-        [
-            (
-                F.lit(int(den)) * (F.col("__off") + F.col("__t"))
-                >= F.lit(int(num)) * F.col("__n")
-            )
-            & (F.lit(int(den)) * F.col("__off") < F.lit(int(num)) * F.col("__n"))
-            for _, num, den in quantiles
-        ],
+    crossing_sql = " OR ".join(
+        f"({int(den)} * (__off + __t) >= {int(num)} * __n"
+        f" AND {int(den)} * __off < {int(num)} * __n)"
+        for _, num, den in quantiles
     )
-    w_grp = (
-        Window.partitionBy("__g")
-        .orderBy("__ob")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_grp_sql = (
+        "OVER (PARTITION BY __g ORDER BY __ob"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
     )
     kept = (
-        offsets.withColumn("__bmin", F.min("__ob").over(w_grp))
-        .withColumn(
-            "__bnn",
-            F.min(F.when(F.col("__ob") >= 0, F.col("__ob"))).over(w_grp),
+        offsets.selectExpr(
+            "*",
+            f"min(__ob) {w_grp_sql} AS __bmin",
+            f"min(CASE WHEN __ob >= 0 THEN __ob END) {w_grp_sql} AS __bnn",
         )
-        .filter(
-            crossing
-            | (F.col("__ob") == F.col("__bmin"))
-            | (F.col("__ob") == F.col("__bnn"))
-        )
+        .filter(F.expr(f"({crossing_sql}) OR __ob = __bmin OR __ob = __bnn"))
         .drop("__t", "__bmin", "__bnn")
     )
     # bucket-local running sum: each task holds <= 1/256 of one group's
     # distinct values, and only boundary buckets survive the join
-    w_loc = (
-        Window.partitionBy(group_col, "__b")
-        .orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     cum = bucketed.join(
-        maybe_bcast(kept),
-        F.col(group_col).eqNullSafe(F.col("__g")) & (F.col("__b") == F.col("__ob")),
-    ).withColumn("__cum", F.col("__off") + F.sum(w).over(w_loc))
+        maybe_bcast(kept), F.expr(f"{g} <=> __g AND __b = __ob")
+    ).withColumn(
+        "__cum",
+        F.expr(
+            f"__off + sum({wsql}) OVER (PARTITION BY {g}, __b ORDER BY {v}"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+    )
     picks = [
-        F.min(
-            F.when(
-                F.lit(int(den)) * F.col("__cum") >= F.lit(int(num)) * F.col("__n"),
-                F.col(value_col),
-            )
-        ).alias(name)
+        F.expr(
+            f"min(CASE WHEN {int(den)} * __cum >= {int(num)} * __n"
+            f" THEN {v} END) AS `{name}`"
+        )
         for name, num, den in quantiles
     ]
     return cum.groupBy(group_col).agg(*picks)

@@ -867,24 +867,26 @@ def bpe_learn_merges(
     # fuses into the NEXT step's pair-count job instead of running its
     # own — halves the per-step job count (and Spark's per-job floor)
     cur = words.select(s0.alias("s"), "cnt").localCheckpoint(eager=False)
+    # one-parse pair extraction (r12 chatter cut): the Column/lambda form
+    # of this block cost ~150 py4j round trips per merge step; the SQL
+    # text below is the identical expression tree. The symbol array is
+    # bound once per row through a 1-element array (bind_once — a bare
+    # split() reference would be re-evaluated per lambda element), and
+    # inline() replaces explode+struct-field projection.
+    pairs_sql = (
+        "inline(element_at(transform(array(split(s, ' ')), syms ->"
+        " CASE WHEN size(syms) >= 2 THEN"
+        " transform(sequence(1, size(syms) - 1),"
+        " i -> struct(element_at(syms, i) AS wa,"
+        " element_at(syms, i + 1) AS wb))"
+        " ELSE CAST(array() AS array<struct<wa:string,wb:string>>) END), 1))"
+    )
     merges = []
     for step in range(1, n_merges + 1):
-        syms = F.split(F.col("s"), " ")
-        n = F.size(syms)
-        pairs = F.when(
-            n >= 2,
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.struct(
-                    F.element_at(syms, i).alias("wa"),
-                    F.element_at(syms, i + 1).alias("wb"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<wa:string,wb:string>>"))
         pc = (
-            cur.select(F.explode(pairs).alias("p"), "cnt")
-            .groupBy(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
-            .agg(F.sum("cnt").alias("total"))
+            cur.selectExpr(pairs_sql, "cnt")
+            .groupBy("wa", "wb")
+            .agg(F.expr("sum(cnt) AS total"))
         )
         best = pc.orderBy(F.desc("total"), F.asc("wa"), F.asc("wb")).limit(1).collect()
         if not best:
@@ -1117,6 +1119,20 @@ def dsir_features(col: Column | str) -> Column:
     return F.concat(uni, big)
 
 
+def _dsir_features_sql(col_sql: str) -> str:
+    """SQL-text twin of ``dsir_features`` (one-parse composers, r12
+    chatter cut): the identical expression tree, so buckets and scores
+    are unchanged. Matters doubly for the STREAMING scorer, which
+    rebuilds this plan once per micro-batch."""
+    t = _tokens_sql(col_sql)
+    return (
+        f"concat(transform({t}, x -> concat('u:', x)),"
+        f" zip_with(slice({t}, 1, greatest(size({t}) - 1, 0)),"
+        f" slice({t}, 2, greatest(size({t}) - 1, 0)),"
+        f" (a, b) -> concat('b:', a, ' ', b)))"
+    )
+
+
 def dsir_logratio_table(
     target: DataFrame,
     raw: DataFrame,
@@ -1141,16 +1157,16 @@ def dsir_logratio_table(
 
     Scale shape: two corpus scans reducing map-side to ≤ n_buckets rows
     each; the table itself is broadcast-sized by construction."""
-    from dabstract_spark.functions.hashing import md5_bucket
+    from dabstract_spark.functions.hashing import md5_bucket_sql
 
     def bucket_counts(df, name):
         return (
-            df.select(
-                F.explode(dsir_features(text_col)).alias("__f")
+            df.selectExpr(
+                f"explode({_dsir_features_sql(f'`{text_col}`')}) AS __f"
             )
-            .select(md5_bucket(F.col("__f"), n_buckets, seed).alias("bucket"))
+            .selectExpr(md5_bucket_sql("__f", n_buckets, seed) + " AS bucket")
             .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias(name))
+            .agg(F.expr(f"count(1) AS `{name}`"))
         )
 
     spark = target.sparkSession
@@ -1204,14 +1220,15 @@ def dsir_logratio_table_flagged(
     source once per side. ``is_target`` is a boolean Column (or column
     name); output is identical to the two-corpus builder on the same
     split (shared ``_dsir_table_from_counts`` math)."""
-    from dabstract_spark.functions.hashing import md5_bucket
+    from dabstract_spark.functions.hashing import md5_bucket_sql
 
     flag = (F.col(is_target) if isinstance(is_target, str) else is_target).cast(
         "int"
     )
     feats = df.select(
-        flag.alias("__y"), F.explode(dsir_features(text_col)).alias("__f")
-    ).select("__y", md5_bucket(F.col("__f"), n_buckets, seed).alias("bucket"))
+        flag.alias("__y"),
+        F.expr(f"explode({_dsir_features_sql(f'`{text_col}`')})").alias("__f"),
+    ).selectExpr("__y", md5_bucket_sql("__f", n_buckets, seed) + " AS bucket")
     counts = feats.groupBy("bucket").agg(
         F.sum("__y").alias("__ct"), F.sum(1 - F.col("__y")).alias("__cr")
     )
@@ -1247,12 +1264,12 @@ def dsir_select(
     (rank, id, n_feats, score_units)."""
     from pyspark.sql import Window
 
-    from dabstract_spark.functions.hashing import md5_bucket
+    from dabstract_spark.functions.hashing import md5_bucket_sql
 
-    feats = raw.select(
-        F.col(id_col).alias("__id"),
-        F.explode(dsir_features(text_col)).alias("__f"),
-    ).select("__id", md5_bucket(F.col("__f"), n_buckets, seed).alias("bucket"))
+    feats = raw.selectExpr(
+        f"`{id_col}` AS __id",
+        f"explode({_dsir_features_sql(f'`{text_col}`')}) AS __f",
+    ).selectExpr("__id", md5_bucket_sql("__f", n_buckets, seed) + " AS bucket")
     scored = (
         feats.join(F.broadcast(table), "bucket", "left")
         .groupBy("__id")

@@ -3079,9 +3079,12 @@ def q188_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dabstract_spark.operators import xval as xv
 
     docs = _t(spark, sf_dir, "documents")
+    # referenced twice (fold assignment + final join): one lazy stage
+    # boundary stops the clustering tree (docs scan + singleton
+    # anti-join) executing per reference (r12, the q228 discipline)
     clusters = dd.minhash_dedup_clusters(
         docs, "doc_id", "text", n_hashes=16, bands=4, k=3, max_bucket=64
-    )
+    ).localCheckpoint(eager=False)
     folds = xv.group_random_kfold(
         clusters, folds=5, key="doc_id", group="cluster_id", seed=2
     )
@@ -4531,8 +4534,21 @@ def q228_curate_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dabstract_spark.operators.packing import chunk_manifest, sequence_pack
     from dabstract_spark.operators.select import training_order
 
-    clean = q221_pretrain_pipeline(spark, sf_dir).select("doc_id", "n_tokens")
-    ordered = training_order(clean, "doc_id", seed=7)
+    # stage boundaries (r12, guide §3.3/§5): `clean` is referenced twice
+    # by the row-id builder and `ordered` three times (pack internals +
+    # the final join) — without a cut, each reference re-executes the
+    # whole curation tree above q221's persists (the decontaminate
+    # anti-join included), measured 159 AQE stage-jobs / 18.8 s warm for
+    # this query vs 42 jobs / 6.0 s with the two checkpoints. Both
+    # tables are survivor-sized (the curated corpus a production pack
+    # run would materialize anyway), and the checkpoints are LAZY so
+    # the first downstream job fuses the materialization.
+    clean = (
+        q221_pretrain_pipeline(spark, sf_dir)
+        .select("doc_id", "n_tokens")
+        .localCheckpoint(eager=False)
+    )
+    ordered = training_order(clean, "doc_id", seed=7).localCheckpoint(eager=False)
     packed = sequence_pack(ordered, "pos", "n_tokens", capacity=512, block_size=64)
     return chunk_manifest(packed, "doc_id", capacity=512).join(
         ordered.select("doc_id", "pos"), "doc_id"

@@ -1111,15 +1111,20 @@ def dsir_score_stream(
     order — and the output is one row per distinct document, so the
     drained sink equals the batch scorer exactly (the curate_stream /
     cohort set-algebra argument; no stream state at all)."""
-    from dabstract_spark.functions.hashing import md5_bucket
-    from dabstract_spark.operators.text import dsir_features
+    from dabstract_spark.functions.hashing import md5_bucket_sql
+    from dabstract_spark.operators.text import _dsir_features_sql
 
     table_static = table.persist()
+    # SQL strings built ONCE; each micro-batch re-parses them in 2 py4j
+    # round trips instead of rebuilding ~150 Column ops (r12 chatter cut
+    # — per-batch plan construction is a per-trigger latency floor)
+    feats_sql = f"explode({_dsir_features_sql(f'`{text_col}`')}) AS __f"
+    bucket_sql = md5_bucket_sql("__f", n_buckets, seed) + " AS bucket"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        feats = batch_df.select(
-            F.col(id_col), F.explode(dsir_features(text_col)).alias("__f")
-        ).select(id_col, md5_bucket(F.col("__f"), n_buckets, seed).alias("bucket"))
+        feats = batch_df.selectExpr(f"`{id_col}`", feats_sql).selectExpr(
+            f"`{id_col}`", bucket_sql
+        )
         scored = (
             feats.join(F.broadcast(table_static), "bucket", "left")
             .groupBy(id_col)
