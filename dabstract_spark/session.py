@@ -12,6 +12,18 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
+# Cached py4j member resolution for PySpark's plan-build helpers — cuts
+# every F.* builtin from 3 driver round trips to 1 (see fastpath.py).
+# Installed at import so the DRIVER's own session benefits too (queries
+# import this module via load_table before building any plan). Guarded:
+# a pyspark whose internals moved just keeps the stock resolvers.
+try:
+    from dabstract_spark.fastpath import install as _install_fastpath
+
+    _install_fastpath()
+except Exception:  # pragma: no cover - version drift fallback
+    pass
+
 
 def scratch_base() -> str | None:
     """Fast local scratch for ephemeral sinks/checkpoints/shuffle dirs.
