@@ -521,7 +521,9 @@ class Dataset:
         if overwrite or not done:
             cinfo = dict(info or {})
             cinfo.setdefault("dtype", dict(self._df.dtypes).get(key))
-            feat = chain.expr(F.col(key), cinfo)
+            # name (not F.col): lets the chain compose SQL-twin stages
+            # into one parse (chain.expr_info, optimization r12)
+            feat = chain.expr(key, cinfo)
             cols = [F.col(ROW_ID), feat.alias("__feat")]
             writer_cols = [ROW_ID]
             if partition_by and partition_by in self._df.columns:

@@ -84,21 +84,54 @@ class ProcessingChain:
         c, _ = self.expr_info(col, info)
         return c
 
+    @staticmethod
+    def _post_dtype(proc, info: dict) -> None:
+        """A stage's output dtype drives the next stage's elementwise
+        dispatch; processors that reshape set it explicitly."""
+        if isinstance(proc, P.ExpandDims):
+            info["dtype"] = f"array<{info.get('dtype', 'double')}>"
+        elif isinstance(proc, (P.Framing,)):
+            info["dtype"] = "array<array<double>>"
+        elif isinstance(proc, (P.FFT, P.Filterbank, P.FIRFilter, P.Resample)):
+            info["dtype"] = "array<double>"
+
     def expr_info(self, col: Column | str, info: dict | None = None) -> tuple[Column, dict]:
-        """Compose all stages; returns (expression, final info dict)."""
-        c = F.col(col) if isinstance(col, str) else col
+        """Compose all stages; returns (expression, final info dict).
+
+        Optimization r12 (guide §1.2, driver-side): stages that provide
+        a one-parse SQL twin (``Processor.sql``) are composed as SQL
+        text and materialized with a single ``F.expr`` parse — the
+        Column-by-Column form of an unrolled-literal stage (Filterbank,
+        FIRFilter) costs hundreds of py4j round trips for the identical
+        expression tree. The first stage without a SQL form flushes the
+        accumulated text to a Column and the rest composes Column-wise,
+        so mixed native/UDF chains still get the cheap prefix. Results
+        are identical by construction (each sql() mirrors its expr()
+        tree node for node; pinned by test_processing.py equality
+        tests)."""
         info = dict(info or {})
+        sql_acc = None
+        if isinstance(col, str):
+            sql_acc = f"`{col}`"
+            c = None
+        else:
+            c = col
         for proc in self._chain:
+            if sql_acc is not None:
+                got = proc.sql(sql_acc, info)
+                if got is not None:
+                    sql_acc, upd = got
+                    info.update(upd)
+                    self._post_dtype(proc, info)
+                    continue
+                # flush the SQL prefix to a Column, continue Column-wise
+                c = F.expr(sql_acc)
+                sql_acc = None
             c, upd = proc.expr(c, info)
             info.update(upd)
-            # a stage's output dtype drives the next stage's elementwise
-            # dispatch; processors that reshape set it explicitly
-            if isinstance(proc, P.ExpandDims):
-                info["dtype"] = f"array<{info.get('dtype', 'double')}>"
-            elif isinstance(proc, (P.Framing,)):
-                info["dtype"] = "array<array<double>>"
-            elif isinstance(proc, (P.FFT, P.Filterbank, P.FIRFilter, P.Resample)):
-                info["dtype"] = "array<double>"
+            self._post_dtype(proc, info)
+        if sql_acc is not None:
+            c = F.expr(sql_acc)
         return c, info
 
     def inv_expr(self, col: Column | str, info: dict | None = None) -> Column:
@@ -122,7 +155,9 @@ class ProcessingChain:
     ) -> DataFrame:
         info = dict(info or {})
         info.setdefault("dtype", dict(df.dtypes).get(key))
-        return df.withColumn(new_key or key, self.expr(F.col(key), info))
+        # pass the NAME, not F.col(key): a string input lets expr_info
+        # compose SQL-twin stages into one parse (see expr_info)
+        return df.withColumn(new_key or key, self.expr(key, info))
 
     # ------------------------------------------------------------------ #
     # fitting (reference .fit, :122-172)

@@ -43,6 +43,37 @@ def _elementwise(col: Column, f, info: dict) -> Column:
     return f(col)
 
 
+# --------------------------------------------------------------------- #
+# One-parse SQL twins (optimization r12, guide §1.2 driver-side work).
+#
+# ``expr()`` builds its Column tree one py4j round trip per operation —
+# for the unrolled-literal processors (Filterbank, FIRFilter) that is
+# hundreds to >1500 round trips per plan build on a host whose IPC
+# round trip costs 0.2-6 ms. ``sql()`` composes the IDENTICAL expression
+# tree as ONE SQL string that the chain parses with a single F.expr.
+# Identical means: same operator nesting and associativity (SQL + and *
+# are left-associative like Column operator chaining, parentheses add
+# no AST node), literals via core.sql_double (repr round-trips exactly,
+# and Spark parses D-suffixed literals with Double.parseDouble — bit-
+# identical to F.lit), lambda-variable names irrelevant to results.
+# Every sql() body mirrors its expr() line by line; tests pin
+# equality of results on the fixture tables (test_processing.py).
+#
+# A processor without a SQL form (Arrow-UDF stages, opaque callables)
+# returns None and the chain falls back to Column composition from that
+# stage on — correctness never depends on this path.
+# --------------------------------------------------------------------- #
+def _elementwise_sql(col_sql: str, f, info: dict) -> str:
+    """SQL twin of _elementwise: f maps an operand SQL string to the
+    scalar expression SQL."""
+    dt = str(info.get("dtype", ""))
+    if dt.startswith("array<array"):
+        return f"transform({col_sql}, __pr -> transform(__pr, __px -> {f('__px')}))"
+    if dt.startswith("array"):
+        return f"transform({col_sql}, __px -> {f('__px')})"
+    return f(f"({col_sql})")
+
+
 class Processor:
     """Base class (reference processing_chain.py:14-24). Subclasses are
     Column-expression factories with optional inverse and fit."""
@@ -53,6 +84,12 @@ class Processor:
 
     def expr(self, col: Column, info: dict) -> tuple[Column, dict]:
         return col, {}
+
+    def sql(self, col_sql: str, info: dict) -> tuple[str, dict] | None:
+        """Optional one-parse SQL twin of ``expr`` (see module comment
+        above ``_elementwise_sql``). None = no SQL form; the chain then
+        composes this stage (and the rest) Column-wise."""
+        return None
 
     def inv_expr(self, col: Column, info: dict) -> Column:
         raise NotImplementedError(
@@ -87,6 +124,9 @@ class ExternalProcessor(Processor):
 class Dummy(Processor):
     """Identity (reference processors.py:613)."""
 
+    def sql(self, col_sql, info):
+        return col_sql, {}
+
 
 class Scaler(Processor):
     """Static amplitude scaling (reference processors.py:168-195):
@@ -116,6 +156,17 @@ class Scaler(Processor):
     def expr(self, col, info):
         return _elementwise(col, self._fwd, info), {}
 
+    def sql(self, col_sql, info):
+        from dabstract_spark.core import sql_double
+
+        if self.type == "uint16":
+            f = lambda x: f"{x} / {sql_double(float(2**16))}"  # noqa: E731
+        elif self.type == "int16":
+            f = lambda x: f"{x} / {sql_double(float(2**15 - 1))}"  # noqa: E731
+        else:
+            f = lambda x: f"({x} + 1.0D) / 2.0D"  # noqa: E731
+        return _elementwise_sql(col_sql, f, info), {}
+
     def inv_expr(self, col, info):
         return _elementwise(col, self._bwd, info)
 
@@ -142,6 +193,14 @@ class Logarithm(Processor):
             else (lambda x: F.log(x))
         )
         return _elementwise(col, f, info), {}
+
+    def sql(self, col_sql, info):
+        f = (
+            (lambda x: f"20.0D * log10({x})")
+            if self.type == "base10"
+            else (lambda x: f"ln({x})")
+        )
+        return _elementwise_sql(col_sql, f, info), {}
 
     def inv_expr(self, col, info):
         f = (
@@ -196,6 +255,30 @@ def _window_expr(window_func: str, periodic: bool):
     return lambda x, i, n: x * w(i, n)
 
 
+def _window_sql(window_func: str, periodic: bool):
+    """SQL twin of _window_expr: (x_sql, i_sql, n_sql) -> windowed x.
+    Identical tree: same literals (two_pi = repr(2*math.pi)), same
+    Multiply/Subtract/Divide nesting, same CAST placement."""
+    if window_func in (None, "none", "None", "rect", "boxcar"):
+        return lambda x, i, n: x
+    from dabstract_spark.core import sql_double
+
+    two_pi = sql_double(2.0 * math.pi)
+
+    def w(i, n):
+        m = f"CAST({n} AS DOUBLE)" if periodic else f"CAST(({n}) - 1 AS DOUBLE)"
+        phase = f"{two_pi} * CAST({i} AS DOUBLE) / {m}"
+        if window_func == "hamming":
+            return f"(0.54D - 0.46D * cos({phase}))"
+        if window_func in ("hann", "hanning"):
+            return f"(0.5D - 0.5D * cos({phase}))"
+        if window_func == "blackman":
+            return f"(0.42D - 0.5D * cos({phase}) + 0.08D * cos(2.0D * ({phase})))"
+        raise ValueError(f"unknown window '{window_func}'")
+
+    return lambda x, i, n: f"{x} * {w(i, n)}"
+
+
 class Windowing(Processor):
     """Multiply an array by a window function (reference
     processors.py:264-293). Native: transform with (element, index)
@@ -212,6 +295,14 @@ class Windowing(Processor):
         n = F.size(col)
         return F.transform(col, lambda x, i: wf(x, i, n)), {}
 
+    def sql(self, col_sql, info):
+        wf = _window_sql(self.window_func, self.periodic)
+        return (
+            f"transform({col_sql}, (__px, __pi) -> "
+            f"{wf('__px', '__pi', f'size({col_sql})')})",
+            {},
+        )
+
 
 class ExpandDims(Processor):
     """np.expand_dims for 1-D arrays (reference processors.py:603-611):
@@ -226,6 +317,11 @@ class ExpandDims(Processor):
             return F.array(col), {}
         return F.transform(col, lambda x: F.array(x)), {}
 
+    def sql(self, col_sql, info):
+        if self.axis == 0:
+            return f"array({col_sql})", {}
+        return f"transform({col_sql}, __px -> array(__px))", {}
+
 
 def _arr_mean(c: Column) -> Column:
     return F.aggregate(
@@ -237,6 +333,23 @@ def _arr_moment(c: Column, mu: Column, p: int) -> Column:
     return F.aggregate(
         c, F.lit(0.0), lambda acc, x: acc + F.pow(x.cast("double") - mu, float(p))
     ) / F.size(c).cast("double")
+
+
+def _arr_mean_sql(c: str) -> str:
+    return (
+        f"(aggregate({c}, 0.0D, (__pa, __px) -> __pa + CAST(__px AS DOUBLE))"
+        f" / CAST(size({c}) AS DOUBLE))"
+    )
+
+
+def _arr_moment_sql(c: str, mu: str, p: int) -> str:
+    from dabstract_spark.core import sql_double
+
+    return (
+        f"(aggregate({c}, 0.0D, (__pa, __px) -> __pa +"
+        f" pow(CAST(__px AS DOUBLE) - ({mu}), {sql_double(float(p))}))"
+        f" / CAST(size({c}) AS DOUBLE))"
+    )
 
 
 class Aggregation(Processor):
@@ -280,6 +393,84 @@ class Aggregation(Processor):
                     )
                 )
         return out
+
+    def _scalar_stats_sql(self, c: str, mu: str) -> list[str]:
+        """SQL twin of _scalar_stats (same bound-mean discipline)."""
+        out = []
+        for m in self.methods:
+            if m == "mean":
+                out.append(mu)
+            elif m == "std":
+                out.append(f"sqrt({_arr_moment_sql(c, mu, 2)})")
+            else:
+                m2 = _arr_moment_sql(c, mu, 2)
+                m4 = _arr_moment_sql(c, mu, 4)
+                out.append(
+                    f"(CASE WHEN {m2} = 0.0D THEN CAST(NULL AS DOUBLE)"
+                    f" ELSE {m4} / pow({m2}, 2.0D) - 3.0D END)"
+                )
+        return out
+
+    def sql(self, col_sql, info):
+        dt = str(info.get("dtype", "array<double>"))
+        upd = {"time_step": 0} if self.axis == 0 else {}
+        c = f"({col_sql})"
+        if not dt.startswith("array<array"):
+            stats = ", ".join(self._scalar_stats_sql(c, "__pm"))
+            return (
+                f"element_at(transform(array({_arr_mean_sql(c)}),"
+                f" __pm -> array({stats})), 1)",
+                upd,
+            )
+        if self.axis in (1, -1):
+            stats = ", ".join(self._scalar_stats_sql("__pin", "__pm"))
+            per_row = (
+                f"transform({c}, __pin ->"
+                f" element_at(transform(array({_arr_mean_sql('__pin')}),"
+                f" __pm -> array({stats})), 1))"
+            )
+            if self.combine == "concat":
+                return f"flatten({per_row})", upd
+            return per_row, upd
+        # 2-D, axis=0: per-column stats, same shapes as the Column form
+        n_rows = f"CAST(size({c}) AS DOUBLE)"
+        width = f"size(element_at({c}, 1))"
+
+        def col_mean(j):
+            return (
+                f"(aggregate({c}, 0.0D, (__pa, __pr) -> __pa +"
+                f" CAST(element_at(__pr, {j}) AS DOUBLE)) / {n_rows})"
+            )
+
+        def col_moment(j, mu, p):
+            from dabstract_spark.core import sql_double
+
+            return (
+                f"(aggregate({c}, 0.0D, (__pa, __pr) -> __pa +"
+                f" pow(CAST(element_at(__pr, {j}) AS DOUBLE) - ({mu}),"
+                f" {sql_double(float(p))})) / {n_rows})"
+            )
+
+        def col_std(j):
+            return (
+                f"element_at(transform(array({col_mean(j)}),"
+                f" __pm -> sqrt({col_moment(j, '__pm', 2)})), 1)"
+            )
+
+        def col_kurt(j):
+            return (
+                f"element_at(transform(array({col_mean(j)}), __pm ->"
+                f" {col_moment(j, '__pm', 4)} / pow({col_moment(j, '__pm', 2)}, 2.0D)"
+                f" - 3.0D), 1)"
+            )
+
+        per_method = []
+        for m in self.methods:
+            fn = {"mean": col_mean, "std": col_std, "kurtosis": col_kurt}[m]
+            per_method.append(f"transform(sequence(1, {width}), __pj -> {fn('__pj')})")
+        if self.combine == "concat":
+            return f"flatten(array({', '.join(per_method)}))", upd
+        return f"array({', '.join(per_method)})", upd
 
     def expr(self, col, info):
         from dabstract_spark.core import bind_once
@@ -528,6 +719,29 @@ class Framing(Processor):
         )
         return frames, ({"time_step": self.stepsize} if self.stepsize else {})
 
+    def sql(self, col_sql, info):
+        fs = info.get("fs", self.fs)
+        if fs is None and info.get("time_step"):
+            fs = 1.0 / info["time_step"]
+        if fs is None:
+            raise ValueError("fs not provided in Framing (init, info, or chain)")
+        frame_len = int(round(self.windowsize * fs))
+        step = 1 if self.stepsize is None else int(round(self.stepsize * fs))
+        c = f"({col_sql})"
+        nf = f"CAST(FLOOR((size({c}) - {frame_len}) / {step}) + 1 AS INT)"
+        idx = (
+            f"(CASE WHEN {nf} > 0 THEN sequence(0, {nf} - 1)"
+            f" ELSE CAST(array() AS ARRAY<INT>) END)"
+        )
+        wf = _window_sql(self.window_func, periodic=True)
+        body = wf("CAST(__px AS DOUBLE)", "__pk", str(frame_len))
+        frames = (
+            f"transform({idx}, __pi -> transform("
+            f"slice({c}, __pi * {step} + 1, {frame_len}),"
+            f" (__px, __pk) -> {body}))"
+        )
+        return frames, ({"time_step": self.stepsize} if self.stepsize else {})
+
 
 # --------------------------------------------------------------------- #
 # pandas-UDF processors (no native Spark primitive)
@@ -736,6 +950,42 @@ class Filterbank(Processor):
 
         return fbank_udf(col), {"n_samples": self.n_bands}
 
+    def sql(self, col_sql, info):
+        """One-parse twin of the sparse-unrolled native path: the same
+        left-associative literal-weighted sums (ascending j), the same
+        eps-floor CASE, the same bind-once-through-array. The measured
+        win: q91's plan build was ~1.6k py4j round trips Column-wise,
+        ~10 with the single parse. Dense banks (the Arrow-UDF fallback)
+        return None — a Python stage has no SQL form."""
+        fs = info.get("fs", self.fs)
+        nfft = info.get("nfft", self.nfft)
+        if fs is None or nfft is None:
+            # same contract failures as expr(); raise there, not here
+            return None
+        if self.nfft is not None and "nfft" in info and info["nfft"] != self.nfft:
+            return None  # expr() raises the detailed mismatch error
+        fb = mel_filterbank(
+            self.n_bands, int(nfft), float(fs), self.fmin, self.fmax, self.scale, self.norm
+        ).T
+        if int(np.count_nonzero(fb)) > self.MAX_NATIVE_NNZ:
+            return None
+        from dabstract_spark.core import sql_double
+
+        eps = sql_double(float(np.finfo(float).eps))
+        bands = []
+        for b in range(self.n_bands):
+            acc = "0.0D"
+            for j in range(fb.shape[0]):
+                v = float(fb[j, b])
+                if v != 0.0:
+                    acc += f" + {sql_double(v)} * element_at(__pc, {j + 1})"
+            bands.append(f"(CASE WHEN ({acc}) = 0.0D THEN {eps} ELSE ({acc}) END)")
+        return (
+            f"element_at(transform(array({col_sql}),"
+            f" __pc -> array({', '.join(bands)})), 1)",
+            {"n_samples": self.n_bands},
+        )
+
 
 def firwin(
     taps: int, f, window: str = "hamming", fs: float = 2.0, pass_zero: bool = True
@@ -845,6 +1095,35 @@ class FIRFilter(Processor):
             return pd.Series(out)
 
         return fir_udf(col), {}
+
+    def sql(self, col_sql, info):
+        """One-parse twin of the unrolled causal convolution (same
+        ascending-k fold, same boundary CASE, same bind-once). Long
+        filters (Arrow-UDF fallback) return None."""
+        fs = info.get("fs", self.fs)
+        if fs is None:
+            return None  # expr() raises the contract error
+        if self.taps > self.MAX_NATIVE_TAPS:
+            return None
+        from dabstract_spark.core import sql_double
+
+        h = self.coefficients(float(fs))
+        acc = "0.0D"
+        for k, hk in enumerate((float(v) for v in h), start=1):
+            acc += (
+                f" + (CASE WHEN __pi - {k} + 1 >= 1 THEN"
+                f" {sql_double(hk)} * element_at(__pa, __pi - {k} + 1)"
+                f" ELSE 0.0D END)"
+            )
+        conv = (
+            f"(CASE WHEN size(__pa) > 0 THEN"
+            f" transform(sequence(1, size(__pa)), __pi -> {acc})"
+            f" ELSE CAST(array() AS ARRAY<DOUBLE>) END)"
+        )
+        return (
+            f"element_at(transform(array({col_sql}), __pa -> {conv}), 1)",
+            {},
+        )
 
 
 class Resample(Processor):

@@ -341,3 +341,71 @@ def test_aggregation_2d_axis_minus1_per_row(spark):
     np.testing.assert_allclose(
         got, np.stack([mat.mean(axis=1), mat.std(axis=1)], axis=1), rtol=1e-12
     )
+
+
+# --------------------------------------------------------------------- #
+# SQL-twin equality (optimization r12): every Processor.sql() must build
+# the same expression tree as its expr() — pinned by exact result
+# equality (repr captures float bits) on ragged/edge inputs. The string
+# input engages the one-parse SQL path; the Column input forces the
+# Column path.
+# --------------------------------------------------------------------- #
+_TWIN_CHAINS = {
+    "scaler_uint16": [("Scaler", {"type": "uint16"})],
+    "scaler_wav": [("Scaler", {"type": "wav_2_01"})],
+    "log_base10": [("Logarithm", {"type": "base10"})],
+    "log_natural": [("Logarithm", {"type": "natural"})],
+    "window_hamming": [("Windowing", {"window_func": "hamming"})],
+    "window_hann_sym": [("Windowing", {"window_func": "hann", "symmetry": False})],
+    "window_blackman": [("Windowing", {"window_func": "blackman"})],
+    "expand_rows": [("ExpandDims", {"axis": 0})],
+    "expand_cols": [("ExpandDims", {"axis": -1})],
+    "agg_1d": [("Aggregation", {"methods": ["mean", "std", "kurtosis"]})],
+    "framing": [("Framing", {"windowsize": 0.002, "stepsize": 0.001, "fs": 8000.0})],
+    "framing_agg_axis0": [
+        ("Framing", {"windowsize": 0.002, "stepsize": 0.001, "fs": 8000.0}),
+        ("Aggregation", {"methods": ["mean", "std"], "axis": 0, "combine": "concat"}),
+    ],
+    "framing_agg_rows": [
+        ("Framing", {"windowsize": 0.002, "stepsize": 0.001, "fs": 8000.0}),
+        ("Aggregation", {"methods": ["mean", "std", "kurtosis"], "axis": -1}),
+    ],
+    "filterbank": [("Filterbank", {"n_bands": 8, "scale": "mel", "nfft": 126, "fs": 8000.0})],
+    "fir_lowpass": [("FIRFilter", {"type": "lowpass", "f": 1000.0, "taps": 15, "fs": 8000.0})],
+    "fir_bandpass": [
+        ("FIRFilter", {"type": "bandpass", "f": [500.0, 1500.0], "taps": 21, "fs": 8000.0})
+    ],
+    "mixed_scalar_chain": [
+        ("Scaler", {"type": "wav_2_01"}),
+        ("Logarithm", {"type": "base10"}),
+        ("ExpandDims", {"axis": 0}),
+    ],
+}
+
+
+@pytest.mark.parametrize("name", sorted(_TWIN_CHAINS))
+def test_sql_twin_matches_column_path(spark, name):
+    ch = ProcessingChain()
+    for pname, params in _TWIN_CHAINS[name]:
+        ch.add(pname, params)
+    # ragged lengths, zeros (eps-floor legs), negatives, a constant
+    # array (kurtosis NULL leg), and an empty array (FIR boundary)
+    vals = [
+        [float(i) / 7.0 - 0.4 for i in range(64)],
+        [0.0] * 64,
+        [1.5] * 64,
+        [-1.0, 2.0, -3.0, 4.0] * 16,
+    ]
+    df = _one_col(spark, vals)
+    info = {"dtype": "array<double>"}
+    got_sql = df.select(ch.expr("x", dict(info)).alias("v")).collect()
+    got_col = df.select(ch.expr(F.col("x"), dict(info)).alias("v")).collect()
+    assert [repr(r.v) for r in got_sql] == [repr(r.v) for r in got_col]
+
+
+def test_sql_twin_path_actually_engages(spark):
+    """The one-parse path must be live for a pure-native chain (a silent
+    permanent fallback would quietly reintroduce the chatter)."""
+    ch = ProcessingChain().add("Filterbank", {"n_bands": 8, "scale": "mel", "nfft": 126, "fs": 8000.0})
+    got = ch._chain[0].sql("`x`", {"dtype": "array<double>"})
+    assert got is not None and got[0].startswith("element_at(transform(array(")
