@@ -118,3 +118,58 @@ def install() -> None:
         _ta._to_seq = _to_seq
     except ImportError:  # pragma: no cover - optional module
         pass
+
+    # Higher-order-function lambda machinery: every F.transform /
+    # aggregate / filter lambda resolves PythonSQLUtils afresh for each
+    # of unresolvedNamedLambdaVariable / lambdaFunction / fn — 2
+    # reflection commands per resolution, ~6 per HOF call. Same cache;
+    # bodies replicate upstream exactly otherwise.
+    def _psu(sc, name: str):
+        d = _cache_for(sc._jvm)
+        fn = d.get(("PythonSQLUtils", name))
+        if fn is None:
+            fn = getattr(sc._jvm.PythonSQLUtils, name)
+            d[("PythonSQLUtils", name)] = fn
+        return fn
+
+    _Column = _builtin.Column
+    _get_ctx = _builtin._get_active_spark_context
+
+    def _unresolved_named_lambda_variable(name: str):
+        sc = _get_ctx()
+        return _Column(_psu(sc, "unresolvedNamedLambdaVariable")(name))
+
+    def _create_lambda(f):
+        parameters = _builtin._get_lambda_parameters(f)
+        sc = _get_ctx()
+        argnames = ["x", "y", "z"]
+        args = [
+            _unresolved_named_lambda_variable(arg)
+            for arg in argnames[: len(parameters)]
+        ]
+        result = f(*args)
+        if not isinstance(result, _Column):
+            from pyspark.errors import PySparkValueError
+
+            raise PySparkValueError(
+                errorClass="HIGHER_ORDER_FUNCTION_SHOULD_RETURN_COLUMN",
+                messageParameters={
+                    "func_name": f.__name__,
+                    "return_type": type(result).__name__,
+                },
+            )
+        jexpr = result._jc
+        jargs = _to_seq(sc, [arg._jc for arg in args])
+        return _psu(sc, "lambdaFunction")(jexpr, jargs)
+
+    def _invoke_higher_order_function(name: str, cols, funs):
+        from pyspark.sql.classic.column import _to_java_column
+
+        sc = _get_ctx()
+        jfuns = [_create_lambda(f) for f in funs]
+        jcols = [_to_java_column(c) for c in cols]
+        return _Column(_psu(sc, "fn")(name, _to_seq(sc, jcols + jfuns)))
+
+    _builtin._unresolved_named_lambda_variable = _unresolved_named_lambda_variable
+    _builtin._create_lambda = _create_lambda
+    _builtin._invoke_higher_order_function = _invoke_higher_order_function

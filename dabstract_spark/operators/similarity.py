@@ -287,25 +287,34 @@ def ivf_refine(
     dim = len(centroids[0][1])
     for _ in range(iters):
         assigned = ivf_assign(df, centroids, id_col, vec_col)
+        # one-parse struct-of-aggregates (r12 chatter cut, the
+        # ivf_pq_train Lloyd pattern): was 1 + dim F.expr parses plus a
+        # dim+1-column seq conversion per iteration — same sums, same
+        # driver-side division, identical centroids
         if exact:
-            aggs = [F.expr("count(1) AS __n")] + [
-                F.expr(
+            agg_sql = (
+                "struct(count(1) AS n, "
+                + ", ".join(
                     f"sum(cast(element_at(`{vec_col}`, {j + 1}) as decimal(27,10))) AS c{j}"
+                    for j in range(dim)
                 )
-                for j in range(dim)
-            ]
-            rows = assigned.groupBy("centroid_id").agg(*aggs).collect()
+                + ") AS __s"
+            )
+            rows = assigned.groupBy("centroid_id").agg(F.expr(agg_sql)).collect()
             new = {
-                int(r[0]): [float(r[j + 2]) / int(r[1]) for j in range(dim)]
+                int(r[0]): [float(r[1][1 + j]) / int(r[1][0]) for j in range(dim)]
                 for r in rows
             }
         else:
-            rows = (
-                assigned.groupBy("centroid_id")
-                .agg(*[F.expr(f"avg(element_at(`{vec_col}`, {j + 1})) AS c{j}") for j in range(dim)])
-                .collect()
+            agg_sql = (
+                "struct("
+                + ", ".join(
+                    f"avg(element_at(`{vec_col}`, {j + 1})) AS c{j}" for j in range(dim)
+                )
+                + ") AS __s"
             )
-            new = {int(r[0]): [float(r[j + 1]) for j in range(dim)] for r in rows}
+            rows = assigned.groupBy("centroid_id").agg(F.expr(agg_sql)).collect()
+            new = {int(r[0]): [float(r[1][j]) for j in range(dim)] for r in rows}
         centroids = sorted((cid, new.get(cid, vec)) for cid, vec in centroids)
     return centroids
 
@@ -799,11 +808,10 @@ def pca_power_projection(
     Python in the per-row output path."""
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
-    enc = lambda c: (  # noqa: E731
-        F.round(c.cast("double"), 6).cast("decimal(18,6)") * F.lit(1000000)
-    ).cast("bigint")
-    encoded = df.select(
-        F.col(id_col).alias("__id"), F.transform(vec_col, enc).alias("__e")
+    # one-parse encode (r12 chatter cut): _MICRO_SQL is the proven SQL
+    # twin of round→DECIMAL(18,6)→×1e6→BIGINT — bit-identical values
+    encoded = df.selectExpr(
+        f"`{id_col}` AS __id", _MICRO_SQL.format(c=f"`{vec_col}`") + " AS __e"
     )
 
     def _partial_scatter(batches):
@@ -940,12 +948,15 @@ def pca_power_projection(
         mx = max(abs(x) for x in u) or 1
         v = [floordiv_abs(x * 1000000, mx) for x in u]
 
-    dotc = F.lit(0).cast("bigint")
-    for j in range(dim):
-        if v[j]:
-            dotc = dotc + F.lit(int(v[j])) * F.element_at("__e", j + 1)
+    # one-parse dot product (r12 chatter cut): the Column loop cost
+    # 4 round trips per nonzero term (~256 for dim 64); the SQL text is
+    # the identical left-associative Add chain with the same int
+    # literals (|v[j]| <= 1e6 always fits INT, like F.lit)
+    dot_sql = "CAST(0 AS BIGINT)" + "".join(
+        f" + {int(v[j])} * element_at(__e, {j + 1})" for j in range(dim) if v[j]
+    )
     # stage the big dot expression once, then sign-safe divide it
-    out = encoded.select(F.col("__id"), dotc.alias("__dot"))
+    out = encoded.select(F.col("__id"), F.expr(dot_sql).alias("__dot"))
     return out.select(
         F.col("__id").alias(id_col),
         F.when(
