@@ -64,6 +64,41 @@ def sql_double_array(vals) -> str:
     """SQL literal array<double> (exact per-element round trip)."""
     return "array(" + ",".join(sql_double(v) for v in vals) + ")"
 
+def loop_actions(spark):
+    """Context manager right-sizing a driver fixed-point loop's OWN
+    actions (guide §1.2/§2.2): AQE off — one job per action instead of
+    one per AQE query stage on frames that are loop-state-sized and
+    need no runtime re-optimization — and loop-sized shuffle partitions,
+    since with AQE off nothing coalesces the loop's tiny exchanges and
+    the session-wide count (sized for data-scale queries) pays that
+    many task launches per exchange per round in pure scheduling
+    overhead. Parameterized via ``SPARK_GRAFT_LOOP_PARTITIONS`` (a
+    100 TB deployment sizes it to its loop-state volume — candidate
+    pairs, vocabulary — e.g. cores×2); local default 8 matches the
+    streaming drain right-sizing. Only valid when the loop's values are
+    partition-count independent (min/sum aggregates, equi-joins,
+    deterministic total orders — every loop in this repo); both confs
+    are restored on exit and the RETURNED frames execute under the
+    caller's conf."""
+    import contextlib
+    import os
+
+    @contextlib.contextmanager
+    def _cm():
+        n = int(os.environ.get("SPARK_GRAFT_LOOP_PARTITIONS", 8))
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    return _cm()
+
+
 # Strictly greater than the largest Unicode code point, so
 # cp(c1)*_CP_BASE + cp(c2) is monotone w.r.t. the 2-char prefix.
 _CP_BASE = 1_114_112

@@ -882,21 +882,30 @@ def bpe_learn_merges(
         " ELSE CAST(array() AS array<struct<wa:string,wb:string>>) END), 1))"
     )
     merges = []
-    for step in range(1, n_merges + 1):
-        pc = (
-            cur.selectExpr(pairs_sql, "cnt")
-            .groupBy("wa", "wb")
-            .agg(F.expr("sum(cnt) AS total"))
-        )
-        best = pc.orderBy(F.desc("total"), F.asc("wa"), F.asc("wb")).limit(1).collect()
-        if not best:
-            break
-        wa, wb, total = best[0]["wa"], best[0]["wb"], int(best[0]["total"])
-        merges.append((step, wa[1:-1], wb[1:-1], total))
-        pat, rep = wa + " " + wb, wa[:-1] + wb[1:]
-        cur = cur.withColumn(
-            "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep))
-        ).localCheckpoint(eager=False)
+    # loop_actions (r12): the merge steps run on the vocabulary-sized
+    # word table — AQE stage-jobs and session-wide shuffle partitions
+    # are pure overhead per step; counts/orderings are partition-count
+    # independent so the learned rules are identical
+    from dabstract_spark.core import loop_actions
+
+    with loop_actions(spark):
+        for step in range(1, n_merges + 1):
+            pc = (
+                cur.selectExpr(pairs_sql, "cnt")
+                .groupBy("wa", "wb")
+                .agg(F.expr("sum(cnt) AS total"))
+            )
+            best = (
+                pc.orderBy(F.desc("total"), F.asc("wa"), F.asc("wb")).limit(1).collect()
+            )
+            if not best:
+                break
+            wa, wb, total = best[0]["wa"], best[0]["wb"], int(best[0]["total"])
+            merges.append((step, wa[1:-1], wb[1:-1], total))
+            pat, rep = wa + " " + wb, wa[:-1] + wb[1:]
+            cur = cur.withColumn(
+                "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep))
+            ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, pair_count bigint"
     )
