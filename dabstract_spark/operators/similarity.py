@@ -285,37 +285,42 @@ def ivf_refine(
     k-means RUN hash-checkable against a SQL oracle. Float avg() mode
     (default) is marginally cheaper but summation-order dependent."""
     dim = len(centroids[0][1])
-    for _ in range(iters):
-        assigned = ivf_assign(df, centroids, id_col, vec_col)
-        # one-parse struct-of-aggregates (r12 chatter cut, the
-        # ivf_pq_train Lloyd pattern): was 1 + dim F.expr parses plus a
-        # dim+1-column seq conversion per iteration — same sums, same
-        # driver-side division, identical centroids
-        if exact:
-            agg_sql = (
-                "struct(count(1) AS n, "
-                + ", ".join(
-                    f"sum(cast(element_at(`{vec_col}`, {j + 1}) as decimal(27,10))) AS c{j}"
-                    for j in range(dim)
+    from dabstract_spark.core import loop_actions
+
+    # loop_actions (r12): K-ary groupBy per iteration — loop-state-sized
+    # reduce side, exact decimal/float sums are order-independent
+    with loop_actions(df.sparkSession):
+        for _ in range(iters):
+            assigned = ivf_assign(df, centroids, id_col, vec_col)
+            # one-parse struct-of-aggregates (r12 chatter cut, the
+            # ivf_pq_train Lloyd pattern): was 1 + dim F.expr parses plus a
+            # dim+1-column seq conversion per iteration — same sums, same
+            # driver-side division, identical centroids
+            if exact:
+                agg_sql = (
+                    "struct(count(1) AS n, "
+                    + ", ".join(
+                        f"sum(cast(element_at(`{vec_col}`, {j + 1}) as decimal(27,10))) AS c{j}"
+                        for j in range(dim)
+                    )
+                    + ") AS __s"
                 )
-                + ") AS __s"
-            )
-            rows = assigned.groupBy("centroid_id").agg(F.expr(agg_sql)).collect()
-            new = {
-                int(r[0]): [float(r[1][1 + j]) / int(r[1][0]) for j in range(dim)]
-                for r in rows
-            }
-        else:
-            agg_sql = (
-                "struct("
-                + ", ".join(
-                    f"avg(element_at(`{vec_col}`, {j + 1})) AS c{j}" for j in range(dim)
+                rows = assigned.groupBy("centroid_id").agg(F.expr(agg_sql)).collect()
+                new = {
+                    int(r[0]): [float(r[1][1 + j]) / int(r[1][0]) for j in range(dim)]
+                    for r in rows
+                }
+            else:
+                agg_sql = (
+                    "struct("
+                    + ", ".join(
+                        f"avg(element_at(`{vec_col}`, {j + 1})) AS c{j}" for j in range(dim)
+                    )
+                    + ") AS __s"
                 )
-                + ") AS __s"
-            )
-            rows = assigned.groupBy("centroid_id").agg(F.expr(agg_sql)).collect()
-            new = {int(r[0]): [float(r[1][j]) for j in range(dim)] for r in rows}
-        centroids = sorted((cid, new.get(cid, vec)) for cid, vec in centroids)
+                rows = assigned.groupBy("centroid_id").agg(F.expr(agg_sql)).collect()
+                new = {int(r[0]): [float(r[1][j]) for j in range(dim)] for r in rows}
+            centroids = sorted((cid, new.get(cid, vec)) for cid, vec in centroids)
     return centroids
 
 
@@ -1449,36 +1454,44 @@ def ivf_pq_train(
     if not seed_rows:
         raise ValueError("ivf_pq_train: empty corpus")
     coarse = [cv for _, _, cv in seed_rows[:n_coarse]]
-    for _ in range(coarse_iters):
-        # one coarse Lloyd step: map-side literal-LUT assignment, then a
-        # groupBy(cell) with dim partial sums — collects <= n_coarse
-        # rows of dim+2 columns to the driver (bounded by construction)
-        csums = (
-            vm.withColumn("__cell", _argmin_cell_expr(coarse, "__vm"))
-            .groupBy("__cell")
-            .agg(
-                F.expr(
-                    "struct(count(1) AS n, "
-                    + ", ".join(
-                        f"sum(element_at(__vm, {j + 1})) AS t{j}"
-                        for j in range(dim)
+    from dabstract_spark.core import loop_actions
+
+    # loop_actions (r12): the Lloyd steps' groupBy outputs are
+    # loop-state-sized (<= n_coarse / m·pq_k rows) — AQE stage-jobs and
+    # session-wide reduce partitions are pure overhead per step, and
+    # map-side partial aggregation already carries the data-sized half.
+    # Sums are order-independent integers: identical centroids.
+    with loop_actions(df.sparkSession):
+        for _ in range(coarse_iters):
+            # one coarse Lloyd step: map-side literal-LUT assignment, then a
+            # groupBy(cell) with dim partial sums — collects <= n_coarse
+            # rows of dim+2 columns to the driver (bounded by construction)
+            csums = (
+                vm.withColumn("__cell", _argmin_cell_expr(coarse, "__vm"))
+                .groupBy("__cell")
+                .agg(
+                    F.expr(
+                        "struct(count(1) AS n, "
+                        + ", ".join(
+                            f"sum(element_at(__vm, {j + 1})) AS t{j}"
+                            for j in range(dim)
+                        )
+                        + ") AS __s"
                     )
-                    + ") AS __s"
                 )
             )
-        )
-        cgot = {
-            int(r[0]): (int(r[1][0]), [int(r[1][1 + j]) for j in range(dim)])
-            for r in csums.collect()
-        }
-        coarse = [
-            (
-                [_trunc_div(t, cgot[c][0]) for t in cgot[c][1]]
-                if c in cgot
-                else coarse[c]  # empty cell keeps its seed
-            )
-            for c in range(len(coarse))
-        ]
+            cgot = {
+                int(r[0]): (int(r[1][0]), [int(r[1][1 + j]) for j in range(dim)])
+                for r in csums.collect()
+            }
+            coarse = [
+                (
+                    [_trunc_div(t, cgot[c][0]) for t in cgot[c][1]]
+                    if c in cgot
+                    else coarse[c]  # empty cell keeps its seed
+                )
+                for c in range(len(coarse))
+            ]
     cell_lut = "array(" + ", ".join(_arr_sql(cv) for cv in coarse) + ")"
     # residual computed ONCE per row (bind through a 1-element array —
     # a bare column reference would be inlined by CollapseProject into
@@ -1514,35 +1527,37 @@ def ivf_pq_train(
         for s in range(m):
             seeds[(s, seed_ids.index(sid))] = r[s * sub : (s + 1) * sub]
     books = [[seeds[(s, c)] for c in range(pq_k)] for s in range(m)]
-    for _ in range(iters):
-        coded = ex.withColumn("__code", _pq_code_expr(books, "__x", "__s"))
-        sums = coded.groupBy("__s", "__code").agg(
-            F.expr(
-                "struct(count(1) AS n, "
-                + ", ".join(
-                    f"sum(element_at(__x, {j + 1})) AS c{j}" for j in range(sub)
+    # same loop_actions rationale as the coarse loop above
+    with loop_actions(df.sparkSession):
+        for _ in range(iters):
+            coded = ex.withColumn("__code", _pq_code_expr(books, "__x", "__s"))
+            sums = coded.groupBy("__s", "__code").agg(
+                F.expr(
+                    "struct(count(1) AS n, "
+                    + ", ".join(
+                        f"sum(element_at(__x, {j + 1})) AS c{j}" for j in range(sub)
+                    )
+                    + ") AS __t"
                 )
-                + ") AS __t"
             )
-        )
-        got = {
-            (int(r[0]), int(r[1])): (
-                int(r[2][0]),
-                [int(r[2][1 + j]) for j in range(sub)],
-            )
-            for r in sums.collect()
-        }
-        books = [
-            [
-                (
-                    [_trunc_div(c, got[(s, k_)][0]) for c in got[(s, k_)][1]]
-                    if (s, k_) in got
-                    else books[s][k_]  # empty cluster keeps its centroid
+            got = {
+                (int(r[0]), int(r[1])): (
+                    int(r[2][0]),
+                    [int(r[2][1 + j]) for j in range(sub)],
                 )
-                for k_ in range(pq_k)
+                for r in sums.collect()
+            }
+            books = [
+                [
+                    (
+                        [_trunc_div(c, got[(s, k_)][0]) for c in got[(s, k_)][1]]
+                        if (s, k_) in got
+                        else books[s][k_]  # empty cluster keeps its centroid
+                    )
+                    for k_ in range(pq_k)
+                ]
+                for s in range(m)
             ]
-            for s in range(m)
-        ]
     return coarse, books
 
 
