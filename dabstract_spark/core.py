@@ -79,7 +79,16 @@ def loop_actions(spark):
     partition-count independent (min/sum aggregates, equi-joins,
     deterministic total orders — every loop in this repo); both confs
     are restored on exit and the RETURNED frames execute under the
-    caller's conf."""
+    caller's conf.
+
+    Session-scope caveat: the override mutates SESSION conf, so it
+    assumes the single-threaded driver every caller here is — a
+    concurrent query submitted on the same SparkSession while a loop
+    runs would execute with AQE off and loop-sized partitions, and a
+    conf that was UNSET before entry is restored as an explicit set of
+    its read-back default. If concurrent driver threads are ever
+    introduced, scope the loop's confs per-statement instead (hints /
+    a dedicated session clone)."""
     import contextlib
     import os
 

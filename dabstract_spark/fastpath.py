@@ -40,6 +40,42 @@ import weakref
 #: JVMView -> {name: JavaMember} (see module docstring for lifecycle)
 _BY_JVM: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
+#: md5 over the concatenated sources of the upstream functions whose
+#: bodies this module replicates, at the pyspark version the replicas
+#: were written against and tested with. If a pyspark upgrade changes
+#: ANY of those bodies — even keeping the names importable — install()
+#: declines and the stock resolvers keep running, because a semantic
+#: drift in e.g. _create_lambda would otherwise silently miscompute
+#: plans through a stale replica (r13, per ADVICE.md).
+_TESTED_UPSTREAM_MD5 = {
+    "4.1.2": "c820b1ab385ffa95cba51311f45e7db3",
+}
+
+
+def _upstream_unchanged() -> bool:
+    import hashlib
+    import inspect
+
+    import pyspark
+    from pyspark.sql.classic import column as _col
+    from pyspark.sql.functions import builtin as _builtin
+
+    expected = _TESTED_UPSTREAM_MD5.get(pyspark.__version__)
+    if expected is None:
+        return False
+    fns = (
+        _builtin._get_jvm_function,
+        _builtin._create_lambda,
+        _builtin._unresolved_named_lambda_variable,
+        _builtin._invoke_higher_order_function,
+        _col._create_column_from_literal,
+        _col._create_column_from_name,
+        _col._to_seq,
+        _col._to_list,
+    )
+    src = "".join(inspect.getsource(f) for f in fns)
+    return hashlib.md5(src.encode()).hexdigest() == expected
+
 
 def _cache_for(jvm) -> dict:
     d = _BY_JVM.get(jvm)
@@ -56,6 +92,17 @@ def install() -> None:
     from pyspark.sql.utils import enum_to_value, get_active_spark_context
 
     if getattr(_builtin._get_jvm_function, "_sparkdab_fastpath", False):
+        return
+    if not _upstream_unchanged():
+        # an untested pyspark: keep the stock resolvers (correct, just
+        # chattier) and say so once at debug level instead of passing
+        # silently
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "fastpath: pyspark upstream sources differ from the tested "
+            "snapshot; leaving stock py4j resolvers installed"
+        )
         return
 
     _orig_get = _builtin._get_jvm_function

@@ -288,7 +288,11 @@ def ivf_refine(
     from dabstract_spark.core import loop_actions
 
     # loop_actions (r12): K-ary groupBy per iteration — loop-state-sized
-    # reduce side, exact decimal/float sums are order-independent
+    # reduce side. Only exact decimal mode is summation-order
+    # INDEPENDENT; float avg() mode remains tolerance-level
+    # nondeterministic exactly as it was under the previous session
+    # conf (the partition count merely picks a different of the
+    # equally-arbitrary accumulation orders)
     with loop_actions(df.sparkSession):
         for _ in range(iters):
             assigned = ivf_assign(df, centroids, id_col, vec_col)

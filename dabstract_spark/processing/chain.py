@@ -112,7 +112,12 @@ class ProcessingChain:
         info = dict(info or {})
         sql_acc = None
         if isinstance(col, str):
-            sql_acc = f"`{col}`"
+            # backtick-quoted TOP-LEVEL column name: embedded backticks
+            # are doubled per the SQL quoting rule. Note the string-key
+            # contract here is "a column name", unlike F.col(), where a
+            # dotted string may resolve a nested field — dataset
+            # add_feature/apply keys are top-level by construction.
+            sql_acc = f"`{col.replace('`', '``')}`"
             c = None
         else:
             c = col

@@ -279,6 +279,22 @@ def _window_sql(window_func: str, periodic: bool):
     return lambda x, i, n: f"{x} * {w(i, n)}"
 
 
+def _bind_operand_sql(col_sql: str, body_fn) -> str:
+    """Multi-reference guard for SQL twins (r13, per ADVICE.md): a stage
+    whose SQL references its operand k times would copy the accumulated
+    prefix k times — after an unrolled-literal stage (Filterbank ~KBs)
+    the one-parse string grows multiplicatively per stage, unlike the
+    Column path where every reference shares one Java expression object.
+    Non-trivial operands are therefore bound ONCE as a lambda variable
+    (the core.bind_once element_at/transform/array spelling — value-
+    identical, evaluated once per row). Trivial operands (a quoted name
+    or short expression) keep splicing directly, so every currently
+    declared chain's plan stays byte-identical."""
+    if len(col_sql) <= 64:
+        return body_fn(f"({col_sql})")
+    return f"element_at(transform(array({col_sql}), __pc -> {body_fn('__pc')}), 1)"
+
+
 class Windowing(Processor):
     """Multiply an array by a window function (reference
     processors.py:264-293). Native: transform with (element, index)
@@ -298,8 +314,11 @@ class Windowing(Processor):
     def sql(self, col_sql, info):
         wf = _window_sql(self.window_func, self.periodic)
         return (
-            f"transform({col_sql}, (__px, __pi) -> "
-            f"{wf('__px', '__pi', f'size({col_sql})')})",
+            _bind_operand_sql(
+                col_sql,
+                lambda c: f"transform({c}, (__px, __pi) -> "
+                f"{wf('__px', '__pi', f'size({c})')})",
+            ),
             {},
         )
 
@@ -414,63 +433,73 @@ class Aggregation(Processor):
     def sql(self, col_sql, info):
         dt = str(info.get("dtype", "array<double>"))
         upd = {"time_step": 0} if self.axis == 0 else {}
-        c = f"({col_sql})"
         if not dt.startswith("array<array"):
-            stats = ", ".join(self._scalar_stats_sql(c, "__pm"))
             return (
-                f"element_at(transform(array({_arr_mean_sql(c)}),"
-                f" __pm -> array({stats})), 1)",
+                _bind_operand_sql(
+                    col_sql,
+                    lambda c: f"element_at(transform(array({_arr_mean_sql(c)}),"
+                    f" __pm -> array("
+                    + ", ".join(self._scalar_stats_sql(c, "__pm"))
+                    + ")), 1)",
+                ),
                 upd,
             )
         if self.axis in (1, -1):
             stats = ", ".join(self._scalar_stats_sql("__pin", "__pm"))
-            per_row = (
-                f"transform({c}, __pin ->"
+            per_row = _bind_operand_sql(
+                col_sql,
+                lambda c: f"transform({c}, __pin ->"
                 f" element_at(transform(array({_arr_mean_sql('__pin')}),"
-                f" __pm -> array({stats})), 1))"
+                f" __pm -> array({stats})), 1))",
             )
             if self.combine == "concat":
                 return f"flatten({per_row})", upd
             return per_row, upd
+
         # 2-D, axis=0: per-column stats, same shapes as the Column form
-        n_rows = f"CAST(size({c}) AS DOUBLE)"
-        width = f"size(element_at({c}, 1))"
+        def _axis0(c):
+            n_rows = f"CAST(size({c}) AS DOUBLE)"
+            width = f"size(element_at({c}, 1))"
 
-        def col_mean(j):
-            return (
-                f"(aggregate({c}, 0.0D, (__pa, __pr) -> __pa +"
-                f" CAST(element_at(__pr, {j}) AS DOUBLE)) / {n_rows})"
-            )
+            def col_mean(j):
+                return (
+                    f"(aggregate({c}, 0.0D, (__pa, __pr) -> __pa +"
+                    f" CAST(element_at(__pr, {j}) AS DOUBLE)) / {n_rows})"
+                )
 
-        def col_moment(j, mu, p):
-            from dabstract_spark.core import sql_double
+            def col_moment(j, mu, p):
+                from dabstract_spark.core import sql_double
 
-            return (
-                f"(aggregate({c}, 0.0D, (__pa, __pr) -> __pa +"
-                f" pow(CAST(element_at(__pr, {j}) AS DOUBLE) - ({mu}),"
-                f" {sql_double(float(p))})) / {n_rows})"
-            )
+                return (
+                    f"(aggregate({c}, 0.0D, (__pa, __pr) -> __pa +"
+                    f" pow(CAST(element_at(__pr, {j}) AS DOUBLE) - ({mu}),"
+                    f" {sql_double(float(p))})) / {n_rows})"
+                )
 
-        def col_std(j):
-            return (
-                f"element_at(transform(array({col_mean(j)}),"
-                f" __pm -> sqrt({col_moment(j, '__pm', 2)})), 1)"
-            )
+            def col_std(j):
+                return (
+                    f"element_at(transform(array({col_mean(j)}),"
+                    f" __pm -> sqrt({col_moment(j, '__pm', 2)})), 1)"
+                )
 
-        def col_kurt(j):
-            return (
-                f"element_at(transform(array({col_mean(j)}), __pm ->"
-                f" {col_moment(j, '__pm', 4)} / pow({col_moment(j, '__pm', 2)}, 2.0D)"
-                f" - 3.0D), 1)"
-            )
+            def col_kurt(j):
+                return (
+                    f"element_at(transform(array({col_mean(j)}), __pm ->"
+                    f" {col_moment(j, '__pm', 4)} / pow({col_moment(j, '__pm', 2)}, 2.0D)"
+                    f" - 3.0D), 1)"
+                )
 
-        per_method = []
-        for m in self.methods:
-            fn = {"mean": col_mean, "std": col_std, "kurtosis": col_kurt}[m]
-            per_method.append(f"transform(sequence(1, {width}), __pj -> {fn('__pj')})")
-        if self.combine == "concat":
-            return f"flatten(array({', '.join(per_method)}))", upd
-        return f"array({', '.join(per_method)})", upd
+            per_method = []
+            for m in self.methods:
+                fn = {"mean": col_mean, "std": col_std, "kurtosis": col_kurt}[m]
+                per_method.append(
+                    f"transform(sequence(1, {width}), __pj -> {fn('__pj')})"
+                )
+            if self.combine == "concat":
+                return f"flatten(array({', '.join(per_method)}))"
+            return f"array({', '.join(per_method)})"
+
+        return _bind_operand_sql(col_sql, _axis0), upd
 
     def expr(self, col, info):
         from dabstract_spark.core import bind_once
@@ -727,19 +756,22 @@ class Framing(Processor):
             raise ValueError("fs not provided in Framing (init, info, or chain)")
         frame_len = int(round(self.windowsize * fs))
         step = 1 if self.stepsize is None else int(round(self.stepsize * fs))
-        c = f"({col_sql})"
-        nf = f"CAST(FLOOR((size({c}) - {frame_len}) / {step}) + 1 AS INT)"
-        idx = (
-            f"(CASE WHEN {nf} > 0 THEN sequence(0, {nf} - 1)"
-            f" ELSE CAST(array() AS ARRAY<INT>) END)"
-        )
         wf = _window_sql(self.window_func, periodic=True)
         body = wf("CAST(__px AS DOUBLE)", "__pk", str(frame_len))
-        frames = (
-            f"transform({idx}, __pi -> transform("
-            f"slice({c}, __pi * {step} + 1, {frame_len}),"
-            f" (__px, __pk) -> {body}))"
-        )
+
+        def _frames(c):
+            nf = f"CAST(FLOOR((size({c}) - {frame_len}) / {step}) + 1 AS INT)"
+            idx = (
+                f"(CASE WHEN {nf} > 0 THEN sequence(0, {nf} - 1)"
+                f" ELSE CAST(array() AS ARRAY<INT>) END)"
+            )
+            return (
+                f"transform({idx}, __pi -> transform("
+                f"slice({c}, __pi * {step} + 1, {frame_len}),"
+                f" (__px, __pk) -> {body}))"
+            )
+
+        frames = _bind_operand_sql(col_sql, _frames)
         return frames, ({"time_step": self.stepsize} if self.stepsize else {})
 
 

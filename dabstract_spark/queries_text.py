@@ -1549,8 +1549,6 @@ def q116_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q117_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dabstract_spark.operators.select import top_k_per_group
-
     docs = _t(spark, sf_dir, "documents")
     clusters = dd.minhash_dedup_clusters(
         docs, "doc_id", "text", n_hashes=16, bands=4, k=3, max_bucket=64
@@ -1558,8 +1556,16 @@ def q117_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = clusters.join(
         docs.select("doc_id", tx.quality_score("text").alias("quality")), "doc_id"
     )
-    top = top_k_per_group(scored, ["cluster_id"], [F.desc("quality"), F.asc("doc_id")], 1)
-    return top.select("cluster_id", F.col("doc_id").alias("canonical_id"), "quality")
+    # top-1 per cluster as ONE hash aggregate (r13, guide §2.3/§2.4; see
+    # q221): max_by over struct(quality, -doc_id) == row_number()=1 under
+    # [quality DESC, doc_id ASC] — one Exchange with map-side partial
+    # aggregation replaces the two-window Exchange+Sort pair.
+    return scored.groupBy("cluster_id").agg(
+        F.expr(
+            "max_by(struct(doc_id AS canonical_id, quality),"
+            " struct(quality, -doc_id)) AS __top"
+        )
+    ).select("cluster_id", "__top.canonical_id", "__top.quality")
 
 
 # --------------------------------------------------------------------- #
@@ -4226,8 +4232,6 @@ _PRETRAIN_CHAIN = f"""
     oracle=_PRETRAIN_CHAIN + "\n    SELECT * FROM clean",
 )
 def q221_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dabstract_spark.operators.select import top_k_per_group
-
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
@@ -4237,21 +4241,37 @@ def q221_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.lang_id("text").alias("lang_pred"),
     )
     gated = scored.filter((F.col("quality") >= 0.55) & (F.col("lang_pred") != "qy"))
-    surv = dd.exact_dedup(gated, "doc_id", "text").persist()
+    # LAZY localCheckpoint instead of persist (r13, the q228 discipline,
+    # guide §3.3/§5): `surv` is referenced three times (pair generation,
+    # the quality join, the train semi-join) — persist shared the DATA
+    # but kept the full curation lineage in every downstream plan, so
+    # each action re-planned the whole tree and AQE re-materialized its
+    # stages (31 jobs / 6.4 s for this query). The checkpoint truncates
+    # the plan at the survivor boundary; the first downstream job fuses
+    # the materialization.
+    surv = dd.exact_dedup(gated, "doc_id", "text").localCheckpoint(eager=False)
     clusters = dd.minhash_dedup_clusters(
         surv, "doc_id", "text", n_hashes=16, bands=4, k=3, max_bucket=64
     )
     cscored = clusters.join(surv.select("doc_id", "quality"), "doc_id")
-    canon_ids = top_k_per_group(
-        cscored, ["cluster_id"], [F.desc("quality"), F.asc("doc_id")], 1
+    # top-1 per cluster as ONE hash aggregate (r13, guide §2.3/§2.4):
+    # max_by over the lexicographic key struct(quality, -doc_id) IS
+    # row_number()=1 under [quality DESC, doc_id ASC] (doc_id unique, so
+    # the key is total). The window form paid Exchange+Sort twice
+    # (bucketed pre-rank + merge rank); the aggregate pays one Exchange
+    # carrying ONE row per (cluster, map partition) after partial
+    # aggregation — strictly less shuffle at any scale, no giant-group
+    # sort task.
+    canon_ids = cscored.groupBy("cluster_id").agg(
+        F.expr("max_by(doc_id, struct(quality, -doc_id)) AS doc_id")
     ).select("doc_id")
     # decontaminate references train twice (shingle explode + anti-join);
-    # persisting here stops the clustering pipeline from running twice —
+    # the checkpoint stops the clustering pipeline from running twice —
     # the same stage boundary a production run would materialize
     train = (
         surv.join(canon_ids, "doc_id", "left_semi")
         .filter(F.col("doc_id") % 5 != 0)
-        .persist()
+        .localCheckpoint(eager=False)
     )
     test = docs.filter(F.col("doc_id") % 5 == 0)
     clean = dd.decontaminate(train, test, "doc_id", "text", k=5)

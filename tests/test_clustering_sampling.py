@@ -1216,3 +1216,31 @@ def test_lsh_recall_eval_live(spark, sf_dir):
     hits = [r["n_hit"] for r in rows]
     assert all(0 <= h <= 10 for h in hits)
     assert sum(hits) >= 1  # measured 2 at sf0.001, 4 at sf0.01
+
+
+def test_lsh_parameter_plan_fixture(spark):
+    """Pin lsh_parameter_plan's OUTPUT (it feeds declared query q302 and
+    real banding decisions): the r13 one-parse SQL rewrite must produce
+    the exact rows the Column-ladder form did — fixture md5 computed
+    from the DuckDB oracle replay (_lsh_plan_sql), which the oracle gate
+    has always held this function to."""
+    import hashlib
+
+    from dabstract_spark.operators.dedup import lsh_parameter_plan
+
+    df = lsh_parameter_plan(spark, n_hashes=16)
+    assert df.columns == ["bands", "rows_per_band", "s_ppm", "p_collide_ppm"]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "int", "int", "bigint", "bigint",
+    ]
+    rows = sorted(tuple(r) for r in df.collect())
+    assert len(rows) == 95  # 5 factorizations x 19 grid points
+    assert rows[0] == (1, 16, 50_000, 0)
+    assert rows[-1] == (16, 1, 950_000, 1_000_000)
+    # the classic (4 bands, 4 rows) S-curve point at s = 0.5:
+    # p = 1 - (1 - 0.5^4)^4 = 0.227524 under the 6-decimal ladder
+    assert (4, 4, 500_000, 227_524) in rows
+    assert (
+        hashlib.md5(repr(rows).encode()).hexdigest()
+        == "11189e4a289d4d5d858c58e765866274"
+    )
