@@ -1244,3 +1244,38 @@ def test_lsh_parameter_plan_fixture(spark):
         hashlib.md5(repr(rows).encode()).hexdigest()
         == "11189e4a289d4d5d858c58e765866274"
     )
+
+
+def test_cc_local_fastpath_matches_distributed(spark):
+    """The r13 single-task union-find fast path must produce exactly the
+    distributed propagation loop's labels (min member id per component,
+    singletons attached) on random graphs — including parallel edges,
+    self-loops, and isolated nodes."""
+    import os
+    import random
+
+    from dabstract_spark.operators.dedup import connected_components
+
+    rng = random.Random(5)
+    for _ in range(3):
+        n = rng.randint(2, 40)
+        edges_py = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(1, 60))
+        ]
+        nodes = spark.range(0, n + 1).selectExpr("id")
+        edges = spark.createDataFrame(edges_py, "id_a bigint, id_b bigint")
+        fast = sorted(
+            (r["id"], r["cluster_id"])
+            for r in connected_components(nodes, edges).collect()
+        )
+        os.environ["SPARK_GRAFT_CC_LOCAL_MAX"] = "0"
+        try:
+            slow = sorted(
+                (r["id"], r["cluster_id"])
+                for r in connected_components(nodes, edges).collect()
+            )
+        finally:
+            del os.environ["SPARK_GRAFT_CC_LOCAL_MAX"]
+        assert fast == slow
+        assert len(fast) == n + 1  # every node labeled exactly once
